@@ -1,38 +1,685 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (image table -> cell encode ->
+broadcast PIP join -> tile assign -> per-(polygon, tile) counts).
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
+
+Oracle float discipline: aggregates that accumulate doubles are computed as
+DECIMAL sums (exact, identical across engines) and cast back; per-row
+expressions use identical algebraic forms so IEEE semantics match; outputs
+are rounded to fixed decimals on BOTH sides; counts are cast to BIGINT in
+DuckDB (whose count/sum types differ from Spark's).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from karta_spark.functions import cells
+from karta_spark.functions.geodesy import plane_distance, sphere_distance, sphere_distance_sql
+from karta_spark.operators import dedup, knn, pip_join, similarity, text
+from karta_spark.operators.pip_join import PolygonSpec, winding_sql
+from karta_spark.raster.gridpoints import gridpoints, gridpoints_sql
+from karta_spark.sources import images, tables
+from karta_spark.sources.tables import with_coords
+
+# --------------------------------------------------------------------------
+# shared fixtures
+# --------------------------------------------------------------------------
+
+# seeded region heptagon from reference tests/vector_predicate_tests.py:208-221
+HEPTAGON = np.array(
+    [(-80, 0), (-50, -10), (20, -8), (35, -17), (55, 15), (-45, 18), (-60, 12)],
+    dtype=np.float64,
+)
+NORTH_QUAD = np.array([(-120, 20), (-60, 20), (-60, 60), (-120, 60)], dtype=np.float64)
+EAST_TRI = np.array([(60, -40), (150, -10), (80, 30)], dtype=np.float64)
+
+FLAGSHIP_POLYS = [
+    PolygonSpec("heptagon", HEPTAGON, crs="lonlat"),
+    PolygonSpec("north_quad", NORTH_QUAD, crs="lonlat"),
+    PolygonSpec("east_tri", EAST_TRI, crs="lonlat"),
+]
+
+GRID_T = (-180.0, -85.0, 10.0, 10.0, 0.0, 0.0)  # 10-degree world grid
+
+_LON = cells.lon_from_key_sql
+_LAT = cells.lat_from_key_sql
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthetic image+caption table (input_hint shape) -> lonlat
+    from phash -> broadcast PIP join -> slippy-tile assign (z8) ->
+    per-(polygon, tile) counts. Checked for >0 rows + stable schema."""
+    imgs = images.synth_images(spark, 2000, partitions=8)
+    pts = images.with_lonlat(imgs)
+    joined = pip_join.point_in_polygon_join(pts, FLAGSHIP_POLYS, zoom=5)
+    tiled = joined.withColumn("tile", cells.tile_id(F.col("x"), F.col("y"), 8))
+    return (
+        tiled.groupBy("poly_id", "tile")
+        .agg(F.count("*").alias("n_images"))
+        .orderBy("poly_id", "tile")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+            F.max("l_discount").alias("max_disc"),
+            F.min("l_extendedprice").alias("min_price"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(count(*) AS BIGINT) AS count_order,
+       max(l_discount) AS max_disc,
+       min(l_extendedprice) AS min_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("decimal(22,6)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q02_SQL = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+            AS DECIMAL(22,6)) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q03_top_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_spend"),
+             F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
+    return (
+        spend.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select("rank", "c_name", "total_spend", "n_orders")
+    )
+
+
+Q03_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY total_spend DESC, o_custkey ASC) AS BIGINT) AS rank
+  FROM spend
+)
+SELECT rank, c_name, total_spend, n_orders
+FROM ranked JOIN customer ON o_custkey = c_custkey
+WHERE rank <= 10
+"""
+
+
+def q04_cumulative_spend(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        o.where(F.col("o_custkey") <= 50)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("decimal(18,2)").alias("cum_spend"),
+        )
+    )
+
+
+Q04_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS cum_spend
+FROM orders WHERE o_custkey <= 50
+"""
+
+
+def q05_order_gaps(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return (
+        o.where(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.datediff(F.col("o_orderdate"), prev).cast("long").alias("gap_days"),
+        )
+    )
+
+
+Q05_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS BIGINT) AS gap_days
+FROM orders WHERE o_custkey <= 100
+"""
+
+
+def q06_tile_assign(spark, sf_dir):
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    return (
+        c.withColumn("tile_x", cells.tile_x(F.col("x"), 6))
+        .withColumn("tile_y", cells.tile_y(F.col("y"), 6))
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+Q06_SQL = f"""
+WITH pts AS (
+  SELECT {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+)
+SELECT {cells.tile_x_sql('x', 6)} AS tile_x,
+       {cells.tile_y_sql('y', 6)} AS tile_y,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM pts GROUP BY 1, 2
+"""
+
+
+def q07_pip_heptagon(spark, sf_dir):
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    poly = PolygonSpec("heptagon", HEPTAGON, crs="lonlat")
+    return pip_join.contains_flags(c, poly).select("c_custkey", "contained")
+
+
+Q07_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+)
+SELECT c_custkey, {winding_sql(HEPTAGON, 'x', 'y')} AS contained FROM pts
+"""
+
+
+def q08_within_radius(spark, sf_dir):
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    d = sphere_distance(F.lit(0.0), F.lit(0.0), F.col("x"), F.col("y"))
+    return (
+        c.withColumn("dist_m", F.round(d, 3))
+        .where(F.col("dist_m") < 3_000_000.0)
+        .select("c_custkey", "dist_m")
+    )
+
+
+Q08_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+)
+SELECT c_custkey, round({sphere_distance_sql('0.0', '0.0', 'x', 'y')}, 3) AS dist_m
+FROM pts
+WHERE round({sphere_distance_sql('0.0', '0.0', 'x', 'y')}, 3) < 3000000.0
+"""
+
+
+def q09_knn(spark, sf_dir):
+    s = with_coords(_t(spark, sf_dir, "supplier"), "s_suppkey").select(
+        F.col("s_suppkey").alias("query_id"),
+        F.col("x").alias("qx"), F.col("y").alias("qy"))
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey").select(
+        F.col("c_custkey").alias("point_id"), "x", "y")
+    out = knn.knn_join(s, c, k=3, zoom=4, ring=1)
+    return out.select(
+        "query_id", "point_id", F.round("dist", 6).alias("dist"),
+        F.col("rank").cast("long").alias("rank"))
+
+
+Q09_SQL = f"""
+WITH q AS (
+  SELECT s_suppkey AS query_id, {_LON('s_suppkey')} AS qx, {_LAT('s_suppkey')} AS qy
+  FROM supplier
+), p AS (
+  SELECT c_custkey AS point_id, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y
+  FROM customer
+), joined AS (
+  SELECT query_id, point_id,
+         sqrt((x - qx)*(x - qx) + (y - qy)*(y - qy)) AS dist
+  FROM q, p
+), ranked AS (
+  SELECT query_id, point_id, dist,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, point_id ASC) AS BIGINT) AS rank
+  FROM joined
+)
+SELECT query_id, point_id, round(dist, 6) AS dist, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q10_bbox_by_nation(spark, sf_dir):
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.round(F.min("x"), 6).alias("xmin"), F.round(F.min("y"), 6).alias("ymin"),
+            F.round(F.max("x"), 6).alias("xmax"), F.round(F.max("y"), 6).alias("ymax"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+Q10_SQL = f"""
+WITH pts AS (
+  SELECT c_nationkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+)
+SELECT c_nationkey,
+       round(min(x), 6) AS xmin, round(min(y), 6) AS ymin,
+       round(max(x), 6) AS xmax, round(max(y), 6) AS ymax,
+       CAST(count(*) AS BIGINT) AS n
+FROM pts GROUP BY c_nationkey
+"""
+
+
+def q11_gridpoints(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "key", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    li = with_coords(li, "key")
+    g = gridpoints(li, GRID_T, pz="l_quantity")
+    return g.select("cell_i", "cell_j", F.round("value", 6).alias("value"), "n")
+
+
+_GP = gridpoints_sql(GRID_T, "x", "y", "l_quantity")
+Q11_SQL = f"""
+WITH pts AS (
+  SELECT {_LON('(l_orderkey * 10 + l_linenumber)')} AS x,
+         {_LAT('(l_orderkey * 10 + l_linenumber)')} AS y,
+         l_quantity
+  FROM lineitem
+)
+SELECT {_GP['cell_i']} AS cell_i, {_GP['cell_j']} AS cell_j,
+       round(avg(l_quantity), 6) AS value, CAST(count(*) AS BIGINT) AS n
+FROM pts GROUP BY 1, 2
+"""
+
+
+def q12_nearest_vertex(spark, sf_dir):
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    out = knn.nearest_vertex(c.select(F.col("c_custkey").alias("point_id"), "x", "y"),
+                             10.0, 10.0)
+    return out.select("point_id", F.round("dist", 6).alias("dist"))
+
+
+Q12_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS point_id, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y
+  FROM customer
+)
+SELECT point_id, round(sqrt((x-10.0)*(x-10.0) + (y-10.0)*(y-10.0)), 6) AS dist
+FROM pts
+ORDER BY sqrt((x-10.0)*(x-10.0) + (y-10.0)*(y-10.0)) ASC, point_id ASC LIMIT 1
+"""
+
+
+def q13_path_length(spark, sf_dir):
+    """Per-customer 'track length': orders as a vertex string ordered by
+    date, planar distance between consecutive derived points (segments +
+    sum = karta length, geometry.py:647-665)."""
+    o = with_coords(_t(spark, sf_dir, "orders"), "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seg = plane_distance(F.lag("x").over(w), F.lag("y").over(w), F.col("x"), F.col("y"))
+    return (
+        o.select("o_custkey", seg.alias("_seg"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("_seg"), 4).alias("path_length"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+Q13_SQL = f"""
+WITH pts AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         {_LON('o_orderkey')} AS x, {_LAT('o_orderkey')} AS y
+  FROM orders
+), segs AS (
+  SELECT o_custkey,
+         sqrt(pow(x - lag(x) OVER w, 2) + pow(y - lag(y) OVER w, 2)) AS seg
+  FROM pts WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey, round(sum(seg), 4) AS path_length, CAST(count(*) AS BIGINT) AS n_orders
+FROM segs GROUP BY o_custkey
+"""
+
+
+def q14_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_groups(d, ["text"], "doc_id")
+
+
+Q14_SQL = """
+SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+def q15_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        text.token_count(c).cast("long").alias("n_tokens"),
+        F.length(c).cast("long").alias("n_chars"),
+        F.round(text.digit_ratio(c), 6).alias("digit_ratio"),
+        F.round(text.mean_token_len(c), 6).alias("mean_token_len"),
+    )
+
+
+Q15_SQL = r"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round(CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                  / length(text) END, 6) AS digit_ratio,
+       round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+             ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                  / len(regexp_split_to_array(trim(text), '\s+')) END, 6) AS mean_token_len
+FROM documents
+"""
+
+
+def q16_fingerprint_distinct(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(text.fingerprint(F.col("text")).alias("fp")).agg(
+        F.countDistinct("fp").alias("n_distinct"))
+
+
+Q16_SQL = r"""
+SELECT CAST(count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT)
+       AS n_distinct
+FROM documents
+"""
+
+
+def q17_ngram_jaccard(spark, sf_dir):
+    """Word-trigram Jaccard near-dup pairs (threshold 0.2) — exact, via
+    shingle-explode self-join (dedup.ngram pipeline at word granularity)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    gram = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)))
+    sh = d.select(F.col("doc_id").alias("id"),
+                  F.explode(F.array_distinct(gram)).alias("gram"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jaccard", F.round(
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+Q17_SQL = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-2, 1) + 1)) AS i FROM toks)
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.2
+"""
+
+
+def q18_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding"))
+    vectors = e.where(F.col("vec_id") >= 5)
+    out = similarity.cosine_topk(vectors, queries, k=5, qid="query_id")
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+Q18_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE vec_id >= 5),
+joined AS (
+  SELECT query_id, vec_id,
+         list_dot_product(ev, qv)
+           / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS cosine
+  FROM v, q
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM joined
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q19_embedding_neardup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = e.select(F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    return (
+        a.join(b, ["label"]).where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(similarity.cosine_expr("v_a", "v_b"), 6))
+        .where(F.col("cosine") >= 0.8)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+Q19_SQL = """
+WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.8
+"""
+
+
+def q20_events_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id", "event_id",
+            F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+            F.row_number().over(w).cast("long").alias("seq"),
+        )
+    )
+
+
+Q20_SQL = """
+SELECT user_id, event_id,
+       round(value - lag(value) OVER w, 6) AS value_delta,
+       CAST(row_number() OVER w AS BIGINT) AS seq
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# -- non-SQL-expressible ops (driver records a weaker rows-only check) -------
+
+def q21_minhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_lsh_pairs(d, "text", "doc_id", num_perm=64, bands=8,
+                                  shingle=6, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q22_simhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, "text", "doc_id", max_hamming=8)
+
+
+def q23_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding"))
+    vectors = e.where(F.col("vec_id") >= 5)
+    out = similarity.lsh_topk(vectors, queries, k=5, dim=64, nbits=4)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q24_image_decode(spark, sf_dir):
+    """Multimodal decode path: synthesize the image table (deterministic),
+    decode with the Arrow kernel, verify PSNR, count per format."""
+    imgs = images.synth_images(spark, 500, partitions=4)
+    stats = images.decode_stats(imgs)
+    ok = stats.where(F.col("psnr_vs_ref") >= 40.0)
+    return (
+        imgs.join(ok.select("image_id"), "image_id", "left_semi")
+        .groupBy("fmt").agg(F.count("*").alias("n_verified"))
+    )
+
+
+def q25_pip_join_full(spark, sf_dir):
+    """Flagship cell-keyed PIP join on the star schema (per-polygon counts).
+    Uses the full cover/refine machinery (not the dense-flag variant)."""
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    joined = pip_join.point_in_polygon_join(c, FLAGSHIP_POLYS, zoom=5)
+    return joined.groupBy("poly_id").agg(F.count("*").alias("n_points"))
+
+
+Q25_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+), flags AS (
+  SELECT 'heptagon' AS poly_id, {winding_sql(HEPTAGON, 'x', 'y')} AS contained FROM pts
+  UNION ALL
+  SELECT 'north_quad', {winding_sql(NORTH_QUAD, 'x', 'y')} FROM pts
+  UNION ALL
+  SELECT 'east_tri', {winding_sql(EAST_TRI, 'x', 'y')} FROM pts
+)
+SELECT poly_id, CAST(count(*) AS BIGINT) AS n_points FROM flags WHERE contained GROUP BY poly_id
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_revenue_by_nation": q02_revenue_by_nation,
+        "q03_top_customers": q03_top_customers,
+        "q04_cumulative_spend": q04_cumulative_spend,
+        "q05_order_gaps": q05_order_gaps,
+        "q06_tile_assign": q06_tile_assign,
+        "q07_pip_heptagon": q07_pip_heptagon,
+        "q08_within_radius": q08_within_radius,
+        "q09_knn": q09_knn,
+        "q10_bbox_by_nation": q10_bbox_by_nation,
+        "q11_gridpoints": q11_gridpoints,
+        "q12_nearest_vertex": q12_nearest_vertex,
+        "q13_path_length": q13_path_length,
+        "q14_dedup_exact": q14_dedup_exact,
+        "q15_text_stats": q15_text_stats,
+        "q16_fingerprint_distinct": q16_fingerprint_distinct,
+        "q17_ngram_jaccard": q17_ngram_jaccard,
+        "q18_cosine_topk": q18_cosine_topk,
+        "q19_embedding_neardup": q19_embedding_neardup,
+        "q20_events_window": q20_events_window,
+        "q21_minhash_pairs": q21_minhash_pairs,
+        "q22_simhash_pairs": q22_simhash_pairs,
+        "q23_lsh_topk": q23_lsh_topk,
+        "q24_image_decode": q24_image_decode,
+        "q25_pip_join_full": q25_pip_join_full,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": Q01_SQL,
+        "q02_revenue_by_nation": Q02_SQL,
+        "q03_top_customers": Q03_SQL,
+        "q04_cumulative_spend": Q04_SQL,
+        "q05_order_gaps": Q05_SQL,
+        "q06_tile_assign": Q06_SQL,
+        "q07_pip_heptagon": Q07_SQL,
+        "q08_within_radius": Q08_SQL,
+        "q09_knn": Q09_SQL,
+        "q10_bbox_by_nation": Q10_SQL,
+        "q11_gridpoints": Q11_SQL,
+        "q12_nearest_vertex": Q12_SQL,
+        "q13_path_length": Q13_SQL,
+        "q14_dedup_exact": Q14_SQL,
+        "q15_text_stats": Q15_SQL,
+        "q16_fingerprint_distinct": Q16_SQL,
+        "q17_ngram_jaccard": Q17_SQL,
+        "q18_cosine_topk": Q18_SQL,
+        "q19_embedding_neardup": Q19_SQL,
+        "q20_events_window": Q20_SQL,
+        "q25_pip_join_full": Q25_SQL,
+    }

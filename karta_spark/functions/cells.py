@@ -1,0 +1,143 @@
+"""Spatial cell / slippy-tile column expressions.
+
+The distributed replacement for karta's QuadTree/R-tree (reference
+geometry.py:1266-1267, 1575-1576): every point gets an int64 ``cell_id`` at a
+chosen zoom, computed with *pure Catalyst column expressions* (JVM-side,
+whole-stage-codegen — no Python in the hot path).  Joins, bucketing and
+Parquet/Iceberg min-max pruning on cell_id then do the index's job.
+
+Tile math is the OSM slippy scheme of reference tile.py:52-78:
+    x0 = 128/pi * 2^z * (radians(lon) + pi);  x = floor(x0 / 256)
+    y0 = 128/pi * 2^z * (pi - log(tan(pi/4 + radians(lat)/2))); y = floor(y0/256)
+which simplifies to the canonical
+    x = floor((lon + 180)/360 * 2^z)
+    y = floor((1 - log(tan(pi/4 + lat*pi/360))/pi) / 2 * 2^z)
+We keep karta's exact floating-point form for golden parity.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_LAT = 85.05112877  # atan(sinh(pi)) — slippy tile latitude bound (tile.py:22-33)
+
+
+def tile_x(lon: Column, zoom: int) -> Column:
+    c = 128.0 / math.pi * float(2 ** zoom)
+    x0 = c * (F.radians(lon) + math.pi)
+    return F.floor(x0 / 256.0).cast("long")
+
+
+def tile_y(lat: Column, zoom: int) -> Column:
+    c = 128.0 / math.pi * float(2 ** zoom)
+    y0 = c * (math.pi - F.log(F.tan(math.pi / 4.0 + F.radians(lat) / 2.0)))
+    return F.floor(y0 / 256.0).cast("long")
+
+
+def tile_id(lon: Column, lat: Column, zoom: int) -> Column:
+    """Pack (z, x, y) into one int64: z<<58 | x<<29 | y (supports z<=28).
+
+    A single sortable key so one column drives partitioning, bucketing and
+    min-max pruning."""
+    return (
+        F.lit(zoom).cast("long") * (1 << 58)
+        + tile_x(lon, zoom) * (1 << 29)
+        + tile_y(lat, zoom)
+    ).cast("long")
+
+
+def unpack_tile_id(cell: Column):
+    z = (cell / (1 << 58)).cast("long")
+    x = ((cell % (1 << 58)) / (1 << 29)).cast("long")
+    y = (cell % (1 << 29)).cast("long")
+    return z, x, y
+
+
+def tile_id_py(lon: float, lat: float, zoom: int) -> int:
+    """Driver-side scalar twin of tile_id (used for polygon cell covers)."""
+    x, y = tile_xy_py(lon, lat, zoom)
+    return (zoom << 58) | (x << 29) | y
+
+
+def tile_xy_py(lon: float, lat: float, zoom: int):
+    c = 128.0 / math.pi * float(2 ** zoom)
+    x0 = c * (math.radians(lon) + math.pi)
+    y0 = c * (math.pi - math.log(math.tan(math.pi / 4.0 + math.radians(lat) / 2.0)))
+    return int(x0 // 256.0), int(y0 // 256.0)
+
+
+def tile_nw_corner_py(z: int, x: int, y: int):
+    """NW corner lon/lat of a tile (inverse web-mercator, tile.py:20-33)."""
+    n = float(2 ** z)
+    lon = x / n * 360.0 - 180.0
+    lat = math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * y / n))))
+    return lon, lat
+
+
+def tile_bbox_py(z: int, x: int, y: int):
+    """(xmin, ymin, xmax, ymax) of a tile (tile.py:36-50)."""
+    w, n = tile_nw_corner_py(z, x, y)
+    e, _ = tile_nw_corner_py(z, x + 1, y)
+    _, s = tile_nw_corner_py(z, x, y + 1)
+    return (w, s, e, n)
+
+
+# ---------------------------------------------------------------------------
+# deterministic geolocation of arbitrary keyed rows (FIXTURES.md §1 rule)
+# ---------------------------------------------------------------------------
+
+# Knuth/Fibonacci multiplicative constants; any deterministic mix works, but
+# these are also exactly expressible in ANSI SQL for the DuckDB oracle.
+_LON_MULT = 2654435761  # 2^32 * golden ratio conjugate
+_LAT_MULT = 2246822519
+
+
+def phash_from_key(key: Column) -> Column:
+    """Synthesize a 63-bit 'phash' from an integer key: low 32 bits drive
+    lon, next 31 bits drive lat — mirrors the images-table rule so star-
+    schema rows can be geolocated for oracle-checked spatial queries."""
+    lo = (key * _LON_MULT) % F.lit(4294967296).cast("long")
+    hi = (key * _LAT_MULT) % F.lit(2147483648).cast("long")
+    return (hi * F.lit(4294967296).cast("long") + lo).cast("long")
+
+
+def lon_from_phash(phash: Column) -> Column:
+    """lon = (phash & 0xFFFFFFFF)/2^32*360 - 180 (FIXTURES.md §1)."""
+    lo = phash % F.lit(4294967296).cast("long")
+    return (lo.cast("double") / 4294967296.0 * 360.0 - 180.0)
+
+
+def lat_from_phash(phash: Column) -> Column:
+    """lat = ((phash>>32) & 0x7FFFFFFF)/2^31*170 - 85 (clamped to slippy
+    range, FIXTURES.md §1)."""
+    hi = (phash / F.lit(4294967296).cast("long")).cast("long") % F.lit(2147483648).cast("long")
+    return (hi.cast("double") / 2147483648.0 * 170.0 - 85.0)
+
+
+def phash_from_key_sql(key_expr: str) -> str:
+    """DuckDB-SQL twin of phash_from_key (int64-overflow-safe for keys < 2^31)."""
+    return (
+        f"(CAST(({key_expr} * {_LAT_MULT}) % 2147483648 AS BIGINT) * 4294967296"
+        f" + CAST(({key_expr} * {_LON_MULT}) % 4294967296 AS BIGINT))"
+    )
+
+
+def lon_from_key_sql(key_expr: str) -> str:
+    return f"(CAST(({key_expr} * {_LON_MULT}) % 4294967296 AS DOUBLE) / 4294967296.0 * 360.0 - 180.0)"
+
+
+def lat_from_key_sql(key_expr: str) -> str:
+    return f"(CAST(({key_expr} * {_LAT_MULT}) % 2147483648 AS DOUBLE) / 2147483648.0 * 170.0 - 85.0)"
+
+
+def tile_x_sql(lon_expr: str, zoom: int) -> str:
+    c = repr(128.0 / math.pi * float(2 ** zoom))
+    return f"CAST(floor(({c} * (radians({lon_expr}) + pi())) / 256.0) AS BIGINT)"
+
+
+def tile_y_sql(lat_expr: str, zoom: int) -> str:
+    c = repr(128.0 / math.pi * float(2 ** zoom))
+    return f"CAST(floor(({c} * (pi() - ln(tan(pi()/4.0 + radians({lat_expr})/2.0)))) / 256.0) AS BIGINT)"

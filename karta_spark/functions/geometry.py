@@ -1,0 +1,246 @@
+"""DataFrame-level geometry operators over vertex tables.
+
+Canonical representations (SURVEY §1.5):
+
+- **vertex table**: one row per vertex — ``(geom_id, idx, x, y)`` — the
+  exploded form all window-style ops run on (segments = lag, cumulative
+  length = running sum, bbox = groupBy min/max).
+- **geometry array**: ``(geom_id, vertices: array<struct<x,y>>)`` — compact
+  form shipped into numpy refine kernels.
+
+Every op here is a plain Catalyst plan (window/agg/join) — karta's eager
+per-object methods (reference geometry.py:647-973) become declarative
+column programs that scale by partitioning on geom_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from karta_spark.functions.geodesy import plane_distance, sphere_distance
+
+
+def explode_vertices(df: DataFrame, vertices_col: str = "vertices",
+                     geom_id: str = "geom_id") -> DataFrame:
+    """geometry-array form -> vertex table (keeps all other columns)."""
+    out = df.select(
+        geom_id,
+        F.posexplode(vertices_col).alias("idx", "_v"),
+    )
+    return out.select(geom_id, "idx", F.col("_v.x").alias("x"), F.col("_v.y").alias("y"))
+
+
+def collect_vertices(df: DataFrame, geom_id: str = "geom_id") -> DataFrame:
+    """vertex table -> geometry-array form (order restored by idx)."""
+    return (
+        df.groupBy(geom_id)
+        .agg(F.sort_array(F.collect_list(F.struct("idx", "x", "y"))).alias("_s"))
+        .select(
+            geom_id,
+            F.transform("_s", lambda s: F.struct(s.x.alias("x"), s.y.alias("y"))).alias("vertices"),
+        )
+    )
+
+
+def segments(df: DataFrame, geom_id: str = "geom_id", closed: bool = False) -> DataFrame:
+    """Adjacent-vertex pairing — the lag-window analogue of karta's
+    ``segments`` generator (reference geometry.py:668-676; ring wrap-around
+    for polygons geometry.py:1079-1091).
+
+    Returns (geom_id, seg_idx, x0, y0, x1, y1). With ``closed`` the last
+    vertex pairs back to the first (polygon ring closure).
+    """
+    w = Window.partitionBy(geom_id).orderBy("idx")
+    seg = (
+        df.select(
+            geom_id, "idx",
+            F.col("x").alias("x0"), F.col("y").alias("y0"),
+            F.lead("x").over(w).alias("x1"), F.lead("y").over(w).alias("y1"),
+        )
+    )
+    if closed:
+        wcnt = Window.partitionBy(geom_id)
+        first_x = F.first("x0").over(Window.partitionBy(geom_id).orderBy("idx")
+                                     .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        first_y = F.first("y0").over(Window.partitionBy(geom_id).orderBy("idx")
+                                     .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        seg = seg.withColumn("x1", F.coalesce("x1", first_x)).withColumn(
+            "y1", F.coalesce("y1", first_y))
+        _ = wcnt
+    else:
+        seg = seg.where(F.col("x1").isNotNull())
+    return seg.withColumnRenamed("idx", "seg_idx")
+
+
+def seg_length(spherical: bool = False) -> Column:
+    """Per-segment length column for a segments() frame."""
+    if spherical:
+        return sphere_distance(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"))
+    return plane_distance(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"))
+
+
+def length(df: DataFrame, geom_id: str = "geom_id", spherical: bool = False) -> DataFrame:
+    """Total geometry length: sum of segment lengths (geometry.py:647-665)."""
+    return (
+        segments(df, geom_id)
+        .withColumn("_len", seg_length(spherical))
+        .groupBy(geom_id)
+        .agg(F.sum("_len").alias("length"))
+    )
+
+
+def cumlength(df: DataFrame, geom_id: str = "geom_id", spherical: bool = False) -> DataFrame:
+    """Running per-vertex cumulative length (geometry.py:875-888): vertex 0
+    gets 0, vertex i the summed segment lengths up to i."""
+    w = Window.partitionBy(geom_id).orderBy("idx")
+    prev_x = F.lag("x").over(w)
+    prev_y = F.lag("y").over(w)
+    step = F.when(prev_x.isNull(), F.lit(0.0)).otherwise(
+        sphere_distance(prev_x, prev_y, F.col("x"), F.col("y")) if spherical
+        else plane_distance(prev_x, prev_y, F.col("x"), F.col("y"))
+    )
+    run = Window.partitionBy(geom_id).orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("cumlength", F.sum(step).over(run))
+
+
+def displacement(df: DataFrame, geom_id: str = "geom_id", spherical: bool = False) -> DataFrame:
+    """distance(first vertex, last vertex) (geometry.py:962-969)."""
+    agg = df.groupBy(geom_id).agg(
+        F.min_by("x", "idx").alias("x0"), F.min_by("y", "idx").alias("y0"),
+        F.max_by("x", "idx").alias("x1"), F.max_by("y", "idx").alias("y1"),
+    )
+    d = (sphere_distance(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1")) if spherical
+         else plane_distance(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1")))
+    return agg.select(geom_id, d.alias("displacement"))
+
+
+def bbox(df: DataFrame, geom_id: str = "geom_id") -> DataFrame:
+    """Planar bbox aggregate (geometry.py:428-457 planar path)."""
+    return df.groupBy(geom_id).agg(
+        F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+        F.max("x").alias("xmax"), F.max("y").alias("ymax"),
+    )
+
+
+def shoelace_terms(closed_segments: DataFrame) -> DataFrame:
+    """Add the shoelace cross term to a closed segments() frame."""
+    return closed_segments.withColumn(
+        "_cross", F.col("x0") * F.col("y1") - F.col("x1") * F.col("y0"))
+
+
+def area(df: DataFrame, geom_id: str = "geom_id") -> DataFrame:
+    """Planar polygon area via shoelace (geometry.py:1110-1124 planar arm);
+    input is a vertex table of the outer ring (holes subtracted by caller)."""
+    seg = shoelace_terms(segments(df, geom_id, closed=True))
+    return seg.groupBy(geom_id).agg((F.abs(F.sum("_cross")) / 2.0).alias("area"))
+
+
+def centroid(df: DataFrame, geom_id: str = "geom_id") -> DataFrame:
+    """Shoelace centroid, holes ignored (geometry.py:1146-1154)."""
+    seg = shoelace_terms(segments(df, geom_id, closed=True))
+    agg = seg.groupBy(geom_id).agg(
+        F.sum("_cross").alias("_a2"),
+        F.sum((F.col("x0") + F.col("x1")) * F.col("_cross")).alias("_cx"),
+        F.sum((F.col("y0") + F.col("y1")) * F.col("_cross")).alias("_cy"),
+    )
+    return agg.select(
+        geom_id,
+        (F.col("_cx") / (3.0 * F.col("_a2"))).alias("cx"),
+        (F.col("_cy") / (3.0 * F.col("_a2"))).alias("cy"),
+    )
+
+
+def isclockwise(df: DataFrame, geom_id: str = "geom_id") -> DataFrame:
+    """Ring orientation: sum((x1-x0)*(y1+y0)) > 0 (geometry.py:1044-1048)."""
+    seg = segments(df, geom_id, closed=True)
+    return seg.groupBy(geom_id).agg(
+        (F.sum((F.col("x1") - F.col("x0")) * (F.col("y1") + F.col("y0"))) > 0).alias("isclockwise")
+    )
+
+
+def perimeter(df: DataFrame, geom_id: str = "geom_id", spherical: bool = False) -> DataFrame:
+    """Closed-ring perimeter (geometry.py:1098-1107; holes added by caller
+    as separate geom rows)."""
+    seg = segments(df, geom_id, closed=True).withColumn("_len", seg_length(spherical))
+    return seg.groupBy(geom_id).agg(F.sum("_len").alias("perimeter"))
+
+
+def to_points(df: DataFrame, dx: float, geom_id: str = "geom_id") -> DataFrame:
+    """Resample each line at fixed spacing *dx* by walking segments —
+    karta ``Line.to_points`` (geometry.py:890-935): positions at distances
+    0, dx, 2dx, ... along the cumulative length, linear within segments,
+    endpoint always included.
+
+    Plan: cumlength window -> segment ranges -> sequence-generate sample
+    distances -> range join (distance between consecutive cumlengths) ->
+    linear interpolation. All Catalyst; no UDF.
+    """
+    cum = cumlength(df, geom_id)
+    w = Window.partitionBy(geom_id).orderBy("idx")
+    seg = cum.select(
+        geom_id,
+        F.col("idx").alias("seg_idx"),
+        F.col("x").alias("x0"), F.col("y").alias("y0"),
+        F.col("cumlength").alias("d0"),
+        F.lead("x").over(w).alias("x1"), F.lead("y").over(w).alias("y1"),
+        F.lead("cumlength").over(w).alias("d1"),
+    ).where(F.col("x1").isNotNull())
+
+    total = cum.groupBy(geom_id).agg(F.max("cumlength").alias("_total"))
+    samples = total.select(
+        geom_id,
+        F.posexplode(
+            F.sequence(F.lit(0), F.floor(F.col("_total") / dx).cast("int"))
+        ).alias("sample_idx", "_k"),
+    ).withColumn("target_d", F.col("_k").cast("double") * dx).drop("_k")
+
+    # samples live at exact multiples of dx along cumulative length; the
+    # final vertex appears only when total is an exact multiple (karta's
+    # walk loop, geometry.py:890-918).  The `target_d == d1 == total` arm
+    # catches that exact-multiple endpoint which the half-open interval
+    # misses.
+    is_last = F.col("d1") == F.max("d1").over(Window.partitionBy(geom_id))
+    j = samples.join(seg, on=geom_id, how="inner").where(
+        ((F.col("target_d") >= F.col("d0")) & (F.col("target_d") < F.col("d1")))
+        | (is_last & (F.col("target_d") == F.col("d1")))
+    )
+    frac = (F.col("target_d") - F.col("d0")) / (F.col("d1") - F.col("d0"))
+    return j.select(
+        geom_id, "sample_idx",
+        (F.col("x0") + frac * (F.col("x1") - F.col("x0"))).alias("x"),
+        (F.col("y0") + frac * (F.col("y1") - F.col("y0"))).alias("y"),
+    )
+
+
+def to_npoints(df: DataFrame, n: int, geom_id: str = "geom_id") -> DataFrame:
+    """n equally spaced points along each line (geometry.py:920-960):
+    positions k * total/(n-1), k = 0..n-1; endpoint always included."""
+    cum = cumlength(df, geom_id)
+    w = Window.partitionBy(geom_id).orderBy("idx")
+    seg = cum.select(
+        geom_id,
+        F.col("x").alias("x0"), F.col("y").alias("y0"),
+        F.col("cumlength").alias("d0"),
+        F.lead("x").over(w).alias("x1"), F.lead("y").over(w).alias("y1"),
+        F.lead("cumlength").over(w).alias("d1"),
+    ).where(F.col("x1").isNotNull())
+    total = cum.groupBy(geom_id).agg(F.max("cumlength").alias("_total"))
+    samples = total.select(
+        geom_id, "_total",
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("sample_idx"),
+    ).withColumn(
+        "target_d",
+        F.col("sample_idx").cast("double") * F.col("_total") / float(n - 1),
+    ).drop("_total")
+    is_last = F.col("d1") == F.max("d1").over(Window.partitionBy(geom_id))
+    j = samples.join(seg, on=geom_id, how="inner").where(
+        ((F.col("target_d") >= F.col("d0")) & (F.col("target_d") < F.col("d1")))
+        | (is_last & (F.col("target_d") >= F.col("d1")))
+    )
+    frac = F.least(F.lit(1.0), (F.col("target_d") - F.col("d0")) / (F.col("d1") - F.col("d0")))
+    return j.select(
+        geom_id, "sample_idx",
+        (F.col("x0") + frac * (F.col("x1") - F.col("x0"))).alias("x"),
+        (F.col("y0") + frac * (F.col("y1") - F.col("y0"))).alias("y"),
+    )

@@ -1,0 +1,385 @@
+"""Vectorized numpy geometry kernels.
+
+These are the batch "refine" kernels that run inside pandas/Arrow UDFs after
+a coarse cell-keyed join has produced candidates.  Each replicates the exact
+float64 algebra of the corresponding karta Cython kernel so that predicate
+results are bit-for-bit identical:
+
+- ``winding_contains``   ← reference karta/vector/contains.pyx:13-42
+  (winding number; boundary points count as inside, see reference
+  tests/vector_predicate_tests.py:165-170)
+- ``isleft``             ← contains.pyx:6-11 (cross-product form)
+- ``segment_intersections`` ← karta/vector/intersection.pyx:606-622 primitive,
+  brute pairing as in ``all_intersections`` intersection.pyx:41-68
+- ``convex_hull``        ← karta/vector/convexhull.pyx:18-82 (Graham-type scan
+  from leftmost pivot by azimuth)
+- ``positions``          ← karta/raster/crfuncs.pyx:12-33 (inverse affine with
+  the -0.5 cell-center convention)
+- ``sample_bilinear``    ← crfuncs.pyx:118-157 incl. the integer-index
+  splitting rules (crfuncs.pyx:49-67)
+- ``mask_poly``          ← karta/raster/grid.py:1304-1384 scanline fill
+
+All functions take/return plain numpy arrays so they can be reused from any
+UDF shape (pandas_udf, applyInPandas, mapInPandas) and unit-tested directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon (winding number, boundary-inclusive)
+# ---------------------------------------------------------------------------
+
+def isleft(px, py, x0, y0, x1, y1):
+    """>0 if (px,py) left of segment (x0,y0)->(x1,y1); 0 on the line.
+
+    Same algebraic form as contains.pyx:11 for float parity.
+    """
+    return (x1 - x0) * (py - y0) - (px - x0) * (y1 - y0)
+
+
+def winding_number(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Winding number of each point wrt *ring* (K,2) (not explicitly closed).
+
+    Vectorized over points; loops over the (small) edge count.  Upward
+    crossings with point strictly left add 1; downward crossings with point
+    strictly right subtract 1 — exactly contains.pyx:25-40.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    ring = np.asarray(ring, dtype=np.float64)
+    cnt = np.zeros(px.shape, dtype=np.int64)
+    k = len(ring)
+    for i in range(k):
+        x0, y0 = ring[i, 0], ring[i, 1]
+        x1, y1 = ring[(i + 1) % k, 0], ring[(i + 1) % k, 1]
+        left = isleft(px, py, x0, y0, x1, y1)
+        up = (y0 <= py) & (py < y1) & (left > 0)
+        down = (y0 > py) & (py >= y1) & (left < 0)
+        cnt += up.astype(np.int64)
+        cnt -= down.astype(np.int64)
+    return cnt
+
+
+def winding_contains(px, py, ring) -> np.ndarray:
+    """Boolean point-in-ring (winding != 0). Boundary counts as inside for
+    axis-crossing edge cases per the reference tests."""
+    return winding_number(px, py, ring) != 0
+
+
+def polygon_contains(px, py, outer, holes=()) -> np.ndarray:
+    """Point in polygon-with-holes: inside outer ring and in no hole
+    (reference geometry.py:1168-1174 semantics)."""
+    inside = winding_contains(px, py, outer)
+    for hole in holes or ():
+        if len(hole):
+            inside &= ~winding_contains(px, py, np.asarray(hole))
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# segment intersection
+# ---------------------------------------------------------------------------
+
+def _cross(ox, oy, ax, ay, bx, by):
+    return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def segments_intersect(
+    ax0, ay0, ax1, ay1, bx0, by0, bx1, by1
+) -> np.ndarray:
+    """Vectorized proper-or-touching segment intersection test.
+
+    Equivalent decision to the reference ``intersection`` primitive
+    (intersection.pyx:606-622): parametric solve; parallel/collinear
+    overlap counts as intersecting when bounding intervals overlap.
+    """
+    ax0 = np.asarray(ax0, dtype=np.float64)
+    d1x, d1y = ax1 - ax0, ay1 - ay0
+    d2x, d2y = bx1 - bx0, by1 - by0
+    denom = d1x * d2y - d1y * d2x
+    # non-parallel case: 0 <= t,u <= 1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((bx0 - ax0) * d2y - (by0 - ay0) * d2x) / denom
+        u = ((bx0 - ax0) * d1y - (by0 - ay0) * d1x) / denom
+    nonpar = denom != 0
+    hit = nonpar & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+
+    # parallel: collinear and interval-overlapping
+    par = ~nonpar
+    if np.any(par):
+        collinear = par & (_cross(ax0, ay0, ax1, ay1, bx0, by0) == 0)
+        lo_ax = np.minimum(ax0, ax1); hi_ax = np.maximum(ax0, ax1)
+        lo_ay = np.minimum(ay0, ay1); hi_ay = np.maximum(ay0, ay1)
+        lo_bx = np.minimum(bx0, bx1); hi_bx = np.maximum(bx0, bx1)
+        lo_by = np.minimum(by0, by1); hi_by = np.maximum(by0, by1)
+        overlap = (lo_ax <= hi_bx) & (lo_bx <= hi_ax) & \
+                  (lo_ay <= hi_by) & (lo_by <= hi_ay)
+        hit = hit | (collinear & overlap)
+    return hit
+
+
+def segment_intersection_points(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1):
+    """Intersection points for non-parallel crossing segment pairs.
+
+    Returns (xs, ys, valid) arrays; ``valid`` False where no crossing or
+    parallel (matches all_intersections which yields NaN for parallel,
+    intersection.pyx:41-68).
+    """
+    ax0 = np.asarray(ax0, dtype=np.float64)
+    d1x, d1y = ax1 - ax0, ay1 - ay0
+    d2x, d2y = bx1 - bx0, by1 - by0
+    denom = d1x * d2y - d1y * d2x
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((bx0 - ax0) * d2y - (by0 - ay0) * d2x) / denom
+        u = ((bx0 - ax0) * d1y - (by0 - ay0) * d1x) / denom
+    valid = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    with np.errstate(invalid="ignore"):
+        xs = ax0 + t * d1x
+        ys = ay0 + t * d1y
+    return xs, ys, valid
+
+
+def polyline_intersects(a: np.ndarray, b: np.ndarray, a_closed=False, b_closed=False) -> bool:
+    """Do two vertex strings (N,2)/(M,2) intersect? Brute vectorized
+    all-pairs segment test (beats a sweep under numpy vectorization for the
+    candidate sizes a cell join produces; see SURVEY §2.3)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if a_closed:
+        a = np.vstack([a, a[:1]])
+    if b_closed:
+        b = np.vstack([b, b[:1]])
+    if len(a) < 2 or len(b) < 2:
+        return False
+    ax0, ay0 = a[:-1, 0], a[:-1, 1]
+    ax1, ay1 = a[1:, 0], a[1:, 1]
+    bx0, by0 = b[:-1, 0], b[:-1, 1]
+    bx1, by1 = b[1:, 0], b[1:, 1]
+    # broadcast (n_a, 1) x (1, n_b)
+    hit = segments_intersect(
+        ax0[:, None], ay0[:, None], ax1[:, None], ay1[:, None],
+        bx0[None, :], by0[None, :], bx1[None, :], by1[None, :],
+    )
+    return bool(np.any(hit))
+
+
+def polyline_intersection_points(a, b, a_closed=False, b_closed=False):
+    """All pairwise intersection points between two vertex strings.
+
+    Matches ``Geometry.intersections`` (geometry.py:698-723) brute
+    all-pairs semantics. Returns (N,2) float array (may contain dups;
+    caller dedups — reference dedups via set())."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if a_closed:
+        a = np.vstack([a, a[:1]])
+    if b_closed:
+        b = np.vstack([b, b[:1]])
+    ax0, ay0 = a[:-1, 0][:, None], a[:-1, 1][:, None]
+    ax1, ay1 = a[1:, 0][:, None], a[1:, 1][:, None]
+    bx0, by0 = b[:-1, 0][None, :], b[:-1, 1][None, :]
+    bx1, by1 = b[1:, 0][None, :], b[1:, 1][None, :]
+    xs, ys, valid = segment_intersection_points(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)
+    return np.column_stack([xs[valid], ys[valid]])
+
+
+# ---------------------------------------------------------------------------
+# convex hull (planar Graham-type scan, leftmost pivot — convexhull.pyx:18-82)
+# ---------------------------------------------------------------------------
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Indices of convex hull vertices in counterclockwise order.
+
+    Andrew's monotone chain (same hull set as the reference's azimuthal
+    Graham scan; vertex membership is what the reference tests assert)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return np.arange(n)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+
+    def half(indices):
+        out = []
+        for idx in indices:
+            while len(out) >= 2:
+                o, a = pts[out[-2]], pts[out[-1]]
+                if _cross(o[0], o[1], a[0], a[1], pts[idx][0], pts[idx][1]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(idx)
+        return out
+
+    lower = half(order)
+    upper = half(order[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# raster kernels
+# ---------------------------------------------------------------------------
+
+def positions(transform, x, y):
+    """World coords -> fractional (i, j) row/col indices.
+
+    Exact algebra of crfuncs.pyx:12-33 (inverse affine with skew; -0.5
+    offset so integer index = cell center)."""
+    x0, y0, dx, dy, sx, sy = transform
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    j = (dy * x - dy * x0 + sx * y0 - sx * y) / (dx * dy - sx * sy)
+    i = (y - y0 - j * sy) / dy
+    return i - 0.5, j - 0.5
+
+
+def _split_index(v):
+    """Bilinear neighbor-index split, replicating crfuncs.pyx:49-67.
+
+    i0 = floor(v) and i1 = i0+1 for fractional v; for *integer* v the cell
+    pair is (v-1, v) except at v==0 where it is (0, 1)."""
+    v = np.asarray(v, dtype=np.float64)
+    frac = np.mod(v, 1.0) != 0
+    i0 = np.where(frac, np.floor(v), np.where(v != 0, v - 1.0, v))
+    i1 = np.where(frac, np.floor(v) + 1.0, np.where(v != 0, v, v + 1.0))
+    return i0.astype(np.int64), i1.astype(np.int64)
+
+
+def sample_bilinear(I, J, Z, nodata):
+    """Bilinear sample of grid Z (ny,nx) at fractional indices (I, J).
+
+    Out-of-support points -> nodata (crfuncs.pyx:152-156). Output dtype
+    follows Z's family: float stays float64; (u)int results truncate via
+    int() like the typed reference kernels (crfuncs.pyx:70-73, 112-115)."""
+    I = np.asarray(I, dtype=np.float64)
+    J = np.asarray(J, dtype=np.float64)
+    Z = np.asarray(Z)
+    m, n = Z.shape
+    i0, i1 = _split_index(I)
+    j0, j1 = _split_index(J)
+    ok = (i0 >= 0) & (i1 < m) & (j0 >= 0) & (j1 < n)
+    i0c = np.clip(i0, 0, m - 1); i1c = np.clip(i1, 0, m - 1)
+    j0c = np.clip(j0, 0, n - 1); j1c = np.clip(j1, 0, n - 1)
+    Zf = Z.astype(np.float64)
+    val = (
+        Zf[i0c, j0c] * (i1 - I) * (j1 - J)
+        + Zf[i1c, j0c] * (I - i0) * (j1 - J)
+        + Zf[i0c, j1c] * (i1 - I) * (J - j0)
+        + Zf[i1c, j1c] * (I - i0) * (J - j0)
+    )
+    if np.issubdtype(Z.dtype, np.integer):
+        out = np.trunc(val)
+        out = np.where(ok, out, float(nodata))
+        return out.astype(Z.dtype)
+    return np.where(ok, val, np.float64(nodata))
+
+
+def sample_nearest(I, J, Z, nodata):
+    """Nearest sample: round fractional index, out of bounds -> nodata
+    (grid.py:830-892)."""
+    I = np.round(np.asarray(I, dtype=np.float64)).astype(np.int64)
+    J = np.round(np.asarray(J, dtype=np.float64)).astype(np.int64)
+    Z = np.asarray(Z)
+    m, n = Z.shape
+    ok = (I >= 0) & (I < m) & (J >= 0) & (J < n)
+    Ic = np.clip(I, 0, m - 1)
+    Jc = np.clip(J, 0, n - 1)
+    out = Z[Ic, Jc].astype(np.float64)
+    return np.where(ok, out, np.float64(nodata))
+
+
+def mask_poly(xpoly, ypoly, nx, ny, transform):
+    """Boolean raster mask of a polygon via even-odd scanline fill over cell
+    centers (semantics of grid.py:1304-1384)."""
+    x0, y0, dx, dy, sx, sy = transform
+    jj, ii = np.meshgrid(np.arange(nx), np.arange(ny))
+    # cell centers (forward affine + half-cell, coordgen.py:63-64)
+    cx = x0 + (jj + 0.5) * dx + (ii + 0.5) * sx
+    cy = y0 + (ii + 0.5) * dy + (jj + 0.5) * sy
+    ring = np.column_stack([np.asarray(xpoly, dtype=np.float64),
+                            np.asarray(ypoly, dtype=np.float64)])
+    return winding_contains(cx.ravel(), cy.ravel(), ring).reshape(ny, nx)
+
+
+# ---------------------------------------------------------------------------
+# geodesy (spherical; reference geodesy.py:96-113, radius crs.py:77)
+# ---------------------------------------------------------------------------
+
+R_SPHERE = 6370997.0  # "+ellps=sphere" radius used by karta's SphericalEarth
+
+
+def sphere_distance(lon1, lat1, lon2, lat2, radius=R_SPHERE):
+    """Two-branch spherical distance (law of cosines for large separations,
+    haversine under 0.01 rad) — geodesy.py:96-108, inputs in degrees."""
+    lon1 = np.radians(np.asarray(lon1, dtype=np.float64))
+    lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lon2 = np.radians(np.asarray(lon2, dtype=np.float64))
+    lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    dx = np.abs(lon1 - lon2)
+    dy = np.abs(lat1 - lat2)
+    big = (dx > 0.01) | (dy > 0.01)
+    arg = np.clip(np.sin(lat1) * np.sin(lat2) + np.cos(lat1) * np.cos(lat2) * np.cos(dx), -1, 1)
+    d_loc = np.arccos(arg)
+    d_hav = 2 * np.arcsin(np.sqrt(np.sin(dy / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dx / 2) ** 2))
+    return radius * np.where(big, d_loc, d_hav)
+
+
+def sphere_azimuth(lon1, lat1, lon2, lat2):
+    """Spherical azimuth in radians (geodesy.py:111-113), degrees in."""
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    dlon = np.radians(np.asarray(lon2, dtype=np.float64) - lon1)
+    lat1r = np.radians(np.asarray(lat1, dtype=np.float64))
+    lat2r = np.radians(np.asarray(lat2, dtype=np.float64))
+    return np.arctan2(np.sin(dlon), np.cos(lat1r) * np.tan(lat2r) - np.sin(lat1r) * np.cos(dlon))
+
+
+def sphere_contains(px, py, ring_lonlat) -> np.ndarray:
+    """Geographic (polar) point-in-polygon by azimuth winding — exact
+    replica of contains_proj (contains.pyx:44-83), vectorized over points.
+
+    Note the reference's correction is deliberately asymmetric (its second
+    branch re-tests the same condition and is unreachable, contains.pyx:67-72)
+    and the *contained* verdict is |sum| <= 1e-4 (contains.pyx:80-83):
+    an inside point's -360 wind is cancelled by the +360 correction while an
+    outside point's uncorrected positive jump accumulates to 360."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    ring = np.asarray(ring_lonlat, dtype=np.float64)
+    k = len(ring)
+    az0 = np.degrees(sphere_azimuth(px, py, ring[0, 0], ring[0, 1]))
+    az0 = np.mod(az0 + 360.0, 360.0)
+    total = np.zeros_like(px)
+    for i in range(1, k + 1):
+        vx, vy = ring[i % k]
+        az1 = np.degrees(sphere_azimuth(px, py, vx, vy))
+        az1 = np.mod(az1 + 360.0, 360.0)
+        d = az1 - az0
+        d = np.where(d < -180.0, d + 360.0, d)  # only the first branch is live
+        total += d
+        az0 = az1
+    return np.abs(total) <= 1e-4
+
+
+def crosses_dateline(x0, x1) -> bool:
+    """Does the lon pair straddle the dateline? (dateline.pyx:5-17; sign of
+    0.0 is +1 per vectorgeo fsign)."""
+    s0 = 1.0 if x0 == 0 else np.sign(x0)
+    s1 = 1.0 if x1 == 0 else np.sign(x1)
+    return (s0 != s1) and abs(x0 - x1) > 180.0
+
+
+def ispolar(ring_lonlat) -> bool:
+    """Does a lon/lat ring wind around a pole? Exact replica of
+    geometry.py:1050-1076: each dateline-crossing step contributes
+    360 + (lon1 - lon0) regardless of direction; |sum| > 1e-4 => polar."""
+    ring = np.asarray(ring_lonlat, dtype=np.float64)
+    lon = np.mod(ring[:, 0] + 180.0, 360.0) - 180.0  # reduce_deg to [-180,180)
+    total = 0.0
+    lon0 = lon[-1]
+    for lon1 in lon:
+        d = lon1 - lon0
+        total += (360.0 + d) if crosses_dateline(lon0, lon1) else d
+        lon0 = lon1
+    return bool(abs(total) > 1e-4)

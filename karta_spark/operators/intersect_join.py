@@ -1,0 +1,126 @@
+"""touching / within joins for line & polygon member tables.
+
+Reference semantics (geometry.py:1496-1544):
+- members vs Line target:    bbox-overlap AND boundaries intersect
+- members vs Polygon target: bbox-overlap AND (target contains member's
+  FIRST vertex OR boundaries intersect)                       [= touching]
+- within (Polygon target):   bbox-overlap AND contains(first vertex)
+  AND NOT boundaries intersect
+
+Member tables carry geometry arrays: (geom_id, vertices array<struct<x,y>>,
+closed boolean).  The R-tree becomes a bbox prefilter (min-max prunable when
+sorted by cell) and the refine is the vectorized brute segment-pair kernel —
+brute beats a sweep under numpy for cell-join candidate sizes (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from karta_spark.operators.pip_join import PolygonSpec
+from karta_spark.functions.kernels import polyline_intersects
+
+
+def with_member_bbox(df: DataFrame, vertices: str = "vertices") -> DataFrame:
+    """Materialize per-member bbox columns from a geometry array — the
+    distributed stand-in for R-tree node bboxes (rtree.pyx:39-65)."""
+    xs = F.transform(vertices, lambda v: v.x)
+    ys = F.transform(vertices, lambda v: v.y)
+    return (
+        df.withColumn("xmin", F.array_min(xs)).withColumn("xmax", F.array_max(xs))
+        .withColumn("ymin", F.array_min(ys)).withColumn("ymax", F.array_max(ys))
+    )
+
+
+def _bbox_gate(target_bbox: tuple):
+    xmin, ymin, xmax, ymax = target_bbox
+    return (
+        (F.col("xmin") <= xmax) & (F.lit(xmin) <= F.col("xmax"))
+        & (F.col("ymin") <= ymax) & (F.lit(ymin) <= F.col("ymax"))
+    )
+
+
+def _target_arrays(target_vertices, target_closed: bool):
+    tv = np.asarray(target_vertices, dtype=np.float64)
+    return tv, target_closed
+
+
+def _intersects_udf(target_vertices, target_closed: bool, members_closed: bool):
+    tv, tc = _target_arrays(target_vertices, target_closed)
+
+    @F.pandas_udf(BooleanType())
+    def udf(vertices: pd.Series) -> pd.Series:
+        out = np.zeros(len(vertices), dtype=bool)
+        for i, verts in enumerate(vertices):
+            arr = np.array([[v["x"], v["y"]] for v in verts], dtype=np.float64)
+            out[i] = polyline_intersects(arr, tv, a_closed=members_closed, b_closed=tc)
+        return pd.Series(out)
+
+    return udf
+
+
+def touching(
+    members: DataFrame, target_vertices, target_is_polygon: bool,
+    members_closed: bool = False, vertices: str = "vertices",
+) -> DataFrame:
+    """Members touching a Line/Polygon target (geometry.py:1496-1525)."""
+    tv = np.asarray(target_vertices, dtype=np.float64)
+    bb = (tv[:, 0].min(), tv[:, 1].min(), tv[:, 0].max(), tv[:, 1].max())
+    cand = with_member_bbox(members, vertices).where(_bbox_gate(bb))
+    inter = _intersects_udf(tv, target_is_polygon, members_closed)
+    if target_is_polygon:
+        spec = PolygonSpec("t", tv)
+
+        @F.pandas_udf(BooleanType())
+        def first_vertex_inside(verts: pd.Series) -> pd.Series:
+            fx = np.array([v[0]["x"] for v in verts], dtype=np.float64)
+            fy = np.array([v[0]["y"] for v in verts], dtype=np.float64)
+            return pd.Series(spec.contains(fx, fy))
+
+        cond = first_vertex_inside(F.col(vertices)) | inter(F.col(vertices))
+    else:
+        cond = inter(F.col(vertices))
+    return cand.where(cond).drop("xmin", "xmax", "ymin", "ymax")
+
+
+def within(
+    members: DataFrame, target_vertices,
+    members_closed: bool = False, vertices: str = "vertices",
+) -> DataFrame:
+    """Members strictly inside a Polygon target: first vertex contained and
+    boundary not crossed (geometry.py:1527-1544)."""
+    tv = np.asarray(target_vertices, dtype=np.float64)
+    bb = (tv[:, 0].min(), tv[:, 1].min(), tv[:, 0].max(), tv[:, 1].max())
+    cand = with_member_bbox(members, vertices).where(_bbox_gate(bb))
+    spec = PolygonSpec("t", tv)
+    inter = _intersects_udf(tv, True, members_closed)
+
+    @F.pandas_udf(BooleanType())
+    def first_vertex_inside(verts: pd.Series) -> pd.Series:
+        fx = np.array([v[0]["x"] for v in verts], dtype=np.float64)
+        fy = np.array([v[0]["y"] for v in verts], dtype=np.float64)
+        return pd.Series(spec.contains(fx, fy))
+
+    return cand.where(first_vertex_inside(F.col(vertices)) & ~inter(F.col(vertices))) \
+               .drop("xmin", "xmax", "ymin", "ymax")
+
+
+def bbox_overlap_join(
+    left: DataFrame, right: DataFrame, suffix: str = "_r", broadcast_right: bool = True,
+) -> DataFrame:
+    """Generic bbox range join: pairs whose bboxes overlap (zero-width safe,
+    geometry.py:476-481).  Both sides need xmin/ymin/xmax/ymax columns."""
+    r = right
+    for c in ("xmin", "ymin", "xmax", "ymax"):
+        r = r.withColumnRenamed(c, c + suffix)
+    if broadcast_right:
+        r = F.broadcast(r)
+    cond = (
+        (F.col("xmin") <= F.col("xmax" + suffix)) & (F.col("xmin" + suffix) <= F.col("xmax"))
+        & (F.col("ymin") <= F.col("ymax" + suffix)) & (F.col("ymin" + suffix) <= F.col("ymax"))
+    )
+    return left.join(r, cond)

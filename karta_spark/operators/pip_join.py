@@ -1,0 +1,226 @@
+"""Point-in-polygon join — the flagship spatial join.
+
+Distributed re-expression of ``Multipoint.within_polygon`` (reference
+geometry.py:1391-1405): karta's plan is *bbox prefilter -> quadtree probe ->
+exact winding refine*; ours is the same two-phase filter-then-refine, built
+as a Spark plan:
+
+1. points get an int64 ``cell_id`` (slippy tile at a chosen zoom) — a pure
+   column expression, JVM-side;
+2. polygons are *covered* with cells at the same zoom (driver-side numpy —
+   polygon sets are the broadcast-small side).  Cover cells are classified
+   ``full`` (entirely inside: join hit needs no refine) or ``boundary``
+   (needs the exact winding test) — this is the distributed analogue of the
+   quadtree's interior/leaf split and skips the kernel for most matches;
+3. ``points ⋈ cover`` on cell_id — Catalyst broadcast hash join (the cover
+   table is tiny); no shuffle of the point table at all;
+4. boundary candidates go through the vectorized winding-number kernel
+   (kernels.winding_contains — bit-identical to contains.pyx:13-42) inside
+   an Arrow-batched pandas UDF.
+
+Scale notes (100 TB): the big side is never shuffled — the join is
+broadcast; the refine UDF sees only boundary-cell candidates (a thin
+O(perimeter) slice); hot cells can additionally be salted (operators.skew)
+when the polygon side must itself be distributed.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from karta_spark.functions import cells
+from karta_spark.functions.kernels import (
+    ispolar,
+    polygon_contains,
+    polyline_intersects,
+    sphere_contains,
+    winding_contains,
+)
+
+
+@dataclass
+class PolygonSpec:
+    """A broadcastable polygon: outer ring (K,2), optional holes, CRS tag."""
+
+    poly_id: str
+    outer: np.ndarray
+    holes: tuple = ()
+    crs: str = "cartesian"  # "cartesian" | "lonlat"
+    _polar: bool | None = field(default=None, repr=False)
+
+    def __post_init__(self):
+        self.outer = np.asarray(self.outer, dtype=np.float64)
+        self.holes = tuple(np.asarray(h, dtype=np.float64) for h in self.holes)
+
+    @property
+    def polar(self) -> bool:
+        if self._polar is None:
+            self._polar = self.crs == "lonlat" and ispolar(self.outer)
+        return self._polar
+
+    def contains(self, px, py) -> np.ndarray:
+        """CRS dispatch exactly as Polygon.contains (geometry.py:1168-1174)."""
+        if self.polar:
+            inside = sphere_contains(px, py, self.outer)
+            for h in self.holes:
+                inside &= ~sphere_contains(px, py, h)
+            return inside
+        return polygon_contains(px, py, self.outer, self.holes)
+
+    def bbox(self):
+        return (
+            float(self.outer[:, 0].min()), float(self.outer[:, 1].min()),
+            float(self.outer[:, 0].max()), float(self.outer[:, 1].max()),
+        )
+
+
+def cover_cells(poly: PolygonSpec, zoom: int):
+    """Classified cell cover of a polygon at *zoom*.
+
+    Returns list of (cell_id, full: bool). A cell is *full* when all four
+    corners are inside and no polygon edge crosses the cell boundary —
+    candidate rows in full cells skip the exact refine. Polar polygons fall
+    back to boundary-everything (rare path, parity over speed).
+    """
+    xmin, ymin, xmax, ymax = poly.bbox()
+    # clamp to slippy-valid latitudes
+    ymin = max(ymin, -cells.MAX_LAT + 1e-9) if poly.crs == "lonlat" else ymin
+    ymax = min(ymax, cells.MAX_LAT - 1e-9) if poly.crs == "lonlat" else ymax
+    if poly.crs == "lonlat":
+        x0, y1 = cells.tile_xy_py(xmin, ymin, zoom)  # y grows southward
+        x1, y0 = cells.tile_xy_py(xmax, ymax, zoom)
+    else:
+        # cartesian coords are still keyed through the same tile function by
+        # treating them as degrees clamped to the valid range; out-of-range
+        # cartesian data should use a scaled planar cell grid instead.
+        x0, y1 = cells.tile_xy_py(max(min(xmin, 179.99), -179.99), max(min(ymin, 85.0), -85.0), zoom)
+        x1, y0 = cells.tile_xy_py(max(min(xmax, 179.99), -179.99), max(min(ymax, 85.0), -85.0), zoom)
+    nmax = 2 ** zoom - 1
+    out = []
+    for tx in range(max(x0, 0), min(x1, nmax) + 1):
+        for ty in range(max(y0, 0), min(y1, nmax) + 1):
+            w, s, e, n = cells.tile_bbox_py(zoom, tx, ty)
+            cid = (zoom << 58) | (tx << 29) | ty
+            if poly.polar:
+                out.append((cid, False))
+                continue
+            corners_x = np.array([w, e, e, w])
+            corners_y = np.array([s, s, n, n])
+            inside = poly.contains(corners_x, corners_y)
+            cell_ring = np.array([[w, s], [e, s], [e, n], [w, n]])
+            edge_cross = polyline_intersects(
+                poly.outer, cell_ring, a_closed=True, b_closed=True
+            ) or any(
+                polyline_intersects(h, cell_ring, a_closed=True, b_closed=True)
+                for h in poly.holes
+            )
+            if bool(inside.all()) and not edge_cross:
+                out.append((cid, True))
+            else:
+                out.append((cid, False))
+    return out
+
+
+def cover_df(spark: SparkSession, polys: list[PolygonSpec], zoom: int) -> DataFrame:
+    rows = []
+    for p in polys:
+        for cid, full in cover_cells(p, zoom):
+            rows.append((p.poly_id, cid, full))
+    return spark.createDataFrame(rows, "poly_id string, cell_id long, full boolean")
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polys: list[PolygonSpec],
+    zoom: int = 7,
+    lon: str = "x",
+    lat: str = "y",
+    keep_flag: bool = False,
+) -> DataFrame:
+    """points ⋈ polygons containment join (semi-join style: one output row
+    per (point, containing polygon)).
+
+    ``points`` keeps all its columns; adds ``poly_id`` (and ``contained``
+    when keep_flag). Exact two-phase plan of within_polygon
+    (geometry.py:1391-1405): cell join = index probe, winding UDF = refine.
+    """
+    spark = points.sparkSession
+    cover = cover_df(spark, polys, zoom)
+
+    pts = points.withColumn("cell_id", cells.tile_id(F.col(lon), F.col(lat), zoom))
+    cand = pts.join(F.broadcast(cover), "cell_id", "inner")
+
+    poly_map = {p.poly_id: p for p in polys}
+
+    @F.pandas_udf(BooleanType())
+    def refine(poly_id: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+        out = np.zeros(len(px), dtype=bool)
+        pxv = px.to_numpy(dtype=np.float64)
+        pyv = py.to_numpy(dtype=np.float64)
+        for pid in poly_id.unique():
+            mask = (poly_id == pid).to_numpy()
+            spec = poly_map[pid]
+            out[mask] = spec.contains(pxv[mask], pyv[mask])
+        return pd.Series(out)
+
+    result = cand.withColumn(
+        "contained",
+        F.when(F.col("full"), F.lit(True)).otherwise(
+            refine(F.col("poly_id"), F.col(lon), F.col(lat))
+        ),
+    )
+    result = result.where(F.col("contained")).drop("full", "cell_id")
+    if not keep_flag:
+        result = result.drop("contained")
+    return result
+
+
+def contains_flags(
+    points: DataFrame,
+    poly: PolygonSpec,
+    lon: str = "x",
+    lat: str = "y",
+    flag: str = "contained",
+) -> DataFrame:
+    """Per-point boolean containment against one polygon — the dense variant
+    (every input row kept, flag column added). Used for oracle-checked
+    queries and mask-style ops; bypasses the cover (bbox gate only)."""
+    xmin, ymin, xmax, ymax = poly.bbox()
+
+    @F.pandas_udf(BooleanType())
+    def refine(px: pd.Series, py: pd.Series) -> pd.Series:
+        return pd.Series(poly.contains(
+            px.to_numpy(dtype=np.float64), py.to_numpy(dtype=np.float64)))
+
+    in_bbox = (
+        (F.col(lon) >= xmin) & (F.col(lon) <= xmax)
+        & (F.col(lat) >= ymin) & (F.col(lat) <= ymax)
+    )
+    return points.withColumn(
+        flag, F.when(in_bbox, refine(F.col(lon), F.col(lat))).otherwise(F.lit(False))
+    )
+
+
+def winding_sql(outer: np.ndarray, x_expr: str, y_expr: str) -> str:
+    """ANSI-SQL winding-number containment for a *fixed* ring — the DuckDB
+    oracle twin of the kernel (same float algebra: cross-product form of
+    contains.pyx:11, crossing rules of contains.pyx:25-40). Emits one CASE
+    term per edge; suitable for small literal polygons."""
+    ring = np.asarray(outer, dtype=np.float64)
+    k = len(ring)
+    terms = []
+    for i in range(k):
+        x0, y0 = ring[i]
+        x1, y1 = ring[(i + 1) % k]
+        left = f"(({x1!r} - {x0!r}) * ({y_expr} - {y0!r}) - ({x_expr} - {x0!r}) * ({y1!r} - {y0!r}))"
+        up = f"({y0!r} <= {y_expr} AND {y_expr} < {y1!r} AND {left} > 0)"
+        down = f"({y0!r} > {y_expr} AND {y_expr} >= {y1!r} AND {left} < 0)"
+        terms.append(f"(CASE WHEN {up} THEN 1 WHEN {down} THEN -1 ELSE 0 END)")
+    return "((" + " + ".join(terms) + ") <> 0)"

@@ -1,0 +1,67 @@
+"""Distance (within-radius) joins and bbox queries.
+
+Reference semantics:
+- ``Multipoint.within_radius`` (geometry.py:1349-1377): candidates from a
+  quadtree bbox probe, refined with exact distance **strictly less than**
+  radius (border excluded, geometry.py:1371).
+- ``Multipoint.within_bbox`` (geometry.py:1379-1389): quadtree search_within,
+  boundary exclusive (see tests/vector_predicate_tests.py:199-206).
+
+Distributed plan: the bbox gate is a plain filter that Parquet/Iceberg
+min-max pruning answers from footer stats when data is laid out by cell_id;
+the radius refine is a pure column expression (JVM).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from karta_spark.functions.geodesy import plane_distance, sphere_distance
+
+
+def within_bbox(points: DataFrame, bbox: tuple, px: str = "x", py: str = "y") -> DataFrame:
+    """Strict-interior bbox filter (xmin,ymin,xmax,ymax)."""
+    xmin, ymin, xmax, ymax = bbox
+    return points.where(
+        (F.col(px) > xmin) & (F.col(px) < xmax)
+        & (F.col(py) > ymin) & (F.col(py) < ymax)
+    )
+
+
+def within_radius(
+    points: DataFrame, cx: float, cy: float, radius: float,
+    px: str = "x", py: str = "y", spherical: bool = False,
+) -> DataFrame:
+    """Points strictly within *radius* of a literal center — bbox gate then
+    exact distance (two-phase plan of geometry.py:1349-1377)."""
+    if spherical:
+        d = sphere_distance(F.lit(float(cx)), F.lit(float(cy)), F.col(px), F.col(py))
+        return points.where(d < radius)
+    gate = (
+        (F.col(px) >= cx - radius) & (F.col(px) <= cx + radius)
+        & (F.col(py) >= cy - radius) & (F.col(py) <= cy + radius)
+    )
+    d = plane_distance(F.lit(float(cx)), F.lit(float(cy)), F.col(px), F.col(py))
+    return points.where(gate).where(d < radius)
+
+
+def distance_join(
+    left: DataFrame, right: DataFrame, radius: float,
+    lx: str = "lx", ly: str = "ly", rx: str = "x", ry: str = "y",
+    spherical: bool = False, broadcast_right: bool = True,
+) -> DataFrame:
+    """General distance θ-join: every (l, r) pair with dist < radius.
+
+    With a broadcast-small right side this is a broadcast nested-loop with a
+    bbox band prefilter; the big-big case should pre-key both sides by cell
+    (see pip_join/knn for the pattern)."""
+    r = F.broadcast(right) if broadcast_right else right
+    band = (
+        (F.col(rx) >= F.col(lx) - radius) & (F.col(rx) <= F.col(lx) + radius)
+        & (F.col(ry) >= F.col(ly) - radius) & (F.col(ry) <= F.col(ly) + radius)
+    )
+    joined = left.join(r, band if not spherical else F.lit(True))
+    d = (sphere_distance(F.col(lx), F.col(ly), F.col(rx), F.col(ry)) if spherical
+         else plane_distance(F.col(lx), F.col(ly), F.col(rx), F.col(ry)))
+    return joined.withColumn("dist", d).where(F.col("dist") < radius)

@@ -1,0 +1,56 @@
+"""gridpoints — points -> raster mean aggregation.
+
+Reference ``gridpoints`` (grid.py:1259-1302 + crfuncs.pyx:161-195): bin
+points into grid cells, mean per cell, empty cells nodata.  This is the
+canonical hash aggregate: ``groupBy(cell_i, cell_j).avg(z)`` — partial
+(map-side) + final aggregation for free, no UDF anywhere.
+
+Index math: fractional positions (inverse affine, -0.5 convention) rounded
+to nearest int (reference ``indices``, grid.py:788-828, np.round =
+banker's rounding — replicated here as an expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from karta_spark.raster.sampling import position_exprs
+
+
+def round_half_even(c: Column) -> Column:
+    """np.round (banker's) as a Catalyst expression: Spark's bround."""
+    return F.bround(c)
+
+
+def gridpoints(
+    points: DataFrame, transform, px: str = "x", py: str = "y", pz: str = "z",
+) -> DataFrame:
+    """(cell_i, cell_j, value=mean(z), n) per non-empty cell.
+
+    Grid shape follows the reference: ny/nx implied by the data maxima
+    (grid.py:1275-1276); empty cells are simply absent (the dense nodata
+    fill is a presentation concern — see tiles_from_cells)."""
+    i, j = position_exprs(transform, F.col(px), F.col(py))
+    return (
+        points
+        .withColumn("cell_i", round_half_even(i).cast("int"))
+        .withColumn("cell_j", round_half_even(j).cast("int"))
+        .groupBy("cell_i", "cell_j")
+        .agg(F.avg(pz).alias("value"), F.count("*").alias("n"))
+    )
+
+
+def gridpoints_sql(transform, x: str, y: str, z: str) -> dict:
+    """DuckDB-SQL twins of the index expressions (same -0.5 convention;
+    DuckDB round() is half-away-from-zero — callers should pick grids whose
+    cell edges don't coincide with representable data, as the driver
+    fixtures do)."""
+    x0, y0, dx, dy, sx, sy = (float(v) for v in transform)
+    denom = dx * dy - sx * sy
+    jj = f"(({dy!r} * {x} - {dy!r} * {x0!r} + {sx!r} * {y0!r} - {sx!r} * {y}) / {denom!r})"
+    ii = f"(({y} - {y0!r} - {jj} * {sy!r}) / {dy!r})"
+    return {
+        "cell_i": f"CAST(round({ii} - 0.5) AS INT)",
+        "cell_j": f"CAST(round({jj} - 0.5) AS INT)",
+    }

@@ -1,0 +1,142 @@
+"""Raster sampling as cell-keyed hash joins.
+
+``RegularGrid.sample_nearest / sample_bilinear`` (reference grid.py:830-969)
+become: compute fractional (i, j) for every point with *pure column
+expressions* (the closed-form inverse affine of crfuncs.pyx:12-33, -0.5
+convention), key each point by the tile containing its clamped floor index,
+hash-join to the tile table, and run the exact numpy kernel per tile group.
+
+The tile halo (tiles.py) makes bilinear tile-local — no neighbor exchange at
+query time; validity is decided against *global* indices so boundary
+semantics match the reference kernels bit-for-bit (nearest: round then
+bounds-check, grid.py:830-892; bilinear: split-index bounds, crfuncs.pyx).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from karta_spark.functions.kernels import _split_index, sample_bilinear, sample_nearest
+from karta_spark.raster.tiles import DEFAULT_TILE
+
+
+def position_exprs(transform, x: Column, y: Column):
+    """Fractional (i, j) as Catalyst expressions (crfuncs.pyx:12-33)."""
+    x0, y0, dx, dy, sx, sy = (float(v) for v in transform)
+    denom = dx * dy - sx * sy
+    j = (F.lit(dy) * x - dy * x0 + sx * y0 - F.lit(sx) * y) / denom
+    i = (y - F.lit(y0) - j * sy) / dy
+    return i - 0.5, j - 0.5
+
+
+def sample_join(
+    points: DataFrame, tiles: DataFrame, transform,
+    method: str = "bilinear", px: str = "x", py: str = "y",
+    tile: int = DEFAULT_TILE, value_col: str = "value",
+) -> DataFrame:
+    """Sample a (single-grid, single-band) tile table at point locations.
+
+    Returns *points* plus ``value_col`` (nodata where outside the grid)."""
+    meta = tiles.select("gny", "gnx", "nodata", "halo").first()
+    gny, gnx, nodata = int(meta["gny"]), int(meta["gnx"]), float(meta["nodata"])
+
+    i, j = position_exprs(transform, F.col(px), F.col(py))
+    pts = points.withColumn("_i", i).withColumn("_j", j)
+    clamp_i = F.greatest(F.lit(0), F.least(F.lit(gny - 1), F.floor("_i")))
+    clamp_j = F.greatest(F.lit(0), F.least(F.lit(gnx - 1), F.floor("_j")))
+    pts = pts.withColumn("_ti", (clamp_i / tile).cast("int")) \
+             .withColumn("_tj", (clamp_j / tile).cast("int"))
+
+    t = tiles.select(
+        F.col("tile_i").alias("_ti"), F.col("tile_j").alias("_tj"),
+        "i0", "j0", "ny", "nx", "halo", "block",
+    )
+    cand = pts.join(F.broadcast(t), ["_ti", "_tj"], "left")
+
+    out_fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in points.schema.fields]
+    out_schema = ", ".join(out_fields + [f"`{value_col}` double"])
+    keep = [f.name for f in points.schema.fields]
+    use_bilinear = method == "bilinear"
+
+    def kernel(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.reset_index(drop=True)
+            vals = np.full(len(pdf), nodata, dtype=np.float64)
+            has_tile = pdf["block"].notna().to_numpy()
+            sub = pdf[has_tile]
+            for (i0, j0), grp in sub.groupby(["i0", "j0"]):
+                r0 = grp.iloc[0]
+                h, ny, nx = int(r0["halo"]), int(r0["ny"]), int(r0["nx"])
+                blk = np.asarray(r0["block"], dtype=np.float64).reshape(ny + 2 * h, nx + 2 * h)
+                gi = grp["_i"].to_numpy(dtype=np.float64)
+                gj = grp["_j"].to_numpy(dtype=np.float64)
+                I = gi - (int(i0) - h)   # local fractional index in halo'd block
+                J = gj - (int(j0) - h)
+                if use_bilinear:
+                    got = sample_bilinear(I, J, blk, nodata)
+                    gi0, gi1 = _split_index(gi)
+                    gj0, gj1 = _split_index(gj)
+                    ok = (gi0 >= 0) & (gi1 < gny) & (gj0 >= 0) & (gj1 < gnx)
+                else:
+                    got = sample_nearest(I, J, blk, nodata)
+                    ri = np.round(gi); rj = np.round(gj)
+                    ok = (ri >= 0) & (ri < gny) & (rj >= 0) & (rj < gnx)
+                vals[grp.index.to_numpy()] = np.where(ok, got, nodata)
+            res = pdf[keep].copy()
+            res[value_col] = vals
+            yield res
+
+    return cand.mapInPandas(kernel, out_schema)
+
+
+def resample(
+    tiles: DataFrame, transform, shape: tuple, dx: float, dy: float,
+    method: str = "nearest", tile: int = DEFAULT_TILE,
+):
+    """Resample a grid to spacing (dx, dy), origin preserved at cell edge —
+    reference grid.py:724-760: new transform
+    ``(xmin-0.5dx-0.5sx, ymin-0.5dy-0.5sy, dx, dy, sx, sy)`` and every
+    target cell routed through the sampling join.
+
+    Returns (sampled point DataFrame with target (ti, tj, x, y, value),
+    new_transform, (new_ny, new_nx)).  Target-pixel generation is
+    distributed (spark.range cross), not driver-side.
+    """
+    x0, y0, dxo, dyo, sx, sy = (float(v) for v in transform)
+    gny, gnx = shape
+    # extent('center') of the source grid (reference grid.py:342-387):
+    # from the center LL reference, stepping (n-1) cells with sign-matched
+    # skew accumulation
+    xc = x0 + 0.5 * (dxo + sx)
+    yc = y0 + 0.5 * (dyo + sy)
+    sgn = lambda a: 0 if a == 0 else a / abs(a)  # noqa: E731
+    if sgn(dxo) == sgn(sx):
+        x1 = xc + dxo * (gnx - 1) + sx * (gny - 1)
+    else:
+        x1 = xc + dxo * (gnx - 1) - sx * (gny - 1)
+    if sgn(dyo) == sgn(sy):
+        y1 = yc + dyo * (gny - 1) + sy * (gnx - 1)
+    else:
+        y1 = yc + dyo * (gny - 1) - sy * (gnx - 1)
+    xmin, xmax = min(xc, x1), max(xc, x1)
+    ymin, ymax = min(yc, y1), max(yc, y1)
+    ny = int((ymax - ymin) // dy) + 1
+    nx = int((xmax - xmin) // dx) + 1
+    tnew = (xmin - 0.5 * dx - 0.5 * sx, ymin - 0.5 * dy - 0.5 * sy, dx, dy, sx, sy)
+
+    spark = tiles.sparkSession
+    targets = (
+        spark.range(ny).withColumnRenamed("id", "ti")
+        .crossJoin(spark.range(nx).withColumnRenamed("id", "tj"))
+        .select(
+            F.col("ti").cast("int"), F.col("tj").cast("int"),
+            (tnew[0] + (F.col("tj") + 0.5) * dx + (F.col("ti") + 0.5) * sx).alias("x"),
+            (tnew[1] + (F.col("ti") + 0.5) * dy + (F.col("tj") + 0.5) * sy).alias("y"),
+        )
+    )
+    sampled = sample_join(targets, tiles, transform, method=method, tile=tile)
+    return sampled, tnew, (ny, nx)

@@ -1,0 +1,103 @@
+"""Raster tile table model.
+
+A raster (reference ``RegularGrid``, grid.py:81-1139) becomes a DataFrame of
+fixed-size tiles — the distributed analogue of ``CompressedBand`` 256x256
+chunking (band.py:244-381) and ``aschunks`` halo iteration (grid.py:479-523):
+
+    grid_id string, band int, tile_i int, tile_j int,
+    i0 int, j0 int,                -- global row/col of the tile's core origin
+    ny int, nx int,                -- core shape (without halo)
+    halo int,                      -- duplicated border rows on each side
+    block array<double>,           -- row-major (ny+2h)x(nx+2h) incl. halo
+    transform struct<x0,y0,dx,dy,sx,sy>,   -- karta 6-term affine, LL-corner
+    nodata double,
+    gny int, gnx int               -- full grid shape
+
+The halo makes stencil and bilinear ops tile-local: any sample whose floor
+index lands in the core is answerable inside one tile — no neighbor
+exchange at query time (the exchange is paid once at write).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TILE_SCHEMA = (
+    "grid_id string, band int, tile_i int, tile_j int, i0 int, j0 int, "
+    "ny int, nx int, halo int, block array<double>, "
+    "transform struct<x0:double,y0:double,dx:double,dy:double,sx:double,sy:double>, "
+    "nodata double, gny int, gnx int"
+)
+
+DEFAULT_TILE = 256
+
+
+def grid_to_df(
+    spark: SparkSession, grid_id: str, values: np.ndarray, transform,
+    nodata: float = float("nan"), band: int = 0,
+    tile: int = DEFAULT_TILE, halo: int = 1,
+) -> DataFrame:
+    """Driver-side ingest of an in-memory array (test fixtures / small
+    reference layers). Big rasters arrive as pre-tiled tables instead."""
+    values = np.asarray(values, dtype=np.float64)
+    gny, gnx = values.shape
+    rows = []
+    t = tuple(float(v) for v in transform)
+    for i0 in range(0, gny, tile):
+        for j0 in range(0, gnx, tile):
+            ny = min(tile, gny - i0)
+            nx = min(tile, gnx - j0)
+            ilo, ihi = max(i0 - halo, 0), min(i0 + ny + halo, gny)
+            jlo, jhi = max(j0 - halo, 0), min(j0 + nx + halo, gnx)
+            blk = np.full((ny + 2 * halo, nx + 2 * halo), np.nan)
+            blk[halo - (i0 - ilo): halo - (i0 - ilo) + (ihi - ilo),
+                halo - (j0 - jlo): halo - (j0 - jlo) + (jhi - jlo)] = values[ilo:ihi, jlo:jhi]
+            rows.append((
+                grid_id, band, i0 // tile, j0 // tile, i0, j0, ny, nx, halo,
+                blk.ravel().tolist(),
+                {"x0": t[0], "y0": t[1], "dx": t[2], "dy": t[3], "sx": t[4], "sy": t[5]},
+                float(nodata), gny, gnx,
+            ))
+    return spark.createDataFrame(rows, TILE_SCHEMA)
+
+
+def df_to_grid(df: DataFrame, grid_id: str | None = None, band: int = 0):
+    """Collect a (small) tile table back to (values, transform, nodata) —
+    test/driver utility, not a scale path."""
+    pdf = df.toPandas() if grid_id is None else \
+        df.where((F.col("grid_id") == grid_id) & (F.col("band") == band)).toPandas()
+    assert len(pdf) > 0, "empty grid"
+    gny, gnx = int(pdf.iloc[0]["gny"]), int(pdf.iloc[0]["gnx"])
+    out = np.full((gny, gnx), np.nan)
+    for _, r in pdf.iterrows():
+        h = int(r["halo"])
+        ny, nx = int(r["ny"]), int(r["nx"])
+        blk = np.asarray(r["block"], dtype=np.float64).reshape(ny + 2 * h, nx + 2 * h)
+        out[int(r["i0"]):int(r["i0"]) + ny, int(r["j0"]):int(r["j0"]) + nx] = \
+            blk[h:h + ny, h:h + nx]
+    t = pdf.iloc[0]["transform"]
+    transform = (t["x0"], t["y0"], t["dx"], t["dy"], t["sx"], t["sy"])
+    return out, transform, float(pdf.iloc[0]["nodata"])
+
+
+def grid_minmax(df: DataFrame) -> DataFrame:
+    """nodata-masked per-grid extrema (reference Grid.min/max, grid.py:26-48)
+    as a hash aggregate over tile blocks (core region only)."""
+    def stats(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for _, r in pdf.iterrows():
+                h, ny, nx = int(r["halo"]), int(r["ny"]), int(r["nx"])
+                blk = np.asarray(r["block"]).reshape(ny + 2 * h, nx + 2 * h)[h:h + ny, h:h + nx]
+                nd = r["nodata"]
+                m = ~np.isnan(blk) if np.isnan(nd) else (blk != nd)
+                if m.any():
+                    rows.append((r["grid_id"], float(blk[m].min()), float(blk[m].max())))
+            yield pd.DataFrame(rows, columns=["grid_id", "tmin", "tmax"])
+
+    per_tile = df.mapInPandas(stats, "grid_id string, tmin double, tmax double")
+    return per_tile.groupBy("grid_id").agg(
+        F.min("tmin").alias("min"), F.max("tmax").alias("max"))

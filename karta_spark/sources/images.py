@@ -1,0 +1,276 @@
+"""Synthetic image+caption table (the BASELINE.json input_hint shape) and
+vectorized decode kernels.
+
+Schema: ``image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash long`` — geolocated by the phash rule of FIXTURES.md §1
+(lon from the low 32 bits, lat from the next 31, matching the slippy-valid
+range of reference tile.py:22-33).
+
+Codecs: PNG and BMP are implemented here in pure python+numpy+zlib so the
+decode invariant (PSNR >= 40 dB; exact for lossless) is verifiable without
+external imaging libraries.  JPEG is gated behind a Pillow import and raises
+a clearly-marked NotImplementedError otherwise (the container has no imaging
+libs — the Spark-side plumbing (schema, batching, UDF signatures) is real
+and tested with the lossless formats).
+
+Generation is *distributed*: ``synth_images`` builds rows with mapInPandas
+over ``spark.range`` — no driver-side materialization, so the same code
+synthesizes 10^4 rows for tests or 10^9+ rows on a cluster.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+IMAGE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("bytes", BinaryType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("fmt", StringType()),
+    StructField("caption", StringType()),
+    StructField("phash", LongType()),
+])
+
+_LON_MULT = 2654435761
+_LAT_MULT = 2246822519
+
+_WORDS = ("alpine", "basalt", "cairn", "delta", "esker", "fjord", "glacier",
+          "horst", "isthmus", "joekull", "karst", "lahar", "moraine", "nunatak")
+
+
+# ---------------------------------------------------------------------------
+# pure-python codecs
+# ---------------------------------------------------------------------------
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal RGB8/gray8 PNG encoder (filter 0, one IDAT)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        color_type, row_bytes = 0, arr.reshape(h, w)
+    else:
+        h, w, c = arr.shape
+        assert c == 3, "encode_png supports gray or RGB"
+        color_type, row_bytes = 2, arr.reshape(h, w * 3)
+    raw = b"".join(b"\x00" + row_bytes[i].tobytes() for i in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decoder for the encoder above plus filters 0-2 (Sub/Up)."""
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, idat, w = 8, b"", 0
+    h = bit_depth = color_type = 0
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+            assert bit_depth == 8 and color_type in (0, 2)
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + length
+    nch = 3 if color_type == 2 else 1
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for i in range(h):
+        ftype = raw[i * (stride + 1)]
+        row = np.frombuffer(raw[i * (stride + 1) + 1:(i + 1) * (stride + 1)], dtype=np.uint8).copy()
+        if ftype == 1:  # Sub
+            for j in range(nch, stride):
+                row[j] = (row[j] + row[j - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            row = (row.astype(np.int16) + out[i - 1].astype(np.int16)).astype(np.uint8) if i else row
+        elif ftype != 0:
+            raise NotImplementedError(f"PNG filter {ftype} not supported")
+        out[i] = row
+    return out.reshape(h, w) if nch == 1 else out.reshape(h, w, 3)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP (bottom-up BGR)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w, _ = arr.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    pad = b"\x00" * (row_size - w * 3)
+    for i in range(h - 1, -1, -1):
+        rows.append(arr[i, :, ::-1].tobytes() + pad)
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    assert data[:2] == b"BM", "not a BMP"
+    (offset,) = struct.unpack("<I", data[10:14])
+    w, h = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    assert bpp == 24
+    row_size = (w * 3 + 3) & ~3
+    out = np.zeros((abs(h), w, 3), dtype=np.uint8)
+    for i in range(abs(h)):
+        row = np.frombuffer(data[offset + i * row_size: offset + i * row_size + w * 3],
+                            dtype=np.uint8).reshape(w, 3)
+        out[abs(h) - 1 - i if h > 0 else i] = row[:, ::-1]
+    return out
+
+
+def encode_jpeg(arr: np.ndarray) -> bytes:  # pragma: no cover
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "STUB: JPEG encode requires Pillow, which is not in this "
+            "container; use fmt='png'/'bmp' (lossless) instead.")
+    import io
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    return buf.getvalue()
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "bmp":
+        return decode_bmp(data)
+    if fmt == "jpeg":  # pragma: no cover
+        if not _HAS_PIL:
+            raise NotImplementedError("STUB: JPEG decode requires Pillow")
+        import io
+        return np.asarray(Image.open(io.BytesIO(data)))
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+# ---------------------------------------------------------------------------
+# deterministic row generation
+# ---------------------------------------------------------------------------
+
+FORMATS = ("png", "bmp", "jpeg") if _HAS_PIL else ("png", "bmp")
+
+
+def phash_for_index(i: np.ndarray) -> np.ndarray:
+    """Same key->phash arithmetic as cells.phash_from_key (int64-exact)."""
+    i = np.asarray(i, dtype=np.int64)
+    lo = (i * _LON_MULT) % (1 << 32)
+    hi = (i * _LAT_MULT) % (1 << 31)
+    return hi * (1 << 32) + lo
+
+
+def lonlat_for_phash(phash: np.ndarray):
+    phash = np.asarray(phash, dtype=np.int64)
+    lon = (phash % (1 << 32)).astype(np.float64) / (1 << 32) * 360.0 - 180.0
+    lat = ((phash >> 32) % (1 << 31)).astype(np.float64) / (1 << 31) * 170.0 - 85.0
+    return lon, lat
+
+
+def pixels_for_phash(phash: int, w: int = 16, h: int = 16) -> np.ndarray:
+    """Deterministic RGB pixels seeded by phash (verifiable on decode)."""
+    rng = np.random.default_rng(int(phash) & 0x7FFFFFFFFFFFFFFF)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def caption_for_index(i: int) -> str:
+    return f"caption {i} {_WORDS[i % len(_WORDS)]} {_WORDS[(i * 7 + 3) % len(_WORDS)]}"
+
+
+def make_row(i: int, w: int = 16, h: int = 16, skew_cell: tuple | None = None,
+             skew_frac: float = 0.0):
+    ph = int(phash_for_index(np.array([i]))[0])
+    if skew_cell is not None and skew_frac > 0 and (i % max(1, int(1 / skew_frac))) == 0:
+        # pile this row into a 1°x1° cell to exercise salting (FIXTURES §1)
+        lon0, lat0 = skew_cell
+        frac_lon = (lon0 + 180.0 + (i % 997) / 997.0) / 360.0
+        frac_lat = (lat0 + 85.0 + (i % 991) / 991.0) / 170.0
+        lo = int(frac_lon * (1 << 32)) & 0xFFFFFFFF
+        hi = int(frac_lat * (1 << 31)) & 0x7FFFFFFF
+        ph = hi * (1 << 32) + lo
+    fmt = FORMATS[i % len(FORMATS)]
+    pix = pixels_for_phash(ph, w, h)
+    data = encode_png(pix) if fmt == "png" else (
+        encode_bmp(pix) if fmt == "bmp" else encode_jpeg(pix))
+    return (f"img{i:012d}", bytearray(data), w, h, fmt, caption_for_index(i), ph)
+
+
+def synth_images(spark: SparkSession, n: int, w: int = 16, h: int = 16,
+                 skew_cell: tuple | None = None, skew_frac: float = 0.0,
+                 partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic image table: mapInPandas over spark.range."""
+    base = spark.range(0, n, 1, partitions or max(4, n // 50_000 + 1))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_row(int(i), w, h, skew_cell, skew_frac) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_SCHEMA.fields])
+
+    return base.mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def with_lonlat(images: DataFrame) -> DataFrame:
+    """Attach (x=lon, y=lat) columns from phash — pure column exprs."""
+    from karta_spark.functions import cells
+    return images.withColumn("x", cells.lon_from_phash(F.col("phash"))) \
+                 .withColumn("y", cells.lat_from_phash(F.col("phash")))
+
+
+DECODE_STATS_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("phash", LongType()),
+    StructField("pix_mean", DoubleType()),
+    StructField("pix_std", DoubleType()),
+    StructField("psnr_vs_ref", DoubleType()),
+])
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Arrow-batched decode + verification: per image, pixel stats and PSNR
+    against the regenerated reference pixels (inf for lossless)."""
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                pix = decode_image(bytes(r["bytes"]), r["fmt"])
+                ref = pixels_for_phash(int(r["phash"]), int(r["w"]), int(r["h"]))
+                if pix.ndim == 2:
+                    pix = np.repeat(pix[:, :, None], 3, axis=2)
+                out.append((r["image_id"], int(r["phash"]), float(pix.mean()),
+                            float(pix.std()), psnr(pix, ref)))
+            yield pd.DataFrame(out, columns=[f.name for f in DECODE_STATS_SCHEMA.fields])
+
+    return images.mapInPandas(run, DECODE_STATS_SCHEMA)

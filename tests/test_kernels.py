@@ -1,0 +1,212 @@
+"""Pure-numpy kernel tests — golden values ported from the reference suite
+(tests/vector_predicate_tests.py, tests/grid_tests.py, tests/tile_tests.py).
+No Spark needed; these pin the exact float semantics the UDFs rely on.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from karta_spark.functions import cells
+from karta_spark.functions.kernels import (
+    convex_hull,
+    ispolar,
+    polygon_contains,
+    polyline_intersection_points,
+    polyline_intersects,
+    positions,
+    sample_bilinear,
+    sample_nearest,
+    sphere_contains,
+    winding_contains,
+)
+
+UNIT_SQUARE = np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)])
+DIAMOND = np.array([(0, 0), (1, 1), (2, 0), (1, -1)], dtype=float)
+
+
+class TestContains:
+    # vector_predicate_tests.py:136-170
+    def test_unit_square_trivial(self):
+        assert not winding_contains([-0.5], [0.92], UNIT_SQUARE)[0]
+        assert winding_contains([0.125], [0.875], UNIT_SQUARE)[0]
+
+    def test_parabola_filter(self):
+        x = np.arange(-4, 5, dtype=float)
+        y = x ** 2
+        bbox = np.array([(-2.5, 2.5), (2.5, 2.5), (2.5, -2.5), (-2.5, -2.5)])
+        got = winding_contains(x, y, bbox)
+        assert [tuple(p) for p in np.column_stack([x, y])[got]] == [
+            (-1.0, 1.0), (0.0, 0.0), (1.0, 1.0)]
+
+    def test_diamond_hard_cases(self):
+        px = np.array([2.0, 1.0, 2.5, 0.0, 2.0])
+        py = np.array([1.0, 0.0, 0.0, -1.0, -1.0])
+        got = winding_contains(px, py, DIAMOND)
+        assert list(got) == [False, True, False, False, False]
+
+    def test_boundary_is_inside(self):
+        got = winding_contains([0.5, 0.0], [0.0, 0.5], UNIT_SQUARE)
+        assert list(got) == [True, True]
+
+    def test_hippie_star(self):
+        theta = np.linspace(0, 2 * np.pi, 361)[:-1]
+        r = 10 * np.sin(theta * 8) + 15
+        ring = np.column_stack([np.cos(theta) * r + 25, np.sin(theta) * r + 25])
+        assert winding_contains([28.75], [25.625], ring)[0]
+
+    def test_polar_cap(self):
+        ring = np.array([(0, 80), (45, 80), (90, 80), (135, 80),
+                         (180, 80), (225, 80), (270, 80), (315, 80)], dtype=float)
+        assert sphere_contains([45.0], [85.0], ring)[0]
+        assert not sphere_contains([45.0], [75.0], ring)[0]
+
+    def test_hole_excludes(self):
+        outer = np.array([(0, 0), (10, 0), (10, 10), (0, 10)], dtype=float)
+        hole = np.array([(2, 2), (4, 2), (3, 6)], dtype=float)
+        got = polygon_contains([3.0, 8.0], [3.0, 8.0], outer, [hole])
+        assert list(got) == [False, True]
+
+
+class TestIsPolar:
+    # vector_predicate_tests.py:24-46
+    def test_polar_rings(self):
+        ring = np.array([(0.0, 80), (30, 80), (60, 80), (90, 80), (120, 80),
+                         (150, 80), (180, 80), (-150, 80), (-120, 80),
+                         (-90, 80), (-60, 80), (-30, 80)])
+        assert ispolar(ring)
+        ring2 = np.array([(0.0, 85), (90, 85), (180, 85), (-90, 85)])
+        assert ispolar(ring2)
+
+    def test_nonpolar_rings(self):
+        assert not ispolar(np.array([(45.0, 30), (40, 25), (45, 20), (35, 25)]))
+        assert not ispolar(np.array(
+            [(-80, 0), (-50, -10), (20, -8), (35, -17), (55, 15), (-45, 18), (-60, 12)],
+            dtype=float))
+
+
+class TestIntersections:
+    # vector_predicate_tests.py:50-101
+    def test_crossing_lines(self):
+        a = np.array([(0.0, 0), (3, 3)])
+        b = np.array([(0.0, 3), (3, 0)])
+        assert polyline_intersects(a, b)
+        pts = polyline_intersection_points(a, b)
+        assert pts.shape == (1, 2)
+        np.testing.assert_allclose(pts[0], [1.5, 1.5])
+
+    def test_overlapping_bbox_no_cross(self):
+        a = np.array([(0.0, 0), (3, 0), (3, 3), (0, 3)])
+        b = np.array([(1.0, 4), (-2, 4), (-2, 1), (1, 1)])
+        assert not polyline_intersects(a, b)
+
+    def test_closed_rings_cross(self):
+        a = np.array([(0.0, 0), (3, 0), (3, 3), (0, 3)])
+        b = np.array([(1.0, 4), (-2, 4), (-2, 1), (1, 1)])
+        assert polyline_intersects(a, b, a_closed=True, b_closed=True)
+        pts = polyline_intersection_points(a, b, a_closed=True, b_closed=True)
+        got = sorted(map(tuple, pts))
+        assert got == [(0.0, 1.0), (1.0, 3.0)]
+
+    def test_horizontal_vertical(self):
+        a = np.array([(-2.5, 2.5), (2.5, 2.5)])
+        b = np.array([(0.0, 0.0), (1.0, 5.0)])
+        pts = polyline_intersection_points(a, b)
+        np.testing.assert_allclose(pts[0], [0.5, 2.5])
+        a = np.array([(2.5, 2.5), (2.5, -2.5)])
+        b = np.array([(1.5, 2.5), (3.5, -2.5)])
+        pts = polyline_intersection_points(a, b)
+        np.testing.assert_allclose(pts[0], [2.5, 0.0])
+
+    def test_polygon_pair(self):
+        a = np.array([(0.0, 0), (2, 0), (3, 1), (2, 1), (2, 2), (1, 0)])
+        b = np.array([(-1.0, -1), (1, -1), (1, 1), (-1, 1)])
+        assert polyline_intersects(a, b, a_closed=True, b_closed=True)
+
+
+class TestConvexHull:
+    # geometry_tests.py:354-385 style: hull membership
+    def test_simple_hull(self):
+        pts = np.array([(0.0, 0), (1, 0), (1, 1), (0, 1), (0.5, 0.5), (0.2, 0.8)])
+        hull = set(convex_hull(pts))
+        assert hull == {0, 1, 2, 3}
+
+
+class TestTiles:
+    # tile_tests.py:8-33
+    def test_tile_from_point(self):
+        assert cells.tile_xy_py(0.0, 0.0, 0) == (0, 0)
+        assert cells.tile_xy_py(0.0, 0.0, 8) == (128, 128)
+        assert cells.tile_xy_py(60.0, -30.0, 12) == (2730, 2406)
+
+    def test_nw_corner(self):
+        lon, lat = cells.tile_nw_corner_py(0, 0, 0)
+        assert lon == -180.0
+        assert abs(lat - 85.05112877) < 1e-6
+
+    def test_bbox(self):
+        w, s, e, n = cells.tile_bbox_py(1, 0, 0)
+        assert (w, s, e) == (-180.0, 0.0, 0.0)
+        assert abs(n - 85.05112877) < 1e-6
+
+    def test_pack_roundtrip(self):
+        cid = cells.tile_id_py(60.0, -30.0, 12)
+        z, x, y = cid >> 58, (cid >> 29) & ((1 << 29) - 1), cid & ((1 << 29) - 1)
+        assert (z, x, y) == (12, 2730, 2406)
+
+
+class TestRasterKernels:
+    # grid_tests.py:220-313
+    T = (0.0, 0.0, 1.0, 1.0, 0.0, 0.0)
+    Z = np.array([[0.0, 1.0], [1.0, 0.5]])
+
+    def test_positions_center_convention(self):
+        i, j = positions(self.T, [0.5], [0.5])
+        np.testing.assert_allclose([i[0], j[0]], [0.0, 0.0])
+        i, j = positions(self.T, [1.5], [1.5])
+        np.testing.assert_allclose([i[0], j[0]], [1.0, 1.0])
+
+    def test_nearest(self):
+        i, j = positions(self.T, [0.6, 0.6, 1.4, 1.4], [0.7, 1.3, 0.3, 1.3])
+        got = sample_nearest(i, j, self.Z, np.nan)
+        np.testing.assert_allclose(got, [0.0, 1.0, 1.0, 0.5])
+
+    def test_bilinear_golden(self):
+        # grid_tests.py:261-264: bilinear at grid center (1,1) = 0.625
+        i, j = positions(self.T, [1.0], [1.0])
+        got = sample_bilinear(i, j, self.Z, np.nan)
+        np.testing.assert_allclose(got, [0.625])
+
+    def test_bilinear_skewed(self):
+        # grid_tests.py:253-259 / 301-304: transform with skew (0,0,1,1,0.5,0.2)
+        Tskew = (0.0, 0.0, 1.0, 1.0, 0.5, 0.2)
+        i, j = positions(Tskew, [1.5], [1.2])
+        got = sample_bilinear(i, j, self.Z, np.nan)
+        assert np.isfinite(got[0])
+
+    def test_out_of_bounds_nodata(self):
+        i, j = positions(self.T, [5.0], [5.0])
+        got = sample_bilinear(i, j, self.Z, -9999.0)
+        assert got[0] == -9999.0
+
+    def test_typed_bilinear_truncates(self):
+        # grid_tests.py:280-293: int 2x2 [[0,2],[2,1]] center -> 1
+        Z = np.array([[0, 2], [2, 1]], dtype=np.int32)
+        i, j = positions(self.T, [1.0], [1.0])
+        got = sample_bilinear(i, j, Z, -1)
+        assert got.dtype == np.int32 and got[0] == 1
+
+
+class TestSphereDistance:
+    def test_branch_rule(self):
+        from karta_spark.functions.kernels import sphere_distance
+        # small separation -> haversine; large -> law of cosines; both ~ same
+        d1 = sphere_distance(0.0, 0.0, 0.005, 0.0)
+        assert abs(d1 - math.radians(0.005) * 6370997.0) < 1e-6
+        d2 = sphere_distance(0.0, 0.0, 90.0, 0.0)
+        assert abs(d2 - math.pi / 2 * 6370997.0) < 1e-3
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
