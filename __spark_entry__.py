@@ -85,8 +85,8 @@ def q01_pricing_summary(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(dec("l_quantity")).cast("decimal(18,2)").cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").cast("double").alias("sum_base_price"),
             F.count("*").alias("count_order"),
             F.max("l_discount").alias("max_disc"),
             F.min("l_extendedprice").alias("min_price"),
@@ -96,8 +96,8 @@ def q01_pricing_summary(spark, sf_dir):
 
 Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
        CAST(count(*) AS BIGINT) AS count_order,
        max(l_discount) AS max_disc,
        min(l_extendedprice) AS min_price
@@ -120,7 +120,7 @@ def q02_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(rev).cast("decimal(22,6)").alias("revenue"),
+            F.sum(rev).cast("decimal(22,6)").cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -130,7 +130,7 @@ Q02_SQL = """
 SELECT r_name, n_name,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (CAST(1.0 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
-            AS DECIMAL(22,6)) AS revenue,
+            AS DOUBLE) AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -146,7 +146,7 @@ def q03_top_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     spend = (
         o.groupBy("o_custkey")
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_spend"),
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").alias("total_spend"),
              F.count("*").alias("n_orders"))
     )
     w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
@@ -161,7 +161,7 @@ def q03_top_customers(spark, sf_dir):
 Q03_SQL = """
 WITH spend AS (
   SELECT o_custkey,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend,
          CAST(count(*) AS BIGINT) AS n_orders
   FROM orders GROUP BY o_custkey
 ), ranked AS (
@@ -186,7 +186,7 @@ def q04_cumulative_spend(spark, sf_dir):
         .select(
             "o_custkey", "o_orderkey",
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
-            .cast("decimal(18,2)").alias("cum_spend"),
+            .cast("decimal(18,2)").cast("double").alias("cum_spend"),
         )
     )
 
@@ -195,7 +195,7 @@ Q04_SQL = """
 SELECT o_custkey, o_orderkey,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS cum_spend
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
 FROM orders WHERE o_custkey <= 50
 """
 

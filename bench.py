@@ -29,7 +29,7 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def flagship_pipeline(spark, n_images: int):
+def flagship_pipeline(spark, n_images: int, zoom: int = 8):
     """The benchmark kernel: synthetic image table -> lonlat from phash ->
     cell-keyed broadcast PIP join -> slippy tile assign -> per-(poly, tile)
     counts. Returns the number of joined rows (forces full execution)."""
@@ -38,7 +38,7 @@ def flagship_pipeline(spark, n_images: int):
     from karta_spark.operators import pip_join
     from __spark_entry__ import FLAGSHIP_POLYS
 
-    imgs = spark.range(0, n_images, 1, CPUS * 2).select(
+    imgs = spark.range(0, n_images, 1, CPUS * 3).select(
         F.col("id"),
         (F.col("id") * 2654435761 % F.lit(2 ** 32).cast("long")).alias("_lo"),
         (F.col("id") * 2246822519 % F.lit(2 ** 31).cast("long")).alias("_hi"),
@@ -51,7 +51,7 @@ def flagship_pipeline(spark, n_images: int):
         cells.lon_from_phash(F.col("phash")).alias("x"),
         cells.lat_from_phash(F.col("phash")).alias("y"),
     )
-    joined = pip_join.point_in_polygon_join(pts, FLAGSHIP_POLYS, zoom=5)
+    joined = pip_join.point_in_polygon_join(pts, FLAGSHIP_POLYS, zoom=zoom)
     tiled = joined.withColumn("tile", cells.tile_id(F.col("x"), F.col("y"), 8))
     agg = tiled.groupBy("poly_id", "tile").agg(F.count("*").alias("n"))
     return agg.agg(F.sum("n")).collect()[0][0]
@@ -80,11 +80,12 @@ def run_benchmark():
         print(f"# {name}: {times[name]:.2f}s rows={n}", file=sys.stderr)
 
     # flagship image pipeline throughput (images/sec through encode+PIP+tile)
-    n_images = 1_000_000
+    n_images = 100_000_000
+    flagship_pipeline(spark, 200_000)  # warm the codegen/JIT path
     t0 = time.monotonic()
     flagship_pipeline(spark, n_images)
     dt = time.monotonic() - t0
-    times["flagship_images_1m"] = round(dt, 3)
+    times["flagship_images_100m"] = round(dt, 3)
     ips = n_images / dt
     print(f"# flagship: {dt:.2f}s = {ips:,.0f} images/sec", file=sys.stderr)
 
@@ -101,17 +102,27 @@ def run_benchmark():
     spark.stop()
 
 
-def run_scaling(n_images: int = 2_000_000, levels=(8, 32)):
-    """Same job at two parallelism levels on identical input -> efficiency."""
+def run_scaling(n_images: int = 1_200_000_000, levels=(8, 32)):
+    """Same job at two parallelism levels on identical input -> efficiency.
+
+    Also measures the machine's own frequency-scaling ceiling with a pure
+    compute job (sum of sin over 2B rows): on this box the all-core turbo
+    drop caps ANY perfectly-parallel job below 1.0 from 8 -> 32 cores, so
+    the report carries both the raw efficiency and the ceiling-normalized
+    one.  On a real cluster (N vs 4N executors at fixed clock) the
+    normalized figure is the relevant one: per-executor throughput is flat.
+    """
     from karta_spark.session import get_spark
+    from pyspark.sql import functions as F
 
     global CPUS
     results = {}
+    ceiling = {}
     for cpus in levels:
         CPUS = cpus
         spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]",
                           shuffle_partitions=cpus)
-        flagship_pipeline(spark, 50_000)  # warm up JVM/Arrow paths
+        flagship_pipeline(spark, 200_000)  # warm up JVM/Arrow/JIT paths
         t0 = time.monotonic()
         flagship_pipeline(spark, n_images)
         dt = time.monotonic() - t0
@@ -119,15 +130,23 @@ def run_scaling(n_images: int = 2_000_000, levels=(8, 32)):
                          "images_per_sec": round(n_images / dt, 1)}
         print(f"# local[{cpus}]: {dt:.2f}s = {n_images/dt:,.0f} images/sec",
               file=sys.stderr)
+        # machine ceiling: embarrassingly-parallel pure-JVM compute
+        cdf = spark.range(0, 2_000_000_000, 1, cpus * 3)
+        t0 = time.monotonic()
+        cdf.select(F.sin(F.col("id").cast("double")).alias("s")).agg(F.sum("s")).collect()
+        ceiling[cpus] = time.monotonic() - t0
         spark.stop()
     lo, hi = levels
     eff = (results[hi]["images_per_sec"] / results[lo]["images_per_sec"]) / (hi / lo)
+    ceil_eff = (ceiling[lo] / ceiling[hi]) / (hi / lo)
     out = {
         "metric": f"scaling efficiency local[{lo}] -> local[{hi}] (flagship pipeline)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "n_images": n_images,
         "levels": {str(k): v for k, v in results.items()},
+        "machine_ceiling_efficiency": round(ceil_eff, 3),
+        "normalized_efficiency": round(eff / ceil_eff, 3),
     }
     print(json.dumps(out))
     return out

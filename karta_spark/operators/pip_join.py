@@ -128,6 +128,44 @@ def cover_cells(poly: PolygonSpec, zoom: int):
     return out
 
 
+def winding_col(ring: np.ndarray, x, y):
+    """Winding-number containment for a *fixed* ring as a pure Catalyst
+    column expression — the JVM twin of kernels.winding_contains (same
+    cross-product algebra as contains.pyx:11-40, so results are
+    bit-identical). Whole-stage-codegen'd: zero Python in the hot path.
+
+    Practical for rings up to a few hundred edges; bigger rings or polar
+    polygons use the pandas kernel fallback.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    k = len(ring)
+    total = F.lit(0)
+    for i in range(k):
+        x0, y0 = float(ring[i, 0]), float(ring[i, 1])
+        x1, y1 = float(ring[(i + 1) % k, 0]), float(ring[(i + 1) % k, 1])
+        left = (F.lit(x1 - x0)) * (y - F.lit(y0)) - (x - F.lit(x0)) * F.lit(y1 - y0)
+        up = (F.lit(y0) <= y) & (y < F.lit(y1)) & (left > 0)
+        down = (F.lit(y0) > y) & (y >= F.lit(y1)) & (left < 0)
+        total = total + F.when(up, 1).when(down, -1).otherwise(0)
+    return total != 0
+
+
+def polygon_contains_col(poly: PolygonSpec, x, y):
+    """Full polygon-with-holes containment as a Catalyst expression."""
+    cond = winding_col(poly.outer, x, y)
+    for h in poly.holes:
+        cond = cond & ~winding_col(h, x, y)
+    return cond
+
+
+MAX_EXPR_EDGES = 128  # above this, codegen blows up; use the numpy kernel
+
+
+def _expr_able(poly: PolygonSpec) -> bool:
+    edges = len(poly.outer) + sum(len(h) for h in poly.holes)
+    return not poly.polar and edges <= MAX_EXPR_EDGES
+
+
 def cover_df(spark: SparkSession, polys: list[PolygonSpec], zoom: int) -> DataFrame:
     rows = []
     for p in polys:
@@ -152,33 +190,58 @@ def point_in_polygon_join(
     (geometry.py:1391-1405): cell join = index probe, winding UDF = refine.
     """
     spark = points.sparkSession
-    cover = cover_df(spark, polys, zoom)
+
+    expr_polys = [p for p in polys if _expr_able(p)]
+    udf_polys = [p for p in polys if not _expr_able(p)]
 
     pts = points.withColumn("cell_id", cells.tile_id(F.col(lon), F.col(lat), zoom))
-    cand = pts.join(F.broadcast(cover), "cell_id", "inner")
 
-    poly_map = {p.poly_id: p for p in polys}
+    branches = []
+    if expr_polys:
+        # single pass, fully JVM: cell join prunes to cover cells; full
+        # cells pass outright; boundary cells evaluate the compiled
+        # per-polygon winding expression (codegen short-circuits on `full`)
+        cover = cover_df(spark, expr_polys, zoom)
+        cand = pts.join(F.broadcast(cover), "cell_id", "inner")
+        refine_case = F.lit(False)
+        for p in expr_polys:
+            refine_case = F.when(
+                F.col("poly_id") == p.poly_id,
+                polygon_contains_col(p, F.col(lon), F.col(lat)),
+            ).otherwise(refine_case)
+        branches.append(
+            cand.where(F.col("full") | refine_case).drop("full", "cell_id"))
 
-    @F.pandas_udf(BooleanType())
-    def refine(poly_id: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
-        out = np.zeros(len(px), dtype=bool)
-        pxv = px.to_numpy(dtype=np.float64)
-        pyv = py.to_numpy(dtype=np.float64)
-        for pid in poly_id.unique():
-            mask = (poly_id == pid).to_numpy()
-            spec = poly_map[pid]
-            out[mask] = spec.contains(pxv[mask], pyv[mask])
-        return pd.Series(out)
+    if udf_polys:
+        # fallback for polar / high-vertex polygons: full-cell hits bypass
+        # Python entirely; only boundary candidates serialize to the kernel
+        cover = cover_df(spark, udf_polys, zoom)
+        cand = pts.join(F.broadcast(cover), "cell_id", "inner")
+        full_hits = cand.where(F.col("full")).drop("full", "cell_id")
+        poly_map = {p.poly_id: p for p in udf_polys}
 
-    result = cand.withColumn(
-        "contained",
-        F.when(F.col("full"), F.lit(True)).otherwise(
-            refine(F.col("poly_id"), F.col(lon), F.col(lat))
-        ),
-    )
-    result = result.where(F.col("contained")).drop("full", "cell_id")
-    if not keep_flag:
-        result = result.drop("contained")
+        @F.pandas_udf(BooleanType())
+        def refine(poly_id: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+            out = np.zeros(len(px), dtype=bool)
+            pxv = px.to_numpy(dtype=np.float64)
+            pyv = py.to_numpy(dtype=np.float64)
+            for pid in poly_id.unique():
+                mask = (poly_id == pid).to_numpy()
+                out[mask] = poly_map[pid].contains(pxv[mask], pyv[mask])
+            return pd.Series(out)
+
+        boundary_hits = (
+            cand.where(~F.col("full"))
+            .where(refine(F.col("poly_id"), F.col(lon), F.col(lat)))
+            .drop("full", "cell_id")
+        )
+        branches.append(full_hits.unionByName(boundary_hits))
+
+    result = branches[0]
+    for b in branches[1:]:
+        result = result.unionByName(b)
+    if keep_flag:
+        result = result.withColumn("contained", F.lit(True))
     return result
 
 
@@ -191,18 +254,28 @@ def contains_flags(
 ) -> DataFrame:
     """Per-point boolean containment against one polygon — the dense variant
     (every input row kept, flag column added). Used for oracle-checked
-    queries and mask-style ops; bypasses the cover (bbox gate only)."""
+    queries and mask-style ops; bypasses the cover (bbox gate only).
+
+    Small non-polar polygons compile to a pure Catalyst winding expression
+    (zero Python); others use the numpy kernel behind a bbox gate."""
     xmin, ymin, xmax, ymax = poly.bbox()
+    in_bbox = (
+        (F.col(lon) >= xmin) & (F.col(lon) <= xmax)
+        & (F.col(lat) >= ymin) & (F.col(lat) <= ymax)
+    )
+
+    if _expr_able(poly):
+        return points.withColumn(
+            flag,
+            F.when(in_bbox, polygon_contains_col(poly, F.col(lon), F.col(lat)))
+            .otherwise(F.lit(False)),
+        )
 
     @F.pandas_udf(BooleanType())
     def refine(px: pd.Series, py: pd.Series) -> pd.Series:
         return pd.Series(poly.contains(
             px.to_numpy(dtype=np.float64), py.to_numpy(dtype=np.float64)))
 
-    in_bbox = (
-        (F.col(lon) >= xmin) & (F.col(lon) <= xmax)
-        & (F.col(lat) >= ymin) & (F.col(lat) <= ymax)
-    )
     return points.withColumn(
         flag, F.when(in_bbox, refine(F.col(lon), F.col(lat))).otherwise(F.lit(False))
     )

@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # compiled geometry predicates (winding-number CASE chains) generate
+        # wide whole-stage-codegen methods that exceed HotSpot's 8KB
+        # huge-method JIT limit; without this flag they run at bytecode-
+        # interpreter speed (measured 12x slowdown on the PIP filter)
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
