@@ -200,10 +200,13 @@ def to_points(df: DataFrame, dx: float, geom_id: str = "geom_id") -> DataFrame:
     # walk loop, geometry.py:890-918).  The `target_d == d1 == total` arm
     # catches that exact-multiple endpoint which the half-open interval
     # misses.
-    is_last = F.col("d1") == F.max("d1").over(Window.partitionBy(geom_id))
-    j = samples.join(seg, on=geom_id, how="inner").where(
-        ((F.col("target_d") >= F.col("d0")) & (F.col("target_d") < F.col("d1")))
-        | (is_last & (F.col("target_d") == F.col("d1")))
+    j = (
+        samples.join(seg, on=geom_id, how="inner")
+        .withColumn("_dmax", F.max("d1").over(Window.partitionBy(geom_id)))
+        .where(
+            ((F.col("target_d") >= F.col("d0")) & (F.col("target_d") < F.col("d1")))
+            | ((F.col("d1") == F.col("_dmax")) & (F.col("target_d") == F.col("d1")))
+        )
     )
     frac = (F.col("target_d") - F.col("d0")) / (F.col("d1") - F.col("d0"))
     return j.select(
@@ -211,6 +214,31 @@ def to_points(df: DataFrame, dx: float, geom_id: str = "geom_id") -> DataFrame:
         (F.col("x0") + frac * (F.col("x1") - F.col("x0"))).alias("x"),
         (F.col("y0") + frac * (F.col("y1") - F.col("y0"))).alias("y"),
     )
+
+
+def point_segment_distance(px, py, x0, y0, x1, y1):
+    """Planar distance from point to segment — projection clamped to the
+    segment (semantics of pt_nearest_planar, vectorgeo.pyx:197-251)."""
+    dx, dy = x1 - x0, y1 - y0
+    seg2 = dx * dx + dy * dy
+    t = F.when(seg2 == 0, F.lit(0.0)).otherwise(
+        ((px - x0) * dx + (py - y0) * dy) / seg2)
+    tc = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t))
+    cx = x0 + tc * dx
+    cy = y0 + tc * dy
+    return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+
+
+def shortest_distance_to(df: DataFrame, qx: float, qy: float,
+                         geom_id: str = "geom_id") -> DataFrame:
+    """Min distance from a query point to each geometry's boundary —
+    ``Line.shortest_distance_to`` (geometry.py:725-792 planar arm) as
+    segment-explode + min agg."""
+    seg = segments(df, geom_id)
+    d = point_segment_distance(
+        F.lit(float(qx)), F.lit(float(qy)),
+        F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"))
+    return seg.withColumn("_d", d).groupBy(geom_id).agg(F.min("_d").alias("distance"))
 
 
 def to_npoints(df: DataFrame, n: int, geom_id: str = "geom_id") -> DataFrame:
@@ -233,10 +261,13 @@ def to_npoints(df: DataFrame, n: int, geom_id: str = "geom_id") -> DataFrame:
         "target_d",
         F.col("sample_idx").cast("double") * F.col("_total") / float(n - 1),
     ).drop("_total")
-    is_last = F.col("d1") == F.max("d1").over(Window.partitionBy(geom_id))
-    j = samples.join(seg, on=geom_id, how="inner").where(
-        ((F.col("target_d") >= F.col("d0")) & (F.col("target_d") < F.col("d1")))
-        | (is_last & (F.col("target_d") >= F.col("d1")))
+    j = (
+        samples.join(seg, on=geom_id, how="inner")
+        .withColumn("_dmax", F.max("d1").over(Window.partitionBy(geom_id)))
+        .where(
+            ((F.col("target_d") >= F.col("d0")) & (F.col("target_d") < F.col("d1")))
+            | ((F.col("d1") == F.col("_dmax")) & (F.col("target_d") >= F.col("d1")))
+        )
     )
     frac = F.least(F.lit(1.0), (F.col("target_d") - F.col("d0")) / (F.col("d1") - F.col("d0")))
     return j.select(

@@ -118,13 +118,17 @@ def knn_join(
 
 
 def nearest_vertex(
-    points: DataFrame, qx: float, qy: float,
-    point_id: str = "point_id", px: str = "x", py: str = "y",
+    points: DataFrame, qx: float, qy: float, qz: float | None = None,
+    point_id: str = "point_id", px: str = "x", py: str = "y", pz: str | None = None,
     spherical: bool = False,
 ) -> DataFrame:
     """argmin of distances to a literal query point, lowest index wins ties
-    (geometry.py:576-591 np.argmin semantics)."""
+    (geometry.py:576-591 np.argmin semantics). When both sides carry z, the
+    vertical term is folded in as sqrt(d^2 + dz^2) (geometry.py:311-314)."""
     d = _dist(F.lit(float(qx)), F.lit(float(qy)), F.col(px), F.col(py), spherical)
+    if qz is not None and pz is not None:
+        dz = F.col(pz) - F.lit(float(qz))
+        d = F.sqrt(d * d + dz * dz)
     w = Window.orderBy(F.col("dist").asc(), F.col(point_id).asc())
     return (
         points.withColumn("dist", d)

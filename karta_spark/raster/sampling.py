@@ -34,13 +34,20 @@ def position_exprs(transform, x: Column, y: Column):
 def sample_join(
     points: DataFrame, tiles: DataFrame, transform,
     method: str = "bilinear", px: str = "x", py: str = "y",
-    tile: int = DEFAULT_TILE, value_col: str = "value",
+    tile: int | None = None, value_col: str = "value",
 ) -> DataFrame:
     """Sample a (single-grid, single-band) tile table at point locations.
 
-    Returns *points* plus ``value_col`` (nodata where outside the grid)."""
-    meta = tiles.select("gny", "gnx", "nodata", "halo").first()
+    Returns *points* plus ``value_col`` (nodata where outside the grid).
+    The tile size is inferred from the table (max core extent) unless
+    overridden."""
+    meta = tiles.agg(
+        F.first("gny").alias("gny"), F.first("gnx").alias("gnx"),
+        F.first("nodata").alias("nodata"),
+        F.max("ny").alias("tny"), F.max("nx").alias("tnx")).first()
     gny, gnx, nodata = int(meta["gny"]), int(meta["gnx"]), float(meta["nodata"])
+    if tile is None:
+        tile = max(int(meta["tny"]), int(meta["tnx"]))
 
     i, j = position_exprs(transform, F.col(px), F.col(py))
     pts = points.withColumn("_i", i).withColumn("_j", j)

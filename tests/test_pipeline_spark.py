@@ -1,0 +1,147 @@
+"""Image table, lineage/resume, dedup & similarity Spark tests."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from karta_spark.operators import dedup, similarity
+from karta_spark.plans import lineage
+from karta_spark.sources import images
+
+
+class TestImages:
+    def test_decode_verifies(self, spark):
+        imgs = images.synth_images(spark, 60, partitions=2)
+        stats = images.decode_stats(imgs).collect()
+        assert len(stats) == 60
+        # lossless codecs -> exact roundtrip -> PSNR inf (>= 40 dB invariant)
+        assert all(r["psnr_vs_ref"] == float("inf") for r in stats)
+
+    def test_captions_byte_equal(self, spark):
+        imgs = images.synth_images(spark, 30, partitions=2).collect()
+        for r in imgs:
+            i = int(r["image_id"].replace("img", ""))
+            assert r["caption"] == images.caption_for_index(i)
+
+    def test_lonlat_in_valid_range(self, spark):
+        pts = images.with_lonlat(images.synth_images(spark, 200, partitions=2))
+        row = pts.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y")).collect()[0]
+        assert -180 <= row[0] and row[1] <= 180
+        assert -85 <= row[2] and row[3] <= 85
+
+    def test_skew_variant_piles_into_cell(self, spark):
+        pts = images.with_lonlat(images.synth_images(
+            spark, 500, partitions=2, skew_cell=(10.0, 20.0), skew_frac=0.2))
+        hot = pts.where((F.col("x") >= 10) & (F.col("x") < 11)
+                        & (F.col("y") >= 20) & (F.col("y") < 21)).count()
+        assert hot >= 90  # ~20% of 500
+
+    def test_deterministic(self, spark):
+        a = images.synth_images(spark, 20, partitions=2).orderBy("image_id").collect()
+        b = images.synth_images(spark, 20, partitions=4).orderBy("image_id").collect()
+        assert [(r["image_id"], r["phash"], bytes(r["bytes"])) for r in a] == \
+               [(r["image_id"], r["phash"], bytes(r["bytes"])) for r in b]
+
+
+class TestLineage:
+    def test_checkpoint_and_resume(self, spark, tmp_path):
+        root = str(tmp_path / "ckpt")
+        calls = []
+
+        def build():
+            calls.append(1)
+            return spark.range(100).select(
+                F.col("id"), (F.col("id") * 2).alias("doubled"))
+
+        out1 = lineage.resume_or_run(build, root, "stage1", spark)
+        assert out1.count() == 100 and len(calls) == 1
+        out2 = lineage.resume_or_run(build, root, "stage1", spark)
+        assert out2.count() == 100 and len(calls) == 1  # not rebuilt
+
+        lt = lineage.lineage_table(spark, root, "stage1")
+        rows = lt.collect()
+        assert sum(r["row_count"] for r in rows) == 100
+        assert all(r["wall_ms"] >= 0 for r in rows)
+        assert os.path.exists(os.path.join(root, "stage1", "_SUCCESS_STAGE"))
+
+
+class TestDedup:
+    def _docs(self, spark):
+        base = [
+            (0, "the quick brown fox jumps over the lazy dog in the morning light"),
+            (1, "the quick brown fox jumps over the lazy dog in the evening light"),
+            (2, "completely different content about database query optimization"),
+            (3, "the quick brown fox jumps over the lazy dog in the morning light"),
+            (4, "yet another unrelated document mentioning spark and parquet files"),
+        ]
+        return spark.createDataFrame(base, "doc_id long, text string")
+
+    def test_exact_dedup(self, spark):
+        d = self._docs(spark)
+        kept = dedup.exact_dedup(d, ["text"], "doc_id")
+        assert kept.count() == 4
+        groups = {r["canonical_id"]: r["n_dups"]
+                  for r in dedup.duplicate_groups(d, ["text"], "doc_id").collect()}
+        assert groups[0] == 2
+
+    def test_minhash_finds_near_dups(self, spark):
+        pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(
+            self._docs(spark), "text", "doc_id",
+            num_perm=64, bands=16, shingle=3, threshold=0.5).collect()}
+        assert (0, 3) in pairs          # exact dup
+        assert (0, 1) in pairs or (1, 3) in pairs  # near dup
+        assert all(a not in (2, 4) and b not in (2, 4) for a, b in pairs)
+
+    def test_simhash_hamming(self, spark):
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+                 dedup.simhash_near_pairs(self._docs(spark), "text", "doc_id",
+                                          max_hamming=6).collect()}
+        assert pairs.get((0, 3)) == 0  # identical docs -> identical simhash
+
+    def test_ngram_jaccard_exact(self, spark):
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+               dedup.ngram_jaccard_pairs(self._docs(spark), "text", "doc_id",
+                                         n=3, threshold=0.5).collect()}
+        assert got[(0, 3)] == pytest.approx(1.0)
+
+
+class TestSimilarity:
+    def _vectors(self, spark, n=200, dim=16):
+        rng = np.random.default_rng(5)
+        rows = [(i, rng.standard_normal(dim).astype(float).tolist()) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_cosine_topk_exact(self, spark):
+        v = self._vectors(spark)
+        q = v.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding"))
+        got = similarity.cosine_topk(v, q, k=1, qid="query_id").collect()
+        # a vector's own nearest neighbor is itself with cosine 1
+        for r in got:
+            if r["rank"] == 1:
+                assert r["vec_id"] == r["query_id"]
+                assert r["cosine"] == pytest.approx(1.0)
+
+    def test_lsh_recall(self, spark):
+        v = self._vectors(spark, 300, 16)
+        q = v.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding"))
+        brute = {(r["query_id"], r["vec_id"])
+                 for r in similarity.cosine_topk(v, q, k=5, qid="query_id").collect()}
+        lsh = {(r["query_id"], r["vec_id"])
+               for r in similarity.lsh_topk(v, q, k=5, dim=16, nbits=2).collect()}
+        recall = len(brute & lsh) / len(brute)
+        assert recall >= 0.5  # 2-bit buckets: high recall expected
+
+    def test_ivf_recall(self, spark):
+        v = self._vectors(spark, 300, 16)
+        q = v.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding"))
+        brute = {(r["query_id"], r["vec_id"])
+                 for r in similarity.cosine_topk(v, q, k=5, qid="query_id").collect()}
+        ivf = {(r["query_id"], r["vec_id"])
+               for r in similarity.ivf_topk(v, q, k=5, c=8, nprobe=4).collect()}
+        recall = len(brute & ivf) / len(brute)
+        assert recall >= 0.5
