@@ -14,6 +14,7 @@ DuckDB (whose count/sum types differ from Spark's).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 import numpy as np
@@ -572,7 +573,256 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q26_customers_no_orders(spark, sf_dir):
+    """Anti-join (karta has no named anti op; the `within` join's
+    not-intersects arm is the analog, geometry.py:1542)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+               "c_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+Q26_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q27_revenue_rollup(spark, sf_dir):
+    """Rollup aggregate (region -> nation -> total)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("decimal(18,2)").cast("double").alias("total"),
+             F.count("*").alias("n"))
+    )
+
+
+Q27_SQL = """
+SELECT r_name, n_name,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q28_merge_point_sets(spark, sf_dir):
+    """Multipart merge (geometry.py:1313-1347): union of two point sets on
+    common columns + dedup of exact duplicates."""
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey").select(
+        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+    s = with_coords(_t(spark, sf_dir, "supplier"), "s_suppkey").select(
+        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+    return c.unionByName(s).dropDuplicates(["x", "y"]) \
+            .agg(F.count("*").alias("n_members"),
+                 F.round(F.sum("x"), 4).alias("sum_x"))
+
+
+Q28_SQL = f"""
+WITH merged AS (
+  SELECT DISTINCT * FROM (
+    SELECT round({_LON('c_custkey')}, 6) AS x, round({_LAT('c_custkey')}, 6) AS y
+    FROM customer
+    UNION ALL
+    SELECT round({_LON('s_suppkey')}, 6), round({_LAT('s_suppkey')}, 6)
+    FROM supplier)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_members, round(sum(x), 4) AS sum_x FROM merged
+"""
+
+
+def q29_affine_transform(spark, sf_dir):
+    """Affine vertex transform (geometry.py:180-230): rotate 30 deg about
+    the origin, pure column exprs."""
+    from karta_spark.functions.geodesy import affine_x, affine_y, rotation_matrix
+    m = rotation_matrix(30.0)
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(affine_x(F.col("x"), F.col("y"), m), 6).alias("tx"),
+        F.round(affine_y(F.col("x"), F.col("y"), m), 6).alias("ty"),
+    )
+
+
+_COS30 = repr(math.cos(math.radians(30.0)))
+_SIN30 = repr(math.sin(math.radians(30.0)))
+Q29_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+)
+SELECT c_custkey,
+       round({_COS30} * x + (-{_SIN30}) * y + 0.0, 6) AS tx,
+       round({_SIN30} * x + {_COS30} * y + 0.0, 6) AS ty
+FROM pts
+"""
+
+
+def q30_tile_pyramid(spark, sf_dir):
+    """Hypertable-style rollup: point counts at three zooms in one pass."""
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    levels = []
+    for z in (4, 6, 8):
+        levels.append(
+            c.select(F.lit(z).alias("zoom"),
+                     cells.tile_x(F.col("x"), z).alias("tx"),
+                     cells.tile_y(F.col("y"), z).alias("ty"))
+        )
+    u = levels[0].unionByName(levels[1]).unionByName(levels[2])
+    return u.groupBy("zoom", "tx", "ty").agg(F.count("*").alias("n"))
+
+
+Q30_SQL = f"""
+WITH pts AS (
+  SELECT {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+), lv AS (
+  SELECT 4 AS zoom, {cells.tile_x_sql('x', 4)} AS tx, {cells.tile_y_sql('y', 4)} AS ty FROM pts
+  UNION ALL
+  SELECT 6, {cells.tile_x_sql('x', 6)}, {cells.tile_y_sql('y', 6)} FROM pts
+  UNION ALL
+  SELECT 8, {cells.tile_x_sql('x', 8)}, {cells.tile_y_sql('y', 8)} FROM pts
+)
+SELECT zoom, tx, ty, CAST(count(*) AS BIGINT) AS n FROM lv GROUP BY 1, 2, 3
+"""
+
+
+def q31_sessionize(spark, sf_dir):
+    """Session windows over the events stream (30-minute inactivity gap):
+    lag + running sum — the batch equivalent of streaming session windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = ep - F.lag(ep).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("_new", new_sess).withColumn(
+        "session_id",
+        F.sum("_new").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"),
+             F.min("event_id").alias("first_event"),
+             F.round(F.sum("value"), 4).alias("session_value"))
+    )
+
+
+Q31_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, value, ts,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(event_id) AS BIGINT) AS first_event,
+       round(sum(value), 4) AS session_value
+FROM sess GROUP BY 1, 2
+"""
+
+
+def q32_raster_sample_cells(spark, sf_dir):
+    """Raster<->vector join: build a raster from lineitem (gridpoints),
+    sample it at customer locations by cell join (nearest at cell
+    resolution) — the zonal-assignment hash join of the north rule."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "key", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    li = with_coords(li, "key")
+    grid = gridpoints(li, GRID_T, pz="l_quantity").select(
+        "cell_i", "cell_j", F.col("value").alias("cell_value"))
+    from karta_spark.raster.gridpoints import round_half_even
+    from karta_spark.raster.sampling import position_exprs
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    i, j = position_exprs(GRID_T, F.col("x"), F.col("y"))
+    c = c.withColumn("cell_i", round_half_even(i).cast("int")) \
+         .withColumn("cell_j", round_half_even(j).cast("int"))
+    return (
+        c.join(grid, ["cell_i", "cell_j"], "left")
+        .select("c_custkey", F.round("cell_value", 6).alias("sampled"))
+    )
+
+
+Q32_SQL = f"""
+WITH li AS (
+  SELECT {_LON('(l_orderkey * 10 + l_linenumber)')} AS x,
+         {_LAT('(l_orderkey * 10 + l_linenumber)')} AS y, l_quantity
+  FROM lineitem
+), grid AS (
+  SELECT {_GP['cell_i']} AS cell_i, {_GP['cell_j']} AS cell_j,
+         avg(l_quantity) AS cell_value
+  FROM li GROUP BY 1, 2
+), cpts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+), ckeyed AS (
+  SELECT c_custkey, {_GP['cell_i']} AS cell_i, {_GP['cell_j']} AS cell_j FROM cpts
+)
+SELECT c_custkey, round(cell_value, 6) AS sampled
+FROM ckeyed LEFT JOIN grid USING (cell_i, cell_j)
+"""
+
+
 # -- non-SQL-expressible ops (driver records a weaker rows-only check) -------
+
+
+def q33_slope_stats(spark, sf_dir):
+    """Raster stencil path: gridpoints raster -> dense tile table -> ESRI
+    slope stencil -> global stats (rows-only check; 3x3 stencil isn't
+    reasonably SQL-oracle-able)."""
+    import numpy as np
+    from karta_spark.raster import stencil, tiles as rt
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "key", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    li = with_coords(li, "key")
+    cells_df = gridpoints(li, GRID_T, pz="l_quantity").collect()
+    arr = np.full((17, 36), np.nan)
+    for r in cells_df:
+        if 0 <= r["cell_i"] < 17 and 0 <= r["cell_j"] < 36:
+            arr[r["cell_i"], r["cell_j"]] = r["value"]
+    g = rt.grid_to_df(spark, "g", arr, GRID_T, tile=16)
+    return rt.grid_minmax(stencil.slope(g)).select(
+        F.round("min", 6).alias("slope_min"), F.round("max", 6).alias("slope_max"))
+
+
+def q34_geographic_bbox(spark, sf_dir):
+    """Dateline-aware spherical bbox per nation's customer point set."""
+    from karta_spark.functions.geometry import geographic_bbox_df
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    members = (
+        c.groupBy("c_nationkey")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col("c_custkey").alias("k"), F.col("x").alias("x"), F.col("y").alias("y")
+        ))).alias("_s"))
+        .select(F.col("c_nationkey").cast("long").alias("geom_id"),
+                F.transform("_s", lambda s: F.struct(s.x.alias("x"), s.y.alias("y")))
+                .alias("vertices"))
+    )
+    out = geographic_bbox_df(members)
+    return out.select("geom_id", F.round("xmin", 6).alias("xmin"),
+                      F.round("ymin", 6).alias("ymin"),
+                      F.round("xmax", 6).alias("xmax"),
+                      F.round("ymax", 6).alias("ymax"))
+
+
+# -- (kept) non-SQL-expressible ops -------
 
 def q21_minhash_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -656,6 +906,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_lsh_topk": q23_lsh_topk,
         "q24_image_decode": q24_image_decode,
         "q25_pip_join_full": q25_pip_join_full,
+        "q26_customers_no_orders": q26_customers_no_orders,
+        "q27_revenue_rollup": q27_revenue_rollup,
+        "q28_merge_point_sets": q28_merge_point_sets,
+        "q29_affine_transform": q29_affine_transform,
+        "q30_tile_pyramid": q30_tile_pyramid,
+        "q31_sessionize": q31_sessionize,
+        "q32_raster_sample_cells": q32_raster_sample_cells,
+        "q33_slope_stats": q33_slope_stats,
+        "q34_geographic_bbox": q34_geographic_bbox,
     }
 
 
@@ -682,4 +941,11 @@ def oracle_sql() -> dict[str, str]:
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,
         "q25_pip_join_full": Q25_SQL,
+        "q26_customers_no_orders": Q26_SQL,
+        "q27_revenue_rollup": Q27_SQL,
+        "q28_merge_point_sets": Q28_SQL,
+        "q29_affine_transform": Q29_SQL,
+        "q30_tile_pyramid": Q30_SQL,
+        "q31_sessionize": Q31_SQL,
+        "q32_raster_sample_cells": Q32_SQL,
     }

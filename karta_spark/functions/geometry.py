@@ -123,6 +123,29 @@ def bbox(df: DataFrame, geom_id: str = "geom_id") -> DataFrame:
     )
 
 
+def geographic_bbox_df(df: DataFrame, geom_id: str = "geom_id",
+                       vertices: str = "vertices", ring: bool = False) -> DataFrame:
+    """Dateline-aware spherical bbox per geometry (dateline.pyx:19-61 via
+    kernels.geographic_bbox) — sequential per-geometry walk in an Arrow
+    batch kernel (the rot accumulator is order-dependent, so this is a
+    per-geometry scan, not a commutative agg)."""
+    import numpy as np
+    import pandas as pd
+
+    from karta_spark.functions.kernels import geographic_bbox
+
+    def kernel(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = np.array([[v["x"], v["y"]] for v in r[vertices]], dtype=np.float64)
+                rows.append((r[geom_id],) + geographic_bbox(arr, ring=ring))
+            yield pd.DataFrame(rows, columns=[geom_id, "xmin", "ymin", "xmax", "ymax"])
+
+    return df.select(geom_id, vertices).mapInPandas(
+        kernel, f"{geom_id} long, xmin double, ymin double, xmax double, ymax double")
+
+
 def shoelace_terms(closed_segments: DataFrame) -> DataFrame:
     """Add the shoelace cross term to a closed segments() frame."""
     return closed_segments.withColumn(

@@ -25,6 +25,8 @@ UDF shape (pandas_udf, applyInPandas, mapInPandas) and unit-tested directly.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 
@@ -368,6 +370,84 @@ def crosses_dateline(x0, x1) -> bool:
     s0 = 1.0 if x0 == 0 else np.sign(x0)
     s1 = 1.0 if x1 == 0 else np.sign(x1)
     return (s0 != s1) and abs(x0 - x1) > 180.0
+
+
+def bndlat_sph(x0, y0, x1, y1):
+    """Bounding latitudes of a great-circle segment on a sphere — exact
+    replica of vectorgeo.pyx:64-106. Returns (ymin, ymax) or None for a
+    degenerate segment."""
+    s0 = 1 if y0 == 0 else int(np.sign(y0))
+    s1 = 1 if y1 == 0 else int(np.sign(y1))
+    dlam = math.radians(x1 - x0)
+    phi0 = math.radians(y0)
+    phi1 = math.radians(y1)
+    faz = baz = 0.0
+    if dlam != 0.0:
+        faz = math.atan2(math.sin(dlam) * math.cos(phi1),
+                         math.cos(phi0) * math.sin(phi1)
+                         - math.sin(phi0) * math.cos(phi1) * math.cos(dlam))
+        baz = math.atan2(math.sin(-dlam) * math.cos(phi0),
+                         math.cos(phi1) * math.sin(phi0)
+                         - math.sin(phi1) * math.cos(phi0) * math.cos(-dlam))
+    elif phi0 == phi1:
+        return None
+
+    if dlam == 0.0 or s0 != s1:
+        return (min(y0, y1), max(y0, y1))
+    if s0 == 1:  # northern hemisphere: the arc may peak above both ends
+        ymin = math.degrees(min(phi0, phi1))
+        if (abs((faz + math.pi) % (2 * math.pi) - math.pi) < 0.5 * math.pi
+                and abs((baz + math.pi) % (2 * math.pi) - math.pi) < 0.5 * math.pi):
+            ymax = math.degrees(math.acos(abs(math.sin(faz) * math.cos(phi0))))
+        else:
+            ymax = math.degrees(max(phi0, phi1))
+    else:
+        ymax = math.degrees(max(phi0, phi1))
+        if (abs((faz + math.pi) % (2 * math.pi) - math.pi) > 0.5 * math.pi
+                and abs((baz + math.pi) % (2 * math.pi) - math.pi) > 0.5 * math.pi):
+            ymin = -math.degrees(math.acos(abs(math.sin(faz) * math.cos(phi0))))
+        else:
+            ymin = math.degrees(min(phi0, phi1))
+    return (ymin, ymax)
+
+
+def geographic_bbox(vertices, ring: bool = False):
+    """Dateline-aware spherical bbox (xmin, ymin, xmax, ymax) — replica of
+    dateline.pyx:19-61: longitudes unrolled across dateline crossings,
+    latitudes bounded by great-circle extrema."""
+    v = np.asarray(vertices, dtype=np.float64)
+    n = len(v)
+    if n == 0:
+        return (np.nan, np.nan, np.nan, np.nan)
+    idx = list(range(n)) + ([0] if ring else [])
+    xmin = xmax = v[0, 0]
+    ymin = ymax = v[0, 1]
+    rot = 0.0
+    x0, y0 = v[0]
+    for i in idx:
+        x1, y1 = v[i]
+        b = bndlat_sph(x0, y0, x1, y1)
+        if b is not None:
+            ymin = min(ymin, b[0])
+            ymax = max(ymax, b[1])
+        s0 = 1 if x0 == 0 else np.sign(x0)
+        s1 = 1 if x1 == 0 else np.sign(x1)
+        xdl = 0
+        if s0 != s1 and abs(x0 - x1) > 180.0:
+            xdl = 1 if (x1 - x0) > 180 else -1
+        if xdl != 0:
+            rot -= xdl * 360.0
+            xmin = min(xmin, x1 + rot)
+            xmax = max(xmax, x1 + rot)
+        else:
+            if x0 > x1:
+                xmin = min(xmin, x1)
+            else:
+                xmax = max(xmax, x1)
+        x0, y0 = x1, y1
+    xmin = (xmin + 180) % 360 - 180
+    xmax = (xmax + 180) % 360 - 180
+    return (xmin, ymin, xmax, ymax)
 
 
 def ispolar(ring_lonlat) -> bool:

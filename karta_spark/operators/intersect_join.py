@@ -109,6 +109,61 @@ def within(
                .drop("xmin", "xmax", "ymin", "ymax")
 
 
+def intersection_points(
+    members: DataFrame, target_vertices, target_closed: bool = False,
+    members_closed: bool = False, vertices: str = "vertices",
+    keep_duplicates: bool = False,
+) -> DataFrame:
+    """All segment-intersection points between each member and the target
+    — ``Geometry.intersections`` (geometry.py:698-723): brute all-pairs over
+    bbox-gated candidates, optional dedup (reference dedups via set()).
+
+    Returns (geom_id, ix, iy)."""
+    from karta_spark.functions.kernels import polyline_intersection_points
+
+    tv = np.asarray(target_vertices, dtype=np.float64)
+    bb = (tv[:, 0].min(), tv[:, 1].min(), tv[:, 0].max(), tv[:, 1].max())
+    cand = with_member_bbox(members, vertices).where(_bbox_gate(bb))
+
+    out_schema = "geom_id long, ix double, iy double"
+
+    def kernel(pdf_iter):
+        import pandas as pd
+        for pdf in pdf_iter:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = np.array([[v["x"], v["y"]] for v in r[vertices]], dtype=np.float64)
+                pts = polyline_intersection_points(
+                    arr, tv, a_closed=members_closed, b_closed=target_closed)
+                for x, y in pts:
+                    rows.append((r["geom_id"], float(x), float(y)))
+            yield pd.DataFrame(rows, columns=["geom_id", "ix", "iy"])
+
+    out = cand.select("geom_id", vertices).mapInPandas(kernel, out_schema)
+    if not keep_duplicates:
+        out = out.dropDuplicates(["geom_id", "ix", "iy"])
+    return out
+
+
+def within_distance_join(
+    members: DataFrame, qx: float, qy: float, d: float,
+    vertices: str = "vertices",
+) -> DataFrame:
+    """Members with any segment within distance *d* of the query point
+    (``within_distance``, geometry.py:794-807)."""
+    from karta_spark.functions.geometry import point_segment_distance, segments
+    from karta_spark.functions.geometry import explode_vertices
+
+    vx = explode_vertices(members, vertices)
+    seg = segments(vx)
+    dist = point_segment_distance(
+        F.lit(float(qx)), F.lit(float(qy)),
+        F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"))
+    hit = seg.withColumn("_d", dist).where(F.col("_d") <= d) \
+             .select("geom_id").distinct()
+    return members.join(hit, "geom_id", "left_semi")
+
+
 def bbox_overlap_join(
     left: DataFrame, right: DataFrame, suffix: str = "_r", broadcast_right: bool = True,
 ) -> DataFrame:

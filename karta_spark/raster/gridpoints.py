@@ -42,15 +42,15 @@ def gridpoints(
 
 
 def gridpoints_sql(transform, x: str, y: str, z: str) -> dict:
-    """DuckDB-SQL twins of the index expressions (same -0.5 convention;
-    DuckDB round() is half-away-from-zero — callers should pick grids whose
-    cell edges don't coincide with representable data, as the driver
-    fixtures do)."""
+    """DuckDB-SQL twins of the index expressions: same -0.5 convention and
+    the same banker's rounding as np.round/bround (DuckDB ``round_even``;
+    plain round() is half-away-from-zero and disagrees on exact cell
+    edges — e.g. the key-0 row landing on i = -0.5)."""
     x0, y0, dx, dy, sx, sy = (float(v) for v in transform)
     denom = dx * dy - sx * sy
     jj = f"(({dy!r} * {x} - {dy!r} * {x0!r} + {sx!r} * {y0!r} - {sx!r} * {y}) / {denom!r})"
     ii = f"(({y} - {y0!r} - {jj} * {sy!r}) / {dy!r})"
     return {
-        "cell_i": f"CAST(round({ii} - 0.5) AS INT)",
-        "cell_j": f"CAST(round({jj} - 0.5) AS INT)",
+        "cell_i": f"CAST(round_even({ii} - 0.5, 0) AS INT)",
+        "cell_j": f"CAST(round_even({jj} - 0.5, 0) AS INT)",
     }

@@ -100,6 +100,22 @@ def sample_join(
     return cand.mapInPandas(kernel, out_schema)
 
 
+def profile(
+    tiles: DataFrame, transform, line_vertices, spacing: float,
+    method: str = "nearest",
+) -> DataFrame:
+    """Sample the grid along a line at fixed spacing — reference
+    ``RegularGrid.profile`` (grid.py:1035-1064): resample the line with
+    ``to_points`` then route through the sampling join."""
+    from karta_spark.functions.geometry import to_points
+
+    spark = tiles.sparkSession
+    rows = [(0, i, float(x), float(y)) for i, (x, y) in enumerate(line_vertices)]
+    line = spark.createDataFrame(rows, "geom_id long, idx long, x double, y double")
+    pts = to_points(line, spacing).select("sample_idx", "x", "y")
+    return sample_join(pts, tiles, transform, method=method).orderBy("sample_idx")
+
+
 def resample(
     tiles: DataFrame, transform, shape: tuple, dx: float, dy: float,
     method: str = "nearest", tile: int = DEFAULT_TILE,

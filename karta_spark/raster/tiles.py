@@ -83,6 +83,77 @@ def df_to_grid(df: DataFrame, grid_id: str | None = None, band: int = 0):
     return out, transform, float(pdf.iloc[0]["nodata"])
 
 
+def clip(df: DataFrame, xmin: float, xmax: float, ymin: float, ymax: float) -> DataFrame:
+    """Sub-lattice selection by bbox (reference grid.py:525-562): keep tiles
+    intersecting the index rectangle, blank cells outside it.  Index math
+    follows the reference's ceil/floor convention (grid.py:553-556)."""
+    meta = df.select("transform", "gny", "gnx").first()
+    t = meta["transform"]
+    x0, y0, dx, dy, sx, sy = (t["x0"], t["y0"], t["dx"], t["dy"], t["sx"], t["sy"])
+    # reference: positions of bbox corners -> ceil(min), floor(max)+1
+    import math as _m
+    j0 = int(_m.ceil((xmin - x0) / dx - 0.5))
+    j1 = int(_m.floor((xmax - x0) / dx - 0.5)) + 1
+    i0 = int(_m.ceil((ymin - y0) / dy - 0.5))
+    i1 = int(_m.floor((ymax - y0) / dy - 0.5)) + 1
+    i0c, j0c = max(i0, 0), max(j0, 0)
+    i1c, j1c = min(i1, int(meta["gny"])), min(j1, int(meta["gnx"]))
+
+    cand = df.where((F.col("i0") < i1c) & (F.col("i0") + F.col("ny") > i0c)
+                    & (F.col("j0") < j1c) & (F.col("j0") + F.col("nx") > j0c))
+
+    def blank(pdf_iter):
+        for pdf in pdf_iter:
+            out = pdf.copy()
+            blocks = []
+            for _, r in pdf.iterrows():
+                h, ny, nx = int(r["halo"]), int(r["ny"]), int(r["nx"])
+                blk = np.asarray(r["block"], dtype=np.float64).reshape(
+                    ny + 2 * h, nx + 2 * h).copy()
+                gi = np.arange(int(r["i0"]) - h, int(r["i0"]) + ny + h)
+                gj = np.arange(int(r["j0"]) - h, int(r["j0"]) + nx + h)
+                JJ, II = np.meshgrid(gj, gi)
+                outside = (II < i0c) | (II >= i1c) | (JJ < j0c) | (JJ >= j1c)
+                blk[outside] = float(r["nodata"])
+                blocks.append(blk.ravel().tolist())
+            out["block"] = blocks
+            yield out
+
+    return cand.mapInPandas(blank, TILE_SCHEMA)
+
+
+def data_extent(df: DataFrame) -> DataFrame:
+    """nodata-trimmed extent as (xmin, xmax, ymin, ymax) of valid cell
+    centers (reference RegularGrid.data_extent, grid.py:389-463) — per-tile
+    scan + global min/max agg."""
+    def scan(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for _, r in pdf.iterrows():
+                h, ny, nx = int(r["halo"]), int(r["ny"]), int(r["nx"])
+                t = r["transform"]
+                blk = np.asarray(r["block"], dtype=np.float64).reshape(
+                    ny + 2 * h, nx + 2 * h)[h:h + ny, h:h + nx]
+                nd = float(r["nodata"])
+                valid = ~np.isnan(blk) if np.isnan(nd) else (blk != nd)
+                if not valid.any():
+                    continue
+                ii, jj = np.nonzero(valid)
+                gi = ii + int(r["i0"])
+                gj = jj + int(r["j0"])
+                cx = t["x0"] + (gj + 0.5) * t["dx"] + (gi + 0.5) * t["sx"]
+                cy = t["y0"] + (gi + 0.5) * t["dy"] + (gj + 0.5) * t["sy"]
+                rows.append((r["grid_id"], float(cx.min()), float(cx.max()),
+                             float(cy.min()), float(cy.max())))
+            yield pd.DataFrame(rows, columns=["grid_id", "xmin", "xmax", "ymin", "ymax"])
+
+    per_tile = df.mapInPandas(
+        scan, "grid_id string, xmin double, xmax double, ymin double, ymax double")
+    return per_tile.groupBy("grid_id").agg(
+        F.min("xmin").alias("xmin"), F.max("xmax").alias("xmax"),
+        F.min("ymin").alias("ymin"), F.max("ymax").alias("ymax"))
+
+
 def grid_minmax(df: DataFrame) -> DataFrame:
     """nodata-masked per-grid extrema (reference Grid.min/max, grid.py:26-48)
     as a hash aggregate over tile blocks (core region only)."""

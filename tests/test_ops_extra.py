@@ -1,0 +1,178 @@
+"""Tests for stencils, dateline bbox, intersections op, clip/extent/profile,
+GeoJSON and AAI sources."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from karta_spark.functions import geometry as geom
+from karta_spark.functions.kernels import geographic_bbox
+from karta_spark.operators import intersect_join
+from karta_spark.raster import sampling, stencil, tiles
+from karta_spark.sources import aai, geojson
+
+T1 = (0.0, 0.0, 1.0, 1.0, 0.0, 0.0)
+
+
+def _ref_derivs(D, dx, dy):
+    Ddx = ((2 * D[1:-1, 2:] + D[:-2, 2:] + D[2:, 2:])
+           - (2 * D[1:-1, :-2] + D[:-2, :-2] + D[2:, :-2])) / (8.0 * dx)
+    Ddy = ((2 * D[2:, 1:-1] + D[2:, 2:] + D[2:, :-2])
+           - (2 * D[:-2, 1:-1] + D[:-2, :-2] + D[:-2, 2:])) / (8.0 * dy)
+    return Ddx, Ddy
+
+
+def _ref_slope(D, dx=1.0, dy=1.0):
+    Ddx, Ddy = _ref_derivs(D, dx, dy)
+    return np.pad(np.sqrt(Ddx ** 2 + Ddy ** 2), ((1, 1), (1, 1)),
+                  "reflect", reflect_type="odd")
+
+
+def _ref_aspect(D, dx=1.0, dy=1.0):
+    Ddx, Ddy = _ref_derivs(D, dx, dy)
+    return np.pad(np.arctan2(Ddy, -Ddx), ((1, 1), (1, 1)),
+                  "constant", constant_values=(np.nan,))
+
+
+class TestStencils:
+    def _grid(self, spark, tile=8):
+        rng = np.random.default_rng(11)
+        Z = np.cumsum(rng.standard_normal((24, 24)), axis=0)
+        return Z, tiles.grid_to_df(spark, "g", Z, T1, tile=tile)
+
+    def test_slope_matches_reference(self, spark):
+        Z, g = self._grid(spark)
+        got, _, _ = tiles.df_to_grid(stencil.slope(g))
+        np.testing.assert_allclose(got, _ref_slope(Z), rtol=1e-12, equal_nan=True)
+
+    def test_aspect_matches_reference(self, spark):
+        Z, g = self._grid(spark)
+        got, _, _ = tiles.df_to_grid(stencil.aspect(g))
+        np.testing.assert_allclose(got, _ref_aspect(Z), rtol=1e-12, equal_nan=True)
+
+    def test_gradient_tiling_invariance(self, spark):
+        Z, g8 = self._grid(spark, tile=8)
+        _, g256 = self._grid(spark, tile=256)
+        a, _, _ = tiles.df_to_grid(stencil.gradient(g8)[0])
+        b, _, _ = tiles.df_to_grid(stencil.gradient(g256)[0])
+        np.testing.assert_allclose(a, b, equal_nan=True)
+
+    def test_hillshade_range(self, spark):
+        Z, g = self._grid(spark)
+        got, _, _ = tiles.df_to_grid(stencil.hillshade(g))
+        v = got[~np.isnan(got)]
+        # light vector isn't unit (|s| = sqrt(1+sin^2 el), as in reference)
+        assert len(v) > 0 and np.all(np.abs(v) <= np.sqrt(2.0))
+        # clip actually applied: no value outside the 2/98 percentile span
+        assert v.max() - v.min() <= np.sqrt(2.0) * 2
+
+
+class TestDatelineBbox:
+    def test_quad_golden(self):
+        # dateline_tests.py:40-46
+        bb = geographic_bbox([(179, -1), (-179, -1), (-179, 1), (179, 1)], ring=True)
+        assert (bb[0], bb[2]) == (179, -179)
+        assert bb[1] == pytest.approx(-1.000152297, abs=1e-8)
+        assert bb[3] == pytest.approx(1.000152297, abs=1e-8)
+
+    def test_df_op(self, spark):
+        df = spark.createDataFrame(
+            [(0, [{"x": 179.0, "y": -1.0}, {"x": -179.0, "y": -1.0},
+                  {"x": -179.0, "y": 1.0}, {"x": 179.0, "y": 1.0}])],
+            "geom_id long, vertices array<struct<x:double,y:double>>")
+        r = geom.geographic_bbox_df(df, ring=True).collect()[0]
+        assert (r["xmin"], r["xmax"]) == (179.0, -179.0)
+
+
+class TestIntersectionsOp:
+    def test_crossing_points(self, spark):
+        members = spark.createDataFrame(
+            [(0, [{"x": 0.0, "y": 0.0}, {"x": 3.0, "y": 3.0}]),
+             (1, [{"x": 10.0, "y": 10.0}, {"x": 11.0, "y": 11.0}])],
+            "geom_id long, vertices array<struct<x:double,y:double>>")
+        got = intersect_join.intersection_points(
+            members, np.array([(0.0, 3.0), (3.0, 0.0)])).collect()
+        assert len(got) == 1
+        assert (got[0]["geom_id"], got[0]["ix"], got[0]["iy"]) == (0, 1.5, 1.5)
+
+    def test_polygon_pair_points(self, spark):
+        # vector_predicate_tests.py:69-81: two squares -> (0,1) and (1,3)
+        members = spark.createDataFrame(
+            [(0, [{"x": 0.0, "y": 0.0}, {"x": 3.0, "y": 0.0},
+                  {"x": 3.0, "y": 3.0}, {"x": 0.0, "y": 3.0}])],
+            "geom_id long, vertices array<struct<x:double,y:double>>")
+        tgt = np.array([(1.0, 4.0), (-2.0, 4.0), (-2.0, 1.0), (1.0, 1.0)])
+        got = sorted((r["ix"], r["iy"]) for r in intersect_join.intersection_points(
+            members, tgt, target_closed=True, members_closed=True).collect())
+        assert got == [(0.0, 1.0), (1.0, 3.0)]
+
+    def test_within_distance(self, spark):
+        # vector_predicate_tests.py:192-197
+        members = spark.createDataFrame(
+            [(0, [{"x": 0.0, "y": 0.0}, {"x": 1.0, "y": 1.0}, {"x": 3.0, "y": 1.0}])],
+            "geom_id long, vertices array<struct<x:double,y:double>>")
+        assert intersect_join.within_distance_join(members, 1.0, 1.5, 0.6).count() == 1
+        assert intersect_join.within_distance_join(members, 1.0, 1.5, 0.4).count() == 0
+
+
+class TestClipExtentProfile:
+    def test_clip(self, spark):
+        Z = np.arange(100, dtype=float).reshape(10, 10)
+        g = tiles.grid_to_df(spark, "g", Z, T1, tile=4)
+        clipped = tiles.clip(g, 2.2, 7.8, 3.2, 8.8)
+        vals, _, _ = tiles.df_to_grid(clipped)
+        valid = ~np.isnan(vals)
+        ii, jj = np.nonzero(valid)
+        # kept cell centers must lie in the ceil/floor index window
+        # reference index math (grid.py:553-556): i = ceil(2.7)..floor(8.3),
+        # j = ceil(1.7)..floor(7.3)
+        assert ii.min() == 3 and ii.max() == 8 and jj.min() == 2 and jj.max() == 7
+
+    def test_data_extent(self, spark):
+        Z = np.full((8, 8), np.nan)
+        Z[2:5, 3:6] = 1.0
+        g = tiles.grid_to_df(spark, "g", Z, T1, tile=4)
+        r = tiles.data_extent(g).collect()[0]
+        assert (r["xmin"], r["xmax"], r["ymin"], r["ymax"]) == (3.5, 5.5, 2.5, 4.5)
+
+    def test_profile(self, spark):
+        Z = np.tile(np.arange(10, dtype=float), (10, 1))  # value = col index
+        g = tiles.grid_to_df(spark, "g", Z, T1)
+        got = sampling.profile(g, T1, [(0.5, 5.0), (8.5, 5.0)], 1.0, "nearest").collect()
+        assert [r["value"] for r in got] == [float(i) for i in range(9)]
+
+
+class TestSources:
+    GJ = """{"type": "FeatureCollection", "features": [
+      {"type": "Feature", "properties": {"name": "sq"},
+       "geometry": {"type": "Polygon",
+         "coordinates": [[[0,0],[1,0],[1,1],[0,1],[0,0]],
+                         [[0.2,0.2],[0.4,0.2],[0.3,0.4],[0.2,0.2]]]}},
+      {"type": "Feature", "properties": {"name": "ln"},
+       "geometry": {"type": "LineString", "coordinates": [[0,0],[2,2]]}},
+      {"type": "Feature", "properties": {"name": "pt"},
+       "geometry": {"type": "Point", "coordinates": [5, 6]}}]}"""
+
+    def test_geojson_roundtrip(self, spark):
+        layers = geojson.read_geojson(spark, self.GJ)
+        assert layers["points"].count() == 1
+        assert layers["lines"].count() == 1
+        p = layers["polygons"].collect()[0]
+        assert len(p["outer"]) == 4  # closing vertex dropped (karta convention)
+        assert len(p["holes"]) == 1 and len(p["holes"][0]) == 3
+        assert p["properties"]["name"] == "sq"
+        out = geojson.to_geojson(points=layers["points"], lines=layers["lines"],
+                                 polygons=layers["polygons"])
+        again = geojson.read_geojson(spark, out)
+        assert again["polygons"].collect()[0]["outer"] == p["outer"]
+
+    def test_aai_roundtrip(self, spark, tmp_path):
+        Z = np.arange(12, dtype=float).reshape(3, 4)
+        Z[0, 0] = np.nan
+        g = tiles.grid_to_df(spark, "g", Z, (10.0, 20.0, 2.0, 2.0, 0.0, 0.0))
+        path = str(tmp_path / "t.asc")
+        aai.to_aai(g, path)
+        back = aai.read_aai(spark, path)
+        vals, transform, _ = tiles.df_to_grid(back)
+        assert transform == (10.0, 20.0, 2.0, 2.0, 0.0, 0.0)
+        np.testing.assert_allclose(vals, Z, equal_nan=True)
