@@ -33,19 +33,9 @@ from karta_spark.sources.tables import with_coords
 # shared fixtures
 # --------------------------------------------------------------------------
 
-# seeded region heptagon from reference tests/vector_predicate_tests.py:208-221
-HEPTAGON = np.array(
-    [(-80, 0), (-50, -10), (20, -8), (35, -17), (55, 15), (-45, 18), (-60, 12)],
-    dtype=np.float64,
-)
-NORTH_QUAD = np.array([(-120, 20), (-60, 20), (-60, 60), (-120, 60)], dtype=np.float64)
-EAST_TRI = np.array([(60, -40), (150, -10), (80, 30)], dtype=np.float64)
+from karta_spark.fixtures import EAST_TRI, HEPTAGON, NORTH_QUAD, flagship_polys
 
-FLAGSHIP_POLYS = [
-    PolygonSpec("heptagon", HEPTAGON, crs="lonlat"),
-    PolygonSpec("north_quad", NORTH_QUAD, crs="lonlat"),
-    PolygonSpec("east_tri", EAST_TRI, crs="lonlat"),
-]
+FLAGSHIP_POLYS = flagship_polys()
 
 GRID_T = (-180.0, -85.0, 10.0, 10.0, 0.0, 0.0)  # 10-degree world grid
 
@@ -537,7 +527,7 @@ def q19_embedding_neardup(spark, sf_dir):
     return (
         a.join(b, ["label"]).where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(similarity.cosine_expr("v_a", "v_b"), 6))
-        .where(F.col("cosine") >= 0.8)
+        .where(F.col("cosine") >= 0.25)
         .select("id_a", "id_b", "cosine")
     )
 
@@ -549,7 +539,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.8
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.25
 """
 
 

@@ -220,6 +220,63 @@ def convex_hull(pts: np.ndarray) -> np.ndarray:
     return np.array(lower[:-1] + upper[:-1], dtype=np.int64)
 
 
+def _azimuth_sph_scalar(x1, y1, x2, y2):
+    dlon = math.radians(x2 - x1)
+    lat1, lat2 = math.radians(y1), math.radians(y2)
+    return math.atan2(math.sin(dlon),
+                      math.cos(lat1) * math.tan(lat2) - math.sin(lat1) * math.cos(dlon))
+
+
+def _isleft_sph(p0, p1, p2):
+    """Is p0 left of the geodesic p1->p2? (convexhull.pyx:11-16)."""
+    az = _azimuth_sph_scalar(p1[0], p1[1], p2[0], p2[1])
+    az_pt = _azimuth_sph_scalar(p1[0], p1[1], p0[0], p0[1])
+    daz = ((az - az_pt) + math.pi) % (2 * math.pi) - math.pi
+    return daz > 0
+
+
+def convex_hull_sph(pts: np.ndarray) -> np.ndarray:
+    """Spherical convex hull indices — replica of convexhull.pyx:84-148:
+    leftmost-pivot azimuthal sort, scan with geodesic left tests. Assumes
+    the point set fits a hemisphere (as the reference implicitly does)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return np.arange(n)
+    ileft = 0
+    for i in range(1, n):
+        if pts[i, 0] < pts[ileft, 0] or (
+                pts[i, 0] == pts[ileft, 0] and pts[i, 1] > pts[ileft, 1]):
+            ileft = i
+    leftmost = pts[ileft]
+    az_idx = sorted(
+        (math.pi / 2 - _azimuth_sph_scalar(leftmost[0], leftmost[1],
+                                           pts[i, 0], pts[i, 1]), i)
+        for i in range(n) if i != ileft
+    )
+    # drop all but farthest of duplicate azimuths
+    indices = [az_idx[0][1]]
+    last_az = az_idx[0][0]
+    for az, i in az_idx[1:]:
+        if az == last_az:
+            d_new = sphere_distance(leftmost[0], leftmost[1], pts[i, 0], pts[i, 1])
+            d_old = sphere_distance(leftmost[0], leftmost[1],
+                                    pts[indices[-1], 0], pts[indices[-1], 1])
+            if d_new > d_old:
+                indices[-1] = i
+        else:
+            indices.append(i)
+        last_az = az
+    if len(indices) < 2:
+        return np.array([ileft] + indices, dtype=np.int64)
+    hull = [ileft, indices[0], indices[1]]
+    for i in indices[2:]:
+        while len(hull) >= 2 and not _isleft_sph(pts[hull[-2]], pts[hull[-1]], pts[i]):
+            hull.pop()
+        hull.append(i)
+    return np.array(hull, dtype=np.int64)
+
+
 # ---------------------------------------------------------------------------
 # raster kernels
 # ---------------------------------------------------------------------------

@@ -13,17 +13,25 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from karta_spark.functions.kernels import convex_hull
+from karta_spark.functions.kernels import convex_hull, convex_hull_sph
 
 
-def convex_hull_df(points: DataFrame, px: str = "x", py: str = "y") -> np.ndarray:
-    """Exact planar convex hull vertices (ccw) of a point DataFrame."""
+def convex_hull_df(points: DataFrame, px: str = "x", py: str = "y",
+                   spherical: bool = False) -> np.ndarray:
+    """Exact convex hull vertices of a point DataFrame.
+
+    Planar: Graham-type hull (CRS dispatch as geometry.py:600-613);
+    spherical: geodesic hull (convexhull.pyx:84-148; hemisphere-bounded
+    point sets, as the reference assumes).  Per-partition partial hulls
+    lose no hull vertex of the union, so the collected set is tiny."""
+    kern = convex_hull_sph if spherical else convex_hull
+
     def partial(batches):
         for pdf in batches:
             pts = pdf[[px, py]].to_numpy(dtype=np.float64)
             if len(pts) == 0:
                 continue
-            idx = convex_hull(pts)
+            idx = kern(pts)
             yield pd.DataFrame(pts[idx], columns=[px, py])
 
     partials = points.select(px, py).mapInPandas(
@@ -31,4 +39,4 @@ def convex_hull_df(points: DataFrame, px: str = "x", py: str = "y") -> np.ndarra
     if len(partials) == 0:
         return np.empty((0, 2))
     pts = partials.to_numpy(dtype=np.float64)
-    return pts[convex_hull(pts)]
+    return pts[kern(pts)]

@@ -1,0 +1,113 @@
+"""Multimodal transforms + Structured Streaming tests."""
+
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from karta_spark.sources import images, multimodal
+from karta_spark.streaming import stream_ops
+from __spark_entry__ import FLAGSHIP_POLYS
+
+
+class TestMultimodal:
+    def test_resize_roundtrip(self, spark):
+        imgs = images.synth_images(spark, 12, partitions=2)
+        small = multimodal.resize_images(imgs, 8, 8).collect()
+        assert len(small) == 12
+        for r in small:
+            pix = images.decode_image(bytes(r["bytes"]), r["fmt"])
+            assert pix.shape == (8, 8, 3)
+
+    def test_resize_identity(self, spark):
+        # resizing to the same shape must be a pixel-exact no-op
+        imgs = images.synth_images(spark, 4, partitions=1)
+        same = {r["image_id"]: r for r in
+                multimodal.resize_images(imgs, 16, 16).collect()}
+        for r in imgs.collect():
+            orig = images.decode_image(bytes(r["bytes"]), r["fmt"])
+            got = images.decode_image(bytes(same[r["image_id"]]["bytes"]), "png")
+            assert np.array_equal(orig, got)
+
+    def test_image_features(self, spark):
+        imgs = images.synth_images(spark, 10, partitions=2)
+        feats = multimodal.image_features(imgs).collect()
+        assert len(feats) == 10
+        for r in feats:
+            assert 0 <= r["mean_r"] <= 255
+            assert sum(r["luma_hist"]) == 16 * 16
+            assert len(r["embedding"]) == 4 * 4 * 3
+            assert all(0.0 <= v <= 1.0 for v in r["embedding"])
+
+    def test_audio_video_stubbed(self, spark):
+        clips = spark.createDataFrame([("c0", bytearray(b"xx"))],
+                                      "clip_id string, bytes binary")
+        with pytest.raises(NotImplementedError, match="STUB"):
+            multimodal.decode_audio(clips)
+        with pytest.raises(NotImplementedError, match="STUB"):
+            multimodal.sample_video_frames(
+                clips.withColumnRenamed("clip_id", "video_id"))
+
+
+class TestStreaming:
+    def test_streaming_tile_counts(self, spark, tmp_path):
+        # rate source -> derive deterministic points -> flagship stream
+        from karta_spark.functions import cells
+        rate = (
+            spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+            .withColumn("phash", (F.col("value") * 2246822519 % F.lit(2 ** 31).cast("long"))
+                        * F.lit(2 ** 32).cast("long")
+                        + (F.col("value") * 2654435761 % F.lit(2 ** 32).cast("long")))
+            .select(F.col("timestamp").alias("ts"),
+                    cells.lon_from_phash(F.col("phash")).alias("x"),
+                    cells.lat_from_phash(F.col("phash")).alias("y"))
+        )
+        out = stream_ops.streaming_tile_counts(rate, FLAGSHIP_POLYS, zoom=4,
+                                               window="10 seconds",
+                                               watermark="10 seconds")
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName("tilecounts")
+             .option("checkpointLocation", str(tmp_path / "ck")).start())
+        try:
+            deadline = time.time() + 40
+            n = 0
+            while time.time() < deadline:
+                q.processAllAvailable()
+                n = spark.sql("SELECT count(*) FROM tilecounts").collect()[0][0]
+                if n > 0:
+                    break
+                time.sleep(1)
+            assert n > 0
+            rows = spark.sql(
+                "SELECT poly_id, sum(n) AS total FROM tilecounts GROUP BY 1").collect()
+            assert all(r["poly_id"] in {"heptagon", "north_quad", "east_tri"}
+                       for r in rows)
+        finally:
+            q.stop()
+
+    def test_streaming_matches_batch(self, spark, tmp_path):
+        # the same expressions run in batch mode give the same memberships
+        from karta_spark.functions import cells
+        batch = (
+            spark.range(0, 5000)
+            .withColumn("phash", (F.col("id") * 2246822519 % F.lit(2 ** 31).cast("long"))
+                        * F.lit(2 ** 32).cast("long")
+                        + (F.col("id") * 2654435761 % F.lit(2 ** 32).cast("long")))
+            .select(cells.lon_from_phash(F.col("phash")).alias("x"),
+                    cells.lat_from_phash(F.col("phash")).alias("y"))
+        )
+        enriched = stream_ops.with_cells_and_polys(batch, FLAGSHIP_POLYS, zoom=4)
+        got = {r["poly_id"]: r["n"] for r in
+               enriched.where(F.col("poly_id").isNotNull())
+               .groupBy("poly_id").agg(F.count("*").alias("n")).collect()}
+        # cross-check against the batch PIP join operator
+        from karta_spark.operators import pip_join
+        want_rows = pip_join.point_in_polygon_join(batch, FLAGSHIP_POLYS, zoom=5)
+        # with_cells_and_polys assigns ONE polygon per point (first match);
+        # counts per polygon can only exceed in the join form
+        want = {r["poly_id"]: r["n"] for r in
+                want_rows.groupBy("poly_id").agg(F.count("*").alias("n")).collect()}
+        for pid, n in got.items():
+            assert n <= want[pid]
+        assert sum(got.values()) > 0
