@@ -76,6 +76,24 @@ def sphere_distance_sql(lon1: str, lat1: str, lon2: str, lat2: str, radius: floa
     return f"(CASE WHEN {dx} > 0.01 OR {dy} > 0.01 THEN {loc} ELSE {hav} END * {radius!r})"
 
 
+def ellipsoid_distance(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """WGS84 ellipsoidal geodesic distance (Vincenty inverse, Arrow-batched
+    kernel). The reference delegates this to pyproj.Geod at runtime
+    (crs.py:234-243); kernels.vincenty_inverse is the self-contained twin."""
+    import pandas as pd
+    from pyspark.sql import functions as _F
+
+    from karta_spark.functions.kernels import vincenty_inverse
+
+    @_F.pandas_udf("double")
+    def udf(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
+        _, _, dist = vincenty_inverse(a.to_numpy(), b.to_numpy(),
+                                      c.to_numpy(), d.to_numpy())
+        return pd.Series(dist)
+
+    return udf(lon1, lat1, lon2, lat2)
+
+
 # ---------------------------------------------------------------------------
 # affine transforms over coordinate columns (geometry.py:180-230, 483-539)
 # ---------------------------------------------------------------------------

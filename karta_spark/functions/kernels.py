@@ -220,6 +220,110 @@ def convex_hull(pts: np.ndarray) -> np.ndarray:
     return np.array(lower[:-1] + upper[:-1], dtype=np.int64)
 
 
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+
+
+def vincenty_inverse(lon1, lat1, lon2, lat2, a=WGS84_A, f=WGS84_F,
+                     tol=1e-12, max_iter=200):
+    """Vincenty's inverse geodesic problem on the ellipsoid, vectorized.
+
+    Returns (fwd_azimuth_deg, back_azimuth_deg, distance_m). The reference
+    delegates ellipsoidal geodesy to pyproj at runtime (crs.py:234-243);
+    this is the self-contained classical iteration (non-convergent
+    near-antipodal pairs fall back to the spherical two-branch distance).
+    """
+    lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
+    lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64))
+    lon2 = np.atleast_1d(np.asarray(lon2, dtype=np.float64))
+    lat2 = np.atleast_1d(np.asarray(lat2, dtype=np.float64))
+    b = a * (1 - f)
+    U1 = np.arctan((1 - f) * np.tan(np.radians(lat1)))
+    U2 = np.arctan((1 - f) * np.tan(np.radians(lat2)))
+    L = np.radians(lon2 - lon1)
+    lam = L.copy()
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+    converged = np.zeros(lam.shape, dtype=bool)
+    sin_sigma = np.zeros_like(lam); cos_sigma = np.ones_like(lam)
+    sigma = np.zeros_like(lam); cos_sq_alpha = np.ones_like(lam)
+    cos2sm = np.zeros_like(lam)
+    for _ in range(max_iter):
+        sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+        sin_sigma = np.sqrt((cosU2 * sin_lam) ** 2
+                            + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam) ** 2)
+        cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
+        sigma = np.arctan2(sin_sigma, cos_sigma)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha = np.where(sin_sigma != 0,
+                                 cosU1 * cosU2 * sin_lam / sin_sigma, 0.0)
+        cos_sq_alpha = 1 - sin_alpha ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos2sm = np.where(cos_sq_alpha != 0,
+                              cos_sigma - 2 * sinU1 * sinU2 / cos_sq_alpha, 0.0)
+        C = f / 16 * cos_sq_alpha * (4 + f * (4 - 3 * cos_sq_alpha))
+        lam_new = L + (1 - C) * f * sin_alpha * (
+            sigma + C * sin_sigma * (cos2sm + C * cos_sigma * (-1 + 2 * cos2sm ** 2)))
+        converged = np.abs(lam_new - lam) < tol
+        lam = lam_new
+        if converged.all():
+            break
+    u_sq = cos_sq_alpha * (a * a - b * b) / (b * b)
+    A = 1 + u_sq / 16384 * (4096 + u_sq * (-768 + u_sq * (320 - 175 * u_sq)))
+    B = u_sq / 1024 * (256 + u_sq * (-128 + u_sq * (74 - 47 * u_sq)))
+    dsig = B * sin_sigma * (cos2sm + B / 4 * (
+        cos_sigma * (-1 + 2 * cos2sm ** 2)
+        - B / 6 * cos2sm * (-3 + 4 * sin_sigma ** 2) * (-3 + 4 * cos2sm ** 2)))
+    dist = b * A * (sigma - dsig)
+    sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+    az = np.degrees(np.arctan2(cosU2 * sin_lam,
+                               cosU1 * sinU2 - sinU1 * cosU2 * cos_lam))
+    baz = np.degrees(np.arctan2(cosU1 * sin_lam,
+                                -sinU1 * cosU2 + cosU1 * sinU2 * cos_lam))
+    # non-convergent (near-antipodal) -> spherical fallback for distance
+    if not converged.all():
+        fb = sphere_distance(lon1, lat1, lon2, lat2)
+        dist = np.where(converged, dist, fb)
+    # coincident points
+    dist = np.where(sin_sigma == 0, 0.0, dist)
+    return az, baz, dist
+
+
+def sph2cart(lon, lat):
+    """(lon, lat) degrees -> unit 3-vector (vectorgeo.pyx:132-138 frame)."""
+    lon = np.radians(np.asarray(lon, dtype=np.float64))
+    lat = np.radians(np.asarray(lat, dtype=np.float64))
+    return np.stack([np.cos(lat) * np.cos(lon),
+                     np.cos(lat) * np.sin(lon),
+                     np.sin(lat)], axis=-1)
+
+
+def sphere_polygon_area(ring_lonlat, radius=None) -> float:
+    """Area of a spherical polygon via Girard's spherical excess on unit
+    vectors — inherently dateline/meridian invariant (the reference reaches
+    the same invariance through per-segment spherical_area sums,
+    geodesy.py:115-126; the dateline test asserts area equality across the
+    meridian, which this satisfies by construction)."""
+    if radius is None:
+        radius = R_SPHERE
+    ring = np.asarray(ring_lonlat, dtype=np.float64)
+    v = sph2cart(ring[:, 0], ring[:, 1])
+    n = len(v)
+    total = 0.0
+    for i in range(n):
+        a, b, c = v[(i - 1) % n], v[i], v[(i + 1) % n]
+        # interior angle at b between great circles (b,a) and (b,c)
+        t1 = np.cross(np.cross(b, a), b)
+        t2 = np.cross(np.cross(b, c), b)
+        denom = np.linalg.norm(t1) * np.linalg.norm(t2)
+        if denom == 0:
+            continue
+        ang = math.acos(max(-1.0, min(1.0, float(np.dot(t1, t2)) / denom)))
+        total += ang
+    excess = total - (n - 2) * math.pi
+    return abs(excess) * radius * radius
+
+
 def _azimuth_sph_scalar(x1, y1, x2, y2):
     dlon = math.radians(x2 - x1)
     lat1, lat2 = math.radians(y1), math.radians(y2)

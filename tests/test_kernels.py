@@ -210,3 +210,42 @@ class TestSphereDistance:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestGeodesyExtra:
+    def test_vincenty_classic_line(self):
+        from karta_spark.functions.kernels import vincenty_inverse
+        lat1 = -(37 + 57 / 60 + 3.72030 / 3600)
+        lon1 = 144 + 25 / 60 + 29.52440 / 3600
+        lat2 = -(37 + 39 / 60 + 10.15610 / 3600)
+        lon2 = 143 + 55 / 60 + 35.38390 / 3600
+        az, baz, d = vincenty_inverse(lon1, lat1, lon2, lat2)
+        assert abs(d[0] - 54972.271) < 0.01  # Vincenty's published test line
+        assert abs(((az[0] + 360) % 360) - 306.86816) < 1e-3
+
+    def test_vincenty_coincident_and_equator(self):
+        from karta_spark.functions.kernels import vincenty_inverse
+        _, _, d = vincenty_inverse(10.0, 20.0, 10.0, 20.0)
+        assert d[0] == 0.0
+        _, _, d = vincenty_inverse(0.0, 0.0, 90.0, 0.0)
+        assert abs(d[0] - 10018754.17) < 1.0
+
+    def test_sphere_polygon_area(self):
+        from karta_spark.functions.kernels import sphere_polygon_area
+        a0 = sphere_polygon_area([(-1, -1), (1, -1), (1, 1), (-1, 1)])
+        a1 = sphere_polygon_area([(179, -1), (-179, -1), (-179, 1), (179, 1)])
+        assert abs(a0 - a1) / a0 < 1e-9  # dateline invariance golden
+        oct_area = sphere_polygon_area([(0, 0), (90, 0), (0, 90)], radius=1.0)
+        assert abs(oct_area - math.pi / 2) < 1e-12
+
+    def test_spherical_hull_golden(self):
+        from karta_spark.functions.kernels import convex_hull_sph
+        pts = np.array([(-50, 70), (0, 71), (50, 70), (0, 50)], float)
+        got = {tuple(p) for p in pts[convex_hull_sph(pts)]}
+        assert got == {(-50, 70), (0, 50), (50, 70)}
+
+    def test_geographic_bbox_non_crossing(self):
+        from karta_spark.functions.kernels import geographic_bbox
+        bb = geographic_bbox([(10, 10), (20, 10), (20, 20), (10, 20)], ring=True)
+        assert bb[0] == 10 and bb[2] == 20
+        assert bb[3] > 20  # great-circle bulge above the northern edge

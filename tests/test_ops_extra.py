@@ -176,3 +176,47 @@ class TestSources:
         vals, transform, _ = tiles.df_to_grid(back)
         assert transform == (10.0, 20.0, 2.0, 2.0, 0.0, 0.0)
         np.testing.assert_allclose(vals, Z, equal_nan=True)
+
+
+class TestShapefile:
+    def test_polygon_roundtrip(self, spark, tmp_path):
+        from karta_spark.sources import shapefile
+        df = spark.createDataFrame(
+            [(0,
+              [{"x": 0.0, "y": 0.0}, {"x": 4.0, "y": 0.0},
+               {"x": 4.0, "y": 4.0}, {"x": 0.0, "y": 4.0}],
+              [[{"x": 1.0, "y": 1.0}, {"x": 2.0, "y": 1.0}, {"x": 1.5, "y": 2.0}]],
+              {"name": "sq"})],
+            "geom_id long, outer array<struct<x:double,y:double>>, "
+            "holes array<array<struct<x:double,y:double>>>, "
+            "properties map<string,string>")
+        stem = str(tmp_path / "layer")
+        shapefile.write_shapefile(stem, polygons=df)
+        back = shapefile.read_shapefile(spark, stem)
+        p = back["polygons"].collect()[0]
+        got_outer = {(v["x"], v["y"]) for v in p["outer"]}
+        assert got_outer == {(0, 0), (4, 0), (4, 4), (0, 4)}
+        assert len(p["holes"]) == 1 and len(p["holes"][0]) == 3
+        assert p["properties"]["name"] == "sq"
+
+    def test_points_roundtrip(self, spark, tmp_path):
+        from karta_spark.sources import shapefile
+        df = spark.createDataFrame(
+            [(0, 1.5, 2.5, {"a": "x"}), (1, -3.0, 4.0, {"a": "y"})],
+            "geom_id long, x double, y double, properties map<string,string>")
+        stem = str(tmp_path / "pts")
+        shapefile.write_shapefile(stem, points=df)
+        back = shapefile.read_shapefile(spark, stem)["points"].orderBy("x").collect()
+        assert [(r["x"], r["y"], r["properties"]["a"]) for r in back] == \
+               [(-3.0, 4.0, "y"), (1.5, 2.5, "x")]
+
+    def test_lines_roundtrip(self, spark, tmp_path):
+        from karta_spark.sources import shapefile
+        df = spark.createDataFrame(
+            [(0, [{"x": 0.0, "y": 0.0}, {"x": 3.0, "y": 3.0}], {})],
+            "geom_id long, vertices array<struct<x:double,y:double>>, "
+            "properties map<string,string>")
+        stem = str(tmp_path / "lin")
+        shapefile.write_shapefile(stem, lines=df)
+        back = shapefile.read_shapefile(spark, stem)["lines"].collect()
+        assert [(v["x"], v["y"]) for v in back[0]["vertices"]] == [(0, 0), (3, 3)]
