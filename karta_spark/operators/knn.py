@@ -77,9 +77,11 @@ def knn_join(
     pts = points.withColumn("_cell", cells.tile_id(F.col(px), F.col(py), zoom))
     remaining = queries
     results = []
+    to_unpersist = []
     cur_ring = ring
+    n_remaining = None  # unknown before the first materialization
     for _ in range(max_widen):
-        if not remaining.take(1):
+        if n_remaining == 0:
             break
         q = remaining.withColumn("_cell", cells.tile_id(F.col(qx), F.col(qy), zoom))
         q = q.withColumn("_probe", F.explode(neighbor_cells(F.col("_cell"), cur_ring, zoom)))
@@ -87,7 +89,11 @@ def knn_join(
         d = _dist(F.col(qx), F.col(qy), F.col(px), F.col(py), spherical)
         cand = cand.withColumn("dist", d)
         w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(point_id).asc())
-        topk = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        # persist: topk feeds both the guarantee check and the result set,
+        # and `remaining` would otherwise re-run the whole previous round
+        topk = (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k).persist())
+        to_unpersist.append(topk)
 
         # guarantee radius: ring * (tile span at the query latitude), in the
         # same metric as dist
@@ -106,7 +112,9 @@ def knn_join(
         ok_ids = stats.where((F.col("_n") >= k) & (F.col("_maxd") <= guarantee)).select(query_id)
         results.append(topk.join(ok_ids, query_id, "left_semi")
                        .select(query_id, point_id, "dist", "rank"))
-        remaining = remaining.join(ok_ids, query_id, "left_anti")
+        remaining = remaining.join(ok_ids, query_id, "left_anti").persist()
+        to_unpersist.append(remaining)
+        n_remaining = remaining.count()
         cur_ring *= 2
 
     fallback = knn_bruteforce(remaining, points, k, query_id, point_id,
@@ -114,6 +122,13 @@ def knn_join(
     out = fallback
     for r in results:
         out = out.unionByName(r)
+    # materialize the final result, then release every intermediate cache —
+    # otherwise the loop's persisted blocks outlive the operator and tax
+    # later queries in the same session
+    out = out.persist()
+    out.count()
+    for df in to_unpersist:
+        df.unpersist()
     return out
 
 
