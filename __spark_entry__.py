@@ -775,6 +775,33 @@ FROM ckeyed LEFT JOIN grid USING (cell_i, cell_j)
 """
 
 
+def q35_distance_join(spark, sf_dir):
+    """General distance theta-join: all (supplier, customer) pairs within
+    15 planar degrees (band prefilter + exact distance — the distributed
+    form of within_radius against many centers)."""
+    from karta_spark.operators.radius_join import distance_join
+    s = with_coords(_t(spark, sf_dir, "supplier"), "s_suppkey").select(
+        F.col("s_suppkey").alias("sid"), F.col("x").alias("lx"), F.col("y").alias("ly"))
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey").select(
+        F.col("c_custkey").alias("cid"), "x", "y")
+    out = distance_join(s, c, 15.0)
+    return out.select("sid", "cid", F.round("dist", 6).alias("dist"))
+
+
+Q35_SQL = f"""
+WITH s AS (
+  SELECT s_suppkey AS sid, {_LON('s_suppkey')} AS lx, {_LAT('s_suppkey')} AS ly
+  FROM supplier
+), c AS (
+  SELECT c_custkey AS cid, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y
+  FROM customer
+)
+SELECT sid, cid, round(sqrt((x-lx)*(x-lx) + (y-ly)*(y-ly)), 6) AS dist
+FROM s, c
+WHERE sqrt((x-lx)*(x-lx) + (y-ly)*(y-ly)) < 15.0
+"""
+
+
 # -- non-SQL-expressible ops (driver records a weaker rows-only check) -------
 
 
@@ -910,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_raster_sample_cells": q32_raster_sample_cells,
         "q33_slope_stats": q33_slope_stats,
         "q34_geographic_bbox": q34_geographic_bbox,
+        "q35_distance_join": q35_distance_join,
     }
 
 
@@ -943,4 +971,5 @@ def oracle_sql() -> dict[str, str]:
         "q30_tile_pyramid": Q30_SQL,
         "q31_sessionize": Q31_SQL,
         "q32_raster_sample_cells": Q32_SQL,
+        "q35_distance_join": Q35_SQL,
     }
