@@ -809,17 +809,13 @@ def q33_slope_stats(spark, sf_dir):
     """Raster stencil path: gridpoints raster -> dense tile table -> ESRI
     slope stencil -> global stats (rows-only check; 3x3 stencil isn't
     reasonably SQL-oracle-able)."""
-    import numpy as np
     from karta_spark.raster import stencil, tiles as rt
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "key", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
     li = with_coords(li, "key")
-    cells_df = gridpoints(li, GRID_T, pz="l_quantity").collect()
-    arr = np.full((17, 36), np.nan)
-    for r in cells_df:
-        if 0 <= r["cell_i"] < 17 and 0 <= r["cell_j"] < 36:
-            arr[r["cell_i"], r["cell_j"]] = r["value"]
-    g = rt.grid_to_df(spark, "g", arr, GRID_T, tile=16)
+    cells_df = gridpoints(li, GRID_T, pz="l_quantity")
+    # fully distributed densification: sparse cells -> halo'd tile table
+    g = rt.tiles_from_cells(cells_df, GRID_T, (17, 36), tile=16)
     return rt.grid_minmax(stencil.slope(g)).select(
         F.round("min", 6).alias("slope_min"), F.round("max", 6).alias("slope_max"))
 

@@ -289,6 +289,107 @@ def vincenty_inverse(lon1, lat1, lon2, lat2, a=WGS84_A, f=WGS84_F,
     return az, baz, dist
 
 
+def vincenty_forward(lon1, lat1, az_deg, dist_m, a=WGS84_A, f=WGS84_F,
+                     tol=1e-12, max_iter=200):
+    """Vincenty's direct geodesic problem (the reference's ``walk``,
+    geometry.py:232-258, which delegates to pyproj fwd). Vectorized.
+
+    Returns (lon2, lat2, back_azimuth_deg)."""
+    lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
+    lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64))
+    az = np.radians(np.atleast_1d(np.asarray(az_deg, dtype=np.float64)))
+    s = np.atleast_1d(np.asarray(dist_m, dtype=np.float64))
+    b = a * (1 - f)
+    U1 = np.arctan((1 - f) * np.tan(np.radians(lat1)))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    cos_az, sin_az = np.cos(az), np.sin(az)
+    tan_sigma1 = np.tan(U1) / np.where(cos_az == 0, 1e-300, cos_az)
+    sigma1 = np.arctan(tan_sigma1)
+    sin_alpha = cosU1 * sin_az
+    cos_sq_alpha = 1 - sin_alpha ** 2
+    u_sq = cos_sq_alpha * (a * a - b * b) / (b * b)
+    A = 1 + u_sq / 16384 * (4096 + u_sq * (-768 + u_sq * (320 - 175 * u_sq)))
+    B = u_sq / 1024 * (256 + u_sq * (-128 + u_sq * (74 - 47 * u_sq)))
+    sigma = s / (b * A)
+    for _ in range(max_iter):
+        two_sm = 2 * sigma1 + sigma
+        cos2sm = np.cos(two_sm)
+        sin_sigma, cos_sigma = np.sin(sigma), np.cos(sigma)
+        dsig = B * sin_sigma * (cos2sm + B / 4 * (
+            cos_sigma * (-1 + 2 * cos2sm ** 2)
+            - B / 6 * cos2sm * (-3 + 4 * sin_sigma ** 2) * (-3 + 4 * cos2sm ** 2)))
+        new_sigma = s / (b * A) + dsig
+        if np.all(np.abs(new_sigma - sigma) < tol):
+            sigma = new_sigma
+            break
+        sigma = new_sigma
+    sin_sigma, cos_sigma = np.sin(sigma), np.cos(sigma)
+    two_sm = 2 * sigma1 + sigma
+    cos2sm = np.cos(two_sm)
+    lat2 = np.arctan2(
+        sinU1 * cos_sigma + cosU1 * sin_sigma * cos_az,
+        (1 - f) * np.sqrt(sin_alpha ** 2
+                          + (sinU1 * sin_sigma - cosU1 * cos_sigma * cos_az) ** 2))
+    lam = np.arctan2(sin_sigma * sin_az,
+                     cosU1 * cos_sigma - sinU1 * sin_sigma * cos_az)
+    C = f / 16 * cos_sq_alpha * (4 + f * (4 - 3 * cos_sq_alpha))
+    L = lam - (1 - C) * f * sin_alpha * (
+        sigma + C * sin_sigma * (cos2sm + C * cos_sigma * (-1 + 2 * cos2sm ** 2)))
+    lon2 = (lon1 + np.degrees(L) + 540.0) % 360.0 - 180.0
+    baz = np.degrees(np.arctan2(sin_alpha,
+                                -(sinU1 * sin_sigma - cosU1 * cos_sigma * cos_az)))
+    return lon2, np.degrees(lat2), baz
+
+
+def to_points_geodesic(vertices, dx: float, a=WGS84_A, f=WGS84_F) -> np.ndarray:
+    """Geodesic ``Line.to_points`` — exact replica of the reference walk
+    (geometry.py:890-918) on the ellipsoid: per segment, the initial
+    azimuth is computed ONCE at the segment start and re-applied from each
+    successive sample (so the path drifts off the geodesic, as karta's
+    does — see the -10.80 overshoot in tests/geometry_tests.py:517-525);
+    the leftover distance to the segment end carries into the next segment.
+    """
+    v = np.asarray(vertices, dtype=np.float64)
+    remainder = 0.0
+    pt = (float(v[0, 0]), float(v[0, 1]))
+    out = [pt]
+    for k in range(len(v) - 1):
+        s0 = (float(v[k, 0]), float(v[k, 1]))
+        s1 = (float(v[k + 1, 0]), float(v[k + 1, 1]))
+        az0, _, seg_len = vincenty_inverse(s0[0], s0[1], s1[0], s1[1], a=a, f=f)
+        az0, seg_len = float(az0[0]), float(seg_len[0])
+        pos = 0.0
+        while pos < seg_len:
+            _, _, d_end = vincenty_inverse(pt[0], pt[1], s1[0], s1[1], a=a, f=f)
+            d_end = float(d_end[0])
+            if d_end >= dx:
+                lon2, lat2, _ = vincenty_forward(pt[0], pt[1], az0, dx - remainder, a=a, f=f)
+                pt = (float(lon2[0]), float(lat2[0]))
+                pos += dx - remainder
+                out.append(pt)
+                remainder = 0.0
+            else:
+                remainder = d_end
+                pos = seg_len
+                pt = s1
+    return np.asarray(out, dtype=np.float64)
+
+
+def sphere_walk(lon, lat, az_deg, dist_m, radius=None):
+    """Spherical destination point (forward problem on the sphere)."""
+    if radius is None:
+        radius = R_SPHERE
+    lon = np.radians(np.asarray(lon, dtype=np.float64))
+    lat = np.radians(np.asarray(lat, dtype=np.float64))
+    az = np.radians(np.asarray(az_deg, dtype=np.float64))
+    d = np.asarray(dist_m, dtype=np.float64) / radius
+    lat2 = np.arcsin(np.sin(lat) * np.cos(d) + np.cos(lat) * np.sin(d) * np.cos(az))
+    lon2 = lon + np.arctan2(np.sin(az) * np.sin(d) * np.cos(lat),
+                            np.cos(d) - np.sin(lat) * np.sin(lat2))
+    lon2 = (np.degrees(lon2) + 540.0) % 360.0 - 180.0
+    return lon2, np.degrees(lat2)
+
+
 def sph2cart(lon, lat):
     """(lon, lat) degrees -> unit 3-vector (vectorgeo.pyx:132-138 frame)."""
     lon = np.radians(np.asarray(lon, dtype=np.float64))

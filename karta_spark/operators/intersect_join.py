@@ -109,6 +109,66 @@ def within(
                .drop("xmin", "xmax", "ymin", "ymax")
 
 
+def line_intersection_join(
+    left: DataFrame, right: DataFrame, zoom: int = 7,
+    vertices: str = "vertices", left_closed: bool = False,
+    right_closed: bool = False, salt_threshold: int = 0,
+) -> DataFrame:
+    """Big-big pairwise intersects join between two line/ring tables.
+
+    Neither side broadcasts: each member explodes to the slippy cells its
+    bbox covers; the equi-join on cell_id generates candidate pairs
+    (deduped — a pair can share several cells); the vectorized brute
+    segment kernel refines.  ``salt_threshold`` > 0 additionally salts hot
+    cells on the left side (operators.skew pattern) for skewed corpora.
+
+    Returns (geom_id, geom_id_r) pairs that intersect.
+    """
+    from karta_spark.functions import cells as _cells
+
+    def with_cover(df, suffix):
+        bb = with_member_bbox(df, vertices)
+        # cell range of the bbox at *zoom* — pure column exprs
+        x0 = _cells.tile_x(F.col("xmin"), zoom)
+        x1 = _cells.tile_x(F.col("xmax"), zoom)
+        # slippy y grows southward: ymax -> smaller ty
+        y0 = _cells.tile_y(F.col("ymax"), zoom)
+        y1 = _cells.tile_y(F.col("ymin"), zoom)
+        cover = F.flatten(F.transform(
+            F.sequence(x0, x1),
+            lambda tx: F.transform(F.sequence(y0, y1),
+                                   lambda ty: F.lit(zoom).cast("long") * (1 << 58)
+                                   + tx * (1 << 29) + ty)))
+        return bb.select(
+            F.col("geom_id").alias("geom_id" + suffix),
+            F.col(vertices).alias(vertices + suffix),
+            F.explode(cover).alias("cell_id"),
+        )
+
+    lc = with_cover(left, "")
+    rc = with_cover(right, "_r")
+    if salt_threshold > 0:
+        from karta_spark.operators.skew import salted_join
+        cand = salted_join(lc, rc, threshold=salt_threshold, broadcast_small=False)
+    else:
+        cand = lc.join(rc, "cell_id")
+    cand = cand.dropDuplicates(["geom_id", "geom_id_r"])
+
+    @F.pandas_udf(BooleanType())
+    def refine(va: pd.Series, vb: pd.Series) -> pd.Series:
+        out = np.zeros(len(va), dtype=bool)
+        for i in range(len(va)):
+            a = np.array([[v["x"], v["y"]] for v in va.iloc[i]], dtype=np.float64)
+            b = np.array([[v["x"], v["y"]] for v in vb.iloc[i]], dtype=np.float64)
+            out[i] = polyline_intersects(a, b, a_closed=left_closed, b_closed=right_closed)
+        return pd.Series(out)
+
+    return (
+        cand.where(refine(F.col(vertices), F.col(vertices + "_r")))
+        .select("geom_id", "geom_id_r")
+    )
+
+
 def intersection_points(
     members: DataFrame, target_vertices, target_closed: bool = False,
     members_closed: bool = False, vertices: str = "vertices",

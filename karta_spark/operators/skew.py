@@ -32,12 +32,16 @@ def salt_map(hist: DataFrame, threshold: int, cell: str = "cell_id") -> DataFram
 def salted_join(
     big: DataFrame, small: DataFrame, threshold: int = 2_000_000,
     cell: str = "cell_id", hash_cols: list | None = None,
+    broadcast_small: bool = True,
 ) -> DataFrame:
     """big ⋈ small on cell_id with hot cells salted.
 
     *small* is the replicated side (e.g. polygon cover cells); rows for hot
     cells are exploded n_salt times. *big* rows in hot cells pick a stable
     pseudo-random salt from a hash of ``hash_cols`` (default: all columns).
+    With ``broadcast_small=False`` the join is a salted shuffle hash join —
+    the big-big form (both sides exchange on (cell_id, salt), hot keys
+    split across n_salt reducers).
     """
     hist = cell_histogram(big, cell)
     salts = F.broadcast(salt_map(hist, threshold, cell))
@@ -54,4 +58,6 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.coalesce(F.col("n_salt") - 1, F.lit(0)))),
     ).drop("n_salt")
 
-    return big_s.join(F.broadcast(small_s), [cell, "salt"]).drop("salt")
+    if broadcast_small:
+        small_s = F.broadcast(small_s)
+    return big_s.join(small_s, [cell, "salt"]).drop("salt")

@@ -83,6 +83,68 @@ def df_to_grid(df: DataFrame, grid_id: str | None = None, band: int = 0):
     return out, transform, float(pdf.iloc[0]["nodata"])
 
 
+def tiles_from_cells(
+    cells_df: DataFrame, transform, shape: tuple, grid_id: str = "from_cells",
+    value_col: str = "value", tile: int = DEFAULT_TILE, halo: int = 1,
+    band: int = 0,
+) -> DataFrame:
+    """Assemble a tile table from sparse (cell_i, cell_j, value) rows —
+    the distributed densification of a gridpoints() result (empty cells
+    nodata=NaN). One shuffle on the tile key; halos are built by routing
+    each cell to every tile whose halo'd window covers it (so stencil and
+    bilinear ops work on the result without a second exchange)."""
+    gny, gnx = shape
+    t = tuple(float(v) for v in transform)
+    tdict = {"x0": t[0], "y0": t[1], "dx": t[2], "dy": t[3], "sx": t[4], "sy": t[5]}
+
+    n_ti = (gny + tile - 1) // tile
+    n_tj = (gnx + tile - 1) // tile
+
+    src = cells_df.select(
+        F.col("cell_i").cast("int").alias("gi"),
+        F.col("cell_j").cast("int").alias("gj"),
+        F.col(value_col).cast("double").alias("v"),
+    ).where((F.col("gi") >= 0) & (F.col("gi") < gny)
+            & (F.col("gj") >= 0) & (F.col("gj") < gnx))
+
+    # a cell belongs to its own tile and to any neighbor tile whose halo
+    # covers it (cells within `halo` of a tile edge duplicate — same rule
+    # as grid_to_df's write-time halo)
+    owner_ti = (F.col("gi") / tile).cast("int")
+    owner_tj = (F.col("gj") / tile).cast("int")
+    offsets = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    routed = None
+    for di, dj in offsets:
+        ti = owner_ti + di
+        tj = owner_tj + dj
+        in_halo = (
+            (ti >= 0) & (ti < n_ti) & (tj >= 0) & (tj < n_tj)
+            & (F.col("gi") >= ti * tile - halo) & (F.col("gi") < (ti + 1) * tile + halo)
+            & (F.col("gj") >= tj * tile - halo) & (F.col("gj") < (tj + 1) * tile + halo)
+        )
+        piece = src.where(in_halo).select(
+            ti.alias("ti"), tj.alias("tj"), "gi", "gj", "v")
+        routed = piece if routed is None else routed.unionByName(piece)
+
+    def assemble(key, pdf: pd.DataFrame):
+        ti, tj = int(key[0]), int(key[1])
+        i0, j0 = ti * tile, tj * tile
+        tny = min(tile, gny - i0)
+        tnx = min(tile, gnx - j0)
+        blk = np.full((tny + 2 * halo, tnx + 2 * halo), np.nan)
+        li = pdf["gi"].to_numpy() - i0 + halo
+        lj = pdf["gj"].to_numpy() - j0 + halo
+        blk[li, lj] = pdf["v"].to_numpy()
+        return pd.DataFrame([{
+            "grid_id": grid_id, "band": band, "tile_i": ti, "tile_j": tj,
+            "i0": i0, "j0": j0, "ny": tny, "nx": tnx, "halo": halo,
+            "block": blk.ravel().tolist(), "transform": tdict,
+            "nodata": float("nan"), "gny": gny, "gnx": gnx,
+        }])
+
+    return routed.groupBy("ti", "tj").applyInPandas(assemble, TILE_SCHEMA)
+
+
 def clip(df: DataFrame, xmin: float, xmax: float, ymin: float, ymax: float) -> DataFrame:
     """Sub-lattice selection by bbox (reference grid.py:525-562): keep tiles
     intersecting the index rectangle, blank cells outside it.  Index math

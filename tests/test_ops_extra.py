@@ -220,3 +220,60 @@ class TestShapefile:
         shapefile.write_shapefile(stem, lines=df)
         back = shapefile.read_shapefile(spark, stem)["lines"].collect()
         assert [(v["x"], v["y"]) for v in back[0]["vertices"]] == [(0, 0), (3, 3)]
+
+
+class TestGeodesicResample:
+    def test_to_points_lonlat_golden(self, spark):
+        # geometry_tests.py:513-529 (pyproj-derived golden list)
+        df = spark.createDataFrame(
+            [(0, [{"x": 0.0, "y": 38.0}, {"x": -10.5, "y": 33.0},
+                  {"x": -6.0, "y": 35.0}])],
+            "geom_id long, vertices array<struct<x:double,y:double>>")
+        got = geom.to_points_geodesic_df(df, 100000.0).orderBy("sample_idx").collect()
+        ans = [(0., 38.), (-1.00809817, 37.58554833), (-2.01066416, 37.17113146),
+               (-3.00781084, 36.7567488), (-3.99964867, 36.34239982),
+               (-4.98628577, 35.92808398), (-5.96782797, 35.51380078),
+               (-6.94437893, 35.09954973), (-7.91604017, 34.68533037),
+               (-8.88291117, 34.27114226), (-9.84508939, 33.85698498),
+               (-10.80267038, 33.44285814), (-10.09466286, 33.19083929),
+               (-9.15505703, 33.62895663), (-8.21064326, 34.0669835),
+               (-7.26131724, 34.5049191), (-6.30697252, 34.94276264)]
+        assert len(got) == len(ans)
+        for r, (wx, wy) in zip(got, ans):
+            assert r["x"] == pytest.approx(wx, abs=2e-7)
+            assert r["y"] == pytest.approx(wy, abs=2e-7)
+
+
+class TestBigBigLineJoin:
+    def _lines(self, spark, seed, n):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for i in range(n):
+            off = rng.uniform(-60, 60, 2)
+            pts = rng.uniform(0, 8, (6, 2)) + off
+            rows.append((i, [{"x": float(x), "y": float(y)} for x, y in pts]))
+        return spark.createDataFrame(
+            rows, "geom_id long, vertices array<struct<x:double,y:double>>")
+
+    def test_matches_bruteforce(self, spark):
+        from karta_spark.functions.kernels import polyline_intersects
+        left = self._lines(spark, 1, 60)
+        right = self._lines(spark, 2, 60)
+        got = {(r["geom_id"], r["geom_id_r"]) for r in
+               intersect_join.line_intersection_join(left, right, zoom=6).collect()}
+        lv = {r["geom_id"]: np.array([[v["x"], v["y"]] for v in r["vertices"]])
+              for r in left.collect()}
+        rv = {r["geom_id"]: np.array([[v["x"], v["y"]] for v in r["vertices"]])
+              for r in right.collect()}
+        want = {(i, j) for i in lv for j in rv if polyline_intersects(lv[i], rv[j])}
+        assert got == want and len(want) > 0
+
+    def test_salted_variant_identical(self, spark):
+        left = self._lines(spark, 3, 50)
+        right = self._lines(spark, 4, 50)
+        plain = {(r["geom_id"], r["geom_id_r"]) for r in
+                 intersect_join.line_intersection_join(left, right, zoom=6).collect()}
+        salted = {(r["geom_id"], r["geom_id_r"]) for r in
+                  intersect_join.line_intersection_join(
+                      left, right, zoom=6, salt_threshold=5).collect()}
+        assert plain == salted

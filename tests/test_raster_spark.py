@@ -188,3 +188,26 @@ class TestMask:
         cx, cy = jj + 0.5, ii + 0.5
         want = winding_contains(cx.ravel(), cy.ravel(), tri[0]).reshape(10, 10)
         assert np.array_equal(~np.isnan(masked), want)
+
+
+class TestTilesFromCells:
+    def test_matches_driver_side_assembly(self, spark):
+        rng = np.random.default_rng(9)
+        gny, gnx = 40, 56
+        # sparse cells (~60% fill)
+        mask = rng.uniform(size=(gny, gnx)) < 0.6
+        vals = rng.standard_normal((gny, gnx))
+        rows = [(int(i), int(j), float(vals[i, j]))
+                for i, j in zip(*np.nonzero(mask))]
+        cdf = spark.createDataFrame(rows, "cell_i int, cell_j int, value double")
+        got_df = tiles.tiles_from_cells(cdf, T1, (gny, gnx), tile=16)
+        got, transform, _ = tiles.df_to_grid(got_df)
+        want = np.where(mask, vals, np.nan)
+        np.testing.assert_allclose(got, want, equal_nan=True)
+        # halos correct: a stencil over this equals the stencil over a
+        # driver-side grid_to_df of the same array
+        from karta_spark.raster import stencil
+        a, _, _ = tiles.df_to_grid(stencil.slope(got_df))
+        b, _, _ = tiles.df_to_grid(stencil.slope(
+            tiles.grid_to_df(spark, "ref", want, T1, tile=16)))
+        np.testing.assert_allclose(a, b, equal_nan=True)
