@@ -1,0 +1,60 @@
+"""Spatial storage layout: partition + sort by cell so the file format's
+min-max statistics do the spatial index's job (SURVEY §4: the reference's
+QuadTree/R-tree is replaced by layout + pruning).
+
+Layout contract:
+- directory partitioning on a COARSE cell (z4/z5): a bbox query prunes
+  whole directories at planning time (``PartitionFilters``);
+- rows within each file sorted by the FINE cell_id: parquet row-group
+  min-max stats prune pages inside surviving files (``PushedFilters``).
+
+With an Iceberg catalog the same layout is `PARTITIONED BY (bucket/truncate
+cell_coarse)` + a sort order — the read path and the pruning semantics are
+identical; this parquet implementation is the sandbox stand-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from karta_spark.functions import cells
+
+
+def write_cell_partitioned(
+    points: DataFrame, path: str, lon: str = "x", lat: str = "y",
+    coarse_zoom: int = 4, fine_zoom: int = 12, mode: str = "overwrite",
+) -> None:
+    """Write a point table partitioned by coarse cell, sorted by fine cell."""
+    df = (
+        points
+        .withColumn("cell_coarse", cells.tile_id(F.col(lon), F.col(lat), coarse_zoom))
+        .withColumn("cell_id", cells.tile_id(F.col(lon), F.col(lat), fine_zoom))
+        .repartition("cell_coarse")
+        .sortWithinPartitions("cell_id")
+    )
+    df.write.mode(mode).partitionBy("cell_coarse").parquet(path)
+
+
+def read_cells(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def bbox_scan(spark: SparkSession, path: str, bbox: tuple,
+              coarse_zoom: int = 4, fine_zoom: int = 12,
+              lon: str = "x", lat: str = "y") -> DataFrame:
+    """bbox query that prunes at both layout levels: a cell_coarse IN (...)
+    predicate (directory pruning, computed from the bbox's coarse cover)
+    plus a cell_id range + exact coordinate filter (row-group pruning)."""
+    xmin, ymin, xmax, ymax = bbox
+    cx0, cy1 = cells.tile_xy_py(xmin, max(ymin, -cells.MAX_LAT + 1e-9), coarse_zoom)
+    cx1, cy0 = cells.tile_xy_py(xmax, min(ymax, cells.MAX_LAT - 1e-9), coarse_zoom)
+    coarse = [
+        (coarse_zoom << 58) | (tx << 29) | ty
+        for tx in range(cx0, cx1 + 1) for ty in range(cy0, cy1 + 1)
+    ]
+    df = spark.read.parquet(path).where(F.col("cell_coarse").isin(coarse))
+    return df.where(
+        (F.col(lon) >= xmin) & (F.col(lon) <= xmax)
+        & (F.col(lat) >= ymin) & (F.col(lat) <= ymax)
+    )

@@ -109,22 +109,25 @@ def tiles_from_cells(
 
     # a cell belongs to its own tile and to any neighbor tile whose halo
     # covers it (cells within `halo` of a tile edge duplicate — same rule
-    # as grid_to_df's write-time halo)
+    # as grid_to_df's write-time halo). Single pass: build the (ti, tj)
+    # targets as an array and explode once.
     owner_ti = (F.col("gi") / tile).cast("int")
     owner_tj = (F.col("gj") / tile).cast("int")
-    offsets = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
-    routed = None
-    for di, dj in offsets:
-        ti = owner_ti + di
-        tj = owner_tj + dj
-        in_halo = (
-            (ti >= 0) & (ti < n_ti) & (tj >= 0) & (tj < n_tj)
-            & (F.col("gi") >= ti * tile - halo) & (F.col("gi") < (ti + 1) * tile + halo)
-            & (F.col("gj") >= tj * tile - halo) & (F.col("gj") < (tj + 1) * tile + halo)
-        )
-        piece = src.where(in_halo).select(
-            ti.alias("ti"), tj.alias("tj"), "gi", "gj", "v")
-        routed = piece if routed is None else routed.unionByName(piece)
+    targets = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ti = owner_ti + di
+            tj = owner_tj + dj
+            in_halo = (
+                (ti >= 0) & (ti < n_ti) & (tj >= 0) & (tj < n_tj)
+                & (F.col("gi") >= ti * tile - halo) & (F.col("gi") < (ti + 1) * tile + halo)
+                & (F.col("gj") >= tj * tile - halo) & (F.col("gj") < (tj + 1) * tile + halo)
+            )
+            targets.append(F.when(in_halo, F.struct(ti.alias("ti"), tj.alias("tj"))))
+    routed = src.select(
+        "gi", "gj", "v",
+        F.explode(F.filter(F.array(*targets), lambda s: s.isNotNull())).alias("_t"),
+    ).select(F.col("_t.ti").alias("ti"), F.col("_t.tj").alias("tj"), "gi", "gj", "v")
 
     def assemble(key, pdf: pd.DataFrame):
         ti, tj = int(key[0]), int(key[1])

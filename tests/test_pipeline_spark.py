@@ -145,3 +145,24 @@ class TestSimilarity:
                for r in similarity.ivf_topk(v, q, k=5, c=8, nprobe=4).collect()}
         recall = len(brute & ivf) / len(brute)
         assert recall >= 0.5
+
+
+class TestLayout:
+    def test_partition_pruning(self, spark, tmp_path):
+        from karta_spark.plans import layout
+        pts = images.with_lonlat(images.synth_images(spark, 3000, partitions=4))
+        path = str(tmp_path / "cells")
+        layout.write_cell_partitioned(pts.select("image_id", "x", "y"), path)
+
+        bbox = (-80.0, 0.0, -60.0, 20.0)
+        q = layout.bbox_scan(spark, path, bbox)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        # planning-time directory pruning is visible as PartitionFilters
+        assert "PartitionFilters" in plan and "cell_coarse" in plan
+        # and the coordinate predicates are pushed to the reader
+        assert "PushedFilters" in plan
+
+        # correctness: same rows as a full-scan filter
+        want = pts.where((F.col("x") >= bbox[0]) & (F.col("x") <= bbox[2])
+                         & (F.col("y") >= bbox[1]) & (F.col("y") <= bbox[3])).count()
+        assert q.count() == want and want > 0
