@@ -86,6 +86,32 @@ def tile_bbox_py(z: int, x: int, y: int):
 
 
 # ---------------------------------------------------------------------------
+# planar cell grid (cartesian CRS — coordinates in arbitrary units)
+# ---------------------------------------------------------------------------
+
+_PLANAR_OFFSET = 1 << 28  # keeps packed indices positive for |index| < 2^28
+
+
+def planar_cell_id(x: Column, y: Column, size: float) -> Column:
+    """int64 cell key for a planar grid of *size*-sized square cells."""
+    cx = F.floor(x / F.lit(float(size))).cast("long") + _PLANAR_OFFSET
+    cy = F.floor(y / F.lit(float(size))).cast("long") + _PLANAR_OFFSET
+    return cx * (1 << 29) + cy
+
+
+def planar_cell_py(x: float, y: float, size: float) -> int:
+    cx = int(math.floor(x / size)) + _PLANAR_OFFSET
+    cy = int(math.floor(y / size)) + _PLANAR_OFFSET
+    return cx * (1 << 29) + cy
+
+
+def planar_cell_bbox_py(cx: int, cy: int, size: float):
+    x0 = (cx - _PLANAR_OFFSET) * size
+    y0 = (cy - _PLANAR_OFFSET) * size
+    return (x0, y0, x0 + size, y0 + size)
+
+
+# ---------------------------------------------------------------------------
 # deterministic geolocation of arbitrary keyed rows (FIXTURES.md §1 rule)
 # ---------------------------------------------------------------------------
 

@@ -144,6 +144,112 @@ def segment_intersection_points(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1):
     return xs, ys, valid
 
 
+def _ref_sph2cart(lon, lat):
+    """Reference sph2cart frame (vectorgeo.pyx:132-138): theta = 90 - lat."""
+    theta = math.radians(90.0 - lat)
+    lam = math.radians(lon)
+    return (math.sin(theta) * math.cos(lam),
+            math.sin(theta) * math.sin(lam),
+            math.cos(theta))
+
+
+def _ref_cross3(u, v):
+    """Reference cross3 (vectorgeo.pyx:28-29). NOTE: the y component is NOT
+    negated — this is not a mathematical cross product, but the spherical
+    intersection tests are built on it consistently, so we replicate."""
+    return (u[1] * v[2] - u[2] * v[1],
+            u[0] * v[2] - u[2] * v[0],
+            u[0] * v[1] - u[1] * v[0])
+
+
+def _ref_cart2sph(a):
+    """Reference cart2sph (vectorgeo.pyx:141-153) incl. its 1e-8 branches."""
+    x, y, z = a
+    if abs(x) > 1e-8:
+        lon = math.atan2(y, x)
+    else:
+        lon = math.asin(y / math.sqrt(x * x + y * y))
+    if abs(z) > 1e-8:
+        lat = 0.5 * math.pi - math.atan(math.sqrt(x * x + y * y) / z)
+    else:
+        lat = 0.5 * math.pi - math.acos(z / math.sqrt(x * x + y * y + z * z))
+    return math.degrees(lon), math.degrees(lat)
+
+
+def _isbetween_inc(a, b, c):
+    return min(a, c) <= b <= max(a, c)
+
+
+def _intersection_meridian(x0, x1, y0, y1, xmeridian):
+    """Latitude where the geodesic (x0,y0)->(x1,y1) crosses *xmeridian* —
+    replica of intersection.pyx:567-583; NaN if outside the segment."""
+    ep1 = _ref_cross3(_ref_sph2cart(x0, y0), _ref_sph2cart(x1, y1))
+    ep2 = (math.sin(math.radians(xmeridian)), math.cos(math.radians(xmeridian)), 0.0)
+    try:
+        nlon, nlat = _ref_cart2sph(_ref_cross3(ep1, ep2))
+    except (ValueError, ZeroDivisionError):
+        return float("nan")
+    nlon = (nlon + 180.0) % 360.0 - 180.0
+    nlat = (nlat + 90.0) % 180.0 - 90.0
+    anti = (nlon + 360.0) % 360.0 - 180.0
+    if _isbetween_inc(x0, nlon, x1):
+        return nlat
+    if _isbetween_inc(x0, anti, x1):
+        return -nlat
+    return float("nan")
+
+
+def segment_intersects_sph(x0, y0, x1, y1, x2, y2, x3, y3) -> bool:
+    """Spherical segment crossing test — replica of _intersects_sph
+    (intersection.pyx:553-564): great circles' 'euler pole' cross, candidate
+    longitude (or its antipode) must fall in both segments' lon spans.
+    Vertical (meridian) segments take the reference sweep's special path
+    (event kinds 2/3, intersection.pyx:308-322 via intersection_meridian)."""
+    if x0 == x1 and x2 == x3:
+        # two meridian segments: cross only if same meridian and lat overlap
+        return x0 == x2 and min(y0, y1) <= max(y2, y3) and min(y2, y3) <= max(y0, y1)
+    if x2 == x3:
+        lat = _intersection_meridian(x0, x1, y0, y1, x2)
+        return not math.isnan(lat) and min(y2, y3) <= lat <= max(y2, y3)
+    if x0 == x1:
+        lat = _intersection_meridian(x2, x3, y2, y3, x0)
+        return not math.isnan(lat) and min(y0, y1) <= lat <= max(y0, y1)
+    ep1 = _ref_cross3(_ref_sph2cart(x0, y0), _ref_sph2cart(x1, y1))
+    ep2 = _ref_cross3(_ref_sph2cart(x2, y2), _ref_sph2cart(x3, y3))
+    try:
+        nlon, _ = _ref_cart2sph(_ref_cross3(ep1, ep2))
+    except (ValueError, ZeroDivisionError):
+        return False
+    anti = (nlon + 360.0) % 360.0 - 180.0
+    if _isbetween_inc(x0, nlon, x1) and _isbetween_inc(x2, nlon, x3):
+        return True
+    if _isbetween_inc(x0, anti, x1) and _isbetween_inc(x2, anti, x3):
+        return True
+    return False
+
+
+def polyline_intersects_sph(a: np.ndarray, b: np.ndarray,
+                            a_closed=False, b_closed=False) -> bool:
+    """Geodesic polyline intersection (SphericalEarth ``intersects``):
+    longitudes reduced to [-180, 180) (as the reference's spherical sweep
+    normalizes, intersection.pyx:342-380), then brute pairwise euler-pole
+    tests over the segments."""
+    a = np.asarray(a, dtype=np.float64).copy()
+    b = np.asarray(b, dtype=np.float64).copy()
+    a[:, 0] = np.mod(a[:, 0] + 180.0, 360.0) - 180.0
+    b[:, 0] = np.mod(b[:, 0] + 180.0, 360.0) - 180.0
+    if a_closed:
+        a = np.vstack([a, a[:1]])
+    if b_closed:
+        b = np.vstack([b, b[:1]])
+    for i in range(len(a) - 1):
+        for j in range(len(b) - 1):
+            if segment_intersects_sph(a[i, 0], a[i, 1], a[i + 1, 0], a[i + 1, 1],
+                                      b[j, 0], b[j, 1], b[j + 1, 0], b[j + 1, 1]):
+                return True
+    return False
+
+
 def polyline_intersects(a: np.ndarray, b: np.ndarray, a_closed=False, b_closed=False) -> bool:
     """Do two vertex strings (N,2)/(M,2) intersect? Brute vectorized
     all-pairs segment test (beats a sweep under numpy vectorization for the

@@ -81,8 +81,25 @@ class PolygonSpec:
         )
 
 
+def _classify_cell(poly: PolygonSpec, w, s, e, n):
+    """full/boundary classification of one cover cell."""
+    if poly.polar:
+        return False
+    corners_x = np.array([w, e, e, w])
+    corners_y = np.array([s, s, n, n])
+    inside = poly.contains(corners_x, corners_y)
+    cell_ring = np.array([[w, s], [e, s], [e, n], [w, n]])
+    edge_cross = polyline_intersects(
+        poly.outer, cell_ring, a_closed=True, b_closed=True
+    ) or any(
+        polyline_intersects(h, cell_ring, a_closed=True, b_closed=True)
+        for h in poly.holes
+    )
+    return bool(inside.all()) and not edge_cross
+
+
 def cover_cells(poly: PolygonSpec, zoom: int):
-    """Classified cell cover of a polygon at *zoom*.
+    """Classified slippy-cell cover of a lonlat polygon at *zoom*.
 
     Returns list of (cell_id, full: bool). A cell is *full* when all four
     corners are inside and no polygon edge crosses the cell boundary —
@@ -90,41 +107,36 @@ def cover_cells(poly: PolygonSpec, zoom: int):
     back to boundary-everything (rare path, parity over speed).
     """
     xmin, ymin, xmax, ymax = poly.bbox()
-    # clamp to slippy-valid latitudes
-    ymin = max(ymin, -cells.MAX_LAT + 1e-9) if poly.crs == "lonlat" else ymin
-    ymax = min(ymax, cells.MAX_LAT - 1e-9) if poly.crs == "lonlat" else ymax
-    if poly.crs == "lonlat":
-        x0, y1 = cells.tile_xy_py(xmin, ymin, zoom)  # y grows southward
-        x1, y0 = cells.tile_xy_py(xmax, ymax, zoom)
-    else:
-        # cartesian coords are still keyed through the same tile function by
-        # treating them as degrees clamped to the valid range; out-of-range
-        # cartesian data should use a scaled planar cell grid instead.
-        x0, y1 = cells.tile_xy_py(max(min(xmin, 179.99), -179.99), max(min(ymin, 85.0), -85.0), zoom)
-        x1, y0 = cells.tile_xy_py(max(min(xmax, 179.99), -179.99), max(min(ymax, 85.0), -85.0), zoom)
+    ymin = max(ymin, -cells.MAX_LAT + 1e-9)
+    ymax = min(ymax, cells.MAX_LAT - 1e-9)
+    xmin = max(xmin, -180.0)
+    xmax = min(xmax, 180.0 - 1e-12)
+    x0, y1 = cells.tile_xy_py(xmin, ymin, zoom)  # y grows southward
+    x1, y0 = cells.tile_xy_py(xmax, ymax, zoom)
     nmax = 2 ** zoom - 1
     out = []
     for tx in range(max(x0, 0), min(x1, nmax) + 1):
         for ty in range(max(y0, 0), min(y1, nmax) + 1):
             w, s, e, n = cells.tile_bbox_py(zoom, tx, ty)
             cid = (zoom << 58) | (tx << 29) | ty
-            if poly.polar:
-                out.append((cid, False))
-                continue
-            corners_x = np.array([w, e, e, w])
-            corners_y = np.array([s, s, n, n])
-            inside = poly.contains(corners_x, corners_y)
-            cell_ring = np.array([[w, s], [e, s], [e, n], [w, n]])
-            edge_cross = polyline_intersects(
-                poly.outer, cell_ring, a_closed=True, b_closed=True
-            ) or any(
-                polyline_intersects(h, cell_ring, a_closed=True, b_closed=True)
-                for h in poly.holes
-            )
-            if bool(inside.all()) and not edge_cross:
-                out.append((cid, True))
-            else:
-                out.append((cid, False))
+            out.append((cid, _classify_cell(poly, w, s, e, n)))
+    return out
+
+
+def cover_cells_planar(poly: PolygonSpec, size: float):
+    """Classified planar-grid cover (cartesian CRS, arbitrary units)."""
+    xmin, ymin, xmax, ymax = poly.bbox()
+    cx0 = int(math.floor(xmin / size))
+    cx1 = int(math.floor(xmax / size))
+    cy0 = int(math.floor(ymin / size))
+    cy1 = int(math.floor(ymax / size))
+    out = []
+    for cx in range(cx0, cx1 + 1):
+        for cy in range(cy0, cy1 + 1):
+            w, s = cx * size, cy * size
+            e, n = w + size, s + size
+            cid = cells.planar_cell_py(w + size / 2, s + size / 2, size)
+            out.append((cid, _classify_cell(poly, w, s, e, n)))
     return out
 
 
@@ -166,10 +178,13 @@ def _expr_able(poly: PolygonSpec) -> bool:
     return not poly.polar and edges <= MAX_EXPR_EDGES
 
 
-def cover_df(spark: SparkSession, polys: list[PolygonSpec], zoom: int) -> DataFrame:
+def cover_df(spark: SparkSession, polys: list[PolygonSpec], zoom: int,
+             planar_size: float | None = None) -> DataFrame:
     rows = []
     for p in polys:
-        for cid, full in cover_cells(p, zoom):
+        cover = (cover_cells_planar(p, planar_size) if planar_size is not None
+                 else cover_cells(p, zoom))
+        for cid, full in cover:
             rows.append((p.poly_id, cid, full))
     return spark.createDataFrame(rows, "poly_id string, cell_id long, full boolean")
 
@@ -181,6 +196,7 @@ def point_in_polygon_join(
     lon: str = "x",
     lat: str = "y",
     keep_flag: bool = False,
+    planar_size: float | None = None,
 ) -> DataFrame:
     """points ⋈ polygons containment join (semi-join style: one output row
     per (point, containing polygon)).
@@ -188,20 +204,36 @@ def point_in_polygon_join(
     ``points`` keeps all its columns; adds ``poly_id`` (and ``contained``
     when keep_flag). Exact two-phase plan of within_polygon
     (geometry.py:1391-1405): cell join = index probe, winding UDF = refine.
-    """
+
+    lonlat polygons use the slippy cover at *zoom*; cartesian polygons (or
+    an explicit *planar_size*) use a planar cell grid so coordinates of any
+    magnitude work. Mixing CRSes in one call requires planar_size=None and
+    all-lonlat, or planar for all."""
     spark = points.sparkSession
+
+    if planar_size is None and any(p.crs == "cartesian" for p in polys):
+        # auto planar cell size: ~1/8 of the median polygon bbox extent
+        extents = []
+        for p in polys:
+            xmin, ymin, xmax, ymax = p.bbox()
+            extents.append(max(xmax - xmin, ymax - ymin))
+        planar_size = max(float(np.median(extents)) / 8.0, 1e-9)
 
     expr_polys = [p for p in polys if _expr_able(p)]
     udf_polys = [p for p in polys if not _expr_able(p)]
 
-    pts = points.withColumn("cell_id", cells.tile_id(F.col(lon), F.col(lat), zoom))
+    if planar_size is not None:
+        pts = points.withColumn(
+            "cell_id", cells.planar_cell_id(F.col(lon), F.col(lat), planar_size))
+    else:
+        pts = points.withColumn("cell_id", cells.tile_id(F.col(lon), F.col(lat), zoom))
 
     branches = []
     if expr_polys:
         # single pass, fully JVM: cell join prunes to cover cells; full
         # cells pass outright; boundary cells evaluate the compiled
         # per-polygon winding expression (codegen short-circuits on `full`)
-        cover = cover_df(spark, expr_polys, zoom)
+        cover = cover_df(spark, expr_polys, zoom, planar_size)
         cand = pts.join(F.broadcast(cover), "cell_id", "inner")
         refine_case = F.lit(False)
         for p in expr_polys:
@@ -215,7 +247,7 @@ def point_in_polygon_join(
     if udf_polys:
         # fallback for polar / high-vertex polygons: full-cell hits bypass
         # Python entirely; only boundary candidates serialize to the kernel
-        cover = cover_df(spark, udf_polys, zoom)
+        cover = cover_df(spark, udf_polys, zoom, planar_size)
         cand = pts.join(F.broadcast(cover), "cell_id", "inner")
         full_hits = cand.where(F.col("full")).drop("full", "cell_id")
         poly_map = {p.poly_id: p for p in udf_polys}

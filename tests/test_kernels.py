@@ -249,3 +249,22 @@ class TestGeodesyExtra:
         bb = geographic_bbox([(10, 10), (20, 10), (20, 20), (10, 20)], ring=True)
         assert bb[0] == 10 and bb[2] == 20
         assert bb[3] > 20  # great-circle bulge above the northern edge
+
+
+class TestSphericalIntersects:
+    # vector_predicate_tests.py:103-134 geodesic goldens
+    def test_geographic_cases(self):
+        from karta_spark.functions.kernels import polyline_intersects_sph as pis
+        assert pis(np.array([(-40.0, 36), (-38, 36.5)]),
+                   np.array([(-39.0, 34), (-39, 37.5)]))
+        assert not pis(np.array([(-40.0, 36), (-38, 36.5)]),
+                       np.array([(-42.0, 34), (-41, 37.5)]))
+        # geodesic bulge: the -50..50 @70N great circle passes north of 71N
+        assert pis(np.array([(-50.0, 70), (50, 70)]),
+                   np.array([(0.0, 71), (1, 89)]))
+        # vertical segment handling
+        assert pis(np.array([(-50.0, 70), (50, 70)]),
+                   np.array([(0.0, 71), (0, 89)]))
+        # longitude normalization (340 == -20)
+        assert pis(np.array([(-10.0, 20), (-30, 20)]),
+                   np.array([(340.0, 10), (340, 30)]))

@@ -226,3 +226,49 @@ class TestHullAndLines:
              enumerate([(0, 0), (0, 1), (1, 1), (1, 0)])],
             "geom_id long, idx long, x double, y double")
         assert geom.isclockwise(cw).collect()[0]["isclockwise"] is True
+
+
+class TestCartesianPIP:
+    def test_star_polygon_planar_cells(self, spark):
+        # hippie star (360 edges -> numpy-kernel branch) on a planar grid;
+        # coordinates far outside lonlat range prove the cartesian path
+        theta = np.linspace(0, 2 * np.pi, 361)[:-1]
+        r = 10 * np.sin(theta * 8) + 15
+        ring = np.column_stack([np.cos(theta) * r + 2500,
+                                np.sin(theta) * r + 2500])
+        star = PolygonSpec("star", ring, crs="cartesian")
+        rng = np.random.default_rng(4)
+        xs = rng.uniform(2470, 2530, 500)
+        ys = rng.uniform(2470, 2530, 500)
+        pts = spark.createDataFrame(
+            [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(xs, ys))],
+            "point_id long, x double, y double")
+        got = {r_["point_id"] for r_ in
+               pip_join.point_in_polygon_join(pts, [star]).collect()}
+        from karta_spark.functions.kernels import winding_contains
+        want = {i for i in range(500) if winding_contains([xs[i]], [ys[i]], ring)[0]}
+        assert got == want and len(want) > 0
+
+    def test_mixed_expr_and_udf_polys(self, spark):
+        diamond = PolygonSpec("diamond", np.array(
+            [(0, 0), (50, 50), (100, 0), (50, -50)], float), crs="cartesian")
+        theta = np.linspace(0, 2 * np.pi, 361)[:-1]
+        ring = np.column_stack([np.cos(theta) * (10 * np.sin(theta * 8) + 15) + 50,
+                                np.sin(theta) * (10 * np.sin(theta * 8) + 15)])
+        star = PolygonSpec("star", ring, crs="cartesian")
+        rng = np.random.default_rng(6)
+        xs = rng.uniform(-10, 110, 400)
+        ys = rng.uniform(-60, 60, 400)
+        pts = spark.createDataFrame(
+            [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(xs, ys))],
+            "point_id long, x double, y double")
+        got = {(r_["point_id"], r_["poly_id"]) for r_ in
+               pip_join.point_in_polygon_join(pts, [diamond, star]).collect()}
+        from karta_spark.functions.kernels import winding_contains
+        want = set()
+        for i in range(400):
+            if winding_contains([xs[i]], [ys[i]], diamond.outer)[0]:
+                want.add((i, "diamond"))
+            if winding_contains([xs[i]], [ys[i]], ring)[0]:
+                want.add((i, "star"))
+        assert got == want and len(want) > 0
