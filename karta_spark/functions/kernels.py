@@ -496,6 +496,63 @@ def sphere_walk(lon, lat, az_deg, dist_m, radius=None):
     return lon2, np.degrees(lat2)
 
 
+def pt_nearest_geodesic(px, py, x0, y0, x1, y1, tol=0.01, max_iter=100,
+                        a=WGS84_A, f=WGS84_F):
+    """Nearest point on the geodesic arc (x0,y0)->(x1,y1) to (px,py) —
+    replica of pt_nearest_proj (vectorgeo.pyx:275-318): endpoint gradient
+    tests, then bisection on arc-length fraction to *tol* meters.
+
+    Returns ((lon, lat), distance_m)."""
+    def along_dist(frac_len):
+        lon2, lat2, _ = vincenty_forward(x0, y0, az, frac_len, a=a, f=f)
+        _, _, d = vincenty_inverse(float(lon2[0]), float(lat2[0]), px, py, a=a, f=f)
+        return float(d[0])
+
+    def grad(frac_len, dx):
+        return (along_dist(frac_len + dx) - along_dist(frac_len)) / dx
+
+    azv, _, Lv = vincenty_inverse(x0, y0, x1, y1, a=a, f=f)
+    az, L = float(azv[0]), float(Lv[0])
+    if L == 0:
+        _, _, d = vincenty_inverse(x0, y0, px, py, a=a, f=f)
+        return (x0, y0), float(d[0])
+    eps = 1e-7 * L
+    if grad(0.0, eps) > 0:
+        return (x0, y0), along_dist(0.0)
+    if grad(L, eps) < 0:
+        return (x1, y1), along_dist(L)
+    lo, hi = 0.0, 1.0
+    xm = 0.5
+    dx = tol + 1.0
+    i = 0
+    while dx > tol:
+        if i == max_iter:
+            break
+        xm = 0.5 * (lo + hi)
+        if grad(xm * L, eps) > 0:
+            dx = abs(hi - xm) * L
+            hi = xm
+        else:
+            dx = abs(lo - xm) * L
+            lo = xm
+        i += 1
+    lon2, lat2, _ = vincenty_forward(x0, y0, az, xm * L, a=a, f=f)
+    return (float(lon2[0]), float(lat2[0])), along_dist(xm * L)
+
+
+def shortest_distance_geodesic(px, py, vertices, tol=0.01):
+    """Min geodesic distance from (px,py) to a vertex string — the
+    geographic arm of shortest_distance_to (geometry.py:725-792)."""
+    v = np.asarray(vertices, dtype=np.float64)
+    best = None
+    best_pt = None
+    for k in range(len(v) - 1):
+        pt, d = pt_nearest_geodesic(px, py, v[k, 0], v[k, 1], v[k + 1, 0], v[k + 1, 1], tol)
+        if best is None or d < best:
+            best, best_pt = d, pt
+    return best, best_pt
+
+
 def sph2cart(lon, lat):
     """(lon, lat) degrees -> unit 3-vector (vectorgeo.pyx:132-138 frame)."""
     lon = np.radians(np.asarray(lon, dtype=np.float64))

@@ -268,3 +268,29 @@ class TestSphericalIntersects:
         # longitude normalization (340 == -20)
         assert pis(np.array([(-10.0, 20), (-30, 20)]),
                    np.array([(340.0, 10), (340, 30)]))
+
+
+class TestGeodesicNearest:
+    # geometry_tests.py:393-429 (pyproj-derived goldens; our Vincenty +
+    # bisection agrees to <1e-5 deg / <1e-4 m relative)
+    def test_shortest_distance_geodesic(self):
+        from karta_spark.functions.kernels import shortest_distance_geodesic
+        d, _ = shortest_distance_geodesic(
+            98.0, -7.0, [(127.0, -35.0), (132.0, -28.0), (142.0, -29.0)])
+        assert d == pytest.approx(4257313.5324397, abs=1e-4)
+
+    def test_nearest_on_boundary_equator(self):
+        from karta_spark.functions.kernels import pt_nearest_geodesic
+        pt, _ = pt_nearest_geodesic(30.0, 80.0, -40.0, 0.0, 35.0, 0.0)
+        assert pt[0] == pytest.approx(30.0, abs=1e-5)
+        assert pt[1] == pytest.approx(0.0, abs=1e-5)
+        # the near-degenerate case that breaks naive root finding
+        pt, _ = pt_nearest_geodesic(30.0, 1e-8, -40.0, 0.0, 35.0, 0.0)
+        assert pt[0] == pytest.approx(30.0, abs=1e-5)
+
+    def test_nearest_on_boundary_multiseg(self):
+        from karta_spark.functions.kernels import shortest_distance_geodesic
+        _, pt = shortest_distance_geodesic(
+            -34.0, 52.0, [(-20.0, 32.0), (-26.0, 43.0), (-38.0, 39.0)])
+        assert pt[0] == pytest.approx(-27.98347, abs=1e-5)
+        assert pt[1] == pytest.approx(42.456316, abs=1e-5)
