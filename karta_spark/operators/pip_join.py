@@ -189,10 +189,26 @@ def cover_df(spark: SparkSession, polys: list[PolygonSpec], zoom: int,
     return spark.createDataFrame(rows, "poly_id string, cell_id long, full boolean")
 
 
+def auto_zoom(polys: list[PolygonSpec], target_cells: int = 256,
+              max_zoom: int = 14) -> int:
+    """Pick a cover zoom so the median polygon covers ~target_cells cells:
+    finer cover => smaller boundary fraction => less exact-refine work,
+    bounded by driver-side cover-build cost."""
+    extents = []
+    for p in polys:
+        xmin, ymin, xmax, ymax = p.bbox()
+        extents.append(max(xmax - xmin, ymax - ymin, 1e-9))
+    med = float(np.median(extents))
+    side = math.sqrt(target_cells)
+    # cell span ~ 360/2^z degrees; want med/span ~ side
+    z = int(round(math.log2(360.0 * side / max(med, 1e-9))))
+    return max(1, min(max_zoom, z))
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polys: list[PolygonSpec],
-    zoom: int = 7,
+    zoom: int | None = 7,
     lon: str = "x",
     lat: str = "y",
     keep_flag: bool = False,
@@ -210,6 +226,9 @@ def point_in_polygon_join(
     magnitude work. Mixing CRSes in one call requires planar_size=None and
     all-lonlat, or planar for all."""
     spark = points.sparkSession
+
+    if zoom is None:
+        zoom = auto_zoom(polys)
 
     if planar_size is None and any(p.crs == "cartesian" for p in polys):
         # auto planar cell size: ~1/8 of the median polygon bbox extent

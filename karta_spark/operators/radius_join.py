@@ -56,12 +56,27 @@ def distance_join(
     With a broadcast-small right side this is a broadcast nested-loop with a
     bbox band prefilter; the big-big case should pre-key both sides by cell
     (see pip_join/knn for the pattern)."""
+    import math
+
     r = F.broadcast(right) if broadcast_right else right
-    band = (
-        (F.col(rx) >= F.col(lx) - radius) & (F.col(rx) <= F.col(lx) + radius)
-        & (F.col(ry) >= F.col(ly) - radius) & (F.col(ry) <= F.col(ly) + radius)
-    )
-    joined = left.join(r, band if not spherical else F.lit(True))
+    if spherical:
+        # valid spherical gate: a point within `radius` meters differs by at
+        # most radius/R radians of latitude (longitude needs the cos(lat)
+        # inflation, bounded at the band's extreme latitude)
+        dlat = math.degrees(radius / 6370997.0)
+        lat_gate = (F.col(ry) >= F.col(ly) - dlat) & (F.col(ry) <= F.col(ly) + dlat)
+        max_abs_lat = F.least(F.lit(89.9999), F.greatest(
+            F.abs(F.col(ly)) + dlat, F.abs(F.col(ry)) + dlat))
+        dlon = F.lit(dlat) / F.cos(F.radians(max_abs_lat))
+        lon_gate = F.abs(
+            F.pmod(F.col(rx) - F.col(lx) + 180.0, F.lit(360.0)) - 180.0) <= dlon
+        band = lat_gate & lon_gate
+    else:
+        band = (
+            (F.col(rx) >= F.col(lx) - radius) & (F.col(rx) <= F.col(lx) + radius)
+            & (F.col(ry) >= F.col(ly) - radius) & (F.col(ry) <= F.col(ly) + radius)
+        )
+    joined = left.join(r, band)
     d = (sphere_distance(F.col(lx), F.col(ly), F.col(rx), F.col(ry)) if spherical
          else plane_distance(F.col(lx), F.col(ly), F.col(rx), F.col(ry)))
     return joined.withColumn("dist", d).where(F.col("dist") < radius)

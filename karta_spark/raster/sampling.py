@@ -100,6 +100,23 @@ def sample_join(
     return cand.mapInPandas(kernel, out_schema)
 
 
+def sample_join_multiband(
+    points: DataFrame, tiles: DataFrame, transform,
+    method: str = "bilinear", px: str = "x", py: str = "y",
+    tile: int | None = None, value_prefix: str = "band",
+) -> DataFrame:
+    """Multiband sampling (reference returns a value per band,
+    grid.py:830-969): one sampling join per band on the same point keys —
+    each band's tiles broadcast independently, no cross-band shuffle."""
+    bands = sorted(r["band"] for r in tiles.select("band").distinct().collect())
+    out = points
+    for b in bands:
+        out = sample_join(out, tiles.where(F.col("band") == b), transform,
+                          method=method, px=px, py=py, tile=tile,
+                          value_col=f"{value_prefix}_{b}")
+    return out
+
+
 def profile(
     tiles: DataFrame, transform, line_vertices, spacing: float,
     method: str = "nearest",

@@ -211,3 +211,15 @@ class TestTilesFromCells:
         b, _, _ = tiles.df_to_grid(stencil.slope(
             tiles.grid_to_df(spark, "ref", want, T1, tile=16)))
         np.testing.assert_allclose(a, b, equal_nan=True)
+
+
+class TestMultiband:
+    def test_three_band_sampling(self, spark):
+        # reference resample_multiband golden shape (grid_tests.py:210-218):
+        # constant bands 1/2/3 sample to their constants
+        dfs = [tiles.grid_to_df(spark, "g", float(b + 1) * np.ones((8, 8)), T1, band=b)
+               for b in range(3)]
+        g = dfs[0].unionByName(dfs[1]).unionByName(dfs[2])
+        pts = spark.createDataFrame([(0, 3.3, 4.7)], "pid long, x double, y double")
+        row = sampling.sample_join_multiband(pts, g, T1, method="bilinear").collect()[0]
+        assert (row["band_0"], row["band_1"], row["band_2"]) == (1.0, 2.0, 3.0)

@@ -272,3 +272,19 @@ class TestCartesianPIP:
             if winding_contains([xs[i]], [ys[i]], ring)[0]:
                 want.add((i, "star"))
         assert got == want and len(want) > 0
+
+
+class TestAutoZoom:
+    def test_auto_zoom_pip(self, spark):
+        from karta_spark.operators.pip_join import auto_zoom
+        poly = PolygonSpec("hept", np.array(
+            [(-80, 0), (-50, -10), (20, -8), (35, -17), (55, 15), (-45, 18), (-60, 12)],
+            float), crs="lonlat")
+        z = auto_zoom([poly])
+        assert 4 <= z <= 8
+        pts = lattice(spark)
+        a = {r["point_id"] for r in
+             pip_join.point_in_polygon_join(pts, [poly], zoom=None).collect()}
+        b = {r["point_id"] for r in
+             pip_join.point_in_polygon_join(pts, [poly], zoom=6).collect()}
+        assert a == b
