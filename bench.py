@@ -152,8 +152,105 @@ def run_scaling(n_images: int = 1_200_000_000, levels=(8, 32)):
     return out
 
 
+def run_reference_workloads():
+    """Time the reference's own benchmark workloads (benchmarks/*.py define
+    them; the reference never published numbers) on this engine. The
+    reference itself cannot run here (its compiled Cython deps aren't
+    installed), so these are our single-node numbers on its exact inputs.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+    from karta_spark.session import get_spark
+
+    spark = get_spark("ref-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    out = {}
+
+    # 1. benchmark_gridpoints.py: 50k seeded points -> 100x100 grid, x10
+    from karta_spark.raster.gridpoints import gridpoints
+    np.random.seed(49)
+    n = 50_000
+    x = np.random.rand(n); y = np.random.rand(n)
+    z = (x - 0.5) ** 2 + (y - 0.2) ** 3 + 0.5 * np.random.rand(n)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double").persist()
+    df.count()
+    t0 = time.monotonic()
+    for _ in range(10):
+        gridpoints(df, (0.0, 0.0, 0.01, 0.01, 0.0, 0.0)).count()
+    out["gridpoints_50k_x10_sec"] = round(time.monotonic() - t0, 3)
+    df.unpersist()
+
+    # 1b. the same aggregation at engine scale: 50M points distributed vs
+    # the best single-core baseline (numpy bincount — what an optimized
+    # single-node implementation of fillarray_double amounts to)
+    n_big = 50_000_000
+    big = spark.range(0, n_big, 1, CPUS * 3).select(
+        (F.pmod(F.col("id") * 2654435761, F.lit(10 ** 9)) / 1e9).alias("x"),
+        (F.pmod(F.col("id") * 2246822519, F.lit(10 ** 9)) / 1e9).alias("y"),
+        (F.col("id") % 97).cast("double").alias("z"))
+    gridpoints(big, (0.0, 0.0, 0.01, 0.01, 0.0, 0.0)).count()  # warm
+    t0 = time.monotonic()
+    gridpoints(big, (0.0, 0.0, 0.01, 0.01, 0.0, 0.0)).count()
+    spark_sec = time.monotonic() - t0
+    out["gridpoints_50m_spark_sec"] = round(spark_sec, 3)
+    rng = np.random.default_rng(49)
+    xb = rng.random(n_big // 10); yb = rng.random(n_big // 10)
+    zb = rng.random(n_big // 10)
+    t0 = time.monotonic()
+    I = np.round(yb / 0.01 - 0.5).astype(np.int64)
+    J = np.round(xb / 0.01 - 0.5).astype(np.int64)
+    keys = I * 100 + J
+    sums = np.bincount(keys, weights=zb, minlength=10000)
+    cnts = np.bincount(keys, minlength=10000)
+    _ = np.divide(sums, cnts, out=np.full(10000, np.nan), where=cnts > 0)
+    numpy_sec_5m = time.monotonic() - t0
+    out["gridpoints_50m_numpy_singlecore_sec"] = round(numpy_sec_5m * 10, 3)
+    out["gridpoints_50m_speedup_vs_singlenode"] = round(
+        numpy_sec_5m * 10 / spark_sec, 2)
+
+    # 2. benchmark_intersections.py: 360-vertex star x line intersections,
+    #    360 contains, hull — x35 reps (kernel-level, as the reference is
+    #    single-threaded in-process here too)
+    from karta_spark.functions.kernels import (
+        convex_hull, polyline_intersection_points, winding_contains)
+    theta = np.linspace(0, 2 * np.pi, 361)[:-1]
+    r = np.sin(theta * 20) + 1.5
+    ring = np.column_stack([np.cos(theta) * r, np.sin(theta) * r])
+    line = np.array([(-2.0, -3.0), (0.0, 3.0)])
+    bbox_ring = np.array([(-1.0, -1.0), (-1.0, 1.0), (1.0, 1.0), (1.0, -1.0)])
+    t0 = time.monotonic()
+    for _ in range(35):
+        polyline_intersection_points(ring, line, a_closed=True)
+        inside = winding_contains(ring[:, 0], ring[:, 1], bbox_ring)
+        convex_hull(ring[inside])
+    out["star_intersections_x35_sec"] = round(time.monotonic() - t0, 3)
+
+    # 3. benchmark_nearest.py: 1000-vertex coast x 10-vertex trench,
+    #    1000 geodesic nearest queries
+    from karta_spark.functions.kernels import shortest_distance_geodesic
+    t = np.linspace(0, 2 * np.pi, 1000)
+    coast = np.column_stack([3 * np.sin(4 * t) * np.cos(5 * t), 2 * np.cos(3 * t)])
+    xs = np.linspace(-2, 2, 10)
+    trench = np.column_stack([xs, 0.1 * xs ** 2 + 3])
+    t0 = time.monotonic()
+    best = 1e30
+    for px, py in coast:
+        d, _ = shortest_distance_geodesic(px, py, trench, tol=0.01)
+        best = min(best, d)
+    out["nearest_geodesic_1000q_sec"] = round(time.monotonic() - t0, 3)
+    out["nearest_geodesic_min_m"] = round(best, 3)
+
+    print(json.dumps({"metric": "reference benchmark workloads (ours)",
+                      "unit": "sec", **out}))
+    spark.stop()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--reference" in sys.argv:
+        run_reference_workloads()
     else:
         run_benchmark()

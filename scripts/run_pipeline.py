@@ -27,8 +27,6 @@ def main():
     ap.add_argument("--out", default="/tmp/karta_pipeline")
     ap.add_argument("--zoom", type=int, default=8, help="PIP cover zoom")
     ap.add_argument("--tile-zoom", type=int, default=8, help="output tile zoom")
-    ap.add_argument("--skew-salt-threshold", type=int, default=0,
-                    help="salt cells holding more rows than this (0 = off)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F

@@ -166,3 +166,63 @@ class TestLayout:
         want = pts.where((F.col("x") >= bbox[0]) & (F.col("x") <= bbox[2])
                          & (F.col("y") >= bbox[1]) & (F.col("y") <= bbox[3])).count()
         assert q.count() == want and want > 0
+
+
+class TestResumePartial:
+    def test_missing_partitions_antijoin(self, spark, tmp_path):
+        root = str(tmp_path / "ck2")
+        src = spark.range(100).select(
+            (F.col("id") % 10).alias("part_key"), F.col("id"))
+        # simulate a partially completed stage: lineage rows for parts 0-4
+        import json as _json, os as _os
+        lpath = _os.path.join(root, "stage_x", "_lineage")
+        _os.makedirs(lpath, exist_ok=True)
+        for p in range(5):
+            with open(_os.path.join(lpath, f"part-{p}.json"), "w") as f:
+                _json.dump({"stage": "stage_x", "part_id": p, "row_count": 10,
+                            "wall_ms": 1.0, "finished_at": 0.0}, f)
+        todo = lineage.missing_partitions(src, spark, root, "stage_x", "part_key")
+        keys = {r["part_key"] for r in todo.select("part_key").distinct().collect()}
+        assert keys == {5, 6, 7, 8, 9}
+
+
+class TestStreamingCheckpoint:
+    def test_foreach_batch_resume(self, spark, tmp_path):
+        import time as _time
+        from karta_spark.streaming import stream_ops
+        root = str(tmp_path / "stream_root")
+        ck = str(tmp_path / "stream_ck")
+        rate = (spark.readStream.format("rate")
+                .option("rowsPerSecond", "200").load()
+                .select("timestamp", "value"))
+        q = stream_ops.run_foreach_batch_checkpoint(rate, root, "ingest", ck)
+        try:
+            deadline = _time.time() + 30
+            while _time.time() < deadline:
+                q.processAllAvailable()
+                try:
+                    n1 = spark.read.parquet(f"{root}/ingest/data").count()
+                    if n1 > 0:
+                        break
+                except Exception:
+                    pass
+                _time.sleep(1)
+        finally:
+            q.stop()
+        n1 = spark.read.parquet(f"{root}/ingest/data").count()
+        assert n1 > 0
+        # restart from the same checkpoint: offsets resume, no data loss
+        rate2 = (spark.readStream.format("rate")
+                 .option("rowsPerSecond", "200").load()
+                 .select("timestamp", "value"))
+        q2 = stream_ops.run_foreach_batch_checkpoint(rate2, root, "ingest", ck)
+        try:
+            _time.sleep(3)
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        df = spark.read.parquet(f"{root}/ingest/data")
+        n2 = df.count()
+        assert n2 >= n1
+        # values unique per rate-source offset: restart did not duplicate
+        assert df.select("value").distinct().count() == n2
