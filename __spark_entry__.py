@@ -192,6 +192,7 @@ FROM orders WHERE o_custkey <= 50
 
 
 def q05_order_gaps(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # match DuckDB's naive-ts epoch
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     prev = F.lag("o_orderdate").over(w)
@@ -697,6 +698,7 @@ SELECT zoom, tx, ty, CAST(count(*) AS BIGINT) AS n FROM lv GROUP BY 1, 2, 3
 def q31_sessionize(spark, sf_dir):
     """Session windows over the events stream (30-minute inactivity gap):
     lag + running sum — the batch equivalent of streaming session windows."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # match DuckDB's naive-ts epoch
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ep = F.unix_timestamp(F.col("ts").cast("timestamp"))

@@ -36,8 +36,16 @@ def within_radius(
     """Points strictly within *radius* of a literal center — bbox gate then
     exact distance (two-phase plan of geometry.py:1349-1377)."""
     if spherical:
+        import math
+        dlat = math.degrees(radius / 6370997.0)
+        max_lat = min(abs(cy) + dlat, 89.9999)
+        dlon = dlat / math.cos(math.radians(max_lat))
+        gate = (
+            (F.col(py) >= cy - dlat) & (F.col(py) <= cy + dlat)
+            & (F.abs(F.pmod(F.col(px) - cx + 180.0, F.lit(360.0)) - 180.0) <= dlon)
+        )
         d = sphere_distance(F.lit(float(cx)), F.lit(float(cy)), F.col(px), F.col(py))
-        return points.where(d < radius)
+        return points.where(gate).where(d < radius)
     gate = (
         (F.col(px) >= cx - radius) & (F.col(px) <= cx + radius)
         & (F.col(py) >= cy - radius) & (F.col(py) <= cy + radius)

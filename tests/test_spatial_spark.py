@@ -288,3 +288,34 @@ class TestAutoZoom:
         b = {r["point_id"] for r in
              pip_join.point_in_polygon_join(pts, [poly], zoom=6).collect()}
         assert a == b
+
+
+class TestSphericalQueries:
+    def test_knn_spherical_matches_bruteforce(self, spark):
+        rng = np.random.default_rng(13)
+        pts = spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(
+                zip(rng.uniform(-179, 179, 400), rng.uniform(-84, 84, 400)))],
+            "point_id long, x double, y double")
+        qs = spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(
+                zip(rng.uniform(-179, 179, 15), rng.uniform(-84, 84, 15)))],
+            "query_id long, qx double, qy double")
+        brute = {(r["query_id"], r["rank"]): r["point_id"] for r in
+                 knn.knn_bruteforce(qs, pts, 3, spherical=True).collect()}
+        ring = {(r["query_id"], r["rank"]): r["point_id"] for r in
+                knn.knn_join(qs, pts, 3, zoom=3, spherical=True).collect()}
+        assert brute == ring
+
+    def test_within_radius_spherical_gate(self, spark):
+        from karta_spark.functions.kernels import sphere_distance
+        rng = np.random.default_rng(13)
+        P = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+            zip(rng.uniform(-179, 179, 400), rng.uniform(-84, 84, 400)))]
+        pts = spark.createDataFrame(P, "point_id long, x double, y double")
+        got = {r["point_id"] for r in radius_join.within_radius(
+            pts, 20.0, 40.0, 3_000_000.0, spherical=True).collect()}
+        xs = np.array([p[1] for p in P]); ys = np.array([p[2] for p in P])
+        d = sphere_distance(20.0, 40.0, xs, ys)
+        want = set(np.nonzero(d < 3_000_000.0)[0].tolist())
+        assert got == want and len(want) > 0
