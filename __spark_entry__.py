@@ -899,6 +899,18 @@ SELECT poly_id, CAST(count(*) AS BIGINT) AS n_points FROM flags WHERE contained 
 """
 
 
+def q36_image_feature_buckets(spark, sf_dir):
+    """Full multimodal chain (rows-only): synthesize images -> decode ->
+    avg-pool embeddings -> random-hyperplane LSH buckets -> bucket sizes.
+    The decode and feature kernels are the real Arrow batch path."""
+    from karta_spark.sources import multimodal
+    from karta_spark.operators import similarity as sim
+    imgs = images.synth_images(spark, 400, partitions=4)
+    feats = multimodal.image_features(imgs, pool=4)
+    bucketed = sim.hyperplane_signature(feats, "embedding", dim=48, nbits=4)
+    return bucketed.groupBy("lsh_bucket").agg(F.count("*").alias("n_images"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -936,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_slope_stats": q33_slope_stats,
         "q34_geographic_bbox": q34_geographic_bbox,
         "q35_distance_join": q35_distance_join,
+        "q36_image_feature_buckets": q36_image_feature_buckets,
     }
 
 

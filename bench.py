@@ -58,6 +58,7 @@ def flagship_pipeline(spark, n_images: int, zoom: int = 8):
 
 
 def run_benchmark():
+    from pyspark.sql import functions as F
     from karta_spark.session import get_spark
     import __spark_entry__ as entry
 
@@ -89,6 +90,16 @@ def run_benchmark():
     ips = n_images / dt
     print(f"# flagship: {dt:.2f}s = {ips:,.0f} images/sec", file=sys.stderr)
 
+    # decode+verify throughput on the image payload axis (PSNR check incl.)
+    from karta_spark.sources import images as _images
+    imgs = _images.synth_images(spark, 100_000, partitions=CPUS * 2)
+    t0 = time.monotonic()
+    n_ok = _images.decode_stats(imgs).where(F.col("psnr_vs_ref") >= 40.0).count()
+    dt = time.monotonic() - t0
+    times["decode_verify_100k"] = round(dt, 3)
+    print(f"# decode+verify: {dt:.2f}s = {n_ok/dt:,.0f} images/sec verified",
+          file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "spatial-join + pipeline headline suite (images/sec via flagship)",
@@ -97,6 +108,7 @@ def run_benchmark():
         "queries": times,
         "sf": sf,
         "images_per_sec": round(ips, 1),
+        "decode_verify_per_sec": round(n_ok / times["decode_verify_100k"], 1),
         "cpus": CPUS,
     }))
     spark.stop()
