@@ -818,7 +818,12 @@ def q33_slope_stats(spark, sf_dir):
     cells_df = gridpoints(li, GRID_T, pz="l_quantity")
     # fully distributed densification: sparse cells -> halo'd tile table
     g = rt.tiles_from_cells(cells_df, GRID_T, (17, 36), tile=16)
-    return rt.grid_minmax(stencil.slope(g)).select(
+    sl = stencil.slope(g)
+    # crop grid-border rows/cols (their reflect-odd padding is a raster
+    # presentation detail; the interior is SQL-oracle-checkable)
+    interior = rt.clip(sl, GRID_T[0] + GRID_T[2], GRID_T[0] + 35 * GRID_T[2],
+                       GRID_T[1] + GRID_T[3], GRID_T[1] + 16 * GRID_T[3])
+    return rt.grid_minmax(interior).select(
         F.round("min", 6).alias("slope_min"), F.round("max", 6).alias("slope_max"))
 
 
@@ -840,6 +845,36 @@ def q34_geographic_bbox(spark, sf_dir):
                       F.round("ymin", 6).alias("ymin"),
                       F.round("xmax", 6).alias("xmax"),
                       F.round("ymax", 6).alias("ymax"))
+
+
+
+Q33_SQL = f"""
+WITH li AS (
+  SELECT {_LON('(l_orderkey * 10 + l_linenumber)')} AS x,
+         {_LAT('(l_orderkey * 10 + l_linenumber)')} AS y, l_quantity
+  FROM lineitem
+), grid AS (
+  SELECT {_GP['cell_i']} AS i, {_GP['cell_j']} AS j, avg(l_quantity) AS v
+  FROM li GROUP BY 1, 2
+), interior AS (
+  SELECT g.i, g.j,
+    ((2*e.v + ne.v + se.v) - (2*w.v + nw.v + sw.v)) / (8.0 * 10.0) AS ddx,
+    ((2*n.v + ne.v + nw.v) - (2*s.v + se.v + sw.v)) / (8.0 * 10.0) AS ddy
+  FROM grid g
+  LEFT JOIN grid e  ON e.i  = g.i     AND e.j  = g.j + 1
+  LEFT JOIN grid w  ON w.i  = g.i     AND w.j  = g.j - 1
+  LEFT JOIN grid n  ON n.i  = g.i + 1 AND n.j  = g.j
+  LEFT JOIN grid s  ON s.i  = g.i - 1 AND s.j  = g.j
+  LEFT JOIN grid ne ON ne.i = g.i + 1 AND ne.j = g.j + 1
+  LEFT JOIN grid nw ON nw.i = g.i + 1 AND nw.j = g.j - 1
+  LEFT JOIN grid se ON se.i = g.i - 1 AND se.j = g.j + 1
+  LEFT JOIN grid sw ON sw.i = g.i - 1 AND sw.j = g.j - 1
+  WHERE g.i BETWEEN 1 AND 15 AND g.j BETWEEN 1 AND 34
+)
+SELECT round(min(sqrt(ddx*ddx + ddy*ddy)), 6) AS slope_min,
+       round(max(sqrt(ddx*ddx + ddy*ddy)), 6) AS slope_max
+FROM interior
+"""
 
 
 # -- (kept) non-SQL-expressible ops -------
@@ -983,4 +1018,5 @@ def oracle_sql() -> dict[str, str]:
         "q31_sessionize": Q31_SQL,
         "q32_raster_sample_cells": Q32_SQL,
         "q35_distance_join": Q35_SQL,
+        "q33_slope_stats": Q33_SQL,
     }
