@@ -877,6 +877,92 @@ FROM interior
 """
 
 
+Q34_SQL = f"""
+WITH pts AS (
+  SELECT c_nationkey AS geom_id, c_custkey AS k,
+         {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y
+  FROM customer
+), seg AS (
+  SELECT geom_id, k, x, y,
+         lag(x) OVER w AS x0, lag(y) OVER w AS y0,
+         first_value(x) OVER w AS xf, first_value(y) OVER w AS yf,
+         row_number() OVER w AS rn
+  FROM pts WINDOW w AS (PARTITION BY geom_id ORDER BY k)
+), steps AS (
+  SELECT geom_id, k, rn, x AS x1, y AS y1, x0, y0, xf, yf,
+    CASE WHEN x0 IS NULL THEN 0
+         WHEN (CASE WHEN x0 = 0 THEN 1 ELSE sign(x0) END)
+              <> (CASE WHEN x = 0 THEN 1 ELSE sign(x) END)
+              AND abs(x0 - x) > 180.0
+         THEN (CASE WHEN x - x0 > 180 THEN 1 ELSE -1 END)
+         ELSE 0 END AS xdl,
+    -- bndlat_sph(x0,y0,x1,y1): bounding latitudes of the great-circle arc
+    CASE WHEN x0 IS NULL THEN NULL ELSE radians(x - x0) END AS dlam,
+    CASE WHEN x0 IS NULL THEN NULL ELSE radians(y0) END AS phi0,
+    CASE WHEN x0 IS NULL THEN NULL ELSE radians(y) END AS phi1
+  FROM seg
+), az AS (
+  SELECT *,
+    CASE WHEN dlam IS NOT NULL AND dlam <> 0.0 THEN
+      atan2(sin(dlam)*cos(phi1), cos(phi0)*sin(phi1) - sin(phi0)*cos(phi1)*cos(dlam))
+    END AS faz,
+    CASE WHEN dlam IS NOT NULL AND dlam <> 0.0 THEN
+      atan2(sin(-dlam)*cos(phi0), cos(phi1)*sin(phi0) - sin(phi1)*cos(phi0)*cos(-dlam))
+    END AS baz,
+    CASE WHEN y0 IS NULL THEN NULL
+         WHEN y0 = 0 THEN 1 ELSE sign(y0) END AS s0,
+    CASE WHEN y0 IS NULL THEN NULL
+         WHEN y1 = 0 THEN 1 ELSE sign(y1) END AS s1
+  FROM steps
+), lat_bounds AS (
+  SELECT *,
+    CASE
+      WHEN x0 IS NULL THEN NULL
+      WHEN dlam = 0.0 AND phi0 = phi1 THEN NULL              -- degenerate
+      WHEN dlam = 0.0 OR s0 <> s1 THEN least(y0, y1)
+      WHEN s0 = 1 THEN degrees(least(phi0, phi1))
+      WHEN abs((faz + pi()) % (2*pi()) - pi()) > 0.5*pi()
+           AND abs((baz + pi()) % (2*pi()) - pi()) > 0.5*pi()
+      THEN -degrees(acos(abs(sin(faz)*cos(phi0))))
+      ELSE degrees(least(phi0, phi1)) END AS seg_ymin,
+    CASE
+      WHEN x0 IS NULL THEN NULL
+      WHEN dlam = 0.0 AND phi0 = phi1 THEN NULL
+      WHEN dlam = 0.0 OR s0 <> s1 THEN greatest(y0, y1)
+      WHEN s0 = -1 THEN degrees(greatest(phi0, phi1))
+      WHEN abs((faz + pi()) % (2*pi()) - pi()) < 0.5*pi()
+           AND abs((baz + pi()) % (2*pi()) - pi()) < 0.5*pi()
+      THEN degrees(acos(abs(sin(faz)*cos(phi0))))
+      ELSE degrees(greatest(phi0, phi1)) END AS seg_ymax
+  FROM az
+), rotted AS (
+  SELECT *,
+    -360.0 * sum(xdl) OVER (PARTITION BY geom_id ORDER BY rn
+                            ROWS UNBOUNDED PRECEDING) AS rot
+  FROM lat_bounds
+), cands AS (
+  SELECT geom_id,
+    CASE WHEN rn = 1 THEN x1
+         WHEN xdl <> 0 THEN x1 + rot
+         WHEN x0 > x1 THEN x1
+         ELSE NULL END AS xmin_c,
+    CASE WHEN rn = 1 THEN x1
+         WHEN xdl <> 0 THEN x1 + rot
+         WHEN x0 <= x1 THEN x1
+         ELSE NULL END AS xmax_c,
+    CASE WHEN rn = 1 THEN y1 ELSE seg_ymin END AS ymin_c,
+    CASE WHEN rn = 1 THEN y1 ELSE seg_ymax END AS ymax_c
+  FROM rotted
+)
+SELECT geom_id,
+  round(((min(xmin_c) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0, 6) AS xmin,
+  round(min(ymin_c), 6) AS ymin,
+  round(((max(xmax_c) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0, 6) AS xmax,
+  round(max(ymax_c), 6) AS ymax
+FROM cands GROUP BY geom_id
+"""
+
+
 # -- (kept) non-SQL-expressible ops -------
 
 def q21_minhash_pairs(spark, sf_dir):
@@ -1019,4 +1105,5 @@ def oracle_sql() -> dict[str, str]:
         "q32_raster_sample_cells": Q32_SQL,
         "q35_distance_join": Q35_SQL,
         "q33_slope_stats": Q33_SQL,
+        "q34_geographic_bbox": Q34_SQL,
     }
