@@ -277,3 +277,47 @@ class TestBigBigLineJoin:
                   intersect_join.line_intersection_join(
                       left, right, zoom=6, salt_threshold=5).collect()}
         assert plain == salted
+
+
+class TestGpxGeotiff:
+    GPX_DOC = """<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1" creator="t">
+      <wpt lon="-21.9" lat="64.1"><name>rvk</name><ele>10</ele></wpt>
+      <wpt lon="18.1" lat="59.3"><name>sto</name></wpt>
+      <trk><name>t1</name><trkseg>
+        <trkpt lon="0.0" lat="0.0"/><trkpt lon="1.0" lat="1.0"/><trkpt lon="2.0" lat="1.5"/>
+      </trkseg></trk>
+    </gpx>"""
+
+    def test_gpx_roundtrip(self, spark):
+        from karta_spark.sources import gpx
+        layers = gpx.read_gpx(spark, self.GPX_DOC)
+        w = {r["properties"].get("name"): (r["x"], r["y"])
+             for r in layers["waypoints"].collect()}
+        assert w["rvk"] == (-21.9, 64.1) and w["sto"] == (18.1, 59.3)
+        t = layers["tracks"].collect()[0]
+        assert [(v["x"], v["y"]) for v in t["vertices"]] == [(0, 0), (1, 1), (2, 1.5)]
+        assert t["properties"]["name"] == "t1"
+        again = gpx.read_gpx(spark, gpx.to_gpx(
+            waypoints=layers["waypoints"], tracks=layers["tracks"]))
+        assert again["waypoints"].count() == 2 and again["tracks"].count() == 1
+
+    def test_geotiff_roundtrip(self, spark, tmp_path):
+        from karta_spark.sources import geotiff
+        rng = np.random.default_rng(8)
+        Z = rng.uniform(0, 100, (12, 9))
+        g = tiles.grid_to_df(spark, "g", Z, (500.0, 4000.0, 30.0, 30.0, 0.0, 0.0))
+        p = str(tmp_path / "t.tif")
+        geotiff.write_geotiff(p, g)
+        back = geotiff.read_geotiff(spark, p)
+        vals, transform, _ = tiles.df_to_grid(back)
+        assert transform == (500.0, 4000.0, 30.0, 30.0, 0.0, 0.0)
+        np.testing.assert_allclose(vals, Z)
+
+    def test_geotiff_int_dtype(self, spark, tmp_path):
+        from karta_spark.sources import geotiff
+        Z = np.arange(20, dtype=float).reshape(4, 5)
+        g = tiles.grid_to_df(spark, "g", Z, (0.0, 0.0, 1.0, 1.0, 0.0, 0.0))
+        p = str(tmp_path / "i.tif")
+        geotiff.write_geotiff(p, g, dtype=np.int32)
+        vals, _, _ = tiles.df_to_grid(geotiff.read_geotiff(spark, p))
+        np.testing.assert_allclose(vals, Z)
