@@ -1,1 +1,10 @@
-from karta_spark.sources import images, tables  # noqa: F401
+from karta_spark.sources import (  # noqa: F401
+    aai,
+    geojson,
+    geotiff,
+    gpx,
+    images,
+    multimodal,
+    shapefile,
+    tables,
+)
