@@ -461,6 +461,13 @@ def q17_ngram_jaccard(spark, sf_dir):
         F.element_at(F.col("toks"), i + 2))))
     sh = d.select(F.col("doc_id").alias("id"),
                   F.explode(F.array_distinct(gram)).alias("gram"))
+    # hot-shingle document-frequency cap (df > 50): one stop-trigram shared
+    # by f docs makes an f^2 bucket in the self-join — quadratic at corpus
+    # scale. Sizes and intersections are both computed on the capped set so
+    # the Jaccard stays a true Jaccard (mirrored in the SQL twin).
+    hot = (sh.groupBy("gram").agg(F.count("*").alias("_df"))
+           .where(F.col("_df") > 50).select("gram"))
+    sh = sh.join(F.broadcast(hot), "gram", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -482,9 +489,13 @@ def q17_ngram_jaccard(spark, sf_dir):
 
 Q17_SQL = """
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
   FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-2, 1) + 1)) AS i FROM toks)
+),
+sh AS (  -- hot-shingle df cap, mirroring the Spark side (df > 50 dropped)
+  SELECT * FROM sh0
+  WHERE gram NOT IN (SELECT gram FROM sh0 GROUP BY gram HAVING count(*) > 50)
 ),
 sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
 inter AS (

@@ -51,17 +51,31 @@ def ngrams(col, n: int = 3):
 
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard >= threshold (id_a < id_b).
 
     Plan: explode distinct shingles -> self equi-join on shingle (only pairs
     sharing one shingle are generated) -> count intersections -> join set
     sizes -> Jaccard filter. Every step is a hash agg/join on a content key.
-    """
+
+    ``max_df`` caps shingle document frequency (classic near-dup practice):
+    a stop-shingle shared by f documents makes an f^2 candidate bucket in
+    the self-join — one shingle in 1% of a real corpus is quadratic death.
+    Shingles with df > max_df are dropped BEFORE sizes and intersections,
+    so the result is the exact Jaccard of the capped shingle sets (both
+    sides of the comparison see the same universe)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(ngrams(F.col(text_col), n)).alias("gram"),
     )
+    if max_df is not None:
+        # the HOT set is the tiny one (few shingles exceed the cap) — anti-
+        # join against it broadcast, instead of semi-joining the huge
+        # rare-shingle complement
+        hot = (sh.groupBy("gram").agg(F.count("*").alias("_df"))
+               .where(F.col("_df") > max_df).select("gram"))
+        sh = sh.join(F.broadcast(hot), "gram", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -228,15 +242,29 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                        max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming via 4-band
-    exact-match blocking (any pair within hamming 3 shares >= 1 of 4 bands)."""
+    """Near-dup pairs with hamming(simhash) <= max_hamming via banded
+    exact-match blocking.
+
+    Recall guarantee is pigeonhole: splitting 64 bits into
+    ``bands = max_hamming + 1`` bands, any pair differing in <= max_hamming
+    bits must agree exactly on at least one band — so blocking on band
+    equality never drops a qualifying pair (b bands only cover b-1 flips,
+    which is why a fixed 4-band split silently lost hamming 4..8 pairs)."""
+    n_bands = max_hamming + 1
+    if n_bands > 64:
+        raise ValueError("max_hamming must be < 64 for 64-bit simhash blocking")
+    # band widths: distribute 64 bits as evenly as possible (wider first)
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     sh = simhash(df, text_col, id_col)
     bands = sh.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for i in range(4)
+                     F.shiftrightunsigned("simhash", offsets[i])
+                     .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("key"))
+            for i in range(n_bands)
         ])).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.key")
     a, b = bands.alias("a"), bands.alias("b")
@@ -256,16 +284,82 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _band_signatures(df: DataFrame, vec_col: str, dim: int,
+                     nbits: int, bands: int, seed: int, out: str = "_sig") -> DataFrame:
+    """array<int> of *bands* independent random-hyperplane sign sketches
+    (nbits each) per vector — one Arrow pass for all bands."""
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((bands * nbits, dim))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(vecs: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (M @ H.T) > 0  # (n, bands*nbits)
+        vals = np.zeros((len(M), bands), dtype=np.int64)
+        for b in range(bands):
+            for k in range(nbits):
+                vals[:, b] |= bits[:, b * nbits + k].astype(np.int64) << k
+        return pd.Series(list(vals))
+
+    return df.withColumn(out, sig(F.col(vec_col)))
+
+
+def embedding_near_dup_candidates(
+    df: DataFrame, vec_col: str, id_col: str, dim: int,
+    nbits: int = 10, bands: int = 12, seed: int = 7,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs sharing >= 1 LSH band bucket.
+
+    Banded random-hyperplane LSH: a pair at cosine s collides in one
+    nbits-band with probability (1 - acos(s)/pi)^nbits; across b bands the
+    miss probability is (1-p^nbits)^b — ~1e-4 at s=0.95 with the defaults,
+    vanishing for true near-dups (s ~ 0.99+).  Candidate generation is an
+    equi-join on (band, bucket): no row ever crosses a bucket, so the
+    pair count is bounded per bucket instead of O(n^2) global."""
+    sigs = _band_signatures(df, vec_col, dim, nbits, bands, seed)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode("_sig").alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
+    method: str = "lsh", dim: int | None = None,
+    nbits: int = 10, bands: int = 12, seed: int = 7,
 ) -> DataFrame:
-    """Pairs with cosine similarity >= threshold. Small-table form is a
-    self-join; scale path = LSH bucketing (similarity.hyperplane_lsh)."""
+    """Pairs with cosine similarity >= threshold.
+
+    method="lsh" (default, the scale path): banded hyperplane-LSH candidate
+    generation + exact-cosine verify on candidates only — never materializes
+    the O(n^2) cross product.  method="exact" is the all-pairs self-join
+    twin: exact at any threshold, for small tables and oracle checks."""
     from karta_spark.operators.similarity import cosine_expr
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    if method == "exact":
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cosine_expr("v_a", "v_b"))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        dim = int(first[0]) if first else 0
+    cand = embedding_near_dup_candidates(df, vec_col, id_col, dim, nbits, bands, seed)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
         .withColumn("cosine", cosine_expr("v_a", "v_b"))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -60,6 +60,64 @@ def neighbor_cells(cell: F.Column, ring: int, zoom: int) -> F.Column:
     return F.array_distinct(F.array(*cols))
 
 
+def _covered_radius(qx_col, qy_col, ring: int, zoom: int, spherical: bool):
+    """Lower bound on the distance from a query to any point OUTSIDE its
+    ring-of-tiles cover — the exactness guarantee for the ring join.
+
+    Mercator tile rows shrink (in latitude degrees) toward the poles, so a
+    naive ``ring * lon_span`` overestimates poleward coverage (a zoom-3
+    query at 66N covers ~13 deg north, not 45).  Instead we compute the
+    true covered bbox from the ring's extreme tile rows/columns and take
+    the min distance from the query to its four edges:
+
+    - lon edges are exact (tiles are equal-angle in longitude);
+    - lat edges use the inverse-Mercator latitude of the extreme row edge;
+    - a direction clamped at the tile-grid pole edge is fully covered
+      (no tiles — hence no points keyed there — exist beyond it);
+    - spherical metric: meridian-plane distance R*asin(|sin dlon|*cos lat)
+      lower-bounds distance past a lon edge; R*dlat is exact past a lat
+      edge.  Every term lower-bounds the true distance to the uncovered
+      region, so the guarantee never over-claims.
+    """
+    n = 2 ** zoom
+    inf = F.lit(1e18)
+    tx = cells.tile_x(qx_col, zoom)
+    ty = cells.tile_y(qy_col, zoom)
+
+    def row_edge_lat(y_row):
+        # latitude of the TOP edge of tile row y_row (inverse web-mercator)
+        return F.degrees(F.atan(F.sinh(
+            math.pi * (1.0 - 2.0 * y_row.cast("double") / float(n)))))
+
+    if 2 * ring + 1 >= n:
+        d_w = inf
+        d_e = inf
+    else:
+        lon_w = (tx - ring).cast("double") / float(n) * 360.0 - 180.0
+        lon_e = (tx + ring + 1).cast("double") / float(n) * 360.0 - 180.0
+        d_w = qx_col - lon_w   # westward angular gap, degrees (>= 0)
+        d_e = lon_e - qx_col
+    top = ty - ring
+    bot = ty + ring
+    d_n = F.when(top <= 0, inf).otherwise(row_edge_lat(top) - qy_col)
+    d_s = F.when(bot >= n - 1, inf).otherwise(qy_col - row_edge_lat(bot + 1))
+
+    if not spherical:
+        return F.least(d_w, d_e, d_n, d_s)
+    R = 6370997.0
+    coslat = F.cos(F.radians(qy_col))
+
+    def lon_term(d):
+        s = F.least(F.abs(F.sin(F.radians(F.least(d, F.lit(1e3))))) * coslat,
+                    F.lit(1.0))
+        return F.when(d >= 1e17, F.lit(1e18)).otherwise(R * F.asin(s))
+
+    def lat_term(d):
+        return F.when(d >= 1e17, F.lit(1e18)).otherwise(R * F.radians(d))
+
+    return F.least(lon_term(d_w), lon_term(d_e), lat_term(d_n), lat_term(d_s))
+
+
 def knn_join(
     queries: DataFrame, points: DataFrame, k: int, zoom: int = 6, ring: int = 1,
     query_id: str = "query_id", point_id: str = "point_id",
@@ -69,11 +127,12 @@ def knn_join(
     """Exact distributed kNN: cell-ring candidate join + top-k window +
     guarantee check with iterative widening for unsatisfied queries.
 
-    The guarantee: if the k-th candidate distance < (ring) whole tile spans
-    at the query's latitude row, no closer point can live outside the ring.
-    Queries failing the guarantee (or with < k candidates) re-run with a
-    doubled ring; after ``max_widen`` rounds the remainder falls back to
-    brute force (rare: empty regions)."""
+    The guarantee: if the k-th candidate distance <= the ring cover's true
+    covered radius (min distance from the query to the cover's bbox edges,
+    Mercator row shrink accounted for — see _covered_radius), no closer
+    point can live outside the ring.  Queries failing the guarantee (or
+    with < k candidates) re-run with a doubled ring; after ``max_widen``
+    rounds the remainder falls back to brute force (rare: empty regions)."""
     pts = points.withColumn("_cell", cells.tile_id(F.col(px), F.col(py), zoom))
     remaining = queries
     results = []
@@ -95,16 +154,7 @@ def knn_join(
                 .where(F.col("rank") <= k).persist())
         to_unpersist.append(topk)
 
-        # guarantee radius: ring * (tile span at the query latitude), in the
-        # same metric as dist
-        span_deg = 360.0 / (2 ** zoom)
-        if spherical:
-            guarantee = (
-                F.lit(float(cur_ring)) * F.radians(F.lit(span_deg))
-                * F.cos(F.radians(F.col(qy))) * 6370997.0
-            )
-        else:
-            guarantee = F.lit(float(cur_ring) * span_deg)
+        guarantee = _covered_radius(F.col(qx), F.col(qy), cur_ring, zoom, spherical)
         stats = topk.groupBy(query_id).agg(
             F.count("*").alias("_n"), F.max("dist").alias("_maxd"),
             F.first(qx).alias(qx), F.first(qy).alias(qy),
@@ -117,11 +167,16 @@ def knn_join(
         n_remaining = remaining.count()
         cur_ring *= 2
 
-    fallback = knn_bruteforce(remaining, points, k, query_id, point_id,
-                              qx, qy, px, py, spherical)
-    out = fallback
-    for r in results:
-        out = out.unionByName(r)
+    if n_remaining == 0:
+        # every query satisfied its guarantee — skip the brute-force plan
+        out = results[0]
+        for r in results[1:]:
+            out = out.unionByName(r)
+    else:
+        out = knn_bruteforce(remaining, points, k, query_id, point_id,
+                             qx, qy, px, py, spherical)
+        for r in results:
+            out = out.unionByName(r)
     # materialize the final result, then release every intermediate cache —
     # otherwise the loop's persisted blocks outlive the operator and tax
     # later queries in the same session
@@ -144,10 +199,11 @@ def nearest_vertex(
     if qz is not None and pz is not None:
         dz = F.col(pz) - F.lit(float(qz))
         d = F.sqrt(d * d + dz * dz)
-    w = Window.orderBy(F.col("dist").asc(), F.col(point_id).asc())
+    # orderBy + limit compiles to TakeOrderedAndProject — a distributed
+    # per-partition top-1 + tiny driver merge, never a single-task global
+    # sort (the Window.orderBy form shuffled the whole table to one task)
     return (
         points.withColumn("dist", d)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") == 1)
-        .drop("rank")
+        .orderBy(F.col("dist").asc(), F.col(point_id).asc())
+        .limit(1)
     )

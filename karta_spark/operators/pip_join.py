@@ -327,9 +327,14 @@ def contains_flags(
         return pd.Series(poly.contains(
             px.to_numpy(dtype=np.float64), py.to_numpy(dtype=np.float64)))
 
-    return points.withColumn(
-        flag, F.when(in_bbox, refine(F.col(lon), F.col(lat))).otherwise(F.lit(False))
-    )
+    # hard-filter the bbox slice before the Arrow kernel: Spark evaluates a
+    # pandas UDF inside F.when() on EVERY row regardless of the branch, so
+    # the when() form would defeat the bbox gate entirely (CLAUDE.md rule);
+    # union the complement back with a constant False flag instead
+    inside = points.where(in_bbox).withColumn(
+        flag, refine(F.col(lon), F.col(lat)))
+    outside = points.where(~in_bbox).withColumn(flag, F.lit(False))
+    return inside.unionByName(outside)
 
 
 def winding_sql(outer: np.ndarray, x_expr: str, y_expr: str) -> str:

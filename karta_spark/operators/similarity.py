@@ -99,10 +99,18 @@ def lsh_topk(
 
 def train_centroids(vectors: DataFrame, vec_col: str, c: int, iters: int = 3,
                     seed: int = 11) -> np.ndarray:
-    """Tiny driver-side k-means on a sample (centroids broadcast afterwards)."""
+    """Tiny driver-side k-means on a sample (centroids broadcast afterwards).
+
+    Sampling uses df.sample (uniform across partitions) rather than limit()
+    — limit() would take only the first partitions' rows, biasing the
+    centroids toward whatever keys sort first."""
+    n_target = max(c * 50, 1000)
+    total = vectors.count()
+    frac = min(1.0, 3.0 * n_target / max(total, 1))
     sample = np.array([
         np.asarray(r[0], dtype=np.float64)
-        for r in vectors.select(vec_col).limit(max(c * 50, 1000)).collect()
+        for r in vectors.select(vec_col).sample(fraction=frac, seed=seed)
+                        .limit(n_target).collect()
     ])
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(len(sample), size=min(c, len(sample)), replace=False)]

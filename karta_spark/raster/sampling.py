@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from karta_spark.functions.kernels import _split_index, sample_bilinear, sample_nearest
+from karta_spark.functions.kernels import _split_index
 from karta_spark.raster.tiles import DEFAULT_TILE
 
 
@@ -44,10 +44,16 @@ def sample_join(
     meta = tiles.agg(
         F.first("gny").alias("gny"), F.first("gnx").alias("gnx"),
         F.first("nodata").alias("nodata"),
-        F.max("ny").alias("tny"), F.max("nx").alias("tnx")).first()
+        F.max("ny").alias("tny"), F.max("nx").alias("tnx"),
+        F.count("*").alias("n_tiles")).first()
     gny, gnx, nodata = int(meta["gny"]), int(meta["gnx"]), float(meta["nodata"])
     if tile is None:
         tile = max(int(meta["tny"]), int(meta["tnx"]))
+    # broadcast only when the tile table is genuinely small: a continental
+    # raster must shuffle-join on (_ti, _tj) instead of shipping every
+    # block to every executor
+    est_bytes = int(meta["n_tiles"]) * (int(meta["tny"]) + 2) * (int(meta["tnx"]) + 2) * 8
+    small_enough = est_bytes < 256 * (1 << 20)
 
     i, j = position_exprs(transform, F.col(px), F.col(py))
     pts = points.withColumn("_i", i).withColumn("_j", j)
@@ -60,7 +66,7 @@ def sample_join(
         F.col("tile_i").alias("_ti"), F.col("tile_j").alias("_tj"),
         "i0", "j0", "ny", "nx", "halo", "block",
     )
-    cand = pts.join(F.broadcast(t), ["_ti", "_tj"], "left")
+    cand = pts.join(F.broadcast(t) if small_enough else t, ["_ti", "_tj"], "left")
 
     out_fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in points.schema.fields]
     out_schema = ", ".join(out_fields + [f"`{value_col}` double"])
@@ -81,17 +87,35 @@ def sample_join(
                 blk = np.asarray(r0["block"], dtype=np.float64).reshape(ny + 2 * h, nx + 2 * h)
                 gi = grp["_i"].to_numpy(dtype=np.float64)
                 gj = grp["_j"].to_numpy(dtype=np.float64)
-                I = gi - (int(i0) - h)   # local fractional index in halo'd block
-                J = gj - (int(j0) - h)
+                # round/split on GLOBAL indices (banker's rounding and the
+                # integer split rule are not shift-invariant: a half-integer
+                # shifted by the odd local offset i0-h rounds to the other
+                # neighbor, and global 0 would split to local (0,1) =
+                # global (-1,0) — the NaN halo row); only the final gather
+                # maps global ints to the halo'd block
+                off_i = int(i0) - h
+                off_j = int(j0) - h
+                m, n = blk.shape
                 if use_bilinear:
-                    got = sample_bilinear(I, J, blk, nodata)
                     gi0, gi1 = _split_index(gi)
                     gj0, gj1 = _split_index(gj)
                     ok = (gi0 >= 0) & (gi1 < gny) & (gj0 >= 0) & (gj1 < gnx)
+                    i0c = np.clip(gi0 - off_i, 0, m - 1)
+                    i1c = np.clip(gi1 - off_i, 0, m - 1)
+                    j0c = np.clip(gj0 - off_j, 0, n - 1)
+                    j1c = np.clip(gj1 - off_j, 0, n - 1)
+                    got = (
+                        blk[i0c, j0c] * (gi1 - gi) * (gj1 - gj)
+                        + blk[i1c, j0c] * (gi - gi0) * (gj1 - gj)
+                        + blk[i0c, j1c] * (gi1 - gi) * (gj - gj0)
+                        + blk[i1c, j1c] * (gi - gi0) * (gj - gj0)
+                    )
                 else:
-                    got = sample_nearest(I, J, blk, nodata)
-                    ri = np.round(gi); rj = np.round(gj)
+                    ri = np.round(gi).astype(np.int64)
+                    rj = np.round(gj).astype(np.int64)
                     ok = (ri >= 0) & (ri < gny) & (rj >= 0) & (rj < gnx)
+                    got = blk[np.clip(ri - off_i, 0, m - 1),
+                              np.clip(rj - off_j, 0, n - 1)]
                 vals[grp.index.to_numpy()] = np.where(ok, got, nodata)
             res = pdf[keep].copy()
             res[value_col] = vals

@@ -1,0 +1,231 @@
+"""Round-2 regression tests: the fixes for the judge/advisor findings.
+
+Each test pins one defect named in VERDICT.md / ADVICE.md round 1:
+- kNN ring-join guarantee at high latitude (Mercator row shrink)
+- nearest_vertex distributed top-1 plan (no single-task global window)
+- simhash banded blocking recall for max_hamming > 3
+- embedding near-dup via LSH candidates (no all-pairs join)
+- sample_join global-index rounding/splitting at half-integers and edges
+- ngram_jaccard_pairs hot-shingle df cap
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from karta_spark.functions.kernels import sample_bilinear, sample_nearest
+from karta_spark.operators import dedup, knn
+from karta_spark.raster.sampling import sample_join
+from karta_spark.raster.tiles import grid_to_df
+
+
+class TestKnnGuarantee:
+    def test_poleward_coverage_not_overestimated(self, spark):
+        """ADVICE round 1 (high): at zoom 3 a query at 66N has ring-1
+        coverage only ~13 deg north (row 1 top edge is 79.2N), but the old
+        ring*span guarantee claimed 45 deg — a closer point in row 0 was
+        silently missed.  Adversarial layout: in-ring candidate at 22 deg,
+        true nearest at 14.5 deg due north in the uncovered row 0."""
+        pts = spark.createDataFrame(
+            [(0, 32.0, 66.0),    # same ring (dist 22 deg in lon)
+             (1, 10.0, 80.5)],   # row 0 at zoom 3 — outside ring 1, dist 14.5
+            "point_id long, x double, y double")
+        qs = spark.createDataFrame([(0, 10.0, 66.0)],
+                                   "query_id long, qx double, qy double")
+        got = knn.knn_join(qs, pts, k=1, zoom=3, ring=1).collect()
+        assert len(got) == 1 and got[0]["point_id"] == 1
+        assert abs(got[0]["dist"] - 14.5) < 1e-9
+
+    def test_poleward_spherical(self, spark):
+        # in-ring candidate at 40 deg lon (~1773 km at lat 66) vs true
+        # nearest due north in uncovered row 0 (~1612 km); the old
+        # ring*span*cos(lat) guarantee (~2035 km) accepted the wrong one
+        pts = spark.createDataFrame(
+            [(0, 50.0, 66.0), (1, 10.0, 80.5)],
+            "point_id long, x double, y double")
+        qs = spark.createDataFrame([(0, 10.0, 66.0)],
+                                   "query_id long, qx double, qy double")
+        got = knn.knn_join(qs, pts, k=1, zoom=3, ring=1, spherical=True).collect()
+        brute = knn.knn_bruteforce(qs, pts, 1, spherical=True).collect()
+        assert got[0]["point_id"] == brute[0]["point_id"] == 1
+
+    def test_dense_random_still_matches_bruteforce(self, spark):
+        rng = np.random.default_rng(3)
+        pts = spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(
+                zip(rng.uniform(-170, 170, 300), rng.uniform(40, 84, 300)))],
+            "point_id long, x double, y double")
+        qs = spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(
+                zip(rng.uniform(-170, 170, 15), rng.uniform(60, 83, 15)))],
+            "query_id long, qx double, qy double")
+        brute = {(r["query_id"], r["rank"]): r["point_id"]
+                 for r in knn.knn_bruteforce(qs, pts, 3).collect()}
+        ring = {(r["query_id"], r["rank"]): r["point_id"]
+                for r in knn.knn_join(qs, pts, 3, zoom=4).collect()}
+        assert brute == ring
+
+
+class TestNearestVertexPlan:
+    def test_take_ordered_not_global_window(self, spark):
+        df = spark.createDataFrame(
+            [(i, float(i), float(i % 7)) for i in range(100)],
+            "point_id long, x double, y double")
+        out = knn.nearest_vertex(df, 3.0, 3.0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
+        assert out.collect()[0]["point_id"] == 3
+
+
+class TestSimhashRecall:
+    def test_high_hamming_pairs_found(self, spark):
+        """VERDICT item 2: 4x16-bit blocking only guarantees hamming <= 3;
+        pairs at hamming 4..8 were dropped.  Build near-dup texts (small
+        token edits => small simhash hamming), brute-force the truth set
+        from the signatures, and require exact set equality at
+        max_hamming=8."""
+        rng = np.random.default_rng(11)
+        vocab = [f"tok{i}" for i in range(400)]
+        docs = []
+        did = 0
+        for g in range(12):
+            base = list(rng.choice(vocab, size=60))
+            docs.append((did, " ".join(base))); did += 1
+            for edits in (1, 2, 3, 4):
+                var = base.copy()
+                for pos in rng.choice(60, size=edits, replace=False):
+                    var[pos] = str(rng.choice(vocab))
+                docs.append((did, " ".join(var))); did += 1
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        sig = {r["id"]: r["simhash"] for r in
+               dedup.simhash(df, "text", "doc_id").collect()}
+        ids = sorted(sig)
+        truth = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                ham = bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+                if ham <= 8:
+                    truth.add((a, b))
+        # the synthetic corpus must actually exercise the broken range
+        hams = [bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+                for (a, b) in truth]
+        assert any(4 <= h <= 8 for h in hams), "fixture lost its hamming-4..8 pairs"
+
+        got = {(r["id_a"], r["id_b"]) for r in
+               dedup.simhash_near_pairs(df, "text", "doc_id", max_hamming=8).collect()}
+        assert got == truth
+
+
+class TestEmbeddingLshNearDup:
+    def test_lsh_equals_exact_and_prunes(self, spark):
+        rng = np.random.default_rng(5)
+        dim, n_base, n_planted = 32, 150, 15
+        vecs = rng.standard_normal((n_base, dim))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        rows = [(i, [float(v) for v in vecs[i]]) for i in range(n_base)]
+        for p in range(n_planted):
+            v = vecs[p] + 0.01 * rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            rows.append((n_base + p, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        n = len(rows)
+
+        exact = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_dup_pairs(
+            df, "embedding", "vec_id", threshold=0.98, method="exact").collect()}
+        assert len(exact) >= n_planted  # the planted pairs are all > 0.999
+
+        lsh = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_dup_pairs(
+            df, "embedding", "vec_id", threshold=0.98, method="lsh").collect()}
+        assert lsh == exact
+
+        cand = dedup.embedding_near_dup_candidates(
+            df, "embedding", "vec_id", dim=dim).count()
+        assert cand < n * (n - 1) / 2 / 5  # bucketing prunes >80% of pairs
+
+
+class TestSampleJoinGlobalIndex:
+    """ADVICE round 1 (medium): rounding/splitting must happen on GLOBAL
+    fractional indices.  Tile size 4 with halo 1 makes the local offset odd,
+    flipping banker's rounding at every half-integer; and global index 0
+    split locally hit the NaN halo row."""
+
+    def _tiles(self, spark, Z, tile=4):
+        return grid_to_df(spark, "g", Z, (0.0, 0.0, 1.0, 1.0, 0.0, 0.0),
+                          tile=tile, halo=1)
+
+    def test_matches_full_array_kernels(self, spark):
+        rng = np.random.default_rng(2)
+        Z = rng.uniform(0, 100, size=(8, 8)).round(3)
+        tiles = self._tiles(spark, Z)
+        # world coords hitting: exact cell centers (integer global index,
+        # incl. global 0 at the grid edge), half-integers, and interior
+        # fractional positions in tiles with odd local offsets
+        iis = [0.0, 0.5, 1.5, 2.5, 3.5, 4.0, 4.5, 5.5, 6.5, 7.0, 3.0, 6.0]
+        pts_rows = []
+        pid = 0
+        for gi in iis:
+            for gj in iis:
+                # world = forward affine of (index + 0.5) (the -0.5 conv.)
+                pts_rows.append((pid, gj + 0.5, gi + 0.5))
+                pid += 1
+        pts = spark.createDataFrame(pts_rows, "pid long, x double, y double")
+
+        for method, kernel in (("nearest", sample_nearest),
+                               ("bilinear", sample_bilinear)):
+            got = {r["pid"]: r["value"] for r in
+                   sample_join(pts, tiles, (0.0, 0.0, 1.0, 1.0, 0.0, 0.0),
+                               method=method).collect()}
+            gi = np.array([r[2] - 0.5 for r in pts_rows])
+            gj = np.array([r[1] - 0.5 for r in pts_rows])
+            want = kernel(gi, gj, Z, float("nan"))
+            for k, r in enumerate(pts_rows):
+                w, g = float(want[k]), got[r[0]]
+                assert (math.isnan(w) and math.isnan(g)) or abs(w - g) < 1e-12, (
+                    f"{method} mismatch at global ({gi[k]},{gj[k]}): {g} != {w}")
+
+    def test_edge_zero_bilinear_not_nan(self, spark):
+        Z = np.arange(64, dtype=np.float64).reshape(8, 8)
+        tiles = self._tiles(spark, Z)
+        # global fractional index exactly 0 -> split (0,1), valid edge sample
+        pts = spark.createDataFrame([(0, 0.5, 0.5)], "pid long, x double, y double")
+        got = sample_join(pts, tiles, (0.0, 0.0, 1.0, 1.0, 0.0, 0.0),
+                          method="bilinear").collect()[0]["value"]
+        assert not math.isnan(got)
+        assert abs(got - float(sample_bilinear(
+            np.array([0.0]), np.array([0.0]), Z, float("nan"))[0])) < 1e-12
+
+
+class TestNgramDfCap:
+    def test_cap_drops_hot_shingles_exactly(self, spark):
+        docs = [
+            (0, "aaa common xyz"),
+            (1, "bbb common xyz"),
+            (2, "ccc common xyz"),
+            (3, "ddd common xyz"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        def shingles(t, n=3):
+            return {t[i:i + n] for i in range(len(t) - n + 1)}
+
+        # numpy/pure-python reference with df-cap 3
+        sets = {i: shingles(t) for i, t in docs}
+        from collections import Counter
+        cnt = Counter(g for s in sets.values() for g in s)
+        capped = {i: {g for g in s if cnt[g] <= 3} for i, s in sets.items()}
+        want = {}
+        for a in range(4):
+            for b in range(a + 1, 4):
+                u = capped[a] | capped[b]
+                if u:
+                    j = len(capped[a] & capped[b]) / len(u)
+                    if j >= 0.05:
+                        want[(a, b)] = round(j, 9)
+        got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+               for r in dedup.ngram_jaccard_pairs(
+                   df, "text", "doc_id", n=3, threshold=0.05, max_df=3).collect()}
+        assert got == want
