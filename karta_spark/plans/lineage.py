@@ -13,12 +13,18 @@ catalog via ``spark.table``):
     <root>/<stage>/_SUCCESS_STAGE  stage-complete marker
 
 ``run_stage`` computes per-partition metrics *in the same pass* as the data
-write (mapInPandas accumulates counts/latency per physical partition), so
-lineage costs no extra job.  ``resume_or_run`` returns the checkpointed
-DataFrame when the stage marker exists — a killed pipeline restarted with
-the same root skips completed stages entirely; partial stages re-run only
-missing partitions via an anti-join on lineage part_ids when the source is
-partition-stable.
+write: the mapInPandas auditor counts rows/latency per physical partition
+and ships them to the driver through a Spark **accumulator** (cluster-safe —
+accumulator updates ride task-completion RPCs, unlike executor-local side
+files which land on each worker's own disk and are invisible to the
+driver).  The driver then writes the lineage parquet in one tiny job.
+Speculative/retried tasks can double-report; lineage keeps the first report
+per partition id.
+
+``resume_or_run`` returns the checkpointed DataFrame when the stage marker
+exists — a killed pipeline restarted with the same root skips completed
+stages entirely; partial stages re-run only missing partitions via an
+anti-join on lineage part_ids when the source is partition-stable.
 """
 
 from __future__ import annotations
@@ -28,8 +34,23 @@ import os
 import time
 
 import pandas as pd
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = ("stage string, part_id long, row_count long, "
+                  "wall_ms double, finished_at double")
+
+
+class _MetricsAccum(AccumulatorParam):
+    """Accumulates lists of per-partition metric tuples on the driver."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
 
 
 def _marker(root: str, stage: str) -> str:
@@ -53,28 +74,33 @@ def run_stage(
     lineage_path = os.path.join(root, stage, "_lineage")
 
     schema = df.schema
-    audit_schema = "part_id int, row_count long, wall_ms double"
+    acc = spark.sparkContext.accumulator([], _MetricsAccum())
 
     def audited(pdf_iter):
         from pyspark import TaskContext
-        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else -1
         t0 = time.monotonic()
         n = 0
         for pdf in pdf_iter:
             n += len(pdf)
             yield pdf
         wall = (time.monotonic() - t0) * 1000.0
-        # piggyback the metric as a side-file per partition (tiny)
-        os.makedirs(lineage_path, exist_ok=True)
-        with open(os.path.join(lineage_path, f"part-{pid}.json"), "w") as f:
-            json.dump({"stage": stage, "part_id": pid, "row_count": n,
-                       "wall_ms": wall, "finished_at": time.time()}, f)
+        acc.add([(stage, pid, n, wall, time.time())])
 
-    _ = audit_schema
     writer = df.mapInPandas(audited, schema).write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_path)
+
+    # accumulator value is complete once the write action returns; dedup
+    # retried tasks (first report wins) and persist lineage as parquet
+    seen: dict[int, tuple] = {}
+    for rec in acc.value:
+        seen.setdefault(rec[1], rec)
+    rows = sorted(seen.values(), key=lambda r: r[1])
+    spark.createDataFrame(rows or [], LINEAGE_SCHEMA) \
+        .coalesce(1).write.mode("overwrite").parquet(lineage_path)
 
     with open(_marker(root, stage), "w") as f:
         f.write(json.dumps({"stage": stage, "completed_at": time.time()}))
@@ -94,18 +120,25 @@ def resume_or_run(build, root: str, stage: str,
 
 
 def lineage_table(spark: SparkSession, root: str, stage: str) -> DataFrame:
-    """Read the per-partition lineage metrics for a stage."""
+    """Read the per-partition lineage metrics for a stage.
+
+    Primary format is the parquet written by run_stage; per-partition JSON
+    side-files (the pre-accumulator layout) are still readable for old
+    checkpoints."""
     path = os.path.join(root, stage, "_lineage")
-    rows = []
     if os.path.isdir(path):
+        if any(fn.endswith(".parquet") for fn in os.listdir(path)):
+            return spark.read.parquet(path)
+        rows = []
         for fn in sorted(os.listdir(path)):
             if fn.endswith(".json"):
                 with open(os.path.join(path, fn)) as f:
                     rows.append(json.load(f))
-    return spark.createDataFrame(
-        pd.DataFrame(rows, columns=["stage", "part_id", "row_count", "wall_ms", "finished_at"])
-    ) if rows else spark.createDataFrame(
-        [], "stage string, part_id long, row_count long, wall_ms double, finished_at double")
+        if rows:
+            return spark.createDataFrame(
+                pd.DataFrame(rows, columns=["stage", "part_id", "row_count",
+                                            "wall_ms", "finished_at"]))
+    return spark.createDataFrame([], LINEAGE_SCHEMA)
 
 
 def missing_partitions(source: DataFrame, spark: SparkSession, root: str,
