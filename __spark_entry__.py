@@ -974,6 +974,64 @@ FROM cands GROUP BY geom_id
 """
 
 
+def q37_webmercator(spark, sf_dir):
+    """Projected-CRS forward: customer lonlat -> Web Mercator (crs.py:386
+    '+proj=merc +a=6378137 +b=6378137').  Pure Catalyst exprs; the oracle
+    twin is the same algebra emitted as SQL."""
+    from karta_spark.functions import crs as kcrs
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    mx, my = kcrs.forward_exprs(kcrs.WEB_MERCATOR, F.col("x"), F.col("y"))
+    return c.select("c_custkey", F.round(mx, 4).alias("mx"),
+                    F.round(my, 4).alias("my"))
+
+
+def _q37_sql():
+    from karta_spark.functions import crs as kcrs
+    xs, ys = kcrs.forward_sql(kcrs.WEB_MERCATOR, "x", "y")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+)
+SELECT c_custkey, round({xs}, 4) AS mx, round({ys}, 4) AS my FROM pts
+"""
+
+
+def q38_utm_reproject(spark, sf_dir):
+    """UTM zone-31N forward + inverse roundtrip (Krüger series, WGS84) on
+    the customers whose lon falls inside the zone — the reprojection story
+    the reference gets from pyproj (crs.py:219-243), here as whole-stage-
+    codegen column math with a DuckDB twin of the identical series."""
+    from karta_spark.functions import crs as kcrs
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    z = c.where((F.col("x") > 0.5) & (F.col("x") < 5.5))
+    ex, ny = kcrs.forward_exprs(kcrs.utm(31), F.col("x"), F.col("y"))
+    z = z.withColumn("easting", ex).withColumn("northing", ny)
+    lon2, lat2 = kcrs.inverse_exprs(kcrs.utm(31), F.col("easting"), F.col("northing"))
+    return z.select(
+        "c_custkey", F.round("easting", 4).alias("easting"),
+        F.round("northing", 4).alias("northing"),
+        F.round(lon2 - F.col("x"), 9).alias("lon_rt_err"),
+        F.round(lat2 - F.col("y"), 9).alias("lat_rt_err"))
+
+
+def _q38_sql():
+    from karta_spark.functions import crs as kcrs
+    xs, ys = kcrs.forward_sql(kcrs.utm(31), "x", "y")
+    lo, la = kcrs.inverse_sql(kcrs.utm(31), "easting", "northing")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+), zone AS (
+  SELECT * FROM pts WHERE x > 0.5 AND x < 5.5
+), proj AS (
+  SELECT c_custkey, x, y, {xs} AS easting, {ys} AS northing FROM zone
+)
+SELECT c_custkey, round(easting, 4) AS easting, round(northing, 4) AS northing,
+       round({lo} - x, 9) AS lon_rt_err, round({la} - y, 9) AS lat_rt_err
+FROM proj
+"""
+
+
 # -- (kept) non-SQL-expressible ops -------
 
 def q21_minhash_pairs(spark, sf_dir):
@@ -1081,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_geographic_bbox": q34_geographic_bbox,
         "q35_distance_join": q35_distance_join,
         "q36_image_feature_buckets": q36_image_feature_buckets,
+        "q37_webmercator": q37_webmercator,
+        "q38_utm_reproject": q38_utm_reproject,
     }
 
 
@@ -1117,4 +1177,6 @@ def oracle_sql() -> dict[str, str]:
         "q35_distance_join": Q35_SQL,
         "q33_slope_stats": Q33_SQL,
         "q34_geographic_bbox": Q34_SQL,
+        "q37_webmercator": _q37_sql(),
+        "q38_utm_reproject": _q38_sql(),
     }
