@@ -67,8 +67,10 @@ def grid_to_df(
 def df_to_grid(df: DataFrame, grid_id: str | None = None, band: int = 0):
     """Collect a (small) tile table back to (values, transform, nodata) —
     test/driver utility, not a scale path."""
-    pdf = df.toPandas() if grid_id is None else \
-        df.where((F.col("grid_id") == grid_id) & (F.col("band") == band)).toPandas()
+    sel = df.where(F.col("band") == band)
+    if grid_id is not None:
+        sel = sel.where(F.col("grid_id") == grid_id)
+    pdf = sel.toPandas()
     assert len(pdf) > 0, "empty grid"
     gny, gnx = int(pdf.iloc[0]["gny"]), int(pdf.iloc[0]["gnx"])
     out = np.full((gny, gnx), np.nan)

@@ -1,9 +1,15 @@
-"""Minimal GeoTIFF read/write — pure python/numpy (the reference delegates
-to GDAL, absent here; this covers uncompressed baseline TIFF with the
-GeoTIFF georeferencing tags, enough for raster fixture interchange).
+"""GeoTIFF read/write — pure python/numpy (the reference delegates to GDAL,
+absent here; this covers baseline little-endian TIFF with the GeoTIFF
+georeferencing tags, enough for raster interchange).
 
-Supported: single- or multi-band, uncompressed strips, uint8/16/32,
-int16/32, float32/64; tags ModelPixelScale (33550) + ModelTiepoint (33922).
+Supported:
+- read: uncompressed, Deflate/zlib (codes 8 and 32946) and PackBits (32773)
+  strips; horizontal-differencing predictor (tag 317 = 2) for integer data;
+  single- or multi-band chunky interleave (SamplesPerPixel tag 277,
+  PlanarConfiguration 284 = 1); uint8/16/32, int16/32, float32/64.
+- write: single-band, optional compress="deflate" | "packbits" (the analog
+  of the reference's PACKBITS write option, grid.py:1066-1076).
+
 Follows the reference's convention flip (raster/read.py:27-62, _gdal.py):
 TIFF stores rows top-down with an upper-left tiepoint; the tile table uses
 a lower-left-corner transform with positive dy — rows reverse on read and
@@ -13,6 +19,7 @@ on write.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -25,20 +32,83 @@ _DTYPES = {
     (32, 3): np.float32, (64, 3): np.float64,
 }
 
+COMPRESSION_NONE = 1
+COMPRESSION_DEFLATE_ADOBE = 8
+COMPRESSION_PACKBITS = 32773
+COMPRESSION_DEFLATE_OLD = 32946
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF spec §9): runs of 2..128 identical bytes ->
+    (257-n, byte); literal spans of 1..128 -> (n-1, bytes)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal span: until the next >=3 run (2-runs inside literals are
+        # cheaper left literal) or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out.extend(data[i:j])
+        i = j
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int | None = None) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and (expected is None or len(out) < expected):
+        b = data[i]
+        i += 1
+        if b < 128:         # literal of b+1 bytes
+            out.extend(data[i:i + b + 1])
+            i += b + 1
+        elif b > 128:       # run of 257-b copies
+            out.extend(data[i:i + 1] * (257 - b))
+            i += 1
+        # b == 128: no-op
+    return bytes(out)
+
 
 def _entry(tag, ftype, count, value):
     return struct.pack("<HHI4s", tag, ftype, count, value)
 
 
-def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64):
-    """Write a (small) single-band tile table to an uncompressed GeoTIFF."""
+def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64,
+                  compress: str | None = None):
+    """Write a (small) single-band tile table to a GeoTIFF.
+
+    compress: None | "deflate" | "packbits"."""
     values, transform, nodata = df_to_grid(tiles)
     x0, y0, dx, dy, sx, sy = transform
     if sx != 0 or sy != 0:
         raise ValueError("GeoTIFF writer supports unskewed grids only")
     ny, nx = values.shape
     arr = np.asarray(values, dtype=dtype)[::-1]  # LL-row-first -> top-down
-    data = arr.tobytes()
+    raw = arr.tobytes()
+    if compress is None:
+        comp_code, data = COMPRESSION_NONE, raw
+    elif compress == "deflate":
+        comp_code, data = COMPRESSION_DEFLATE_ADOBE, zlib.compress(raw, 6)
+    elif compress == "packbits":
+        comp_code, data = COMPRESSION_PACKBITS, packbits_encode(raw)
+    else:
+        raise ValueError(f"unknown compress option {compress!r}")
 
     bits = arr.dtype.itemsize * 8
     fmt = {np.dtype(np.uint8): 1, np.dtype(np.uint16): 1, np.dtype(np.uint32): 1,
@@ -46,7 +116,7 @@ def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64):
            np.dtype(np.float32): 3, np.dtype(np.float64): 3}[arr.dtype]
 
     # layout: header(8) + IFD + external values + pixel data
-    n_entries = 11
+    n_entries = 12
     ifd_off = 8
     ifd_size = 2 + n_entries * 12 + 4
     ext_off = ifd_off + ifd_size
@@ -68,9 +138,10 @@ def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64):
         _entry(256, 4, 1, val_long(nx)),           # ImageWidth
         _entry(257, 4, 1, val_long(ny)),           # ImageLength
         _entry(258, 3, 1, val_short(bits)),        # BitsPerSample
-        _entry(259, 3, 1, val_short(1)),           # Compression: none
+        _entry(259, 3, 1, val_short(comp_code)),   # Compression
         _entry(262, 3, 1, val_short(1)),           # Photometric: BlackIsZero
         _entry(273, 4, 1, val_long(data_off)),     # StripOffsets
+        _entry(277, 3, 1, val_short(1)),           # SamplesPerPixel
         _entry(278, 4, 1, val_long(ny)),           # RowsPerStrip
         _entry(279, 4, 1, val_long(len(data))),    # StripByteCounts
         _entry(339, 3, 1, val_short(fmt)),         # SampleFormat
@@ -84,9 +155,9 @@ def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64):
         f.write(scale_bytes + tie_bytes + data)
 
 
-def read_geotiff(spark: SparkSession, path: str, grid_id: str = "gtiff",
-                 tile: int = 256, nodata: float = float("nan")) -> DataFrame:
-    """Parse an uncompressed GeoTIFF into a tile table."""
+def _read_geotiff_arrays(path: str):
+    """Parse a GeoTIFF into (bands: list[np.ndarray LL-row-first float64],
+    transform). Pure python/numpy."""
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:4] not in (b"II*\x00",):
@@ -98,7 +169,11 @@ def read_geotiff(spark: SparkSession, path: str, grid_id: str = "gtiff",
         tag, ftype, count, raw = struct.unpack_from("<HHI4s", buf, ifd_off + 2 + i * 12)
         tags[tag] = (ftype, count, raw)
 
-    def tag_ints(tag):
+    def tag_ints(tag, default=None):
+        if tag not in tags:
+            if default is not None:
+                return default
+            raise KeyError(f"missing TIFF tag {tag}")
         ftype, count, raw = tags[tag]
         size = {3: 2, 4: 4}[ftype]
         if count * size <= 4:
@@ -115,17 +190,45 @@ def read_geotiff(spark: SparkSession, path: str, grid_id: str = "gtiff",
 
     nx = tag_ints(256)[0]
     ny = tag_ints(257)[0]
-    bits = tag_ints(258)[0]
-    if tag_ints(259)[0] != 1:
-        raise NotImplementedError("compressed TIFF not supported")
-    fmt = tag_ints(339)[0] if 339 in tags else 1
-    dtype = _DTYPES[(bits, fmt)]
+    spp = tag_ints(277, default=[1])[0]
+    bits_l = tag_ints(258)
+    if len(set(bits_l)) != 1:
+        raise NotImplementedError("per-band BitsPerSample must be uniform")
+    bits = bits_l[0]
+    comp = tag_ints(259, default=[1])[0]
+    planar = tag_ints(284, default=[1])[0]
+    predictor = tag_ints(317, default=[1])[0]
+    if planar != 1:
+        raise NotImplementedError("PlanarConfiguration=2 (planar) not supported")
+    fmt = tag_ints(339, default=[1])[0]
+    dtype = np.dtype(_DTYPES[(bits, fmt)])
     offsets = tag_ints(273)
     counts = tag_ints(279)
-    rows_per_strip = tag_ints(278)[0] if 278 in tags else ny
-    raw = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
-    arr = np.frombuffer(raw, dtype="<" + np.dtype(dtype).str[1:]).reshape(ny, nx)
-    _ = rows_per_strip
+    rows_per_strip = tag_ints(278, default=[ny])[0]
+
+    row_bytes = nx * spp * dtype.itemsize
+    chunks = []
+    for k, (o, c) in enumerate(zip(offsets, counts)):
+        strip_rows = min(rows_per_strip, ny - k * rows_per_strip)
+        expected = strip_rows * row_bytes
+        raw = buf[o:o + c]
+        if comp == COMPRESSION_NONE:
+            data = raw
+        elif comp in (COMPRESSION_DEFLATE_ADOBE, COMPRESSION_DEFLATE_OLD):
+            data = zlib.decompress(raw)
+        elif comp == COMPRESSION_PACKBITS:
+            data = packbits_decode(raw, expected)
+        else:
+            raise NotImplementedError(f"TIFF compression {comp} not supported "
+                                      "(none/deflate/packbits are)")
+        strip = np.frombuffer(data[:expected], dtype="<" + dtype.str[1:])
+        strip = strip.reshape(strip_rows, nx, spp)
+        if predictor == 2:
+            if not np.issubdtype(dtype, np.integer):
+                raise NotImplementedError("predictor=2 on float samples")
+            strip = np.cumsum(strip, axis=1, dtype=dtype)
+        chunks.append(strip)
+    arr = np.concatenate(chunks, axis=0)  # (ny, nx, spp) top-down
 
     dxs = tag_doubles(33550)
     tie = tag_doubles(33922)
@@ -133,6 +236,22 @@ def read_geotiff(spark: SparkSession, path: str, grid_id: str = "gtiff",
     x0 = tie[3]
     y_top = tie[4]
     y0 = y_top - ny * dy  # UL tiepoint -> LL-corner convention
-    values = arr[::-1].astype(np.float64)  # top-down -> LL-row-first
-    return grid_to_df(spark, grid_id, values, (x0, y0, dx, dy, 0.0, 0.0),
-                      nodata=nodata, tile=tile)
+    transform = (x0, y0, dx, dy, 0.0, 0.0)
+    bands = [arr[::-1, :, b].astype(np.float64) for b in range(spp)]
+    return bands, transform
+
+
+def read_geotiff(spark: SparkSession, path: str, grid_id: str = "gtiff",
+                 tile: int = 256, nodata: float = float("nan"),
+                 ibands: list[int] | None = None) -> DataFrame:
+    """Parse a GeoTIFF into a tile table (one band column value per band,
+    mirroring the reference's read_geotiff ibands selection,
+    raster/read.py:27-62)."""
+    bands, transform = _read_geotiff_arrays(path)
+    sel = ibands if ibands is not None else range(len(bands))
+    out = None
+    for b in sel:
+        df = grid_to_df(spark, grid_id, bands[b], transform,
+                        nodata=nodata, band=int(b), tile=tile)
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -321,3 +321,117 @@ class TestGpxGeotiff:
         geotiff.write_geotiff(p, g, dtype=np.int32)
         vals, _, _ = tiles.df_to_grid(geotiff.read_geotiff(spark, p))
         np.testing.assert_allclose(vals, Z)
+
+
+class TestGeoTiffCompressedMultiband:
+    """Round-2 additions: Deflate/PackBits strips, predictor=2, and chunky
+    multi-band read (SamplesPerPixel tag 277) — reference reads these via
+    GDAL (_gdal.py:114-188)."""
+
+    def _grid(self, spark):
+        import numpy as np
+        from karta_spark.raster.tiles import grid_to_df
+        rng = np.random.default_rng(4)
+        Z = rng.uniform(-50, 50, size=(13, 9)).round(3)
+        return Z, grid_to_df(spark, "g", Z, (2.0, 3.0, 0.5, 0.25, 0.0, 0.0), tile=8)
+
+    def test_packbits_codec_adversarial(self):
+        import numpy as np
+        from karta_spark.sources.geotiff import packbits_decode, packbits_encode
+        rng = np.random.default_rng(1)
+        cases = [
+            b"", b"\x00", b"a" * 1, b"a" * 2, b"a" * 3, b"a" * 128, b"a" * 129,
+            b"a" * 300, b"abab" * 70, bytes(rng.integers(0, 4, 1000, dtype=np.uint8)),
+            b"ab" + b"c" * 200 + b"de" + b"f" * 2 + b"xyz",
+        ]
+        for c in cases:
+            assert packbits_decode(packbits_encode(c), len(c)) == c
+
+    def test_deflate_roundtrip(self, spark, tmp_path):
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        Z, tiles = self._grid(spark)
+        p = str(tmp_path / "z.tif")
+        geotiff.write_geotiff(p, tiles, compress="deflate")
+        back, t, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=8))
+        assert np.array_equal(back, Z)
+        assert t[:4] == (2.0, 3.0, 0.5, 0.25)
+
+    def test_packbits_roundtrip(self, spark, tmp_path):
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        Z, tiles = self._grid(spark)
+        p = str(tmp_path / "p.tif")
+        geotiff.write_geotiff(p, tiles, compress="packbits", dtype=np.int32)
+        back, _, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=8))
+        assert np.array_equal(back, np.trunc(Z))  # int32 write truncates
+
+    def test_multiband_chunky_read(self, spark, tmp_path):
+        """Hand-built 2-band chunky uint16 TIFF with deflate + predictor=2,
+        multiple strips."""
+        import struct, zlib
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        ny, nx, spp = 6, 5, 2
+        rng = np.random.default_rng(9)
+        A = rng.integers(0, 60000, (ny, nx, spp)).astype(np.uint16)
+        rows_per_strip = 2
+        strips = []
+        for s0 in range(0, ny, rows_per_strip):
+            strip = A[s0:s0 + rows_per_strip]
+            diff = np.empty_like(strip)
+            diff[:, 0] = strip[:, 0]
+            diff[:, 1:] = strip[:, 1:] - strip[:, :-1]  # predictor 2 (wraps)
+            strips.append(zlib.compress(diff.tobytes()))
+
+        def entry(tag, ftype, count, value):
+            return struct.pack("<HHI4s", tag, ftype, count, value)
+
+        vl = lambda v: struct.pack("<I", v)
+        vs = lambda v: struct.pack("<HH", v, 0)
+        n_entries = 13
+        ifd_off = 8
+        ext_off = ifd_off + 2 + n_entries * 12 + 4
+        bits_off = ext_off
+        scale_off = bits_off + 2 * spp
+        tie_off = scale_off + 24
+        off_off = tie_off + 48
+        cnt_off = off_off + 4 * len(strips)
+        data_off = cnt_off + 4 * len(strips)
+        offs, pos = [], data_off
+        for s in strips:
+            offs.append(pos); pos += len(s)
+        entries = [
+            entry(256, 4, 1, vl(nx)), entry(257, 4, 1, vl(ny)),
+            entry(258, 3, spp, struct.pack('<HH', 16, 16)),  # inline (4 bytes)
+            entry(259, 3, 1, vs(8)),            # deflate
+            entry(262, 3, 1, vs(1)),
+            entry(273, 4, len(strips), vl(off_off)),
+            entry(277, 3, 1, vs(spp)),
+            entry(278, 4, 1, vl(rows_per_strip)),
+            entry(279, 4, len(strips), vl(cnt_off)),
+            entry(317, 3, 1, vs(2)),            # predictor: horizontal diff
+            entry(339, 3, 1, vs(1)),
+            entry(33550, 12, 3, vl(scale_off)),
+            entry(33922, 12, 6, vl(tie_off)),
+        ]
+        p = str(tmp_path / "mb.tif")
+        with open(p, "wb") as f:
+            f.write(b"II*\x00" + struct.pack("<I", ifd_off))
+            f.write(struct.pack("<H", n_entries) + b"".join(entries) + struct.pack("<I", 0))
+            f.write(struct.pack(f"<{spp}H", *([16] * spp)))
+            f.write(struct.pack("<3d", 1.0, 1.0, 0.0))
+            f.write(struct.pack("<6d", 0, 0, 0, 10.0, 20.0 + ny * 1.0, 0))
+            f.write(struct.pack(f"<{len(strips)}I", *offs))
+            f.write(struct.pack(f"<{len(strips)}I", *[len(s) for s in strips]))
+            for s in strips:
+                f.write(s)
+
+        df = geotiff.read_geotiff(spark, p, tile=4)
+        for b in range(spp):
+            back, t, _ = df_to_grid(df, band=b)
+            assert np.array_equal(back, A[::-1, :, b].astype(np.float64)), b
+            assert t[:4] == (10.0, 20.0, 1.0, 1.0)
