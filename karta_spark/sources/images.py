@@ -6,12 +6,11 @@ caption string, phash long`` — geolocated by the phash rule of FIXTURES.md §1
 (lon from the low 32 bits, lat from the next 31, matching the slippy-valid
 range of reference tile.py:22-33).
 
-Codecs: PNG and BMP are implemented here in pure python+numpy+zlib so the
-decode invariant (PSNR >= 40 dB; exact for lossless) is verifiable without
-external imaging libraries.  JPEG is gated behind a Pillow import and raises
-a clearly-marked NotImplementedError otherwise (the container has no imaging
-libs — the Spark-side plumbing (schema, batching, UDF signatures) is real
-and tested with the lossless formats).
+Codecs: PNG and BMP are implemented here in pure python+numpy+zlib; JPEG is
+the from-scratch baseline codec in sources/jpeg.py (Pillow substitutes when
+present).  The decode invariant — exact for lossless, PSNR >= 40 dB for
+lossy — is verifiable without external imaging libraries, covering all
+three input_hint formats.
 
 Generation is *distributed*: ``synth_images`` builds rows with mapInPandas
 over ``spark.range`` — no driver-side materialization, so the same code
@@ -145,15 +144,27 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return out
 
 
-def encode_jpeg(arr: np.ndarray) -> bytes:  # pragma: no cover
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "STUB: JPEG encode requires Pillow, which is not in this "
-            "container; use fmt='png'/'bmp' (lossless) instead.")
-    import io
-    buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
-    return buf.getvalue()
+JPEG_QUALITY = 98  # noise content at q98 decodes ~43 dB (>= 40 dB invariant)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = JPEG_QUALITY) -> bytes:
+    """Baseline JFIF encode (pure numpy codec in sources/jpeg.py; Pillow is
+    used instead when available — same baseline process)."""
+    if _HAS_PIL:  # pragma: no cover - container has no Pillow
+        import io
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=quality)
+        return buf.getvalue()
+    from karta_spark.sources.jpeg import encode_jpeg_baseline
+    return encode_jpeg_baseline(arr, quality)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    if _HAS_PIL:  # pragma: no cover
+        import io
+        return np.asarray(Image.open(io.BytesIO(data)))
+    from karta_spark.sources.jpeg import decode_jpeg_baseline
+    return decode_jpeg_baseline(data)
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
@@ -161,11 +172,8 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt == "bmp":
         return decode_bmp(data)
-    if fmt == "jpeg":  # pragma: no cover
-        if not _HAS_PIL:
-            raise NotImplementedError("STUB: JPEG decode requires Pillow")
-        import io
-        return np.asarray(Image.open(io.BytesIO(data)))
+    if fmt == "jpeg":
+        return decode_jpeg(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -182,7 +190,7 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 # deterministic row generation
 # ---------------------------------------------------------------------------
 
-FORMATS = ("png", "bmp", "jpeg") if _HAS_PIL else ("png", "bmp")
+FORMATS = ("png", "bmp", "jpeg")  # jpeg via the pure-numpy baseline codec
 
 
 def phash_for_index(i: np.ndarray) -> np.ndarray:

@@ -16,8 +16,10 @@ class TestImages:
         imgs = images.synth_images(spark, 60, partitions=2)
         stats = images.decode_stats(imgs).collect()
         assert len(stats) == 60
-        # lossless codecs -> exact roundtrip -> PSNR inf (>= 40 dB invariant)
-        assert all(r["psnr_vs_ref"] == float("inf") for r in stats)
+        # lossless codecs roundtrip exactly (PSNR inf); the baseline JPEG
+        # codec must clear the >= 40 dB lossy invariant on every image
+        assert all(r["psnr_vs_ref"] >= 40.0 for r in stats)
+        assert sum(1 for r in stats if r["psnr_vs_ref"] == float("inf")) == 40
 
     def test_captions_byte_equal(self, spark):
         imgs = images.synth_images(spark, 30, partitions=2).collect()
