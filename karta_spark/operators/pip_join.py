@@ -39,9 +39,7 @@ from karta_spark.functions import cells
 from karta_spark.functions.kernels import (
     ispolar,
     polygon_contains,
-    polyline_intersects,
     sphere_contains,
-    winding_contains,
 )
 
 
@@ -81,30 +79,69 @@ class PolygonSpec:
         )
 
 
-def _classify_cell(poly: PolygonSpec, w, s, e, n):
-    """full/boundary classification of one cover cell."""
+def _mark_edges(mark: np.ndarray, rings, to_frac):
+    """Conservatively mark every grid cell a ring edge might pass through.
+
+    Each edge is subdivided into pieces no longer than half a cell in
+    fractional-index space; each piece marks the <=2x2 rect of cells its
+    bbox touches — a supercover superset of the exactly-crossed cells.
+    Marked cells are classified boundary (never full), so over-marking only
+    costs refine work, never correctness.  Fully vectorized per ring."""
+    ny, nx = mark.shape
+    for ring in rings:
+        fx, fy = to_frac(ring[:, 0], ring[:, 1])
+        ax, ay = fx, fy
+        bx, by = np.roll(fx, -1), np.roll(fy, -1)
+        n_pieces = np.maximum(
+            1, np.ceil(2.0 * np.maximum(np.abs(bx - ax), np.abs(by - ay)))
+        ).astype(np.int64)
+        m = int(n_pieces.max())
+        if m > 4096:  # absurdly long edge vs cell size: coarse rect fallback
+            n_pieces = np.minimum(n_pieces, 4096)
+            m = 4096
+        t = np.minimum(np.arange(m + 1)[None, :] / n_pieces[:, None], 1.0)
+        px = ax[:, None] + (bx - ax)[:, None] * t  # (E, m+1)
+        py = ay[:, None] + (by - ay)[:, None] * t
+        i0 = np.floor(np.minimum(py[:, :-1], py[:, 1:])).astype(np.int64)
+        i1 = np.floor(np.maximum(py[:, :-1], py[:, 1:])).astype(np.int64)
+        j0 = np.floor(np.minimum(px[:, :-1], px[:, 1:])).astype(np.int64)
+        j1 = np.floor(np.maximum(px[:, :-1], px[:, 1:])).astype(np.int64)
+        i0 = np.clip(i0, 0, ny - 1).ravel()
+        i1 = np.clip(i1, 0, ny - 1).ravel()
+        j0 = np.clip(j0, 0, nx - 1).ravel()
+        j1 = np.clip(j1, 0, nx - 1).ravel()
+        mark[i0, j0] = True
+        mark[i0, j1] = True
+        mark[i1, j0] = True
+        mark[i1, j1] = True
+
+
+def _classify_cover(poly: PolygonSpec, nx: int, ny: int, corner_x, corner_y,
+                    to_frac) -> np.ndarray:
+    """(ny, nx) bool 'full' grid: all 4 corners inside and no edge marked.
+
+    The batched replacement for the old per-cell classify loop (a 10k-
+    polygon layer stalled the driver); corner containment is one vectorized
+    winding pass over the (ny+1)x(nx+1) corner lattice."""
     if poly.polar:
-        return False
-    corners_x = np.array([w, e, e, w])
-    corners_y = np.array([s, s, n, n])
-    inside = poly.contains(corners_x, corners_y)
-    cell_ring = np.array([[w, s], [e, s], [e, n], [w, n]])
-    edge_cross = polyline_intersects(
-        poly.outer, cell_ring, a_closed=True, b_closed=True
-    ) or any(
-        polyline_intersects(h, cell_ring, a_closed=True, b_closed=True)
-        for h in poly.holes
-    )
-    return bool(inside.all()) and not edge_cross
+        return np.zeros((ny, nx), dtype=bool)
+    CX, CY = np.meshgrid(corner_x, corner_y)  # (ny+1, nx+1)
+    inside = poly.contains(CX.ravel(), CY.ravel()).reshape(ny + 1, nx + 1)
+    full = (inside[:-1, :-1] & inside[:-1, 1:]
+            & inside[1:, :-1] & inside[1:, 1:])
+    mark = np.zeros((ny, nx), dtype=bool)
+    _mark_edges(mark, (poly.outer, *poly.holes), to_frac)
+    return full & ~mark
 
 
 def cover_cells(poly: PolygonSpec, zoom: int):
     """Classified slippy-cell cover of a lonlat polygon at *zoom*.
 
     Returns list of (cell_id, full: bool). A cell is *full* when all four
-    corners are inside and no polygon edge crosses the cell boundary —
-    candidate rows in full cells skip the exact refine. Polar polygons fall
-    back to boundary-everything (rare path, parity over speed).
+    corners are inside and no polygon edge can cross it (conservative
+    supercover edge test) — candidate rows in full cells skip the exact
+    refine. Polar polygons fall back to boundary-everything (rare path,
+    parity over speed).
     """
     xmin, ymin, xmax, ymax = poly.bbox()
     ymin = max(ymin, -cells.MAX_LAT + 1e-9)
@@ -114,12 +151,33 @@ def cover_cells(poly: PolygonSpec, zoom: int):
     x0, y1 = cells.tile_xy_py(xmin, ymin, zoom)  # y grows southward
     x1, y0 = cells.tile_xy_py(xmax, ymax, zoom)
     nmax = 2 ** zoom - 1
+    x0, x1 = max(x0, 0), min(x1, nmax)
+    y0, y1 = max(y0, 0), min(y1, nmax)
+    nx, ny = x1 - x0 + 1, y1 - y0 + 1
+    if nx <= 0 or ny <= 0:
+        return []
+    n = float(2 ** zoom)
+    # corner lattice in world coords (tile.py:20-33 inverse web-mercator)
+    tx = np.arange(x0, x1 + 2, dtype=np.float64)
+    ty = np.arange(y0, y1 + 2, dtype=np.float64)
+    corner_x = tx / n * 360.0 - 180.0
+    corner_y = np.degrees(np.arctan(np.sinh(math.pi * (1.0 - 2.0 * ty / n))))
+
+    def to_frac(lon, lat):
+        # fractional tile coords relative to the (y0, x0) cover origin
+        fx = (np.asarray(lon, dtype=np.float64) + 180.0) / 360.0 * n - x0
+        lat = np.clip(np.asarray(lat, dtype=np.float64),
+                      -cells.MAX_LAT + 1e-12, cells.MAX_LAT - 1e-12)
+        fy = (1.0 - np.log(np.tan(math.pi / 4.0 + np.radians(lat) / 2.0))
+              / math.pi) / 2.0 * n - y0
+        return fx, fy
+
+    full = _classify_cover(poly, nx, ny, corner_x, corner_y, to_frac)
     out = []
-    for tx in range(max(x0, 0), min(x1, nmax) + 1):
-        for ty in range(max(y0, 0), min(y1, nmax) + 1):
-            w, s, e, n = cells.tile_bbox_py(zoom, tx, ty)
-            cid = (zoom << 58) | (tx << 29) | ty
-            out.append((cid, _classify_cell(poly, w, s, e, n)))
+    for c in range(nx):
+        for r in range(ny):
+            cid = (zoom << 58) | ((x0 + c) << 29) | (y0 + r)
+            out.append((cid, bool(full[r, c])))
     return out
 
 
@@ -130,13 +188,22 @@ def cover_cells_planar(poly: PolygonSpec, size: float):
     cx1 = int(math.floor(xmax / size))
     cy0 = int(math.floor(ymin / size))
     cy1 = int(math.floor(ymax / size))
+    nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+    corner_x = (cx0 + np.arange(nx + 1, dtype=np.float64)) * size
+    corner_y = (cy0 + np.arange(ny + 1, dtype=np.float64)) * size
+
+    def to_frac(x, y):
+        return (np.asarray(x, dtype=np.float64) / size - cx0,
+                np.asarray(y, dtype=np.float64) / size - cy0)
+
+    full = _classify_cover(poly, nx, ny, corner_x, corner_y, to_frac)
     out = []
-    for cx in range(cx0, cx1 + 1):
-        for cy in range(cy0, cy1 + 1):
-            w, s = cx * size, cy * size
-            e, n = w + size, s + size
+    for c in range(nx):
+        for r in range(ny):
+            w = (cx0 + c) * size
+            s = (cy0 + r) * size
             cid = cells.planar_cell_py(w + size / 2, s + size / 2, size)
-            out.append((cid, _classify_cell(poly, w, s, e, n)))
+            out.append((cid, bool(full[r, c])))
     return out
 
 
@@ -273,12 +340,19 @@ def point_in_polygon_join(
 
         @F.pandas_udf(BooleanType())
         def refine(poly_id: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+            # one argsort + contiguous slices per distinct polygon: O(n log n)
+            # per batch instead of one full-batch mask scan per polygon
             out = np.zeros(len(px), dtype=bool)
             pxv = px.to_numpy(dtype=np.float64)
             pyv = py.to_numpy(dtype=np.float64)
-            for pid in poly_id.unique():
-                mask = (poly_id == pid).to_numpy()
-                out[mask] = poly_map[pid].contains(pxv[mask], pyv[mask])
+            pids = poly_id.to_numpy()
+            order = np.argsort(pids, kind="stable")
+            sorted_pids = pids[order]
+            bounds = np.flatnonzero(
+                np.r_[True, sorted_pids[1:] != sorted_pids[:-1], True])
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                idx = order[b0:b1]
+                out[idx] = poly_map[sorted_pids[b0]].contains(pxv[idx], pyv[idx])
             return pd.Series(out)
 
         boundary_hits = (

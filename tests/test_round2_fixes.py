@@ -254,3 +254,70 @@ class TestClusterSafeLineage:
         assert sum(r["row_count"] for r in lt) == 1000
         assert len({r["part_id"] for r in lt}) == len(lt)  # deduped
         assert all(r["wall_ms"] >= 0 for r in lt)
+
+
+class TestBatchedCover:
+    """VERDICT item 10: cover building must not stall the driver at 10k
+    polygons, and the conservative full/boundary split must stay sound."""
+
+    def _star(self, cx, cy, r, k=9):
+        ang = np.linspace(0, 2 * np.pi, 2 * k, endpoint=False)
+        rad = np.where(np.arange(2 * k) % 2 == 0, r, r * 0.45)
+        return np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+
+    def test_full_cells_are_truly_full(self, spark):
+        from karta_spark.fixtures import flagship_polys
+        from karta_spark.functions import cells as kcells
+        from karta_spark.operators.pip_join import PolygonSpec, cover_cells
+        rng = np.random.default_rng(8)
+        polys = list(flagship_polys()) + [
+            PolygonSpec("star", self._star(20.0, 30.0, 14.0), crs="lonlat")]
+        for p in polys:
+            cover = cover_cells(p, 6)
+            n_full = 0
+            for cid, full in cover:
+                if not full:
+                    continue
+                n_full += 1
+                z, x, y = cid >> 58, (cid >> 29) & ((1 << 29) - 1), cid & ((1 << 29) - 1)
+                w, s, e, n = kcells.tile_bbox_py(z, x, y)
+                sx = rng.uniform(w, e, 50)
+                sy = rng.uniform(s, n, 50)
+                assert p.contains(sx, sy).all(), (p.poly_id, cid)
+            assert n_full > 0, f"{p.poly_id}: cover produced no full cells"
+
+    def test_join_matches_bruteforce_many_polys(self, spark):
+        from karta_spark.operators.pip_join import PolygonSpec, point_in_polygon_join
+        rng = np.random.default_rng(12)
+        polys = []
+        for i in range(120):
+            cx, cy = rng.uniform(-150, 150), rng.uniform(-60, 60)
+            polys.append(PolygonSpec(f"p{i:03d}", self._star(cx, cy, rng.uniform(2, 8)),
+                                     crs="lonlat"))
+        pts = [(j, float(x), float(y)) for j, (x, y) in enumerate(
+            zip(rng.uniform(-170, 170, 3000), rng.uniform(-70, 70, 3000)))]
+        df = spark.createDataFrame(pts, "pid long, x double, y double")
+        got = {(r["pid"], r["poly_id"]) for r in
+               point_in_polygon_join(df, polys, zoom=6).collect()}
+        want = set()
+        xs = np.array([p[1] for p in pts])
+        ys = np.array([p[2] for p in pts])
+        for p in polys:
+            inside = p.contains(xs, ys)
+            for j in np.flatnonzero(inside):
+                want.add((j, p.poly_id))
+        assert got == want
+
+    def test_1k_polygon_cover_wall_time(self):
+        import time
+        from karta_spark.operators.pip_join import PolygonSpec, cover_cells
+        rng = np.random.default_rng(3)
+        t0 = time.monotonic()
+        total = 0
+        for i in range(1000):
+            cx, cy = rng.uniform(-150, 150), rng.uniform(-55, 55)
+            p = PolygonSpec(f"w{i}", self._star(cx, cy, 6.0, k=24), crs="lonlat")
+            total += len(cover_cells(p, 7))
+        dt = time.monotonic() - t0
+        assert total > 10_000  # real covers, not trivial ones
+        assert dt < 20.0, f"1k-polygon cover took {dt:.1f}s"
