@@ -1032,6 +1032,42 @@ FROM proj
 """
 
 
+def q39_affine_fit(spark, sf_dir):
+    """Least-squares affine_matrix (reference geometry.py:1833-1852) as one
+    distributed aggregation + Cramer solve. Control points: customer coords
+    -> a fixed affine image plus a deterministic sin/cos perturbation."""
+    from karta_spark.functions.geodesy import affine_matrix_agg
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    pts = c.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        (0.5 * F.col("x") - 1.25 * F.col("y") + 7.0
+         + 0.01 * F.sin(F.col("c_custkey").cast("double"))).alias("bx"),
+        (0.75 * F.col("x") + 0.25 * F.col("y") - 3.0
+         + 0.01 * F.cos(F.col("c_custkey").cast("double"))).alias("by"),
+    )
+    out = affine_matrix_agg(pts, exact_sums=True)
+    return out.select(*[F.round(m, 7).alias(m)
+                        for m in ("m00", "m01", "m02", "m10", "m11", "m12")])
+
+
+def _q39_sql():
+    from karta_spark.functions.geodesy import affine_matrix_sql
+    inner = affine_matrix_sql("pts", exact_sums=True)
+    return f"""
+WITH pts AS (
+  SELECT {_LON('c_custkey')} AS ax, {_LAT('c_custkey')} AS ay,
+         0.5 * {_LON('c_custkey')} - 1.25 * {_LAT('c_custkey')} + 7.0
+           + 0.01 * sin(CAST(c_custkey AS DOUBLE)) AS bx,
+         0.75 * {_LON('c_custkey')} + 0.25 * {_LAT('c_custkey')} - 3.0
+           + 0.01 * cos(CAST(c_custkey AS DOUBLE)) AS by
+  FROM customer
+), fit AS ({inner})
+SELECT round(m00, 7) AS m00, round(m01, 7) AS m01, round(m02, 7) AS m02,
+       round(m10, 7) AS m10, round(m11, 7) AS m11, round(m12, 7) AS m12
+FROM fit
+"""
+
+
 # -- (kept) non-SQL-expressible ops -------
 
 def q21_minhash_pairs(spark, sf_dir):
@@ -1141,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_image_feature_buckets": q36_image_feature_buckets,
         "q37_webmercator": q37_webmercator,
         "q38_utm_reproject": q38_utm_reproject,
+        "q39_affine_fit": q39_affine_fit,
     }
 
 
@@ -1179,4 +1216,5 @@ def oracle_sql() -> dict[str, str]:
         "q34_geographic_bbox": Q34_SQL,
         "q37_webmercator": _q37_sql(),
         "q38_utm_reproject": _q38_sql(),
+        "q39_affine_fit": _q39_sql(),
     }

@@ -112,3 +112,100 @@ def rotation_matrix(theta_deg: float, x0: float = 0.0, y0: float = 0.0) -> list[
     t = math.radians(theta_deg)
     c, s = math.cos(t), math.sin(t)
     return [c, -s, x0 - c * x0 + s * y0, s, c, y0 - s * x0 - c * y0]
+
+
+def affine_matrix_agg(df, ax: str = "ax", ay: str = "ay",
+                      bx: str = "bx", by: str = "by",
+                      exact_sums: bool = False):
+    """Least-squares 2x3 affine fit mapping (ax, ay) -> (bx, by) — the
+    distributed twin of the reference's ``affine_matrix`` (geometry.py:
+    1833-1852, np.linalg.lstsq over the kron-structured design matrix).
+
+    The design matrix decomposes into two independent 3-parameter
+    regressions sharing the Gram matrix G = sum [x y 1][x y 1]^T, so the
+    whole fit is ONE map-side-combinable aggregation of 12 sums plus a
+    closed-form 3x3 Cramer solve — expressible as column math (and as the
+    DuckDB oracle twin), no collect of the points.
+
+    Returns a 1-row DataFrame (m00, m01, m02, m10, m11, m12, det).
+    Requires non-degenerate control points (det != 0); the reference's
+    lstsq min-norm behavior on degenerate input is not replicated."""
+    x, y = F.col(ax), F.col(ay)
+    u, v = F.col(bx), F.col(by)
+    if exact_sums:
+        # shuffle-order-independent sums for oracle parity: round each
+        # product to a fixed scale and accumulate in DECIMAL (exact)
+        def S(e):
+            return F.sum(F.round(e, 9).cast("decimal(30,9)")).cast("double")
+    else:
+        def S(e):
+            return F.sum(e)
+    s = df.agg(
+        S(x * x).alias("sxx"), S(x * y).alias("sxy"),
+        S(y * y).alias("syy"), S(x).alias("sx"), S(y).alias("sy"),
+        F.count("*").cast("double").alias("n"),
+        S(x * u).alias("sxu"), S(y * u).alias("syu"), S(u).alias("su"),
+        S(x * v).alias("sxv"), S(y * v).alias("syv"), S(v).alias("sv"),
+    )
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    sx, sy, n = F.col("sx"), F.col("sy"), F.col("n")
+    det = (sxx * (syy * n - sy * sy) - sxy * (sxy * n - sy * sx)
+           + sx * (sxy * sy - syy * sx))
+
+    def cramer(v1, v2, v3):
+        d0 = (v1 * (syy * n - sy * sy) - sxy * (v2 * n - sy * v3)
+              + sx * (v2 * sy - syy * v3))
+        d1 = (sxx * (v2 * n - sy * v3) - v1 * (sxy * n - sy * sx)
+              + sx * (sxy * v3 - v2 * sx))
+        d2 = (sxx * (syy * v3 - v2 * sy) - sxy * (sxy * v3 - v2 * sx)
+              + v1 * (sxy * sy - syy * sx))
+        return d0 / det, d1 / det, d2 / det
+
+    m00, m01, m02 = cramer(F.col("sxu"), F.col("syu"), F.col("su"))
+    m10, m11, m12 = cramer(F.col("sxv"), F.col("syv"), F.col("sv"))
+    return s.select(m00.alias("m00"), m01.alias("m01"), m02.alias("m02"),
+                    m10.alias("m10"), m11.alias("m11"), m12.alias("m12"),
+                    det.alias("det"))
+
+
+def affine_matrix(df, ax: str = "ax", ay: str = "ay",
+                  bx: str = "bx", by: str = "by"):
+    """Collect affine_matrix_agg into the reference's (2, 3) ndarray."""
+    import numpy as _np
+    r = affine_matrix_agg(df, ax, ay, bx, by).first()
+    return _np.array([[r["m00"], r["m01"], r["m02"]],
+                      [r["m10"], r["m11"], r["m12"]]])
+
+
+def affine_matrix_sql(table: str, ax: str = "ax", ay: str = "ay",
+                      bx: str = "bx", by: str = "by",
+                      exact_sums: bool = False) -> str:
+    """DuckDB twin of affine_matrix_agg (same sums, same Cramer algebra)."""
+    if exact_sums:
+        def S(e):
+            return f"CAST(sum(CAST(round({e}, 9) AS DECIMAL(30,9))) AS DOUBLE)"
+    else:
+        def S(e):
+            return f"sum({e})"
+    return f"""
+WITH s AS (
+  SELECT {S(f'{ax}*{ax}')} AS sxx, {S(f'{ax}*{ay}')} AS sxy, {S(f'{ay}*{ay}')} AS syy,
+         {S(ax)} AS sx, {S(ay)} AS sy, CAST(count(*) AS DOUBLE) AS n,
+         {S(f'{ax}*{bx}')} AS sxu, {S(f'{ay}*{bx}')} AS syu, {S(bx)} AS su,
+         {S(f'{ax}*{by}')} AS sxv, {S(f'{ay}*{by}')} AS syv, {S(by)} AS sv
+  FROM {table}
+), d AS (
+  SELECT *,
+    (sxx*(syy*n - sy*sy) - sxy*(sxy*n - sy*sx) + sx*(sxy*sy - syy*sx)) AS det
+  FROM s
+)
+SELECT
+  (sxu*(syy*n - sy*sy) - sxy*(syu*n - sy*su) + sx*(syu*sy - syy*su)) / det AS m00,
+  (sxx*(syu*n - sy*su) - sxu*(sxy*n - sy*sx) + sx*(sxy*su - syu*sx)) / det AS m01,
+  (sxx*(syy*su - syu*sy) - sxy*(sxy*su - syu*sx) + sxu*(sxy*sy - syy*sx)) / det AS m02,
+  (sxv*(syy*n - sy*sy) - sxy*(syv*n - sy*sv) + sx*(syv*sy - syy*sv)) / det AS m10,
+  (sxx*(syv*n - sy*sv) - sxv*(sxy*n - sy*sx) + sx*(sxy*sv - syv*sx)) / det AS m11,
+  (sxx*(syy*sv - syv*sy) - sxy*(sxy*sv - syv*sx) + sxv*(sxy*sy - syy*sx)) / det AS m12,
+  det
+FROM d
+"""

@@ -321,3 +321,37 @@ class TestBatchedCover:
         dt = time.monotonic() - t0
         assert total > 10_000  # real covers, not trivial ones
         assert dt < 20.0, f"1k-polygon cover took {dt:.1f}s"
+
+
+class TestAffineMatrixFit:
+    """Least-squares affine_matrix (reference geometry.py:1833-1852) as a
+    single distributed aggregation + Cramer solve."""
+
+    def test_exact_recovery(self, spark):
+        from karta_spark.functions.geodesy import affine_matrix
+        rng = np.random.default_rng(6)
+        M = np.array([[1.25, -0.4, 3.0], [0.7, 0.9, -12.5]])
+        a = rng.uniform(-100, 100, (400, 2))
+        b = a @ M[:, :2].T + M[:, 2]
+        df = spark.createDataFrame(
+            [(float(a[i, 0]), float(a[i, 1]), float(b[i, 0]), float(b[i, 1]))
+             for i in range(len(a))], "ax double, ay double, bx double, by double")
+        got = affine_matrix(df)
+        assert np.abs(got - M).max() < 1e-9
+
+    def test_noisy_matches_reference_lstsq(self, spark):
+        from karta_spark.functions.geodesy import affine_matrix
+        rng = np.random.default_rng(7)
+        M = np.array([[0.3, 1.8, -5.0], [-1.1, 0.2, 40.0]])
+        a = rng.uniform(-10, 10, (300, 2))
+        b = a @ M[:, :2].T + M[:, 2] + rng.normal(0, 0.05, (300, 2))
+        # the reference's exact formulation: kron design + lstsq
+        A = np.zeros((2 * len(a), 6))
+        for i, (x, y) in enumerate(a):
+            A[2 * i:2 * i + 2, :] = np.kron(np.eye(2), [x, y, 1])
+        want = np.linalg.lstsq(A, b.ravel(), rcond=None)[0].reshape(2, 3)
+        df = spark.createDataFrame(
+            [(float(a[i, 0]), float(a[i, 1]), float(b[i, 0]), float(b[i, 1]))
+             for i in range(len(a))], "ax double, ay double, bx double, by double")
+        got = affine_matrix(df)
+        assert np.abs(got - want).max() < 1e-8
