@@ -1068,6 +1068,105 @@ FROM fit
 """
 
 
+def _seed42_points():
+    """The reference's seeded within_polygon point set
+    (vector_predicate_tests.py:208-221): np.random.seed(42), 100 points in
+    [-90,90]x[-15,15].  Legacy MT19937 is deterministic, so both the Spark
+    side and the SQL VALUES literal derive from the same arrays."""
+    np.random.seed(42)
+    x = (np.random.random(100) - 0.5) * 180.0
+    y = (np.random.random(100) - 0.5) * 30.0
+    return x, y
+
+
+def q40_seeded_within_polygon(spark, sf_dir):
+    """The reference's flagship seeded within_polygon case, moved under the
+    oracle: seed-42 points joined against the heptagon through the FULL
+    cover/classify/refine machinery; oracle recomputes membership with the
+    pure-SQL winding twin over the same literal points."""
+    x, y = _seed42_points()
+    pts = spark.createDataFrame(
+        [(i, float(x[i]), float(y[i])) for i in range(len(x))],
+        "idx long, x double, y double")
+    joined = pip_join.point_in_polygon_join(
+        pts, [PolygonSpec("heptagon", HEPTAGON, crs="lonlat")], zoom=5)
+    return joined.select("idx", F.round("x", 9).alias("x"),
+                         F.round("y", 9).alias("y"))
+
+
+def _q40_sql():
+    x, y = _seed42_points()
+    values = ",".join(f"({i}, {x[i]!r}, {y[i]!r})" for i in range(len(x)))
+    return f"""
+WITH pts AS (
+  SELECT idx, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+  FROM (VALUES {values}) t(idx, x, y)
+)
+SELECT CAST(idx AS BIGINT) AS idx, round(x, 9) AS x, round(y, 9) AS y
+FROM pts WHERE {winding_sql(HEPTAGON, 'x', 'y')}
+"""
+
+
+def _seed49_multiline():
+    """Seed-49 multiline members (vector_predicate_tests.py:223-229)."""
+    np.random.seed(49)
+    return [10 * np.random.rand(10, 2) + np.random.randint(-50, 50, (1, 2))
+            for _ in range(50)]
+
+
+_Q41_LINE = [(-30.0, -40.0), (11.0, -30.0), (10.0, 22.0), (-10.0, 50.0)]
+
+
+def q41_seeded_touching(spark, sf_dir):
+    """Seed-49 multiline touching a query line (reference count golden = 4,
+    vector_predicate_tests.py:223-230) via the distributed bbox-gate +
+    segment-intersection join; the oracle recomputes with a SQL
+    segment-crossing EXISTS over the same literal segments."""
+    from karta_spark.operators import intersect_join
+    members = _seed49_multiline()
+    rows = [(i, [{"x": float(px), "y": float(py)} for px, py in m])
+            for i, m in enumerate(members)]
+    df = spark.createDataFrame(
+        rows, "geom_id long, vertices array<struct<x:double,y:double>>")
+    out = intersect_join.touching(df, np.array(_Q41_LINE), False)
+    return out.select("geom_id").orderBy("geom_id")
+
+
+def _q41_sql():
+    members = _seed49_multiline()
+    seg_rows = []
+    for gid, m in enumerate(members):
+        for k in range(len(m) - 1):
+            seg_rows.append(f"({gid}, {m[k][0]!r}, {m[k][1]!r}, "
+                            f"{m[k + 1][0]!r}, {m[k + 1][1]!r})")
+    qseg_rows = [f"({_Q41_LINE[k][0]!r}, {_Q41_LINE[k][1]!r}, "
+                 f"{_Q41_LINE[k + 1][0]!r}, {_Q41_LINE[k + 1][1]!r})"
+                 for k in range(len(_Q41_LINE) - 1)]
+    # proper segment crossing via orientation signs (no degenerate cases in
+    # the seeded data, pinned by the pytest golden count = 4)
+    cross = ("((qx2-qx1)*({py}-qy1) - ({px}-qx1)*(qy2-qy1))")
+    d1 = cross.format(px="ax", py="ay")
+    d2 = cross.format(px="bx", py="by")
+    cross2 = ("((bx-ax)*({py}-ay) - ({px}-ax)*(by-ay))")
+    d3 = cross2.format(px="qx1", py="qy1")
+    d4 = cross2.format(px="qx2", py="qy2")
+    return f"""
+WITH segs AS (
+  SELECT geom_id, CAST(ax AS DOUBLE) AS ax, CAST(ay AS DOUBLE) AS ay,
+         CAST(bx AS DOUBLE) AS bx, CAST(by AS DOUBLE) AS by
+  FROM (VALUES {','.join(seg_rows)}) t(geom_id, ax, ay, bx, by)
+), qsegs AS (
+  SELECT CAST(qx1 AS DOUBLE) AS qx1, CAST(qy1 AS DOUBLE) AS qy1,
+         CAST(qx2 AS DOUBLE) AS qx2, CAST(qy2 AS DOUBLE) AS qy2
+  FROM (VALUES {','.join(qseg_rows)}) q(qx1, qy1, qx2, qy2)
+)
+SELECT DISTINCT CAST(geom_id AS BIGINT) AS geom_id
+FROM segs, qsegs
+WHERE (({d1}) * ({d2}) < 0) AND (({d3}) * ({d4}) < 0)
+ORDER BY geom_id
+"""
+
+
 # -- (kept) non-SQL-expressible ops -------
 
 def q21_minhash_pairs(spark, sf_dir):
@@ -1178,6 +1277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_webmercator": q37_webmercator,
         "q38_utm_reproject": q38_utm_reproject,
         "q39_affine_fit": q39_affine_fit,
+        "q40_seeded_within_polygon": q40_seeded_within_polygon,
+        "q41_seeded_touching": q41_seeded_touching,
     }
 
 
@@ -1217,4 +1318,6 @@ def oracle_sql() -> dict[str, str]:
         "q37_webmercator": _q37_sql(),
         "q38_utm_reproject": _q38_sql(),
         "q39_affine_fit": _q39_sql(),
+        "q40_seeded_within_polygon": _q40_sql(),
+        "q41_seeded_touching": _q41_sql(),
     }
