@@ -119,3 +119,37 @@ def to_geojson(points: DataFrame | None = None, lines: DataFrame | None = None,
                           "geometry": {"type": "Polygon", "coordinates": rings},
                           "properties": dict(r["properties"] or {})})
     return json.dumps({"type": "FeatureCollection", "features": feats})
+
+
+def from_shapes(spark: SparkSession, objs, properties: list[dict] | None = None):
+    """Ingest objects exposing the python ``__geo_interface__`` protocol
+    (reference ``from_shape``, read.py:18-48) — shapely geometries, other
+    karta objects, or plain geo-interface dicts.  Returns the same
+    points/lines/polygons DataFrame dict as read_geojson."""
+    feats = []
+    for k, o in enumerate(objs):
+        gi = getattr(o, "__geo_interface__", o)
+        if not isinstance(gi, dict) or "type" not in gi:
+            raise TypeError(f"object {k} does not expose __geo_interface__")
+        if gi.get("type") == "Feature":
+            feats.append(gi)
+        else:
+            props = (properties[k] if properties else {}) or {}
+            feats.append({"type": "Feature", "geometry": gi, "properties": props})
+    return read_geojson(spark, json.dumps(
+        {"type": "FeatureCollection", "features": feats}))
+
+
+def polygon_specs(polygons: DataFrame, crs: str = "lonlat"):
+    """Collect a (broadcast-scale) polygons DataFrame into PolygonSpec
+    objects for point_in_polygon_join — the bridge from ingested layers to
+    the broadcast join side."""
+    from karta_spark.operators.pip_join import PolygonSpec
+    import numpy as _np
+    out = []
+    for r in polygons.collect():
+        outer = _np.array([[v["x"], v["y"]] for v in r["outer"]])
+        holes = tuple(_np.array([[v["x"], v["y"]] for v in h])
+                      for h in (r["holes"] or []))
+        out.append(PolygonSpec(str(r["geom_id"]), outer, holes, crs=crs))
+    return out

@@ -355,3 +355,36 @@ class TestAffineMatrixFit:
              for i in range(len(a))], "ax double, ay double, bx double, by double")
         got = affine_matrix(df)
         assert np.abs(got - want).max() < 1e-8
+
+
+class TestGeoInterface:
+    def test_from_shapes_and_join(self, spark):
+        """reference read.py:18-48 from_shape: ingest geo-interface dicts
+        (incl. a Feature and a bare geometry), then drive the PIP join via
+        polygon_specs."""
+        from karta_spark.sources.geojson import from_shapes, polygon_specs
+
+        class FakeShapely:
+            __geo_interface__ = {
+                "type": "Polygon",
+                "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]]}
+
+        objs = [
+            FakeShapely(),
+            {"type": "Feature", "properties": {"name": "pt"},
+             "geometry": {"type": "Point", "coordinates": [3.0, 4.0]}},
+            {"type": "LineString", "coordinates": [[0, 0], [5, 5]]},
+        ]
+        layers = from_shapes(spark, objs)
+        assert layers["points"].count() == 1
+        assert layers["lines"].count() == 1
+        poly_rows = layers["polygons"].collect()
+        assert len(poly_rows) == 1 and len(poly_rows[0]["outer"]) == 4  # unclosed
+
+        from karta_spark.operators.pip_join import point_in_polygon_join
+        specs = polygon_specs(layers["polygons"])
+        pts = spark.createDataFrame([(0, 3.0, 4.0), (1, 50.0, 50.0)],
+                                    "pid long, x double, y double")
+        got = {(r["pid"], r["poly_id"])
+               for r in point_in_polygon_join(pts, specs, zoom=6).collect()}
+        assert got == {(0, "0")}
