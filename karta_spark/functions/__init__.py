@@ -1,1 +1,1 @@
-from karta_spark.functions import cells, geodesy, geometry, kernels  # noqa: F401
+from karta_spark.functions import cells, crs, geodesy, geometry, kernels  # noqa: F401

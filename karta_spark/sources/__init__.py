@@ -4,6 +4,7 @@ from karta_spark.sources import (  # noqa: F401
     geotiff,
     gpx,
     images,
+    jpeg,
     multimodal,
     shapefile,
     tables,
