@@ -1167,6 +1167,38 @@ ORDER BY geom_id
 """
 
 
+def q42_duplicate_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS (not just pairs): connected components over the
+    q17 word-trigram Jaccard pair graph, min-id canonical labels, every
+    document mapped (singletons to themselves).  The Spark side is the
+    iterative min-label propagation in dedup.connected_components; the
+    oracle recomputes components with a recursive reachability CTE."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = q17_ngram_jaccard(spark, sf_dir)
+    out = dedup.duplicate_clusters(d, pairs, "doc_id")
+    return out.select(F.col("id").alias("doc_id"), "canonical_id")
+
+
+_Q42_SQL = f"""
+WITH RECURSIVE jpairs AS (
+  SELECT id_a, id_b FROM ({{q17}}) p
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM jpairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
+"""
+
+
+def _q42_sql():
+    return _Q42_SQL.format(q17=Q17_SQL)
+
+
 # -- (kept) non-SQL-expressible ops -------
 
 def q21_minhash_pairs(spark, sf_dir):
@@ -1279,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_affine_fit": q39_affine_fit,
         "q40_seeded_within_polygon": q40_seeded_within_polygon,
         "q41_seeded_touching": q41_seeded_touching,
+        "q42_duplicate_clusters": q42_duplicate_clusters,
     }
 
 
@@ -1320,4 +1353,5 @@ def oracle_sql() -> dict[str, str]:
         "q39_affine_fit": _q39_sql(),
         "q40_seeded_within_polygon": _q40_sql(),
         "q41_seeded_touching": _q41_sql(),
+        "q42_duplicate_clusters": _q42_sql(),
     }

@@ -364,3 +364,63 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """(id, component) — connected components of the near-dup pair graph,
+    component labeled by its minimum member id.
+
+    The step every dedup pipeline needs after pair generation: near-dup
+    PAIRS (a~b, b~c) must collapse to CLUSTERS {a,b,c} before choosing
+    canonical documents, or transitive duplicates survive.
+
+    Algorithm: min-label propagation with pointer jumping — each round
+    every node adopts the minimum label in its neighborhood, then labels
+    are path-compressed by one extra join (comp := comp's comp), giving
+    O(log diameter) rounds even on path graphs.  Rounds are pure
+    groupBy/join (shuffle on node id, map-side combinable min agg).  Each
+    round is localCheckpoint-ed: iterative plans MUST truncate lineage or
+    the logical tree grows geometrically and the driver OOMs planning
+    round ~30 (persist alone does not cut the plan)."""
+    edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+             .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+             .distinct().localCheckpoint(eager=True))
+    labels = (edges.select(F.col("a").alias("id"))
+              .distinct().withColumn("comp", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        # neighborhood min: for each node, min(own, neighbors' labels)
+        nbr = (edges.join(labels.withColumnRenamed("id", "b"), "b")
+               .groupBy("a").agg(F.min("comp").alias("nbr_comp"))
+               .withColumnRenamed("a", "id"))
+        stepped = (labels.join(nbr, "id", "left")
+                   .select("id", F.least("comp", F.coalesce("nbr_comp", "comp"))
+                           .alias("comp")))
+        # pointer jump: comp := label(comp) — halves remaining path length
+        lookup = stepped.select(F.col("id").alias("comp"),
+                                F.col("comp").alias("comp2"))
+        new_labels = (stepped.join(lookup, "comp", "left")
+                      .select("id", F.coalesce("comp2", "comp").alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
+                       id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """(id, canonical_id) for EVERY row of df: members of a near-dup
+    component map to its min id; singletons map to themselves."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (df.select(F.col(id_col).alias("id"))
+            .join(comp, "id", "left")
+            .select("id", F.coalesce("comp", "id").alias("canonical_id")))

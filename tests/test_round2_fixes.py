@@ -388,3 +388,30 @@ class TestGeoInterface:
         got = {(r["pid"], r["poly_id"])
                for r in point_in_polygon_join(pts, specs, zoom=6).collect()}
         assert got == {(0, "0")}
+
+
+class TestConnectedComponents:
+    def test_chain_and_clique_and_singletons(self, spark):
+        from karta_spark.operators.dedup import connected_components, duplicate_clusters
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4),      # chain -> comp 1
+             (10, 11), (11, 10),          # dup edge
+             (20, 21), (20, 22), (21, 22)],  # clique -> comp 20
+            "id_a long, id_b long")
+        comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                        20: 20, 21: 20, 22: 20}
+        df = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+                                   "doc_id long")
+        lab = {r["id"]: r["canonical_id"]
+               for r in duplicate_clusters(df, pairs, "doc_id").collect()}
+        assert lab[99] == 99  # singleton maps to itself
+        assert lab[4] == 1 and lab[22] == 20
+
+    def test_long_path_converges(self, spark):
+        from karta_spark.operators.dedup import connected_components
+        n = 40  # worst case for min-label: a long path
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                      "id_a long, id_b long")
+        comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+        assert set(comp.values()) == {0} and len(comp) == n + 1
