@@ -3,12 +3,14 @@ absent here; this covers baseline little-endian TIFF with the GeoTIFF
 georeferencing tags, enough for raster interchange).
 
 Supported:
-- read: uncompressed, Deflate/zlib (codes 8 and 32946) and PackBits (32773)
-  strips; horizontal-differencing predictor (tag 317 = 2) for integer data;
+- read: uncompressed, Deflate/zlib (codes 8 and 32946), LZW (5, TIFF
+  early-change variant) and PackBits (32773) strips; horizontal-
+  differencing predictor (tag 317 = 2) for integer data;
   single- or multi-band chunky interleave (SamplesPerPixel tag 277,
   PlanarConfiguration 284 = 1); uint8/16/32, int16/32, float32/64.
-- write: single-band, optional compress="deflate" | "packbits" (the analog
-  of the reference's PACKBITS write option, grid.py:1066-1076).
+- write: single-band, optional compress="deflate" | "packbits" | "lzw"
+  (the analog of the reference's compression write option,
+  grid.py:1066-1076).
 
 Follows the reference's convention flip (raster/read.py:27-62, _gdal.py):
 TIFF stores rows top-down with an upper-left tiepoint; the tile table uses
@@ -33,9 +35,111 @@ _DTYPES = {
 }
 
 COMPRESSION_NONE = 1
+COMPRESSION_LZW = 5
 COMPRESSION_DEFLATE_ADOBE = 8
 COMPRESSION_PACKBITS = 32773
 COMPRESSION_DEFLATE_OLD = 32946
+
+
+def lzw_decode(data: bytes, expected: int | None = None) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first variable-width codes starting
+    at 9 bits, ClearCode=256, EOI=257, and the TIFF 'early change' — the
+    code width bumps one code EARLIER than in standard LZW."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.extend((b"", b""))  # clear + eoi placeholders
+
+    reset()
+    width = 9
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == EOI:
+                return bytes(out)
+            if code == CLEAR:
+                reset()
+                width = 9
+                prev = None
+                continue
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            prev = entry
+            # TIFF early change: the decoder widens ONE code earlier than
+            # plain LZW would require, matching the encoder's schedule
+            # (the famous off-by-one of spec §13 / libtiff)
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+            if expected is not None and len(out) >= expected:
+                return bytes(out)
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (early-change, MSB-first), for tests and
+    small writes."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w = w + c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        # early change: the DECODER widens when its table reaches
+        # (1<<width)-1, so the encoder must widen at the same point
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == (1 << 12) - 1:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 def packbits_encode(data: bytes) -> bytes:
@@ -93,7 +197,7 @@ def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64,
                   compress: str | None = None):
     """Write a (small) single-band tile table to a GeoTIFF.
 
-    compress: None | "deflate" | "packbits"."""
+    compress: None | "deflate" | "packbits" | "lzw"."""
     values, transform, nodata = df_to_grid(tiles)
     x0, y0, dx, dy, sx, sy = transform
     if sx != 0 or sy != 0:
@@ -107,6 +211,8 @@ def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64,
         comp_code, data = COMPRESSION_DEFLATE_ADOBE, zlib.compress(raw, 6)
     elif compress == "packbits":
         comp_code, data = COMPRESSION_PACKBITS, packbits_encode(raw)
+    elif compress == "lzw":
+        comp_code, data = COMPRESSION_LZW, lzw_encode(raw)
     else:
         raise ValueError(f"unknown compress option {compress!r}")
 
@@ -218,6 +324,8 @@ def _read_geotiff_arrays(path: str):
             data = zlib.decompress(raw)
         elif comp == COMPRESSION_PACKBITS:
             data = packbits_decode(raw, expected)
+        elif comp == COMPRESSION_LZW:
+            data = lzw_decode(raw, expected)
         else:
             raise NotImplementedError(f"TIFF compression {comp} not supported "
                                       "(none/deflate/packbits are)")

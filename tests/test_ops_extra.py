@@ -435,3 +435,27 @@ class TestGeoTiffCompressedMultiband:
             back, t, _ = df_to_grid(df, band=b)
             assert np.array_equal(back, A[::-1, :, b].astype(np.float64)), b
             assert t[:4] == (10.0, 20.0, 1.0, 1.0)
+
+
+class TestGeoTiffLzw:
+    def test_lzw_codec_adversarial(self):
+        import numpy as np
+        from karta_spark.sources.geotiff import lzw_decode, lzw_encode
+        rng = np.random.default_rng(2)
+        cases = [b"", b"a", b"ab" * 3000, b"\x00" * 50000,
+                 bytes(rng.integers(0, 256, 70000, dtype=np.uint8)),
+                 bytes(rng.integers(0, 16, 200000, dtype=np.uint8))]
+        for c in cases:
+            assert lzw_decode(lzw_encode(c), len(c)) == c
+
+    def test_lzw_geotiff_roundtrip(self, spark, tmp_path):
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid, grid_to_df
+        from karta_spark.sources import geotiff
+        rng = np.random.default_rng(5)
+        Z = rng.integers(0, 255, size=(20, 15)).astype(np.float64)
+        tiles = grid_to_df(spark, "g", Z, (0.0, 0.0, 1.0, 1.0, 0.0, 0.0), tile=8)
+        p = str(tmp_path / "l.tif")
+        geotiff.write_geotiff(p, tiles, compress="lzw", dtype=np.uint8)
+        back, t, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=8))
+        assert np.array_equal(back, Z)
