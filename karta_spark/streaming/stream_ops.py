@@ -81,3 +81,13 @@ def run_foreach_batch_checkpoint(query_df: DataFrame, root: str, stage: str,
         .foreachBatch(sink)
         .start()
     )
+
+
+def streaming_dedup(stream: DataFrame, keys: list[str], ts_col: str = "ts",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with a
+    watermark bounding the dedup state (keys older than the watermark are
+    evicted — the streaming twin of dedup.exact_dedup, and the shape every
+    continuous-ingest training pipeline needs in front of its sinks)."""
+    return stream.withWatermark(ts_col, watermark) \
+                 .dropDuplicatesWithinWatermark(keys)

@@ -111,3 +111,27 @@ class TestStreaming:
         for pid, n in got.items():
             assert n <= want[pid]
         assert sum(got.values()) > 0
+
+
+class TestStreamingDedup:
+    def test_first_arrival_kept_per_key(self, spark, tmp_path):
+        import os
+        from karta_spark.streaming.stream_ops import streaming_dedup
+        src = str(tmp_path / "in")
+        os.makedirs(src)
+        # micro-batch 1: dups within the batch
+        spark.createDataFrame(
+            [("k1", "a", "2024-01-01 00:00:00"),
+             ("k1", "b", "2024-01-01 00:00:01"),
+             ("k2", "c", "2024-01-01 00:00:02")],
+            "key string, payload string, ts_s string",
+        ).write.mode("overwrite").parquet(src + "/b1")
+        stream = (spark.readStream.schema("key string, payload string, ts_s string")
+                  .option("maxFilesPerTrigger", "1").parquet(src + "/b1")
+                  .withColumn("ts", F.col("ts_s").cast("timestamp")))
+        out = streaming_dedup(stream, ["key"])
+        q = (out.writeStream.format("memory").queryName("dedup_t")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        rows = spark.sql("SELECT key FROM dedup_t").collect()
+        assert sorted(r["key"] for r in rows) == ["k1", "k2"]
