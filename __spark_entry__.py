@@ -1199,6 +1199,55 @@ def _q42_sql():
     return _Q42_SQL.format(q17=Q17_SQL)
 
 
+def q43_zonal_stats(spark, sf_dir):
+    """Zonal statistics (the reference's mask_by_poly + grid reduce, fused):
+    lineitem gridpoints raster -> dense tile table -> per-flagship-polygon
+    cell-center stats in one tile pass.  Oracle recomputes membership with
+    the winding SQL twin over the same cell centers."""
+    from karta_spark.raster import tiles as rt
+    from karta_spark.raster.zonal import zonal_stats
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "key", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    li = with_coords(li, "key")
+    cells_df = gridpoints(li, GRID_T, pz="l_quantity").withColumn(
+        "value", F.round("value", 6))
+    g = rt.tiles_from_cells(cells_df, GRID_T, (17, 36), tile=16)
+    out = zonal_stats(g, FLAGSHIP_POLYS, round_values=6)
+    return out.select(
+        "poly_id", "n_cells", F.round("mean", 6).alias("mean"),
+        F.round("min", 6).alias("min"), F.round("max", 6).alias("max"))
+
+
+def _q43_sql():
+    x0, y0, dx, dy = GRID_T[0], GRID_T[1], GRID_T[2], GRID_T[3]
+    branches = []
+    for p in FLAGSHIP_POLYS:
+        branches.append(
+            f"SELECT '{p.poly_id}' AS poly_id, value FROM centers "
+            f"WHERE {winding_sql(p.outer, 'cx', 'cy')}")
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH pts AS (
+  SELECT {_LON('(l_orderkey * 10 + l_linenumber)')} AS x,
+         {_LAT('(l_orderkey * 10 + l_linenumber)')} AS y,
+         l_quantity
+  FROM lineitem
+), cells AS (
+  SELECT {_GP['cell_i']} AS cell_i, {_GP['cell_j']} AS cell_j,
+         round(avg(l_quantity), 6) AS value
+  FROM pts GROUP BY 1, 2
+), centers AS (
+  SELECT ({x0!r} + (cell_j + 0.5) * {dx!r}) AS cx,
+         ({y0!r} + (cell_i + 0.5) * {dy!r}) AS cy, value
+  FROM cells
+), zoned AS ({union})
+SELECT poly_id, CAST(count(*) AS BIGINT) AS n_cells,
+       round(avg(value), 6) AS mean,
+       round(min(value), 6) AS min, round(max(value), 6) AS max
+FROM zoned GROUP BY poly_id
+"""
+
+
 # -- (kept) non-SQL-expressible ops -------
 
 def q21_minhash_pairs(spark, sf_dir):
@@ -1312,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_seeded_within_polygon": q40_seeded_within_polygon,
         "q41_seeded_touching": q41_seeded_touching,
         "q42_duplicate_clusters": q42_duplicate_clusters,
+        "q43_zonal_stats": q43_zonal_stats,
     }
 
 
@@ -1354,4 +1404,5 @@ def oracle_sql() -> dict[str, str]:
         "q40_seeded_within_polygon": _q40_sql(),
         "q41_seeded_touching": _q41_sql(),
         "q42_duplicate_clusters": _q42_sql(),
+        "q43_zonal_stats": _q43_sql(),
     }

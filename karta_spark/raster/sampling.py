@@ -35,12 +35,30 @@ def sample_join(
     points: DataFrame, tiles: DataFrame, transform,
     method: str = "bilinear", px: str = "x", py: str = "y",
     tile: int | None = None, value_col: str = "value",
+    point_crs=None, grid_crs=None,
 ) -> DataFrame:
     """Sample a (single-grid, single-band) tile table at point locations.
 
     Returns *points* plus ``value_col`` (nodata where outside the grid).
     The tile size is inferred from the table (max core extent) unless
-    overridden."""
+    overridden.
+
+    When *point_crs* differs from *grid_crs* the query coordinates are
+    reprojected into the grid's CRS first — pure column math via
+    functions.crs — mirroring the reference's ``sample`` CRS transform
+    (grid.py:1018-1021: points are converted to the grid CRS before the
+    inverse-affine positions lookup)."""
+    if point_crs is not None and grid_crs is not None:
+        from karta_spark.functions import crs as kcrs
+        src = kcrs.lookup(point_crs)
+        dst = kcrs.lookup(grid_crs)
+        if src.name != dst.name:
+            lon, lat = kcrs.inverse_exprs(src, F.col(px), F.col(py))
+            gx, gy = kcrs.forward_exprs(dst, lon, lat)
+            points = points.withColumns({"_gx": gx, "_gy": gy})
+            out = sample_join(points, tiles, transform, method=method,
+                              px="_gx", py="_gy", tile=tile, value_col=value_col)
+            return out.drop("_gx", "_gy")
     meta = tiles.agg(
         F.first("gny").alias("gny"), F.first("gnx").alias("gnx"),
         F.first("nodata").alias("nodata"),

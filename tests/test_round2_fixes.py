@@ -415,3 +415,56 @@ class TestConnectedComponents:
                                       "id_a long, id_b long")
         comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
         assert set(comp.values()) == {0} and len(comp) == n + 1
+
+
+class TestSampleCrsTransform:
+    def test_points_reprojected_to_grid_crs(self, spark):
+        """reference grid.py:1018-1021: sample() converts query points to
+        the grid CRS before the inverse-affine lookup."""
+        from karta_spark.functions import crs as kcrs
+        from karta_spark.raster.tiles import grid_to_df
+        from karta_spark.raster.sampling import sample_join
+        rng = np.random.default_rng(3)
+        Z = rng.uniform(0, 10, (8, 8)).round(3)
+        # grid lives in web-mercator meters around (0,0)
+        t = (-40000.0, -40000.0, 10000.0, 10000.0, 0.0, 0.0)
+        tiles = grid_to_df(spark, "g", Z, t, tile=8)
+        lons = rng.uniform(-0.3, 0.3, 40)
+        lats = rng.uniform(-0.3, 0.3, 40)
+        pts = spark.createDataFrame(
+            [(i, float(lons[i]), float(lats[i])) for i in range(40)],
+            "pid long, x double, y double")
+        got = {r["pid"]: r["value"] for r in sample_join(
+            pts, tiles, t, method="nearest",
+            point_crs="lonlat", grid_crs="webmercator").collect()}
+        # twin: project manually, sample in grid coords
+        mx, my = kcrs.forward_np(kcrs.WEB_MERCATOR, lons, lats)
+        ptsm = spark.createDataFrame(
+            [(i, float(mx[i]), float(my[i])) for i in range(40)],
+            "pid long, x double, y double")
+        want = {r["pid"]: r["value"] for r in sample_join(
+            ptsm, tiles, t, method="nearest").collect()}
+        assert got == want and len(got) == 40
+
+
+class TestZonalStats:
+    def test_matches_driver_mask_reduce(self, spark):
+        """zonal_stats == the reference's two-step mask_by_poly + reduce
+        (kernels.mask_poly over cell centers), incl. nodata skips."""
+        from karta_spark.functions.kernels import mask_poly
+        from karta_spark.operators.pip_join import PolygonSpec
+        from karta_spark.raster.tiles import grid_to_df
+        from karta_spark.raster.zonal import zonal_stats
+        rng = np.random.default_rng(10)
+        Z = rng.uniform(0, 100, (12, 14))
+        Z[2:4, 3:6] = np.nan  # nodata holes
+        t = (0.0, 0.0, 1.0, 1.0, 0.0, 0.0)
+        tiles = grid_to_df(spark, "g", Z, t, tile=5)
+        ring = np.array([[1.2, 1.1], [12.5, 2.0], [10.0, 11.0], [2.0, 9.5]])
+        p = PolygonSpec("zone", ring)
+        got = zonal_stats(tiles, [p]).collect()[0]
+        mask = mask_poly(ring[:, 0], ring[:, 1], 14, 12, t) & ~np.isnan(Z)
+        vals = Z[mask]
+        assert got["n_cells"] == int(mask.sum())
+        assert abs(got["mean"] - vals.mean()) < 1e-9
+        assert got["min"] == vals.min() and got["max"] == vals.max()
