@@ -46,6 +46,22 @@ sections.append(("q11 gridpoints (partial+final hash aggregate, no UDF)", plan_o
 filtered = spark.read.parquet(f"{sf}/lineitem.parquet").where(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
 sections.append(("Parquet scan with predicate pushdown + column pruning", plan_of(filtered, 20)))
 
+# 6. q38 projected-CRS chain: Krueger series forward+inverse as one
+# codegen'd projection over the scan — zero Python, zero shuffle
+sections.append(("q38 UTM forward+inverse (projection math fully inside "
+                 "whole-stage codegen)", plan_of(m.q38_utm_reproject(spark, sf), 25)))
+
+# 7. nearest_vertex: distributed top-1 (TakeOrderedAndProject), the fix for
+# the round-1 single-task global window
+from karta_spark.operators import knn
+nv = knn.nearest_vertex(
+    spark.read.parquet(f"{sf}/customer.parquet")
+    .selectExpr("c_custkey AS point_id",
+                "CAST(c_custkey AS DOUBLE) AS x", "CAST(c_nationkey AS DOUBLE) AS y"),
+    10.0, 10.0)
+sections.append(("nearest_vertex (TakeOrderedAndProject — per-partition "
+                 "top-1 + driver merge, no global sort)", plan_of(nv, 15)))
+
 with open("/root/repo/PLANS.md", "w") as f:
     f.write("""# PLANS — physical plan review (.explain) of the headline operators
 
