@@ -1248,6 +1248,50 @@ FROM zoned GROUP BY poly_id
 """
 
 
+def q44_audio_stats(spark, sf_dir):
+    """Multimodal audio path (rows-only): synthesize deterministic WAV
+    clips (PCM 16/8-bit + float32 stereo), decode with the pure-python
+    RIFF/WAV codec, aggregate RMS stats per format."""
+    import numpy as np
+    from karta_spark.sources.av import encode_wav
+    from karta_spark.sources import multimodal
+    rows = []
+    for i in range(60):
+        t = np.linspace(0, 1, 4000, endpoint=False)
+        tone = (0.2 + 0.01 * (i % 7)) * np.sin(2 * np.pi * (220 + i) * t)
+        bits = [16, 8, "float32"][i % 3]
+        if bits == "float32":
+            tone = np.stack([tone, 0.5 * tone], axis=1)
+        rows.append((f"clip{i:03d}", ["pcm16", "pcm8", "f32st"][i % 3],
+                     bytearray(encode_wav(tone, 4000, bits))))
+    clips = spark.createDataFrame(rows, "clip_id string, kind string, bytes binary")
+    stats = multimodal.decode_audio(clips)
+    return (stats.join(clips.select("clip_id", "kind"), "clip_id")
+            .groupBy("kind").agg(
+                F.count("*").alias("n"),
+                F.round(F.avg("rms"), 4).alias("avg_rms"),
+                F.max("n_samples").alias("max_samples"))
+            .orderBy("kind"))
+
+
+def q45_video_frames(spark, sf_dir):
+    """Multimodal video path (rows-only): deterministic MJPEG-in-AVI clips
+    -> frame sampling through the baseline JPEG decoder -> per-video
+    sampled-frame counts."""
+    import numpy as np
+    from karta_spark.sources.av import encode_mjpeg_avi
+    from karta_spark.sources import multimodal
+    rows = []
+    for v in range(6):
+        frames = [np.full((16, 16, 3), (v * 20 + k * 7) % 256, dtype=np.uint8)
+                  for k in range(12 + v)]
+        rows.append((f"vid{v}", bytearray(encode_mjpeg_avi(frames, fps=5))))
+    vids = spark.createDataFrame(rows, "video_id string, bytes binary")
+    out = multimodal.sample_video_frames(vids, every_n=5)
+    return (out.groupBy("video_id").agg(F.count("*").alias("n_frames"))
+            .orderBy("video_id"))
+
+
 # -- (kept) non-SQL-expressible ops -------
 
 def q21_minhash_pairs(spark, sf_dir):
@@ -1362,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_seeded_touching": q41_seeded_touching,
         "q42_duplicate_clusters": q42_duplicate_clusters,
         "q43_zonal_stats": q43_zonal_stats,
+        "q44_audio_stats": q44_audio_stats,
+        "q45_video_frames": q45_video_frames,
     }
 
 

@@ -1,5 +1,6 @@
 from karta_spark.sources import (  # noqa: F401
     aai,
+    av,
     geojson,
     geotiff,
     gpx,
