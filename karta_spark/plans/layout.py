@@ -58,3 +58,20 @@ def bbox_scan(spark: SparkSession, path: str, bbox: tuple,
         (F.col(lon) >= xmin) & (F.col(lon) <= xmax)
         & (F.col(lat) >= ymin) & (F.col(lat) <= ymax)
     )
+
+
+def write_bucketed(points: DataFrame, table: str, n_buckets: int = 32,
+                   lon: str = "x", lat: str = "y", fine_zoom: int = 12,
+                   mode: str = "overwrite") -> None:
+    """Bucket + sort the point table by cell_id into a saved table.
+
+    Two tables bucketed the same way co-locate: a join on cell_id between
+    them needs NO exchange on either side (Catalyst sees the matching
+    hash-partitioning from the bucket spec) — the storage-level analogue of
+    karta holding both operand indexes in one process.  On Iceberg the same
+    contract is `bucket(n, cell_id)` partition transforms."""
+    (points
+     .withColumn("cell_id", cells.tile_id(F.col(lon), F.col(lat), fine_zoom))
+     .write.mode(mode)
+     .bucketBy(n_buckets, "cell_id").sortBy("cell_id")
+     .format("parquet").saveAsTable(table))

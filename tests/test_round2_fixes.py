@@ -468,3 +468,34 @@ class TestZonalStats:
         assert got["n_cells"] == int(mask.sum())
         assert abs(got["mean"] - vals.mean()) < 1e-9
         assert got["min"] == vals.min() and got["max"] == vals.max()
+
+
+class TestBucketedCoLocation:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Two tables bucketed on cell_id join with zero Exchange nodes —
+        the co-located-join layout the 100 TB path relies on."""
+        import numpy as np
+        from karta_spark.plans import layout
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        rng = np.random.default_rng(1)
+        mk = lambda n, tag: spark.createDataFrame(  # noqa: E731
+            [(f"{tag}{i}", float(x), float(y)) for i, (x, y) in enumerate(
+                zip(rng.uniform(-170, 170, n), rng.uniform(-80, 80, n)))],
+            f"{tag}_id string, x double, y double")
+        layout.write_bucketed(mk(500, "a"), "bk_a", n_buckets=8, fine_zoom=4)
+        layout.write_bucketed(mk(400, "b"), "bk_b", n_buckets=8, fine_zoom=4)
+        try:
+            a = spark.table("bk_a")
+            b = spark.table("bk_b")
+            j = a.join(b, "cell_id").groupBy("cell_id").count()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            # a shuffle join shape, with NO exchange anywhere above the
+            # scans: the bucket spec satisfies the join's distribution
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            assert "Exchange" not in plan
+            assert j.count() > 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bk_a")
+            spark.sql("DROP TABLE IF EXISTS bk_b")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
