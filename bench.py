@@ -96,6 +96,9 @@ def run_benchmark():
 
     # decode+verify throughput on the image payload axis (PSNR check incl.)
     from karta_spark.sources import images as _images
+    # warm the python-worker fork + import path (same policy as flagship:
+    # steady-state throughput, not interpreter cold start, is the metric)
+    _images.decode_stats(_images.synth_images(spark, 5_000, partitions=CPUS)).count()
     imgs = _images.synth_images(spark, 100_000, partitions=CPUS * 2)
     t0 = time.monotonic()
     n_ok = _images.decode_stats(imgs).where(F.col("psnr_vs_ref") >= 40.0).count()
