@@ -140,10 +140,13 @@ def q03_top_customers(spark, sf_dir):
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").alias("total_spend"),
              F.count("*").alias("n_orders"))
     )
+    # distributed top-10 (TakeOrderedAndProject), then rank the 10 survivors
+    # with a window — a global no-partition window over the full spend table
+    # would single-task-sort every customer at scale
+    top = spend.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc()).limit(10)
     w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
     return (
-        spend.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
         .select("rank", "c_name", "total_spend", "n_orders")
     )

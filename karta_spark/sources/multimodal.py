@@ -60,12 +60,13 @@ def resize_images(images: DataFrame, w: int, h: int, fmt: str = "png") -> DataFr
     def run(pdf_iter):
         for pdf in pdf_iter:
             rows = []
-            for _, r in pdf.iterrows():
-                pix = decode_image(bytes(r["bytes"]), r["fmt"])
+            for iid, raw, f0 in zip(pdf["image_id"].to_numpy(),
+                                    pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy()):
+                pix = decode_image(bytes(raw), f0)
                 if pix.ndim == 2:
                     pix = np.repeat(pix[:, :, None], 3, axis=2)
                 out = resize_nearest(pix, w, h)
-                rows.append((r["image_id"], bytearray(enc(out)), w, h, fmt))
+                rows.append((iid, bytearray(enc(out)), w, h, fmt))
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return images.mapInPandas(run, RESIZED_SCHEMA)
@@ -77,15 +78,16 @@ def image_features(images: DataFrame, pool: int = 4) -> DataFrame:
     def run(pdf_iter):
         for pdf in pdf_iter:
             rows = []
-            for _, r in pdf.iterrows():
-                pix = decode_image(bytes(r["bytes"]), r["fmt"]).astype(np.float64)
+            for iid, raw, f0 in zip(pdf["image_id"].to_numpy(),
+                                    pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy()):
+                pix = decode_image(bytes(raw), f0).astype(np.float64)
                 if pix.ndim == 2:
                     pix = np.repeat(pix[:, :, None], 3, axis=2)
                 luma = pix @ np.array([0.299, 0.587, 0.114])
                 hist = np.histogram(luma, bins=8, range=(0, 256))[0]
                 emb = resize_nearest(pix, pool, pool).ravel() / 255.0
                 rows.append((
-                    r["image_id"], float(pix[:, :, 0].mean()),
+                    iid, float(pix[:, :, 0].mean()),
                     float(pix[:, :, 1].mean()), float(pix[:, :, 2].mean()),
                     float(luma.std()), hist.astype(np.int64).tolist(),
                     emb.astype(np.float32).tolist(),

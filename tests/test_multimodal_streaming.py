@@ -84,7 +84,7 @@ class TestStreaming:
         # rate source -> derive deterministic points -> flagship stream
         from karta_spark.functions import cells
         rate = (
-            spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+            spark.readStream.format("rate").option("rowsPerSecond", "100").load()
             .withColumn("phash", (F.col("value") * 2246822519 % F.lit(2 ** 31).cast("long"))
                         * F.lit(2 ** 32).cast("long")
                         + (F.col("value") * 2654435761 % F.lit(2 ** 32).cast("long")))
@@ -99,10 +99,12 @@ class TestStreaming:
              .queryName("tilecounts")
              .option("checkpointLocation", str(tmp_path / "ck")).start())
         try:
-            deadline = time.time() + 40
+            # poll the sink while micro-batches run on their own trigger:
+            # processAllAvailable() on a live rate source CHASES new data
+            # and can block for minutes on a cold/loaded box
+            deadline = time.time() + 90
             n = 0
             while time.time() < deadline:
-                q.processAllAvailable()
                 n = spark.sql("SELECT count(*) FROM tilecounts").collect()[0][0]
                 if n > 0:
                     break
