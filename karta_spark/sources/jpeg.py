@@ -297,13 +297,15 @@ _LUT_CACHE: dict[bytes, tuple] = {}
 
 
 def _decode_lut(bits, vals):
-    """2^16 peek LUT: idx -> (symbol, code length).  Cached by payload."""
+    """2^16 peek LUT: idx -> (symbol, code length) as plain python lists
+    (list indexing beats numpy scalar extraction in the per-symbol loop).
+    Cached by payload."""
     key = bytes(bits) + bytes(vals)
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
-    sym = np.zeros(1 << 16, dtype=np.int16)
-    ln = np.zeros(1 << 16, dtype=np.int8)
+    sym = np.zeros(1 << 16, dtype=np.int32)
+    ln = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
@@ -315,47 +317,9 @@ def _decode_lut(bits, vals):
             code += 1
             k += 1
         code <<= 1
-    _LUT_CACHE[key] = (sym, ln)
-    return sym, ln
-
-
-class _BitReader:
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self, need: int):
-        while self.nbits < need:
-            b = self.data[self.pos] if self.pos < len(self.data) else 0
-            self.pos += 1
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
-
-    def peek16(self) -> int:
-        self._fill(16)
-        return (self.acc >> (self.nbits - 16)) & 0xFFFF
-
-    def skip(self, n: int):
-        self._fill(n)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        self._fill(n)
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-
-def _extend(v: int, s: int) -> int:
-    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+    out = (sym.tolist(), ln.tolist())
+    _LUT_CACHE[key] = out
+    return out
 
 
 def decode_jpeg_baseline(data: bytes) -> np.ndarray:
@@ -436,7 +400,13 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         raw.append(b)
         i += 1
 
-    rdr = _BitReader(bytes(raw))
+    # inlined bit reader: pure-int locals, one symbol = one peek + masked
+    # consume — method-call and numpy-scalar overhead dominates otherwise
+    data = bytes(raw)
+    dlen = len(data)
+    pos = 0
+    acc = 0
+    navail = 0
     nc = len(comps)
     nbx = (w + 7) // 8
     nby = (h + 7) // 8
@@ -444,23 +414,41 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     coefs = [np.zeros((nb, 64), dtype=np.int32) for _ in range(nc)]
     preds = [0] * nc
     comp_tabs = {cid: (dc, ac) for cid, dc, ac in scan_comps}
+    tabs = []
+    for cid, tq in comps:
+        dc_t, ac_t = comp_tabs[cid]
+        tabs.append((huff[(0, dc_t)], huff[(1, ac_t)]))
     for bi in range(nb):
-        for ci, (cid, tq) in enumerate(comps):
-            dc_t, ac_t = comp_tabs[cid]
-            dsym, dln = huff[(0, dc_t)]
-            asym, aln = huff[(1, ac_t)]
-            p = rdr.peek16()
-            s = int(dsym[p])
-            rdr.skip(int(dln[p]))
-            diff = _extend(rdr.read(s), s) if s else 0
-            preds[ci] += diff
-            blk = coefs[ci][bi]
+        for ci in range(nc):
+            (dsym, dln), (asym, aln) = tabs[ci]
+            while navail < 16:
+                acc = (acc << 8) | (data[pos] if pos < dlen else 0)
+                pos += 1
+                navail += 8
+            p = (acc >> (navail - 16)) & 0xFFFF
+            s = dsym[p]
+            navail -= dln[p]
+            if s:
+                while navail < s:
+                    acc = (acc << 8) | (data[pos] if pos < dlen else 0)
+                    pos += 1
+                    navail += 8
+                v = (acc >> (navail - s)) & ((1 << s) - 1)
+                navail -= s
+                preds[ci] += v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+            acc &= (1 << navail) - 1
+            blk = [0] * 64
             blk[0] = preds[ci]
             k = 1
             while k < 64:
-                p = rdr.peek16()
-                rs = int(asym[p])
-                rdr.skip(int(aln[p]))
+                while navail < 16:
+                    acc = (acc << 8) | (data[pos] if pos < dlen else 0)
+                    pos += 1
+                    navail += 8
+                p = (acc >> (navail - 16)) & 0xFFFF
+                rs = asym[p]
+                navail -= aln[p]
+                acc &= (1 << navail) - 1
                 if rs == 0x00:     # EOB
                     break
                 if rs == 0xF0:     # ZRL
@@ -468,10 +456,18 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                     continue
                 k += rs >> 4
                 s = rs & 0xF
+                while navail < s:
+                    acc = (acc << 8) | (data[pos] if pos < dlen else 0)
+                    pos += 1
+                    navail += 8
+                v = (acc >> (navail - s)) & ((1 << s) - 1)
+                navail -= s
+                acc &= (1 << navail) - 1
                 if k > 63:
                     break
-                blk[k] = _extend(rdr.read(s), s)
+                blk[k] = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
                 k += 1
+            coefs[ci][bi] = blk
 
     planes = []
     for ci, (cid, tq) in enumerate(comps):
