@@ -1298,10 +1298,16 @@ def q45_video_frames(spark, sf_dir):
 # -- (kept) non-SQL-expressible ops -------
 
 def q21_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, portable-hash variant: every hash is
+    seeded int64 arithmetic replicated literally in the DuckDB oracle, so
+    the WHOLE pipeline — signatures, band buckets, candidate set, exact
+    Jaccard verify — is oracle-checked bit-for-bit (not rows-only).  The
+    production kernel impl (crc32+numpy, ~2x faster) is benchmarked
+    separately in bench.py."""
     d = _t(spark, sf_dir, "documents")
-    out = dedup.minhash_lsh_pairs(d, "text", "doc_id", num_perm=64, bands=8,
-                                  shingle=6, threshold=0.5)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    out = dedup.minhash_lsh_pairs_portable(
+        d, "text", "doc_id", num_perm=64, bands=8, shingle=6, threshold=0.5)
+    return out.select("id_a", "id_b", "jaccard")
 
 
 def q22_simhash_pairs(spark, sf_dir):
@@ -1433,6 +1439,9 @@ def oracle_sql() -> dict[str, str]:
         "q15_text_stats": Q15_SQL,
         "q16_fingerprint_distinct": Q16_SQL,
         "q17_ngram_jaccard": Q17_SQL,
+        "q21_minhash_pairs": dedup.minhash_portable_sql(
+            "documents", "text", "doc_id",
+            num_perm=64, bands=8, shingle=6, threshold=0.5),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

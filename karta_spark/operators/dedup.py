@@ -242,6 +242,171 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# MinHash + LSH, portable-hash variant (engine-agnostic arithmetic)
+# ---------------------------------------------------------------------------
+#
+# The kernel/expr variants above hash with crc32/xxhash64 — fast but
+# engine-specific, so their candidate sets can't be replicated by an
+# external SQL engine.  The *portable* variant below derives every hash
+# from plain int64 arithmetic over character codes:
+#
+#   gram hash   h(g)   = (sum_i code(g_i) * 131^(n-i)) mod (2^31 - 1)
+#   permutation h_j(g) = (a_j * h(g) + b_j) mod (2^31 - 1)
+#
+# with (a_j, b_j) drawn from a seeded PRNG at plan-build time and embedded
+# as literals.  Every step — gram extraction, hashing, min-aggregation,
+# band bucketing, candidate join, exact-Jaccard verify — is expressible
+# identically in Spark SQL and ANSI SQL (DuckDB), so the FULL pipeline,
+# including which near-threshold pairs the LSH probabilistically finds,
+# is bit-reproducible across engines.  That moves the whole operator
+# under an exact external oracle instead of a rows-only check.
+
+_PORTABLE_P = 2147483647  # 2^31 - 1: a_j*h + b_j < 2^62 — no int64 overflow
+
+
+def _portable_perm_params(num_perm: int, seed: int):
+    import random as _random
+    rng = _random.Random(seed)
+    a = [rng.randrange(1, _PORTABLE_P) for _ in range(num_perm)]
+    b = [rng.randrange(0, _PORTABLE_P) for _ in range(num_perm)]
+    return a, b
+
+
+def portable_gram_hash_sql(gram: str, n: int) -> str:
+    """Polynomial rolling hash over the n chars of an rpad'ed gram — the
+    SAME fragment parses as a Spark SQL expression and as DuckDB SQL.
+    Char codes <= 0xFFFF keep the pre-mod value < 2^31 * 131 < 2^63."""
+    expr = f"CAST(ascii(substr({gram},1,1)) AS BIGINT)"
+    for i in range(2, n + 1):
+        expr = f"({expr}*131 + ascii(substr({gram},{i},1)))"
+    return f"({expr} % {_PORTABLE_P})"
+
+
+def _portable_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gram) distinct rpad'ed char n-grams; text shorter than n yields
+    one chr(1)-padded gram (mirrors _shingle_hashes' padding rule)."""
+    gram_expr = (
+        f"transform(sequence(1, greatest(length(coalesce({text_col}, '')) - {n - 1}, 1)),"
+        f" i -> rpad(substring(coalesce({text_col}, ''), i, {n}), {n}, chr(1)))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.expr(gram_expr)).alias("gram"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame, text_col: str, id_col: str,
+    num_perm: int = 64, bands: int = 8, shingle: int = 6,
+    threshold: float = 0.5, seed: int = 42,
+) -> DataFrame:
+    """minhash_lsh_pairs with engine-portable hashing (see section note).
+
+    Pure Catalyst end-to-end: explode grams -> hash -> num_perm min-aggs
+    (map-side partial agg: the shuffle carries num_perm ints per doc) ->
+    band-bucket equi-join -> exact-Jaccard verify on candidates only via a
+    gram equi-join.  Zero Python rows; zero UDFs."""
+    p = _PORTABLE_P
+    a, b = _portable_perm_params(num_perm, seed)
+    r = num_perm // bands
+    grams = _portable_grams(df, text_col, id_col, shingle)
+    hashed = grams.withColumn("h", F.expr(portable_gram_hash_sql("gram", shingle)))
+    sig = hashed.groupBy("id").agg(*[
+        F.min((F.lit(a[j]) * F.col("h") + F.lit(b[j])) % F.lit(p)).alias(f"m{j}")
+        for j in range(num_perm)
+    ])
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(",", *[F.col(f"m{i * r + k}") for k in range(r)]).alias("bucket"),
+            )
+            for i in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    ba, bb = banded.alias("a"), banded.alias("b")
+    cand = (
+        ba.join(bb, (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sz = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    ga = grams.select(F.col("id").alias("id_a"), F.col("gram").alias("_ga"))
+    gb = grams.select(F.col("id").alias("_gid_b"), F.col("gram").alias("_gb"))
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, (F.col("id_b") == F.col("_gid_b")) & (F.col("_ga") == F.col("_gb")))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("_i"))
+    )
+    jac = F.round(
+        F.col("_i").cast("double")
+        / (F.col("sa.sz") + F.col("sb.sz") - F.col("_i")), 6)
+    return (
+        inter
+        .join(sz.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sz.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_portable_sql(
+    table: str, text_col: str, id_col: str,
+    num_perm: int = 64, bands: int = 8, shingle: int = 6,
+    threshold: float = 0.5, seed: int = 42,
+) -> str:
+    """DuckDB twin of minhash_lsh_pairs_portable — same literals, same
+    arithmetic, bit-identical candidates and Jaccard values."""
+    p = _PORTABLE_P
+    a, b = _portable_perm_params(num_perm, seed)
+    r = num_perm // bands
+    n = shingle
+    hash_expr = portable_gram_hash_sql("gram", n)
+    mins = ",\n         ".join(
+        f"min(({a[j]}*h + {b[j]}) % {p}) AS m{j}" for j in range(num_perm))
+    band_arms = "\n  UNION ALL\n".join(
+        "  SELECT id, {i} AS band, concat_ws(',', {cols}) AS bucket FROM sig".format(
+            i=i, cols=", ".join(f"m{i * r + k}" for k in range(r)))
+        for i in range(bands))
+    return f"""
+WITH g0 AS (
+  SELECT {id_col} AS id,
+         unnest(range(1, greatest(length(coalesce({text_col}, '')) - {n - 1}, 1) + 1)) AS i,
+         coalesce({text_col}, '') AS t
+  FROM {table}
+),
+grams AS (SELECT DISTINCT id, rpad(substr(t, i, {n}), {n}, chr(1)) AS gram FROM g0),
+h AS (SELECT id, gram, {hash_expr} AS h FROM grams),
+sig AS (SELECT id, {mins} FROM h GROUP BY id),
+banded AS (
+{band_arms}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+sz AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN grams ga ON ga.id = c.id_a
+  JOIN grams gb ON gb.id = c.id_b AND ga.gram = gb.gram
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM inter i
+JOIN sz sa ON i.id_a = sa.id
+JOIN sz sb ON i.id_b = sb.id
+WHERE round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -96,6 +96,34 @@ class TestDedup:
         assert (0, 1) in pairs or (1, 3) in pairs  # near dup
         assert all(a not in (2, 4) and b not in (2, 4) for a, b in pairs)
 
+    def test_minhash_portable_matches_kernel(self, spark):
+        """The portable-hash pipeline (engine-agnostic arithmetic, the q21
+        oracle twin) finds the same verified near-dup pairs as the crc32
+        kernel impl — different hash families, same exact-Jaccard verify, so
+        pair sets agree wherever LSH recall does (planted dups at j~1.0)."""
+        kw = dict(num_perm=64, bands=16, shingle=3, threshold=0.5)
+        docs = self._docs(spark)
+        portable = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                    dedup.minhash_lsh_pairs_portable(docs, "text", "doc_id", **kw).collect()}
+        assert (0, 3) in portable and portable[(0, 3)] == pytest.approx(1.0)
+        kernel = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", **kw).collect()}
+        assert set(portable) == kernel
+
+    def test_minhash_portable_sql_twin(self, spark):
+        """The DuckDB twin reproduces the Spark pipeline bit-for-bit:
+        same candidates (probabilistic LSH included), same Jaccard."""
+        import duckdb
+        kw = dict(num_perm=64, bands=16, shingle=3, threshold=0.5)
+        docs = self._docs(spark)
+        got = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in
+                     dedup.minhash_lsh_pairs_portable(docs, "text", "doc_id", **kw).collect())
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        sql = dedup.minhash_portable_sql("documents", "text", "doc_id", **kw)
+        want = sorted(tuple(t) for t in con.execute(sql).fetchall())
+        assert got == want
+
     def test_simhash_hamming(self, spark):
         pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
                  dedup.simhash_near_pairs(self._docs(spark), "text", "doc_id",
