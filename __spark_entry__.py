@@ -1311,8 +1311,12 @@ def q21_minhash_pairs(spark, sf_dir):
 
 
 def q22_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, portable-hash variant: signatures, band
+    blocking and positional hamming are seeded int64 arithmetic replicated
+    literally in the DuckDB oracle — oracle-checked bit-for-bit.  The
+    production kernel impl (blake2b+numpy) stays the library default."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(d, "text", "doc_id", max_hamming=8)
+    return dedup.simhash_near_pairs_portable(d, "text", "doc_id", max_hamming=8)
 
 
 def q23_lsh_topk(spark, sf_dir):
@@ -1442,6 +1446,8 @@ def oracle_sql() -> dict[str, str]:
         "q21_minhash_pairs": dedup.minhash_portable_sql(
             "documents", "text", "doc_id",
             num_perm=64, bands=8, shingle=6, threshold=0.5),
+        "q22_simhash_pairs": dedup.simhash_portable_sql(
+            "documents", "text", "doc_id", max_hamming=8),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -517,6 +517,151 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 # ---------------------------------------------------------------------------
+# SimHash, portable-hash variant (engine-agnostic arithmetic — see the
+# MinHash portable section note; same design goal: the q22 gate query is
+# bit-reproducible in DuckDB, moving it from rows-only to oracle-exact)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_TOKLEN = 12  # token hash covers the first 12 chars (prefix hash)
+
+
+def portable_token_hash_sql(tok: str, maxlen: int = _SIMHASH_TOKLEN) -> str:
+    """Per-step-reduced polynomial hash over the rpad'ed token prefix —
+    parses identically in Spark SQL and DuckDB.  The mod at every step
+    keeps the accumulator < 2^31 * 131 + 2^16 < 2^63 for any length."""
+    p = _PORTABLE_P
+    padded = f"rpad(substr({tok},1,{maxlen}), {maxlen}, chr(1))"
+    expr = f"CAST(ascii(substr({padded},1,1)) AS BIGINT)"
+    for i in range(2, maxlen + 1):
+        expr = f"((({expr}) % {p})*131 + ascii(substr({padded},{i},1)))"
+    return f"(({expr}) % {p})"
+
+
+def _simhash_bit_params(seed: int = 7):
+    return _portable_perm_params(64, seed)
+
+
+def simhash_portable(df: DataFrame, text_col: str, id_col: str,
+                     seed: int = 7) -> DataFrame:
+    """(id, bits: 64-char '0'/'1' string) portable SimHash.
+
+    Tokens: split on single spaces, empties dropped (frequency-weighted —
+    token multiplicity counts, like the kernel impl).  Bit b's weight for
+    a token with hash h is 2*(((a_b*h + b_b) mod p) mod 2) - 1; the doc's
+    bit is 1 iff the summed weight is > 0 (ties -> 0).  Pure Catalyst."""
+    a, b = _simhash_bit_params(seed)
+    p = _PORTABLE_P
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " ")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = F.expr(portable_token_hash_sql("tok"))
+    aggs = [
+        F.sum((F.lit(a[k]) * h + F.lit(b[k])) % p % 2 * 2 - 1).alias(f"_s{k}")
+        for k in range(64)
+    ]
+    per = toks.groupBy("id").agg(*aggs)
+    bits = F.concat(*[
+        F.when(F.col(f"_s{k}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for k in range(64)
+    ])
+    sigs = per.select("id", bits.alias("bits"))
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(sigs, "id", "left").select(
+        "id", F.coalesce("bits", F.lit("0" * 64)).alias("bits"))
+
+
+def _band_layout(n_bands: int, nbits: int = 64):
+    base, extra = divmod(nbits, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    return widths, offsets
+
+
+def _hamming_sql(a: str, b: str, nbits: int = 64) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN substr({a},{i},1) <> substr({b},{i},1) THEN 1 ELSE 0 END)"
+        for i in range(1, nbits + 1))
+    return f"CAST(({terms}) AS BIGINT)"
+
+
+def simhash_near_pairs_portable(
+    df: DataFrame, text_col: str, id_col: str,
+    max_hamming: int = 3, seed: int = 7,
+) -> DataFrame:
+    """simhash_near_pairs with portable hashing: banded exact-match blocking
+    over the bit string (pigeonhole: bands = max_hamming + 1 never drops a
+    qualifying pair), hamming verified positionally.  Zero UDFs."""
+    n_bands = max_hamming + 1
+    widths, offsets = _band_layout(n_bands)
+    sh = simhash_portable(df, text_col, id_col, seed)
+    bands = sh.select(
+        "id", "bits",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.substring("bits", offsets[i] + 1, widths[i]).alias("key"))
+            for i in range(n_bands)
+        ])).alias("bb"),
+    ).select("id", "bits", "bb.band", "bb.key")
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        ba.join(bb, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.bits").alias("_ba"), F.col("b.bits").alias("_bb"))
+        .distinct()
+    )
+    hamming = F.expr(_hamming_sql("_ba", "_bb"))
+    return (cand.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def simhash_portable_sql(
+    table: str, text_col: str, id_col: str,
+    max_hamming: int = 3, seed: int = 7,
+) -> str:
+    """DuckDB twin of simhash_near_pairs_portable — same literals, same
+    tokenization, bit-identical signatures, candidates and hamming."""
+    a, b = _simhash_bit_params(seed)
+    p = _PORTABLE_P
+    n_bands = max_hamming + 1
+    widths, offsets = _band_layout(n_bands)
+    tok_hash = portable_token_hash_sql("tok")
+    sums = ",\n         ".join(
+        f"sum(({a[k]}*h + {b[k]}) % {p} % 2 * 2 - 1) AS s{k}" for k in range(64))
+    bits_expr = "||".join(
+        f"(CASE WHEN s{k} > 0 THEN '1' ELSE '0' END)" for k in range(64))
+    band_arms = "\n  UNION ALL\n".join(
+        f"  SELECT id, {i} AS band, substr(bits, {offsets[i] + 1}, {widths[i]}) AS key FROM sigs"
+        for i in range(n_bands))
+    return f"""
+WITH toks0 AS (
+  SELECT {id_col} AS id, unnest(string_split(trim(coalesce({text_col}, '')), ' ')) AS tok
+  FROM {table}
+),
+toks AS (SELECT id, tok, {tok_hash} AS h FROM toks0 WHERE length(tok) > 0),
+per AS (SELECT id, {sums} FROM toks GROUP BY id),
+sigs0 AS (SELECT id, {bits_expr} AS bits FROM per),
+sigs AS (
+  SELECT d.{id_col} AS id, coalesce(s.bits, repeat('0', 64)) AS bits
+  FROM {table} d LEFT JOIN sigs0 s ON d.{id_col} = s.id
+),
+banded AS (
+{band_arms}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, sa.bits AS ba, sb.bits AS bb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+  JOIN sigs sa ON sa.id = a.id JOIN sigs sb ON sb.id = b.id
+)
+SELECT id_a, id_b, {_hamming_sql("ba", "bb")} AS hamming
+FROM cand
+WHERE {_hamming_sql("ba", "bb")} <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

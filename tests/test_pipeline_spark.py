@@ -130,6 +130,44 @@ class TestDedup:
                                           max_hamming=6).collect()}
         assert pairs.get((0, 3)) == 0  # identical docs -> identical simhash
 
+    def test_simhash_portable_and_sql_twin(self, spark):
+        """Portable simhash: identical docs collide at hamming 0, unrelated
+        docs are excluded at a tight threshold, and the DuckDB twin
+        reproduces the full pipeline (signatures, blocking, hamming)
+        bit-for-bit."""
+        import duckdb
+        docs = self._docs(spark)
+        got = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in
+                     dedup.simhash_near_pairs_portable(
+                         docs, "text", "doc_id", max_hamming=6).collect())
+        assert (0, 3, 0) in got  # identical docs -> identical signature
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        sql = dedup.simhash_portable_sql("documents", "text", "doc_id", max_hamming=6)
+        want = sorted(tuple(t) for t in con.execute(sql).fetchall())
+        assert got == want
+
+    def test_simhash_portable_recall_midrange(self, spark):
+        """A planted pair at hamming 4..8 survives the 9-band blocking
+        (the round-1 recall bug class: 4 fixed bands silently dropped
+        these).  Brute-force hamming over all signatures is the oracle."""
+        rows = [(i, f"w{i} x{i} y{i} z{i} common base tokens here") for i in range(20)]
+        rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+        rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = {r["id"]: r["bits"] for r in
+                dedup.simhash_portable(df, "text", "doc_id").collect()}
+        brute = sorted(
+            (a, b, sum(ca != cb for ca, cb in zip(sigs[a], sigs[b])))
+            for a in sigs for b in sigs if a < b)
+        want = [(a, b, h) for a, b, h in brute if h <= 8]
+        got = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in
+                     dedup.simhash_near_pairs_portable(
+                         df, "text", "doc_id", max_hamming=8).collect())
+        assert got == want
+        assert any(4 <= h <= 8 for _, _, h in got) or (100, 101) in {
+            (a, b) for a, b, _ in got}
+
     def test_ngram_jaccard_exact(self, spark):
         got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
                dedup.ngram_jaccard_pairs(self._docs(spark), "text", "doc_id",
