@@ -1320,12 +1320,17 @@ def q22_simhash_pairs(spark, sf_dir):
 
 
 def q23_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN top-k, portable variant: Rademacher planes over
+    floor-quantized components give bit-identical bucket assignments in
+    Spark and DuckDB (exact integer-valued double arithmetic), so the
+    approximate candidate set itself is oracle-checked — not rows-only."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding"))
     vectors = e.where(F.col("vec_id") >= 5)
-    out = similarity.lsh_topk(vectors, queries, k=5, dim=64, nbits=4)
-    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    out = similarity.lsh_topk_portable(vectors, queries, k=5, dim=64, nbits=4)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+                      F.col("rank").cast("long").alias("rank"))
 
 
 def q24_image_decode(spark, sf_dir):
@@ -1448,6 +1453,7 @@ def oracle_sql() -> dict[str, str]:
             num_perm=64, bands=8, shingle=6, threshold=0.5),
         "q22_simhash_pairs": dedup.simhash_portable_sql(
             "documents", "text", "doc_id", max_hamming=8),
+        "q23_lsh_topk": similarity.lsh_topk_portable_sql(k=5, dim=64, nbits=4),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

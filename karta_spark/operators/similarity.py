@@ -97,6 +97,107 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# hyperplane LSH, portable variant (engine-agnostic arithmetic)
+# ---------------------------------------------------------------------------
+#
+# Gaussian hyperplanes need float dot products whose sign near zero can
+# differ across engines (summation order).  The portable variant uses
+# seeded Rademacher (+/-1) hyperplanes over floor-quantized components
+# s_i = floor(v_i * 2^20): every intermediate is an integer far below
+# 2^53, so double arithmetic on them is EXACT and order-independent —
+# identical bucket assignments in Spark and DuckDB, which moves the LSH
+# top-k gate query under the exact oracle.  Multiplying by 2^20 is itself
+# exact (power of two), as is float32 -> double widening.
+
+_Q_SCALE = 1 << 20
+
+
+def _rademacher_planes(dim: int, nbits: int, seed: int = 7) -> list[list[int]]:
+    import random as _random
+    rng = _random.Random(seed)
+    return [[rng.randrange(2) * 2 - 1 for _ in range(dim)] for _ in range(nbits)]
+
+
+def portable_bucket_expr(vec_col, dim: int, nbits: int, seed: int = 7):
+    """'0'/'1' bucket string from sign(Σ r_i * floor(v_i * 2^20))."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = _rademacher_planes(dim, nbits, seed)
+    s = F.transform(v, lambda x: F.floor(x.cast("double") * _Q_SCALE).cast("double"))
+    bits = []
+    for r in planes:
+        lit_r = F.array(*[F.lit(float(c)) for c in r])
+        dot = F.aggregate(F.zip_with(s, lit_r, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk_portable(
+    vectors: DataFrame, queries: DataFrame, k: int, dim: int,
+    vec_col: str = "embedding", vid: str = "vec_id",
+    q_vec: str = "q_embedding", qid: str = "query_id",
+    nbits: int = 8, seed: int = 7,
+) -> DataFrame:
+    """lsh_topk with portable (Rademacher/quantized) bucketing — identical
+    semantics, oracle-replicable candidates.  Cosine + ranking follow the
+    proven q18 discipline (double HOF dot product, ties by vec id)."""
+    v = vectors.withColumn("_bk", portable_bucket_expr(vec_col, dim, nbits, seed))
+    q = queries.withColumn("_bk", portable_bucket_expr(q_vec, dim, nbits, seed))
+    joined = v.join(q, "_bk").withColumn("cosine", cosine_expr(vec_col, q_vec))
+    w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(vid).asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid, vid, "cosine", "rank")
+    )
+
+
+def lsh_topk_portable_sql(
+    k: int, dim: int, nbits: int = 8, seed: int = 7,
+    table: str = "embeddings", vec_col: str = "embedding", vid: str = "vec_id",
+    query_filter: str = "vec_id < 5", vector_filter: str = "vec_id >= 5",
+) -> str:
+    """DuckDB twin of lsh_topk_portable: same planes, same quantization,
+    bit-identical buckets; cosine/rank mirror the q18 oracle form."""
+    planes = _rademacher_planes(dim, nbits, seed)
+
+    def bucket_sql(col: str) -> str:
+        parts = []
+        for r in planes:
+            lit = "[" + ", ".join(f"{float(c):.1f}" for c in r) + "]::DOUBLE[]"
+            parts.append(
+                "(CASE WHEN list_dot_product("
+                f"list_transform(CAST({col} AS DOUBLE[]), x -> floor(x * {_Q_SCALE})), {lit})"
+                " > 0 THEN '1' ELSE '0' END)")
+        return "||".join(parts)
+
+    return f"""
+WITH q AS (
+  SELECT {vid} AS query_id, CAST({vec_col} AS DOUBLE[]) AS qv,
+         {bucket_sql(vec_col)} AS bk
+  FROM {table} WHERE {query_filter}
+),
+v AS (
+  SELECT {vid}, CAST({vec_col} AS DOUBLE[]) AS ev,
+         {bucket_sql(vec_col)} AS bk
+  FROM {table} WHERE {vector_filter}
+),
+joined AS (
+  SELECT query_id, {vid},
+         list_dot_product(ev, qv)
+           / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS cosine
+  FROM v JOIN q USING (bk)
+),
+ranked AS (
+  SELECT query_id, {vid}, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, {vid} ASC) AS BIGINT) AS rank
+  FROM joined
+)
+SELECT query_id, {vid}, round(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def train_centroids(vectors: DataFrame, vec_col: str, c: int, iters: int = 3,
                     seed: int = 11) -> np.ndarray:
     """Tiny driver-side k-means on a sample (centroids broadcast afterwards).
