@@ -1337,8 +1337,7 @@ def q24_image_decode(spark, sf_dir):
     """Multimodal decode path: synthesize the image table (deterministic),
     decode with the Arrow kernel, verify PSNR, count per format."""
     imgs = images.synth_images(spark, 500, partitions=4)
-    stats = images.decode_stats(imgs)
-    ok = stats.where(F.col("psnr_vs_ref") >= 40.0)
+    ok = images.verify_images(imgs).where(F.col("verified"))
     return (
         imgs.join(ok.select("image_id"), "image_id", "left_semi")
         .groupBy("fmt").agg(F.count("*").alias("n_verified"))

@@ -108,10 +108,11 @@ def run_benchmark():
     from karta_spark.sources import images as _images
     # warm the python-worker fork + import path (same policy as flagship:
     # steady-state throughput, not interpreter cold start, is the metric)
-    _images.decode_stats(_images.synth_images(spark, 5_000, partitions=CPUS)).count()
+    _images.verify_images(_images.synth_images(spark, 5_000, partitions=CPUS)).count()
     imgs = _images.synth_images(spark, 100_000, partitions=CPUS * 2)
     t0 = time.monotonic()
-    n_ok = _images.decode_stats(imgs).where(F.col("psnr_vs_ref") >= 40.0).count()
+    # both BASELINE invariants: PSNR>=40dB AND caption byte-equality
+    n_ok = _images.verify_images(imgs).where(F.col("verified")).count()
     dt = time.monotonic() - t0
     times["decode_verify_100k"] = round(dt, 3)
     print(f"# decode+verify: {dt:.2f}s = {n_ok/dt:,.0f} images/sec verified",

@@ -272,6 +272,34 @@ DECODE_STATS_SCHEMA = StructType([
 ])
 
 
+def expected_caption_expr(image_id_col) -> F.Column:
+    """The reference caption regenerated JVM-side from the image index
+    (image_id = 'img%012d'): mirrors caption_for_index with array literals +
+    element_at — the caption byte-equality invariant costs zero Python."""
+    i = F.substring(image_id_col, 4, 12).cast("long")
+    words = F.array(*[F.lit(w) for w in _WORDS])
+    n = len(_WORDS)
+    return F.concat(
+        F.lit("caption "), i.cast("string"), F.lit(" "),
+        F.element_at(words, (i % n + 1).cast("int")), F.lit(" "),
+        F.element_at(words, ((i * 7 + 3) % n + 1).cast("int")))
+
+
+def verify_images(images: DataFrame, min_psnr: float = 40.0) -> DataFrame:
+    """Per-image verification of the BASELINE invariants: decoded pixels
+    PSNR >= min_psnr vs the phash-regenerated reference (Arrow decode
+    kernel) and caption byte-equality (pure Catalyst string path).
+    Returns decode stats + (psnr_ok, caption_ok, verified)."""
+    cap_ok = F.col("caption") == expected_caption_expr(F.col("image_id"))
+    caps = images.select("image_id", cap_ok.alias("caption_ok"))
+    return (
+        decode_stats(images)
+        .join(caps, "image_id")
+        .withColumn("psnr_ok", F.col("psnr_vs_ref") >= min_psnr)
+        .withColumn("verified", F.col("psnr_ok") & F.col("caption_ok"))
+    )
+
+
 def decode_stats(images: DataFrame) -> DataFrame:
     """Arrow-batched decode + verification: per image, pixel stats and PSNR
     against the regenerated reference pixels (inf for lossless)."""

@@ -27,6 +27,23 @@ class TestImages:
             i = int(r["image_id"].replace("img", ""))
             assert r["caption"] == images.caption_for_index(i)
 
+    def test_verify_images_both_invariants(self, spark):
+        """verify_images enforces BOTH north-rule invariants: PSNR>=40dB
+        (Arrow decode kernel) and caption byte-equality (pure Catalyst).
+        A tampered caption flips caption_ok without touching psnr_ok."""
+        imgs = images.synth_images(spark, 24, partitions=2)
+        v = images.verify_images(imgs)
+        rows = v.collect()
+        assert len(rows) == 24 and all(r["verified"] for r in rows)
+        tampered = imgs.withColumn(
+            "caption",
+            F.when(F.col("image_id") == "img000000000003",
+                   F.lit("not the reference caption")).otherwise(F.col("caption")))
+        bad = {r["image_id"]: r for r in images.verify_images(tampered).collect()}
+        assert not bad["img000000000003"]["caption_ok"]
+        assert bad["img000000000003"]["psnr_ok"]
+        assert sum(1 for r in bad.values() if r["verified"]) == 23
+
     def test_lonlat_in_valid_range(self, spark):
         pts = images.with_lonlat(images.synth_images(spark, 200, partitions=2))
         row = pts.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y")).collect()[0]
