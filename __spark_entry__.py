@@ -1295,6 +1295,21 @@ def q45_video_frames(spark, sf_dir):
             .orderBy("video_id"))
 
 
+def q46_tfidf_terms(spark, sf_dir):
+    """Smoothed TF-IDF top-3 terms per document (keyword extraction, pure
+    Catalyst — one (doc,term) shuffle + broadcast df table + per-doc window)."""
+    d = _t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, "text", "doc_id", k=3)
+
+
+def q47_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (training-mix balancing): keep 40
+    docs per language stratum ranked by a seeded portable hash —
+    reproducible across engines, cluster sizes and partition layouts."""
+    d = _t(spark, sf_dir, "documents")
+    return text.stratified_sample(d, ["lang"], "doc_id", cap=40)
+
+
 # -- (kept) non-SQL-expressible ops -------
 
 def q21_minhash_pairs(spark, sf_dir):
@@ -1425,6 +1440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_zonal_stats": q43_zonal_stats,
         "q44_audio_stats": q44_audio_stats,
         "q45_video_frames": q45_video_frames,
+        "q46_tfidf_terms": q46_tfidf_terms,
+        "q47_stratified_sample": q47_stratified_sample,
     }
 
 
@@ -1453,6 +1470,9 @@ def oracle_sql() -> dict[str, str]:
         "q22_simhash_pairs": dedup.simhash_portable_sql(
             "documents", "text", "doc_id", max_hamming=8),
         "q23_lsh_topk": similarity.lsh_topk_portable_sql(k=5, dim=64, nbits=4),
+        "q46_tfidf_terms": text.tfidf_top_terms_sql("documents", "text", "doc_id", k=3),
+        "q47_stratified_sample": text.stratified_sample_sql(
+            "documents", ["lang"], "doc_id", cap=40),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

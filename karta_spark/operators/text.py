@@ -97,6 +97,108 @@ def fingerprint(col: Column) -> Column:
     return F.xxhash64(norm)
 
 
+def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
+                    k: int = 3) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF — the classic keyword
+    extraction step of a corpus pipeline, pure Catalyst.
+
+    tf = term count / doc token count; idf = ln((N+1)/(df+1)) + 1
+    (sklearn's smooth_idf). Ranking breaks ties by term ascending.  Shape
+    at scale: one narrow shuffle for (doc, term) counts, a broadcast-able
+    (N rows = vocab) df table, a per-doc window over <= vocab terms."""
+    from pyspark.sql import Window
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " ")).alias("term"),
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("_tc"))
+    doclen = toks.groupBy("id").agg(F.count("*").alias("_dl"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    idf = F.log((float(n_docs) + 1.0) / (F.col("_df").cast("double") + 1.0)) + 1.0
+    scored = (
+        tf.join(doclen, "id").join(F.broadcast(dfreq), "term")
+        .withColumn("tfidf", (F.col("_tc").cast("double") / F.col("_dl")) * idf)
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term",
+                F.round("tfidf", 6).alias("tfidf"), "rank")
+    )
+
+
+def tfidf_top_terms_sql(table: str, text_col: str, id_col: str, k: int = 3) -> str:
+    """DuckDB twin of tfidf_top_terms (same tokenization, smoothing, ties)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, t.tok AS term
+  FROM {table}, unnest(string_split(trim(coalesce({text_col}, '')), ' ')) AS t(tok)
+  WHERE length(t.tok) > 0
+),
+tf AS (SELECT id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+n AS (SELECT count(DISTINCT {id_col}) AS n FROM {table}),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.id, tf.term,
+         (CAST(tc AS DOUBLE) / dl) * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dl USING (id) JOIN dfq USING (term), n
+),
+ranked AS (
+  SELECT id AS {id_col}, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT {id_col}, term, round(tfidf, 6) AS tfidf, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def stratified_sample(df: DataFrame, strata_cols: list[str], id_col: str,
+                      cap: int, seed: int = 13) -> DataFrame:
+    """Deterministic per-stratum cap: keep the `cap` rows of each stratum
+    that rank lowest by a seeded portable hash of the id — reproducible
+    across engines and cluster sizes (no RNG state, no partition order
+    dependence), the building block for balanced training mixes.
+
+    Scale shape: one shuffle on the strata key; the window never sees more
+    than a stratum.  Skewed strata are bounded by the cap itself."""
+    from pyspark.sql import Window
+    from karta_spark.operators.dedup import _PORTABLE_P
+    import random as _random
+    rng = _random.Random(seed)
+    a, b = rng.randrange(1, _PORTABLE_P), rng.randrange(0, _PORTABLE_P)
+    h = (F.lit(a) * F.col(id_col).cast("long") + F.lit(b)) % F.lit(_PORTABLE_P)
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w).cast("long"))
+        .where(F.col("_rk") <= cap)
+        .select(*strata_cols, id_col, F.col("_rk").alias("rank"))
+    )
+
+
+def stratified_sample_sql(table: str, strata_cols: list[str], id_col: str,
+                          cap: int, seed: int = 13) -> str:
+    """DuckDB twin of stratified_sample — same seeded affine hash."""
+    from karta_spark.operators.dedup import _PORTABLE_P
+    import random as _random
+    rng = _random.Random(seed)
+    a, b = rng.randrange(1, _PORTABLE_P), rng.randrange(0, _PORTABLE_P)
+    strata = ", ".join(strata_cols)
+    return f"""
+WITH ranked AS (
+  SELECT {strata}, {id_col},
+         CAST(row_number() OVER (
+           PARTITION BY {strata}
+           ORDER BY ({a} * CAST({id_col} AS BIGINT) + {b}) % {_PORTABLE_P} ASC,
+                    {id_col} ASC) AS BIGINT) AS rank
+  FROM {table}
+)
+SELECT {strata}, {id_col}, rank FROM ranked WHERE rank <= {cap}
+"""
+
+
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One row per document with the full feature set."""
     c = F.col(text_col)

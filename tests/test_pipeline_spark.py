@@ -192,6 +192,36 @@ class TestDedup:
         assert got[(0, 3)] == pytest.approx(1.0)
 
 
+class TestTextPipeline:
+    def test_tfidf_top_terms(self, spark):
+        """A term unique to one doc outranks corpus-wide terms there."""
+        from karta_spark.operators import text as T
+        d = spark.createDataFrame(
+            [(0, "common zebra zebra"), (1, "common common common"),
+             (2, "common word word")],
+            "doc_id long, text string")
+        got = {(r["doc_id"], r["rank"]): r["term"]
+               for r in T.tfidf_top_terms(d, "text", "doc_id", k=2).collect()}
+        assert got[(0, 1)] == "zebra"
+        assert got[(2, 1)] == "word"
+        assert got[(1, 1)] == "common"
+
+    def test_stratified_sample_deterministic_cap(self, spark):
+        """Exactly `cap` rows per stratum, identical across partition
+        layouts (hash order, not partition order)."""
+        from karta_spark.operators import text as T
+        rows = [(i, "a" if i % 3 else "b") for i in range(90)]
+        d2 = spark.createDataFrame(rows, "doc_id long, grp string").repartition(2)
+        d7 = spark.createDataFrame(rows, "doc_id long, grp string").repartition(7)
+        s2 = sorted((r["grp"], r["doc_id"]) for r in
+                    T.stratified_sample(d2, ["grp"], "doc_id", cap=10).collect())
+        s7 = sorted((r["grp"], r["doc_id"]) for r in
+                    T.stratified_sample(d7, ["grp"], "doc_id", cap=10).collect())
+        assert s2 == s7
+        from collections import Counter
+        assert Counter(g for g, _ in s2) == {"a": 10, "b": 10}
+
+
 class TestSimilarity:
     def _vectors(self, spark, n=200, dim=16):
         rng = np.random.default_rng(5)
