@@ -116,8 +116,12 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
     n_docs = df.select(F.col(id_col)).distinct().count()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
     idf = F.log((float(n_docs) + 1.0) / (F.col("_df").cast("double") + 1.0)) + 1.0
+    # no broadcast hint on dfreq: the vocabulary of a web-scale corpus is
+    # itself huge; tf and dfreq are both keyed on term (dfreq derives from
+    # tf's shuffle), so the sort-merge join reuses the partitioning, and
+    # AQE still picks a broadcast when the vocab is actually small
     scored = (
-        tf.join(doclen, "id").join(F.broadcast(dfreq), "term")
+        tf.join(doclen, "id").join(dfreq, "term")
         .withColumn("tfidf", (F.col("_tc").cast("double") / F.col("_dl")) * idf)
     )
     w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
@@ -156,14 +160,22 @@ SELECT {id_col}, term, round(tfidf, 6) AS tfidf, rank FROM ranked WHERE rank <= 
 
 
 def stratified_sample(df: DataFrame, strata_cols: list[str], id_col: str,
-                      cap: int, seed: int = 13) -> DataFrame:
+                      cap: int, seed: int = 13, prefilter: bool = True,
+                      safety: float = 4.0) -> DataFrame:
     """Deterministic per-stratum cap: keep the `cap` rows of each stratum
     that rank lowest by a seeded portable hash of the id — reproducible
     across engines and cluster sizes (no RNG state, no partition order
     dependence), the building block for balanced training mixes.
 
-    Scale shape: one shuffle on the strata key; the window never sees more
-    than a stratum.  Skewed strata are bounded by the cap itself."""
+    Scale shape: a naive per-stratum row_number window sorts the WHOLE
+    stratum in one task — a single 20 TB stratum would serialize.  With
+    ``prefilter`` (default) the window only ever sees ~safety*cap rows per
+    stratum: the hash is uniform on [0, P), so rows with
+    h < P * safety*cap/stratum_count are kept first (one cheap count agg),
+    and the exact window runs on that sliver.  Exactness is VERIFIED, not
+    assumed — knn_join's guarantee-then-widen idiom: any stratum whose
+    sliver came up short of min(cap, n) reruns unfiltered (probability
+    ~exp(-cap*(safety-1)^2/2) per stratum; ~1e-10 at cap=40, safety=4)."""
     from pyspark.sql import Window
     from karta_spark.operators.dedup import _PORTABLE_P
     import random as _random
@@ -171,11 +183,34 @@ def stratified_sample(df: DataFrame, strata_cols: list[str], id_col: str,
     a, b = rng.randrange(1, _PORTABLE_P), rng.randrange(0, _PORTABLE_P)
     h = (F.lit(a) * F.col(id_col).cast("long") + F.lit(b)) % F.lit(_PORTABLE_P)
     w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
-    return (
-        df.withColumn("_rk", F.row_number().over(w).cast("long"))
-        .where(F.col("_rk") <= cap)
-        .select(*strata_cols, id_col, F.col("_rk").alias("rank"))
-    )
+
+    def ranked(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("_rk", F.row_number().over(w).cast("long"))
+            .where(F.col("_rk") <= cap)
+            .select(*strata_cols, id_col, F.col("_rk").alias("rank"))
+        )
+
+    if not prefilter:
+        return ranked(df)
+
+    counts = df.groupBy(*strata_cols).agg(F.count("*").alias("_sn"))
+    thresh = F.least(
+        F.lit(float(_PORTABLE_P)),
+        F.lit(float(_PORTABLE_P)) * F.lit(safety * cap) / F.col("_sn").cast("double"))
+    sliver = (df.join(counts, strata_cols)
+              .where(h.cast("double") < thresh)
+              .drop("_sn"))
+    out = ranked(sliver).persist()
+    got = out.groupBy(*strata_cols).agg(F.count("*").alias("_got"))
+    short = (counts.join(got, strata_cols, "left")
+             .where(F.coalesce(F.col("_got"), F.lit(0)) < F.least(F.lit(cap), F.col("_sn")))
+             .select(*strata_cols))
+    if short.limit(1).count() == 0:
+        return out
+    redo = ranked(df.join(short, strata_cols, "left_semi"))
+    kept = out.join(short, strata_cols, "left_anti")
+    return kept.unionByName(redo)
 
 
 def stratified_sample_sql(table: str, strata_cols: list[str], id_col: str,

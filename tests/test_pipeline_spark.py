@@ -221,6 +221,22 @@ class TestTextPipeline:
         from collections import Counter
         assert Counter(g for g, _ in s2) == {"a": 10, "b": 10}
 
+    def test_stratified_sample_prefilter_exact(self, spark):
+        """The hash-threshold prefilter (the 100TB path) returns exactly the
+        unfiltered result, including when the sliver comes up short and the
+        verified fallback reruns the stratum (safety deliberately ~0)."""
+        from karta_spark.operators import text as T
+        rows = [(i, "a" if i % 3 else "b") for i in range(90)]
+        d = spark.createDataFrame(rows, "doc_id long, grp string")
+        want = sorted((r["grp"], r["doc_id"], r["rank"]) for r in
+                      T.stratified_sample(d, ["grp"], "doc_id", cap=10,
+                                          prefilter=False).collect())
+        for safety in (4.0, 0.05):  # 0.05 -> sliver < cap -> fallback path
+            got = sorted((r["grp"], r["doc_id"], r["rank"]) for r in
+                         T.stratified_sample(d, ["grp"], "doc_id", cap=10,
+                                             safety=safety).collect())
+            assert got == want, f"safety={safety}"
+
 
 class TestSimilarity:
     def _vectors(self, spark, n=200, dim=16):
