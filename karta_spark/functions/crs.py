@@ -111,6 +111,7 @@ class _SqlOps:
     ln = staticmethod(lambda v: _SqlOps._f("ln", v))
     sqrt = staticmethod(lambda v: _SqlOps._f("sqrt", v))
     abs = staticmethod(lambda v: _SqlOps._f("abs", v))
+    floor = staticmethod(lambda v: _SqlOps._f("floor", v))
 
     @staticmethod
     def pow(v, p):
@@ -138,6 +139,7 @@ class _ColOps:
     ln = staticmethod(F.log)
     sqrt = staticmethod(F.sqrt)
     abs = staticmethod(F.abs)
+    floor = staticmethod(F.floor)
 
     @staticmethod
     def pow(v, p):
@@ -164,6 +166,7 @@ class _NpOps:
     ln = staticmethod(np.log)
     sqrt = staticmethod(np.sqrt)
     abs = staticmethod(np.abs)
+    floor = staticmethod(np.floor)
     pow = staticmethod(np.power)
 
     @staticmethod
@@ -454,6 +457,65 @@ def _cea_inv(B, x, y, lat_ts):
     return lon, phi * _R2D
 
 
+def _aea_consts(lat1: float, lat2: float, lat0: float):
+    """n, C, rho0 for the ellipsoidal Albers equal-area conic
+    (Snyder 1987 eqs. 14-3..14-6, 3-12) — driver-side scalars."""
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1.0 - E2_WGS84 * math.sin(phi) ** 2)
+
+    def q(phi):
+        es = E_WGS84 * math.sin(phi)
+        return (1.0 - E2_WGS84) * (
+            math.sin(phi) / (1.0 - es * es)
+            - (1.0 / (2.0 * E_WGS84)) * math.log((1.0 - es) / (1.0 + es)))
+
+    p1, p2, p0 = lat1 * _D2R, lat2 * _D2R, lat0 * _D2R
+    m1, m2 = m(p1), m(p2)
+    q1, q2, q0 = q(p1), q(p2), q(p0)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = A_WGS84 * math.sqrt(C - n * q0) / n
+    return n, C, rho0
+
+
+def _aea_fwd(B, lon, lat, lat1, lat2, lat0, lon0, fe, fn):
+    """Ellipsoidal Albers equal-area conic forward (Snyder 14-1..14-4)."""
+    n, C, rho0 = _aea_consts(lat1, lat2, lat0)
+    q = _authalic_q(B, lat * _D2R)
+    rho = A_WGS84 * B.sqrt(C - n * q) / n
+    # a cone is not periodic in lon: wrap lon-lon0 into [-180, 180)
+    dlon = lon - lon0
+    dlon = dlon - 360.0 * B.floor((dlon + 180.0) * (1.0 / 360.0))
+    theta = n * (dlon * _D2R)
+    x = fe + rho * B.sin(theta)
+    y = fn + rho0 - rho * B.cos(theta)
+    return x, y
+
+
+def _aea_inv(B, x, y, lat1, lat2, lat0, lon0, fe, fn):
+    """Ellipsoidal Albers inverse (Snyder 14-8..14-11 via the authalic
+    latitude series — same fixed-term expansion the laea/cea paths use)."""
+    n, C, rho0 = _aea_consts(lat1, lat2, lat0)
+    xp = x - fe
+    yp = rho0 - (y - fn)
+    rho = B.sqrt(xp * xp + yp * yp)
+    theta = B.atan2(xp, yp)  # n > 0 aspect (northern standard parallels)
+    q = (C - (rho * rho * n * n) / (A_WGS84 * A_WGS84)) / n
+    beta = B.asin(q / _QP)
+    phi = _authalic_to_geographic(B, beta)
+    lam = theta / n
+    return lon0 + lam * _R2D, phi * _R2D
+
+
+def albers(lat1: float, lat2: float, lat0: float = 0.0, lon0: float = 0.0,
+           fe: float = 0.0, fn: float = 0.0) -> CrsDef:
+    """Albers equal-area conic CRS (e.g. AlaskaAlbers = albers(55, 65, 50,
+    -154)) — the reference reaches these through arbitrary proj4 strings
+    (crs.py:219-243); here each conic is a named CrsDef."""
+    return CrsDef(f"aea_{lat1}_{lat2}_{lat0}_{lon0}", "aea",
+                  (lat1, lat2, lat0, lon0, fe, fn))
+
+
 def _dispatch_fwd(B, crs: CrsDef, lon, lat):
     if crs.kind == "lonlat":
         return lon, lat
@@ -467,6 +529,8 @@ def _dispatch_fwd(B, crs: CrsDef, lon, lat):
         return _laea_fwd(B, lon, lat, *crs.params)
     if crs.kind == "cea":
         return _cea_fwd(B, lon, lat, *crs.params)
+    if crs.kind == "aea":
+        return _aea_fwd(B, lon, lat, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
 
 
@@ -483,6 +547,8 @@ def _dispatch_inv(B, crs: CrsDef, x, y):
         return _laea_inv(B, x, y, *crs.params)
     if crs.kind == "cea":
         return _cea_inv(B, x, y, *crs.params)
+    if crs.kind == "aea":
+        return _aea_inv(B, x, y, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
 
 

@@ -26,6 +26,15 @@ def plane_azimuth(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     return F.atan2(x2 - x1, y2 - y1)
 
 
+def compass_azimuth(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """Point.azimuth's projected arm (reference geometry.py:166-173):
+    degrees clockwise from north, normalized into [-180, 180) (due south
+    is -180, not +180); NaN for coincident points."""
+    az = F.degrees(F.atan2(x2 - x1, y2 - y1))
+    norm = F.pmod(az + 180.0, F.lit(360.0)) - 180.0
+    return F.when((x1 == x2) & (y1 == y2), F.lit(float("nan"))).otherwise(norm)
+
+
 def sphere_distance(
     lon1: Column, lat1: Column, lon2: Column, lat2: Column, radius: float = R_SPHERE
 ) -> Column:
