@@ -128,6 +128,69 @@ class TestPlanarGeometry:
         assert got == pytest.approx(np.pi, abs=1e-6)
 
 
+class TestRasterParity:
+    """grid_tests.py parity cases not already pinned in test_raster_spark."""
+
+    def test_sample_bilinear2_goldens(self, spark):
+        """grid_tests.py:306-314 — four exact bilinear values over the 2x2
+        grid sampled on the meshgrid(linspace(0.5, 1.5, 50)) lattice."""
+        from karta_spark.raster import sampling, tiles
+        t = (0.0, 0.0, 1.0, 1.0, 0.0, 0.0)
+        g = tiles.grid_to_df(spark, "g", np.array([[0.0, 1.0], [1.0, 0.5]]), t)
+        ls = np.linspace(0.5, 1.5)
+        pts, want = [], [0.16326530612244894, 0.48979591836734693,
+                         0.63265306122448983, 0.74052478134110788]
+        for k in (400, 1200, 1550, 2120):
+            pts.append((float(ls[k % 50]), float(ls[k // 50])))
+        pdf = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(pts)], "pid long, x double, y double")
+        got = [r["value"] for r in
+               sampling.sample_join(pdf, g, t, method="bilinear").orderBy("pid").collect()]
+        assert got == pytest.approx(want, abs=1e-12)
+
+    def test_resample_nearest_exact(self, spark):
+        """grid_tests.py:162-177 — nearest resample of a linear node field
+        from res 2 to res 6 is exact."""
+        from karta_spark.raster import sampling, tiles
+        lsx = np.linspace(0.0, 1.0 - 2.0 / 300.0, 150)
+        xx, yy = np.meshgrid(lsx, lsx)
+        zz = 2.0 * xx - 3.0 * yy
+        t = (0.0, 0.0, 2.0, 2.0, 0.0, 0.0)
+        g = tiles.grid_to_df(spark, "g", zz, t)
+        sampled, tnew, (ny, nx) = sampling.resample(g, t, zz.shape, 6.0, 6.0,
+                                                    method="nearest")
+        assert (ny, nx) == (50, 50)
+        sol_ls = np.linspace(0.0, 1.0 - 6.0 / 300.0, 50)
+        sx, sy = np.meshgrid(sol_ls, sol_ls)
+        sol = 2.0 * sx - 3.0 * sy
+        got = np.full((ny, nx), np.nan)
+        for r in sampled.collect():
+            got[r["ti"], r["tj"]] = r["value"]
+        assert np.nanmax(np.abs(got - sol)) < 1e-12
+
+    def test_clip_parity(self, spark):
+        """grid_tests.py:399-418 — clip(500, 950, 500, 950) of the 49x49
+        peaks grid at 30 m keeps exactly cells [17:32, 17:32] (the
+        (510, 510) corner / 525..945 center golden)."""
+        from karta_spark.raster import tiles
+        n = 49
+        X, Y = np.meshgrid(np.linspace(-3, 3, n), np.linspace(-3, 3, n))
+        pe = (3.0 * (1 - X) ** 2 * np.exp(-X ** 2 - (Y + 1) ** 2)
+              - 10.0 * (X / 5.0 - X ** 3 - Y ** 5) * np.exp(-X ** 2 - Y ** 2)
+              - 1.0 / 3.0 * np.exp(-(X + 1) ** 2 - Y ** 2))
+        t = (0.0, 0.0, 30.0, 30.0, 0.0, 0.0)
+        g = tiles.grid_to_df(spark, "g", pe, t)
+        clipped = tiles.clip(g, 500.0, 950.0, 500.0, 950.0)
+        vals, _, _ = tiles.df_to_grid(clipped)
+        valid = ~np.isnan(vals)
+        ii, jj = np.nonzero(valid)
+        assert (ii.min(), ii.max(), jj.min(), jj.max()) == (17, 31, 17, 31)
+        assert np.allclose(vals[17:32, 17:32], pe[17:32, 17:32])
+        ext = tiles.data_extent(clipped).collect()[0]
+        assert (ext["xmin"], ext["xmax"]) == (525.0, 945.0)
+        assert (ext["ymin"], ext["ymax"]) == (525.0, 945.0)
+
+
 class TestGeodesicParity:
     """TestGeometryProj parity (geometry_tests.py:637-695) — ellipsoidal
     geodesics via the Vincenty kernels, projections via functions/crs."""
