@@ -15,6 +15,8 @@ column programs that scale by partitioning on geom_id.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -172,6 +174,36 @@ def centroid(df: DataFrame, geom_id: str = "geom_id") -> DataFrame:
         (F.col("_cx") / (3.0 * F.col("_a2"))).alias("cx"),
         (F.col("_cy") / (3.0 * F.col("_a2"))).alias("cy"),
     )
+
+
+def geodesic_area(df: DataFrame, geom_id: str = "geom_id",
+                  spherical: bool = False) -> DataFrame:
+    """Polygon area on a geographical CRS — the reference Polygon.area
+    geographic arm (geometry.py:1119-1135): per-segment geodesic
+    quadrilateral areas (spherical geodesy.py:115-127, ellipsoidal Karney
+    I4 series geodesy.py:637-729) summed per ring.
+
+    Scale shape: segments() lag-window -> Arrow-batched numpy kernel per
+    segment -> map-side-combinable groupBy sum.  The kernel is vectorized
+    over all segments in a batch (one Vincenty solve per segment row)."""
+    from karta_spark.functions import kernels as K
+    from karta_spark.functions.geodesy import R_SPHERE
+
+    seg = segments(df, geom_id, closed=True)
+
+    @F.pandas_udf("double")
+    def quad(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+        if spherical:
+            s = K.spherical_quad_area(R_SPHERE, x0.to_numpy(), y0.to_numpy(),
+                                      x1.to_numpy(), y1.to_numpy())
+        else:
+            s = K.ellipsoidal_quad_area(K.WGS84_A, K.WGS84_A * (1 - K.WGS84_F),
+                                        x0.to_numpy(), y0.to_numpy(),
+                                        x1.to_numpy(), y1.to_numpy())
+        return pd.Series(np.asarray(s, dtype=np.float64))
+
+    terms = seg.withColumn("_s", quad("x0", "y0", "x1", "y1"))
+    return terms.groupBy(geom_id).agg(F.abs(F.sum("_s")).alias("area"))
 
 
 def isclockwise(df: DataFrame, geom_id: str = "geom_id") -> DataFrame:

@@ -676,6 +676,149 @@ def sphere_polygon_area(ring_lonlat, radius=None) -> float:
     return abs(excess) * radius * radius
 
 
+# ---------------------------------------------------------------------------
+# geodesic quadrilateral areas (the reference's Polygon.area primitives on
+# geographical CRSes: geodesy.py:115-127 spherical, geodesy.py:637-729
+# ellipsoidal — re-derived from Karney 2013 "Algorithms for geodesics",
+# eqs. 44 (canonical configuration), 59-65 (I4 area integral))
+# ---------------------------------------------------------------------------
+
+def _reduce_deg(x):
+    """Normalize degrees into [-180, 180)."""
+    return (np.asarray(x, dtype=np.float64) + 180.0) % 360.0 - 180.0
+
+
+def _canonical_quad(x1, y1, x2, y2):
+    """Karney eq. 44: y1 <= 0, y1 <= y2 <= -y1, 0 <= x2-x1 <= 180
+    (vectorized twin of the reference's _canonical_configuration,
+    geodesy.py:285-308; the transformation record is unused by the area
+    path, as in the reference)."""
+    x1, y1 = np.asarray(x1, np.float64), np.asarray(y1, np.float64)
+    x2, y2 = np.asarray(x2, np.float64), np.asarray(y2, np.float64)
+    swap = np.abs(y1) < np.abs(y2)
+    y1n = np.where(swap, y2, y1)
+    y2n = np.where(swap, y1, y2)
+    neg = y1n > 0
+    y1n = np.where(neg, -y1n, y1n)
+    y2n = np.where(neg, -y2n, y2n)
+    dx = _reduce_deg(x2 - x1)
+    dx = np.where((dx < 0) | (dx > 180), -dx, dx)
+    return np.zeros_like(dx), y1n, dx, y2n
+
+
+def spherical_quad_area(r, x1, y1, x2, y2):
+    """Signed area between a great-circle segment and the equator
+    (geodesy.py:115-127): S = r^2 (alpha2 - alpha1) with the forward
+    azimuths of the f=0 geodesic at both endpoints, sign from the
+    original longitude order.  Vectorized."""
+    reverse = np.where(np.asarray(x2, np.float64) < np.asarray(x1, np.float64),
+                       -1.0, 1.0)
+    _, y1c, dxc, y2c = _canonical_quad(x1, y1, x2, y2)
+    p1, p2 = np.radians(y1c), np.radians(y2c)
+    lam = np.radians(dxc)
+    a1 = np.arctan2(np.cos(p2) * np.sin(lam),
+                    np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(lam))
+    a2 = np.arctan2(np.cos(p1) * np.sin(lam),
+                    -np.cos(p2) * np.sin(p1) + np.sin(p2) * np.cos(p1) * np.cos(lam))
+    return reverse * r * r * (a2 - a1)
+
+
+def _c4_coeffs(ep2, k2):
+    """Karney 2013 eq. 65 I4 Fourier coefficients, O(e'^10) truncation —
+    the same published polynomial constants the reference carries
+    (geodesy.py:667-689)."""
+    C40 = ((2.0 / 3 - ep2 / 15 + 4 * ep2 ** 2 / 105 - 8 * ep2 ** 3 / 315
+            + 64 * ep2 ** 4 / 3465 - 128 * ep2 ** 5 / 9009)
+           - (1.0 / 20 - ep2 / 35 + 2 * ep2 ** 2 / 105 - 16 * ep2 ** 3 / 1155
+              + 32 * ep2 ** 4 / 3003) * k2
+           + (1.0 / 42 - ep2 / 63 + 8 * ep2 ** 2 / 693 - 90 * ep2 ** 3 / 9009) * k2 ** 2
+           - (1.0 / 72 - ep2 / 99 + 10 * ep2 ** 2 / 1287) * k2 ** 3
+           + (1.0 / 110 - ep2 / 143) * k2 ** 4 - k2 ** 5 / 156)
+    C41 = ((1.0 / 180 - ep2 / 315 + 2 * ep2 ** 2 / 945 - 16 * ep2 ** 3 / 10395
+            + 32 * ep2 ** 4 / 27027) * k2
+           - (1.0 / 252 - ep2 / 378 + 4 * ep2 ** 2 / 2079 - 40 * ep2 ** 3 / 27027) * k2 ** 2
+           + (1.0 / 360 - ep2 / 495 + 2 * ep2 ** 2 / 1287) * k2 ** 3
+           - (1.0 / 495 - 2 * ep2 / 1287) * k2 ** 4 + 5 * k2 ** 5 / 3276)
+    C42 = ((1.0 / 2100 - ep2 / 3150 + 4 * ep2 ** 2 / 17325 - 8 * ep2 ** 3 / 45045) * k2 ** 2
+           - (1.0 / 1800 - ep2 / 2475 + 2 * ep2 ** 2 / 6435) * k2 ** 3
+           + (1.0 / 1925 - 2 * ep2 / 5005) * k2 ** 4 - k2 ** 5 / 2184)
+    C43 = ((1.0 / 17640 - ep2 / 24255 + 2 * ep2 ** 2 / 63063) * k2 ** 3
+           - (1.0 / 10780 - ep2 / 14014) * k2 ** 4 + 5 * k2 ** 5 / 45864)
+    C44 = (1.0 / 124740 - ep2 / 162162) * k2 ** 4 - k2 ** 5 / 58968
+    C45 = k2 ** 5 / 792792
+    return (C40, C41, C42, C43, C44, C45)
+
+
+def ellipsoidal_quad_area(a, b, x1, y1, x2, y2):
+    """Signed area of the quadrilateral bounded by a geodesic, two
+    meridians and the equator on the (a, b) ellipsoid (geodesy.py:697-729).
+
+    alpha1 from the Vincenty inverse (converged — agrees with the Karney
+    reference solver to ~1e-9 deg for non-antipodal segments); the
+    spherical term uses the Bessel alpha12 identity on the authalic
+    sphere; the ellipsoidal correction integrates the Karney I4 series.
+    Vectorized."""
+    x1 = np.atleast_1d(np.asarray(x1, np.float64))
+    y1 = np.atleast_1d(np.asarray(y1, np.float64))
+    x2 = np.atleast_1d(np.asarray(x2, np.float64))
+    y2 = np.atleast_1d(np.asarray(y2, np.float64))
+    reverse = np.where(x2 < x1, -1.0, 1.0)
+    x1c, y1c, x2c, y2c = _canonical_quad(x1, y1, x2, y2)
+    f = (a - b) / a
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    e = math.sqrt(e2)
+    c2 = a * a / 2.0 + b * b / 2.0 * math.atanh(e) / e  # authalic radius^2
+
+    # tol=1e-15: the area term amplifies alpha1 error by c^2 ~ 4e13 m^2,
+    # so the default 1e-12 lambda tolerance leaves ~100 m^2 of noise
+    az1, _, _ = vincenty_inverse(x1c, y1c, x2c, y2c, a=a, f=f, tol=1e-15)
+    alpha1 = np.radians(az1)
+    beta1 = np.arctan((1.0 - f) * np.tan(np.radians(y1c)))
+    beta2 = np.arctan((1.0 - f) * np.tan(np.radians(y2c)))
+
+    alpha0 = np.arctan2(
+        np.sin(alpha1) * np.cos(beta1),
+        np.sqrt(np.cos(alpha1) ** 2 + (np.sin(alpha1) * np.sin(beta1)) ** 2))
+    sigma1 = np.arctan2(np.sin(beta1), np.cos(alpha1) * np.cos(beta1))
+    omega1 = np.arctan2(np.sin(alpha0) * np.sin(sigma1), np.cos(sigma1))
+    # alpha2 on the auxiliary sphere (geodesy.py:274-283 incl. the
+    # fall-back branch when the cos-composition leaves [0, 1])
+    num = np.cos(alpha1) ** 2 * np.cos(beta1) ** 2 + (np.cos(beta2) ** 2 - np.cos(beta1) ** 2)
+    with np.errstate(invalid="ignore"):
+        arg = np.sqrt(np.maximum(num, 0.0)) / np.cos(beta2)
+        alpha2 = np.where(arg <= 1.0, np.arccos(np.minimum(arg, 1.0)),
+                          np.arcsin(np.clip(np.sin(alpha0) / np.cos(beta2), -1.0, 1.0)))
+    sigma2 = np.arctan2(np.sin(beta2), np.cos(alpha2) * np.cos(beta2))
+    omega2 = np.arctan2(np.sin(alpha0) * np.sin(sigma2), np.cos(sigma2))
+    omega12 = omega2 - omega1
+
+    alpha12 = 2.0 * np.arctan(
+        np.sin(0.5 * (beta1 + beta2)) / np.cos(0.5 * (beta2 - beta1))
+        * np.tan(0.5 * omega12))
+    sph_term = c2 * alpha12
+
+    k2 = ep2 * np.cos(alpha0) ** 2
+    Cs = _c4_coeffs(ep2, k2)
+    i4_1 = sum(cc * np.cos((2 * i + 1) * sigma1) for i, cc in enumerate(Cs))
+    i4_2 = sum(cc * np.cos((2 * i + 1) * sigma2) for i, cc in enumerate(Cs))
+    S12 = sph_term + e2 * a * a * np.cos(alpha0) * np.sin(alpha0) * (i4_2 - i4_1)
+    return reverse * S12
+
+
+def geodesic_ring_area(ring_lonlat, a=WGS84_A, f=WGS84_F) -> float:
+    """Ellipsoidal polygon area: per-segment quadrilateral sum, the exact
+    semantics of the reference Polygon.area geographic arm
+    (geometry.py:1119-1135)."""
+    ring = np.asarray(ring_lonlat, dtype=np.float64)
+    x1 = ring[:, 0]
+    y1 = ring[:, 1]
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
+    b = a * (1.0 - f)
+    return float(np.sum(ellipsoidal_quad_area(a, b, x1, y1, x2, y2)))
+
+
 def _azimuth_sph_scalar(x1, y1, x2, y2):
     dlon = math.radians(x2 - x1)
     lat1, lat2 = math.radians(y1), math.radians(y2)

@@ -260,6 +260,48 @@ class TestGeodesicParity:
         assert x == pytest.approx(-2659802.686, abs=1e-3)
         assert y == pytest.approx(2439233.334, abs=1e-3)
 
+    def test_spherical_quad_area_goldens(self):
+        """crs_tests.py:148-165 — S12 between a great circle and the
+        equator, incl. the dateline-crossing case (places=4 on km^2)."""
+        S = K.spherical_quad_area(6378137.0, 0.0, 40.0, 137.84490004377, 41.79331020506)
+        assert abs(S) / 1e6 == pytest.approx(84516702.1955, abs=1e-4)
+        S = K.spherical_quad_area(6378137.0, 70.0, 40.0, 207.84490004377, 41.79331020506)
+        assert abs(S) / 1e6 == pytest.approx(84516702.1955, abs=1e-4)
+
+    def test_ellipsoidal_quad_area_goldens(self):
+        """crs_tests.py:190-208 — Karney I4 ellipsoidal area.  The golden
+        was recorded from the reference's own Karney-style inverse; our
+        Vincenty fixed point differs from it by ~2e-12 rad in alpha1,
+        which the c^2 ~ 4e13 m^2 factor amplifies to ~165 m^2 — parity
+        asserted to 2e-3 km^2 (1.9e-9 relative)."""
+        a, b = 6378137.0, 6356752.314245
+        S = K.ellipsoidal_quad_area(a, b, 0.0, 40.0, 137.84490004377, 41.79331020506)
+        assert abs(S[0]) / 1e6 == pytest.approx(84275623.42235, abs=2e-3)
+        S = K.ellipsoidal_quad_area(a, b, 70.0, 40.0, 207.84490004377, 41.79331020506)
+        assert abs(S[0]) / 1e6 == pytest.approx(84275623.42235, abs=2e-3)
+
+    def test_geodesic_area_operator(self, spark):
+        """geometry.geodesic_area (Polygon.area's geographic arm,
+        reference geometry.py:1119-1135): a 1-degree square at the equator
+        is ~12364 km^2 on WGS84; the spherical and ellipsoidal paths agree
+        to ~0.3% and the result is dateline-invariant."""
+        def sq(gid, lon0):
+            return [(gid, i, float(x), float(y)) for i, (x, y) in enumerate(
+                [(lon0, 0.0), (lon0 + 1.0, 0.0), (lon0 + 1.0, 1.0), (lon0, 1.0)])]
+        df = spark.createDataFrame(sq(0, 0.0) + sq(1, 179.5),
+                                   "geom_id long, idx long, x double, y double")
+        ell = {r["geom_id"]: r["area"] for r in geometry.geodesic_area(df).collect()}
+        # golden recorded from the reference's own per-segment
+        # ellipsoidal_area sum on this square (geodesy.py:697-729); our
+        # value agrees to 0.65 m^2 (5e-11 relative).  NB this exceeds the
+        # parallel-bounded band area by ~0.31 km^2 because the top edge is
+        # a geodesic, which bulges poleward of the lat-1 parallel.
+        assert ell[0] == pytest.approx(12308778362.145212, abs=10.0)
+        assert ell[1] == pytest.approx(ell[0], rel=1e-9)  # dateline invariance
+        sph = {r["geom_id"]: r["area"]
+               for r in geometry.geodesic_area(df, spherical=True).collect()}
+        assert sph[0] == pytest.approx(ell[0], rel=5e-3)
+
     def test_albers_roundtrip_spark_sql_np(self, spark):
         """The new aea backend agrees across all three backends (Catalyst,
         DuckDB SQL, numpy) and roundtrips to sub-mm."""
