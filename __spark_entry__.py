@@ -1295,6 +1295,58 @@ def q45_video_frames(spark, sf_dir):
             .orderBy("video_id"))
 
 
+def q48_geodesic_area(spark, sf_dir):
+    """Spherical geodesic ring area per nation (the reference
+    Polygon.area spherical arm, geometry.py:1119-1128): ring from each
+    nation's 6 lowest-key customers, per-segment quadrilateral areas
+    (geodesy.py:115-127) summed — the whole pipeline is closed-form trig,
+    shared verbatim with the DuckDB oracle via spherical_quad_area_sql."""
+    from pyspark.sql import Window
+    from karta_spark.functions import geometry
+    from karta_spark.functions.geodesy import spherical_quad_area_sql
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    v = (c.withColumn("idx", F.row_number().over(w).cast("long"))
+         .where(F.col("idx") <= 6)
+         .select(F.col("c_nationkey").cast("long").alias("geom_id"), "idx", "x", "y"))
+    seg = geometry.segments(v, "geom_id", closed=True)
+    terms = seg.withColumn("_s", F.expr(spherical_quad_area_sql("x0", "y0", "x1", "y1")))
+    return (terms.groupBy("geom_id")
+            .agg(F.round(F.abs(F.sum("_s")) / 1e6, 4).alias("area_km2"))
+            .orderBy("geom_id"))
+
+
+def _q48_sql():
+    from karta_spark.functions.geodesy import spherical_quad_area_sql
+    quad = spherical_quad_area_sql("x0", "y0", "x1", "y1")
+    return f"""
+WITH c AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS geom_id, c_custkey AS k,
+         {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y
+  FROM customer
+),
+r AS (
+  SELECT geom_id, x, y,
+         row_number() OVER (PARTITION BY geom_id ORDER BY k) AS idx
+  FROM c
+),
+v AS (SELECT geom_id, idx, x, y FROM r WHERE idx <= 6),
+seg AS (
+  SELECT geom_id, x AS x0, y AS y0,
+         coalesce(lead(x) OVER w,
+                  first_value(x) OVER (PARTITION BY geom_id ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS x1,
+         coalesce(lead(y) OVER w,
+                  first_value(y) OVER (PARTITION BY geom_id ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS y1
+  FROM v
+  WINDOW w AS (PARTITION BY geom_id ORDER BY idx)
+)
+SELECT geom_id, round(abs(sum({quad})) / 1e6, 4) AS area_km2
+FROM seg GROUP BY geom_id ORDER BY geom_id
+"""
+
+
 def q46_tfidf_terms(spark, sf_dir):
     """Smoothed TF-IDF top-3 terms per document (keyword extraction, pure
     Catalyst — one (doc,term) shuffle + broadcast df table + per-doc window)."""
@@ -1442,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_video_frames": q45_video_frames,
         "q46_tfidf_terms": q46_tfidf_terms,
         "q47_stratified_sample": q47_stratified_sample,
+        "q48_geodesic_area": q48_geodesic_area,
     }
 
 
@@ -1473,6 +1526,7 @@ def oracle_sql() -> dict[str, str]:
         "q46_tfidf_terms": text.tfidf_top_terms_sql("documents", "text", "doc_id", k=3),
         "q47_stratified_sample": text.stratified_sample_sql(
             "documents", ["lang"], "doc_id", cap=40),
+        "q48_geodesic_area": _q48_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

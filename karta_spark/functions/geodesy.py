@@ -85,6 +85,32 @@ def sphere_distance_sql(lon1: str, lat1: str, lon2: str, lat2: str, radius: floa
     return f"(CASE WHEN {dx} > 0.01 OR {dy} > 0.01 THEN {loc} ELSE {hav} END * {radius!r})"
 
 
+def spherical_quad_area_sql(x1: str, y1: str, x2: str, y2: str,
+                            radius: float = R_SPHERE) -> str:
+    """Engine-neutral SQL for the signed area between a great-circle
+    segment and the equator (reference geodesy.py:115-127; the kernel twin
+    is kernels.spherical_quad_area).  Parses identically as a Spark SQL
+    expression (F.expr) and in DuckDB, so the geodesic-area family is
+    oracle-checkable.  Emits the Karney eq. 44 canonical configuration as
+    CASE chains."""
+    swap = f"(abs({y1}) < abs({y2}))"
+    Y1 = f"(CASE WHEN {swap} THEN {y2} ELSE {y1} END)"
+    Y2 = f"(CASE WHEN {swap} THEN {y1} ELSE {y2} END)"
+    neg = f"({Y1} > 0)"
+    Y1n = f"(CASE WHEN {neg} THEN -{Y1} ELSE {Y1} END)"
+    Y2n = f"(CASE WHEN {neg} THEN -{Y2} ELSE {Y2} END)"
+    d = f"(({x2}) - ({x1}))"
+    dr = f"({d} - 360.0*floor(({d} + 180.0)/360.0))"
+    dxc = f"(CASE WHEN {dr} < 0 OR {dr} > 180 THEN -{dr} ELSE {dr} END)"
+    p1, p2, lam = f"radians({Y1n})", f"radians({Y2n})", f"radians({dxc})"
+    a1 = (f"atan2(cos({p2})*sin({lam}),"
+          f" cos({p1})*sin({p2}) - sin({p1})*cos({p2})*cos({lam}))")
+    a2 = (f"atan2(cos({p1})*sin({lam}),"
+          f" -cos({p2})*sin({p1}) + sin({p2})*cos({p1})*cos({lam}))")
+    rev = f"(CASE WHEN ({x2}) < ({x1}) THEN -1.0 ELSE 1.0 END)"
+    return f"({rev} * {radius!r} * {radius!r} * ({a2} - {a1}))"
+
+
 def ellipsoid_distance(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
     """WGS84 ellipsoidal geodesic distance (Vincenty inverse, Arrow-batched
     kernel). The reference delegates this to pyproj.Geod at runtime

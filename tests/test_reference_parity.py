@@ -302,6 +302,21 @@ class TestGeodesicParity:
                for r in geometry.geodesic_area(df, spherical=True).collect()}
         assert sph[0] == pytest.approx(ell[0], rel=5e-3)
 
+    def test_spherical_quad_area_expr_matches_kernel(self, spark):
+        """The shared SQL fragment (q48's oracle twin) and the numpy kernel
+        agree bit-for-bit on random segments incl. dateline crossers."""
+        rng = np.random.default_rng(3)
+        segs = [(float(a), float(b), float(c), float(d)) for a, b, c, d in zip(
+            rng.uniform(-200, 200, 40), rng.uniform(-80, 80, 40),
+            rng.uniform(-200, 200, 40), rng.uniform(-80, 80, 40))]
+        df = spark.createDataFrame(segs, "x1 double, y1 double, x2 double, y2 double")
+        sql = geodesy.spherical_quad_area_sql("x1", "y1", "x2", "y2")
+        got = [r["s"] for r in df.select(F.expr(sql).alias("s")).collect()]
+        arr = np.array(segs)
+        want = K.spherical_quad_area(geodesy.R_SPHERE, arr[:, 0], arr[:, 1],
+                                     arr[:, 2], arr[:, 3])
+        assert np.allclose(got, want, rtol=0, atol=1e-3)
+
     def test_albers_roundtrip_spark_sql_np(self, spark):
         """The new aea backend agrees across all three backends (Catalyst,
         DuckDB SQL, numpy) and roundtrips to sub-mm."""
