@@ -315,7 +315,7 @@ class TestGeodesicParity:
         arr = np.array(segs)
         want = K.spherical_quad_area(geodesy.R_SPHERE, arr[:, 0], arr[:, 1],
                                      arr[:, 2], arr[:, 3])
-        assert np.allclose(got, want, rtol=0, atol=1e-3)
+        assert np.allclose(got, want, rtol=1e-12, atol=0)
 
     def test_albers_roundtrip_spark_sql_np(self, spark):
         """The new aea backend agrees across all three backends (Catalyst,
