@@ -317,6 +317,29 @@ class TestGeodesicParity:
                                      arr[:, 2], arr[:, 3])
         assert np.allclose(got, want, rtol=1e-12, atol=0)
 
+    def test_dateline_invariance(self, spark):
+        """dateline_tests.py:15-38 — azimuth, distance and geodesic area
+        are invariant under a dateline shift (both spherical and
+        ellipsoidal arms)."""
+        # azimuth + distance, ellipsoidal (Vincenty)
+        az0, _, d0 = K.vincenty_inverse(np.array([0.0]), np.array([0.0]),
+                                        np.array([-1.0]), np.array([1.0]))
+        az1, _, d1 = K.vincenty_inverse(np.array([-179.5]), np.array([0.0]),
+                                        np.array([179.5]), np.array([1.0]))
+        assert az0[0] == pytest.approx(az1[0], abs=1e-8)
+        assert d0[0] == pytest.approx(d1[0], abs=1e-8)
+        # geodesic area across the dateline (both arms)
+        def ring_df(gid, verts):
+            return [(gid, i, float(x), float(y)) for i, (x, y) in enumerate(verts)]
+        df = spark.createDataFrame(
+            ring_df(0, [(-1, -1), (1, -1), (1, 1), (-1, 1)])
+            + ring_df(1, [(179, -1), (-179, -1), (-179, 1), (179, 1)]),
+            "geom_id long, idx long, x double, y double")
+        for sph in (False, True):
+            got = {r["geom_id"]: r["area"]
+                   for r in geometry.geodesic_area(df, spherical=sph).collect()}
+            assert got[1] == pytest.approx(got[0], rel=1e-9), f"spherical={sph}"
+
     def test_albers_roundtrip_spark_sql_np(self, spark):
         """The new aea backend agrees across all three backends (Catalyst,
         DuckDB SQL, numpy) and roundtrips to sub-mm."""
