@@ -62,6 +62,22 @@ nv = knn.nearest_vertex(
 sections.append(("nearest_vertex (TakeOrderedAndProject — per-partition "
                  "top-1 + driver merge, no global sort)", plan_of(nv, 15)))
 
+# 8. q21 portable minhash: the whole LSH pipeline (grams, 64 min-aggs,
+# band buckets, candidate join, exact-Jaccard verify) with zero Python
+sections.append(("q21 portable MinHash LSH (zero-Python: explode -> 64 "
+                 "map-side min-aggs -> bucket equi-join -> gram-join verify)",
+                 plan_of(m.q21_minhash_pairs(spark, sf), 45)))
+
+# 9. q47 stratified sample: hash-threshold prefilter keeps the per-stratum
+# window tiny; the count agg and the window both shuffle on the same key
+sections.append(("q47 stratified sample (hash-threshold prefilter before "
+                 "the per-stratum window)", plan_of(m.q47_stratified_sample(spark, sf), 35)))
+
+# 10. q48 geodesic area: closed-form trig fully inside codegen
+sections.append(("q48 spherical geodesic area (canonical-configuration trig "
+                 "as one codegen'd expression over the segments window)",
+                 plan_of(m.q48_geodesic_area(spark, sf), 30)))
+
 with open("/root/repo/PLANS.md", "w") as f:
     f.write("""# PLANS — physical plan review (.explain) of the headline operators
 
