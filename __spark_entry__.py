@@ -278,7 +278,9 @@ def q09_knn(spark, sf_dir):
         F.col("x").alias("qx"), F.col("y").alias("qy"))
     c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey").select(
         F.col("c_custkey").alias("point_id"), "x", "y")
-    out = knn.knn_join(s, c, k=3, zoom=4, ring=1)
+    # zoom=None: density-derived tile zoom (auto_zoom) — exactness is
+    # zoom-invariant (the ring guarantee verifies), only the plan changes
+    out = knn.knn_join(s, c, k=3, zoom=None, ring=1)
     return out.select(
         "query_id", "point_id", F.round("dist", 6).alias("dist"),
         F.col("rank").cast("long").alias("rank"))

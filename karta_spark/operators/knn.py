@@ -118,14 +118,34 @@ def _covered_radius(qx_col, qy_col, ring: int, zoom: int, spherical: bool):
     return F.least(lon_term(d_w), lon_term(d_e), lat_term(d_n), lat_term(d_s))
 
 
+def auto_zoom(n_points: int, k: int, per_tile_factor: float = 128.0,
+              lo: int = 1, hi: int = 12) -> int:
+    """Density-derived tile zoom for the kNN ring join: choose z so the
+    3x3 ring-1 cover holds ~per_tile_factor*k points on average
+    (9 * n/4^z ~ f*k).  A fixed zoom is wrong at BOTH extremes: sparse
+    tiles fail the DISTANCE guarantee (widening rounds + brute-force
+    fallback — measured 6.8 s at sf0.001 where the auto choice takes
+    1.2 s), over-fine tiles fail it too because Mercator rows shrink
+    poleward (z6 at sf0.1 measured 4x slower than z4).  The generous
+    factor (128) keeps ring-1 well above the expected k-NN distance at
+    every populated latitude; candidate windows stay small because the
+    window is per-query, not per-tile."""
+    import math as _m
+    if n_points <= 0:
+        return lo
+    z = int(_m.log(max(9.0 * n_points / (per_tile_factor * k), 1.0), 4.0))
+    return max(lo, min(hi, z))
+
+
 def knn_join(
-    queries: DataFrame, points: DataFrame, k: int, zoom: int = 6, ring: int = 1,
+    queries: DataFrame, points: DataFrame, k: int, zoom: int | None = 6, ring: int = 1,
     query_id: str = "query_id", point_id: str = "point_id",
     qx: str = "qx", qy: str = "qy", px: str = "x", py: str = "y",
     spherical: bool = False, max_widen: int = 3,
 ) -> DataFrame:
     """Exact distributed kNN: cell-ring candidate join + top-k window +
     guarantee check with iterative widening for unsatisfied queries.
+    ``zoom=None`` derives the tile zoom from the point count (auto_zoom).
 
     The guarantee: if the k-th candidate distance <= the ring cover's true
     covered radius (min distance from the query to the cover's bbox edges,
@@ -133,6 +153,8 @@ def knn_join(
     point can live outside the ring.  Queries failing the guarantee (or
     with < k candidates) re-run with a doubled ring; after ``max_widen``
     rounds the remainder falls back to brute force (rare: empty regions)."""
+    if zoom is None:
+        zoom = auto_zoom(points.count(), k)
     pts = points.withColumn("_cell", cells.tile_id(F.col(px), F.col(py), zoom))
     remaining = queries
     results = []

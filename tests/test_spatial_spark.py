@@ -76,6 +76,10 @@ class TestPointQueries:
         ring = {(r["query_id"], r["rank"]): r["point_id"]
                 for r in knn.knn_join(qs, pts, 3, zoom=3).collect()}
         assert brute == ring
+        # zoom=None (density-derived auto_zoom) is exactness-invariant
+        auto = {(r["query_id"], r["rank"]): r["point_id"]
+                for r in knn.knn_join(qs, pts, 3, zoom=None).collect()}
+        assert brute == auto
 
 
 class TestSeededTouchingWithin:
