@@ -114,7 +114,10 @@ def run_benchmark():
     from karta_spark.sources import images as _images
     # warm the python-worker fork + import path (same policy as flagship:
     # steady-state throughput, not interpreter cold start, is the metric)
-    imgs = _images.synth_images(spark, 100_000, partitions=CPUS * 2)
+    # materialize the input table first: imgs is lazy, so without this the
+    # timed job re-runs the 100k-image ENCODE inside the decode metric
+    imgs = _images.synth_images(spark, 100_000, partitions=CPUS * 2) \
+                  .localCheckpoint(eager=True)
     # warm the exact pipeline (python-worker pool sized for 64 partitions,
     # codec import path) — same steady-state policy as the query loop
     _images.verify_images(imgs).where(F.col("verified")).count()
