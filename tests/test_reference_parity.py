@@ -191,6 +191,25 @@ class TestRasterParity:
         assert (ext["ymin"], ext["ymax"]) == (525.0, 945.0)
 
 
+class TestGridMinmaxParity:
+    def test_minmax_nodata(self, spark):
+        """grid_tests.py:372-379 — nodata cells excluded from extrema."""
+        from karta_spark.raster import tiles
+        vals = np.array([[4.0, 5, 3], [4, 2, -9], [3, 6, 1]])
+        g = tiles.grid_to_df(spark, "g", vals, (0, 0, 30, 30, 0, 0), nodata=-9.0)
+        r = tiles.grid_minmax(g).collect()[0]
+        assert (r["min"], r["max"]) == (1.0, 6.0)
+
+    def test_minmax_all_nodata(self, spark):
+        """grid_tests.py:380-388 — an all-nodata grid has no extrema (the
+        reference returns (nan, nan); the aggregate form returns no row,
+        the relational equivalent)."""
+        from karta_spark.raster import tiles
+        g = tiles.grid_to_df(spark, "g", -9.0 * np.ones((3, 3)),
+                             (0, 0, 30, 30, 0, 0), nodata=-9.0)
+        assert tiles.grid_minmax(g).count() == 0
+
+
 class TestGeodesicParity:
     """TestGeometryProj parity (geometry_tests.py:637-695) — ellipsoidal
     geodesics via the Vincenty kernels, projections via functions/crs."""
