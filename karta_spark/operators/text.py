@@ -181,7 +181,12 @@ def stratified_sample(df: DataFrame, strata_cols: list[str], id_col: str,
     import random as _random
     rng = _random.Random(seed)
     a, b = rng.randrange(1, _PORTABLE_P), rng.randrange(0, _PORTABLE_P)
-    h = (F.lit(a) * F.col(id_col).cast("long") + F.lit(b)) % F.lit(_PORTABLE_P)
+    # reduce the id mod P BEFORE the multiply: a < 2^31 and id%P < 2^31
+    # keep the product < 2^62, so ids beyond ~4.3e9 (the web-scale case)
+    # don't overflow int64 — Spark would wrap silently where DuckDB errors,
+    # breaking the cross-engine reproducibility this operator promises
+    h = ((F.lit(a) * (F.col(id_col).cast("long") % F.lit(_PORTABLE_P))
+          + F.lit(b)) % F.lit(_PORTABLE_P))
     w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
 
     def ranked(frame: DataFrame) -> DataFrame:
@@ -194,22 +199,32 @@ def stratified_sample(df: DataFrame, strata_cols: list[str], id_col: str,
     if not prefilter:
         return ranked(df)
 
+    def nullsafe_cond(left: DataFrame, right: DataFrame):
+        # NULL is a valid stratum key (the window form keeps NULL groups);
+        # plain equi-joins would silently drop those rows from the sliver
+        cond = left[strata_cols[0]].eqNullSafe(right[strata_cols[0]])
+        for c in strata_cols[1:]:
+            cond = cond & left[c].eqNullSafe(right[c])
+        return cond
+
     counts = df.groupBy(*strata_cols).agg(F.count("*").alias("_sn"))
     thresh = F.least(
         F.lit(float(_PORTABLE_P)),
         F.lit(float(_PORTABLE_P)) * F.lit(safety * cap) / F.col("_sn").cast("double"))
-    sliver = (df.join(counts, strata_cols)
+    sliver = (df.join(counts, nullsafe_cond(df, counts))
               .where(h.cast("double") < thresh)
-              .drop("_sn"))
-    out = ranked(sliver).persist()
+              .select(df["*"]))
+    # localCheckpoint, not persist: blocks are ContextCleaner-freed when the
+    # DataFrame is GC'd; a bare persist leaks executor storage per call
+    out = ranked(sliver).localCheckpoint(eager=False)
     got = out.groupBy(*strata_cols).agg(F.count("*").alias("_got"))
-    short = (counts.join(got, strata_cols, "left")
+    short = (counts.join(got, nullsafe_cond(counts, got), "left")
              .where(F.coalesce(F.col("_got"), F.lit(0)) < F.least(F.lit(cap), F.col("_sn")))
-             .select(*strata_cols))
+             .select(*[counts[c] for c in strata_cols]))
     if short.limit(1).count() == 0:
         return out
-    redo = ranked(df.join(short, strata_cols, "left_semi"))
-    kept = out.join(short, strata_cols, "left_anti")
+    redo = ranked(df.join(short, nullsafe_cond(df, short), "left_semi"))
+    kept = out.join(short, nullsafe_cond(out, short), "left_anti")
     return kept.unionByName(redo)
 
 
@@ -226,7 +241,7 @@ WITH ranked AS (
   SELECT {strata}, {id_col},
          CAST(row_number() OVER (
            PARTITION BY {strata}
-           ORDER BY ({a} * CAST({id_col} AS BIGINT) + {b}) % {_PORTABLE_P} ASC,
+           ORDER BY ({a} * (CAST({id_col} AS BIGINT) % {_PORTABLE_P}) + {b}) % {_PORTABLE_P} ASC,
                     {id_col} ASC) AS BIGINT) AS rank
   FROM {table}
 )

@@ -221,6 +221,31 @@ class TestTextPipeline:
         from collections import Counter
         assert Counter(g for g, _ in s2) == {"a": 10, "b": 10}
 
+    def test_stratified_sample_null_stratum_and_big_ids(self, spark):
+        """NULL is a valid stratum key (prefilter joins must be null-safe,
+        not silently dropping the group) and huge ids (> 2^32, the
+        web-scale case) hash without int64 overflow, matching the DuckDB
+        twin exactly."""
+        import duckdb
+        from karta_spark.operators import text as T
+        base = 4_600_000_000_000_000_000  # ~2^62: a*id would overflow
+        rows = [(base + i * 7, "a" if i % 3 == 0 else None) for i in range(60)]
+        d = spark.createDataFrame(rows, "doc_id long, grp string")
+        key = lambda t: (t[0] is None, t[0] or "", t[1], t[2])  # noqa: E731
+        want = sorted(((r["grp"], r["doc_id"], r["rank"]) for r in
+                       T.stratified_sample(d, ["grp"], "doc_id", cap=10,
+                                           prefilter=False).collect()), key=key)
+        got = sorted(((r["grp"], r["doc_id"], r["rank"]) for r in
+                      T.stratified_sample(d, ["grp"], "doc_id", cap=10).collect()),
+                     key=key)
+        assert got == want
+        assert sum(1 for g, _, _ in got if g is None) == 10  # NULL stratum kept
+        con = duckdb.connect()
+        con.register("documents", d.toPandas())
+        sql = T.stratified_sample_sql("documents", ["grp"], "doc_id", cap=10)
+        oracle = sorted((tuple(t) for t in con.execute(sql).fetchall()), key=key)
+        assert got == oracle
+
     def test_stratified_sample_prefilter_exact(self, spark):
         """The hash-threshold prefilter (the 100TB path) returns exactly the
         unfiltered result, including when the sliver comes up short and the
