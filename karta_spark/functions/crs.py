@@ -472,7 +472,15 @@ def _aea_consts(lat1: float, lat2: float, lat0: float):
     p1, p2, p0 = lat1 * _D2R, lat2 * _D2R, lat0 * _D2R
     m1, m2 = m(p1), m(p2)
     q1, q2, q0 = q(p1), q(p2), q(p0)
-    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    if abs(q2 - q1) < 1e-12:
+        # one-standard-parallel limit (Snyder: n -> sin(lat1))
+        n = math.sin(p1)
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    if n == 0.0:
+        raise ValueError("Albers standard parallels must not straddle the "
+                         "equator symmetrically (n = 0 degenerates to a "
+                         "cylindrical projection — use cea instead)")
     C = m1 * m1 + n * q1
     rho0 = A_WGS84 * math.sqrt(C - n * q0) / n
     return n, C, rho0
@@ -498,8 +506,11 @@ def _aea_inv(B, x, y, lat1, lat2, lat0, lon0, fe, fn):
     n, C, rho0 = _aea_consts(lat1, lat2, lat0)
     xp = x - fe
     yp = rho0 - (y - fn)
-    rho = B.sqrt(xp * xp + yp * yp)
-    theta = B.atan2(xp, yp)  # n > 0 aspect (northern standard parallels)
+    # sign(n) handling (Snyder p.102): for southern standard parallels
+    # (n < 0) rho carries n's sign and theta flips both atan2 arguments
+    s = 1.0 if n > 0 else -1.0
+    rho = s * B.sqrt(xp * xp + yp * yp)
+    theta = B.atan2(s * xp, s * yp)
     q = (C - (rho * rho * n * n) / (A_WGS84 * A_WGS84)) / n
     beta = B.asin(q / _QP)
     phi = _authalic_to_geographic(B, beta)

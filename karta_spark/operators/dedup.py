@@ -283,11 +283,14 @@ def _portable_perm_params(num_perm: int, seed: int):
 def portable_gram_hash_sql(gram: str, n: int) -> str:
     """Polynomial rolling hash over the n chars of an rpad'ed gram — the
     SAME fragment parses as a Spark SQL expression and as DuckDB SQL.
-    Char codes <= 0xFFFF keep the pre-mod value < 2^31 * 131 < 2^63."""
+    The mod at EVERY step keeps the accumulator < 2^31 * 131 + 0xFFFF
+    < 2^63 for any n (without it, n >= 8 overflows int64 — silently
+    wrapping in non-ANSI Spark while DuckDB errors, which would break
+    the cross-engine bit-reproducibility this family exists for)."""
     expr = f"CAST(ascii(substr({gram},1,1)) AS BIGINT)"
     for i in range(2, n + 1):
-        expr = f"({expr}*131 + ascii(substr({gram},{i},1)))"
-    return f"({expr} % {_PORTABLE_P})"
+        expr = f"((({expr}) % {_PORTABLE_P})*131 + ascii(substr({gram},{i},1)))"
+    return f"(({expr}) % {_PORTABLE_P})"
 
 
 def _portable_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:

@@ -279,6 +279,21 @@ class TestGeodesicParity:
         assert x == pytest.approx(-2659802.686, abs=1e-3)
         assert y == pytest.approx(2439233.334, abs=1e-3)
 
+    def test_albers_southern_and_one_parallel(self):
+        """Southern standard parallels (n < 0: Snyder's sign rules on rho
+        and theta) and the one-parallel limit (n -> sin(lat1)) both
+        roundtrip; the n = 0 degenerate case raises."""
+        south = C.albers(-18, -36, -32, -60)
+        lon = np.array([-60.0, -70.5, -48.2, -65.0])
+        lat = np.array([-32.0, -45.3, -20.1, -54.9])
+        lo, la = C.inverse_np(south, *C.forward_np(south, lon, lat))
+        assert np.allclose(lo, lon, atol=1e-7) and np.allclose(la, lat, atol=1e-7)
+        one = C.albers(45, 45, 40, 10)
+        lo, la = C.inverse_np(one, *C.forward_np(one, np.array([12.0]), np.array([47.0])))
+        assert (lo[0], la[0]) == pytest.approx((12.0, 47.0), abs=1e-7)
+        with pytest.raises(ValueError):
+            C.forward_np(C.albers(-30, 30), np.array([0.0]), np.array([10.0]))
+
     def test_spherical_quad_area_goldens(self):
         """crs_tests.py:148-165 — S12 between a great circle and the
         equator, incl. the dateline-crossing case (places=4 on km^2)."""
