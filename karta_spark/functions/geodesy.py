@@ -85,6 +85,17 @@ def sphere_distance_sql(lon1: str, lat1: str, lon2: str, lat2: str, radius: floa
     return f"(CASE WHEN {dx} > 0.01 OR {dy} > 0.01 THEN {loc} ELSE {hav} END * {radius!r})"
 
 
+def walk_projected(x: Column, y: Column, azimuth_deg, distance
+                   ) -> tuple[Column, Column]:
+    """Point.walk's projected arm (reference geometry.py:232-253): planar
+    displacement of `distance` along compass `azimuth` (clockwise, north
+    at 0) in the projected plane — (x + d sin az, y + d cos az)."""
+    az = F.radians(azimuth_deg if isinstance(azimuth_deg, Column)
+                   else F.lit(float(azimuth_deg)))
+    d = distance if isinstance(distance, Column) else F.lit(float(distance))
+    return x + d * F.sin(az), y + d * F.cos(az)
+
+
 def spherical_quad_area_sql(x1: str, y1: str, x2: str, y2: str,
                             radius: float = R_SPHERE) -> str:
     """Engine-neutral SQL for the signed area between a great-circle

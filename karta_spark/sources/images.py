@@ -289,35 +289,46 @@ def verify_images(images: DataFrame, min_psnr: float = 40.0) -> DataFrame:
     """Per-image verification of the BASELINE invariants: decoded pixels
     PSNR >= min_psnr vs the phash-regenerated reference (Arrow decode
     kernel) and caption byte-equality (pure Catalyst string path).
-    Returns decode stats + (psnr_ok, caption_ok, verified)."""
+    Returns decode stats + (psnr_ok, caption_ok, verified).
+
+    Single pass: the caption flag is computed as a Catalyst column BEFORE
+    the decode kernel and carried through it — a join-back against the
+    (possibly expensive, lazy) source would re-run its lineage."""
     cap_ok = F.col("caption") == expected_caption_expr(F.col("image_id"))
-    caps = images.select("image_id", cap_ok.alias("caption_ok"))
+    stats = decode_stats(images.withColumn("caption_ok", cap_ok),
+                         passthrough=("caption_ok",))
     return (
-        decode_stats(images)
-        .join(caps, "image_id")
+        stats
         .withColumn("psnr_ok", F.col("psnr_vs_ref") >= min_psnr)
         .withColumn("verified", F.col("psnr_ok") & F.col("caption_ok"))
     )
 
 
-def decode_stats(images: DataFrame) -> DataFrame:
+def decode_stats(images: DataFrame, passthrough: tuple = ()) -> DataFrame:
     """Arrow-batched decode + verification: per image, pixel stats and PSNR
-    against the regenerated reference pixels (inf for lossless)."""
+    against the regenerated reference pixels (inf for lossless).
+
+    ``passthrough`` names input columns copied to the output unchanged —
+    cheaper than joining the stats back to the (lazy) source."""
+    schema = StructType(list(DECODE_STATS_SCHEMA.fields)
+                        + [images.schema[c] for c in passthrough])
+
     def run(batches):
         for pdf in batches:
             out = []
             # plain-array iteration: iterrows() costs ~100us/row in pandas
             # object construction alone — 10x the decode itself
-            for iid, raw, w, h, fmt, ph in zip(
+            extras = [pdf[c].to_numpy() for c in passthrough]
+            for iid, raw, w, h, fmt, ph, *extra in zip(
                     pdf["image_id"].to_numpy(), pdf["bytes"].to_numpy(),
                     pdf["w"].to_numpy(), pdf["h"].to_numpy(),
-                    pdf["fmt"].to_numpy(), pdf["phash"].to_numpy()):
+                    pdf["fmt"].to_numpy(), pdf["phash"].to_numpy(), *extras):
                 pix = decode_image(bytes(raw), fmt)
                 ref = pixels_for_phash(int(ph), int(w), int(h))
                 if pix.ndim == 2:
                     pix = np.repeat(pix[:, :, None], 3, axis=2)
                 out.append((iid, int(ph), float(pix.mean()),
-                            float(pix.std()), psnr(pix, ref)))
-            yield pd.DataFrame(out, columns=[f.name for f in DECODE_STATS_SCHEMA.fields])
+                            float(pix.std()), psnr(pix, ref), *extra))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
-    return images.mapInPandas(run, DECODE_STATS_SCHEMA)
+    return images.mapInPandas(run, schema)

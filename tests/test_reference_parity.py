@@ -272,12 +272,14 @@ class TestGeodesicParity:
         assert x[0] == pytest.approx(-2662670.889, abs=1e-3)
         assert y[0] == pytest.approx(2441551.155, abs=1e-3)
 
-    def test_walk_albers_projected(self):
-        """geometry_tests.py:825-835 — projected walk is planar."""
-        x = -2658638.0 + 4500.0 * math.sin(math.radians(195.0))
-        y = 2443580.0 + 4500.0 * math.cos(math.radians(195.0))
-        assert x == pytest.approx(-2659802.686, abs=1e-3)
-        assert y == pytest.approx(2439233.334, abs=1e-3)
+    def test_walk_albers_projected(self, spark):
+        """geometry_tests.py:825-835 — projected walk is planar
+        displacement in the CRS plane (geodesy.walk_projected)."""
+        df = spark.createDataFrame([(-2658638.0, 2443580.0)], "x double, y double")
+        nx, ny = geodesy.walk_projected(F.col("x"), F.col("y"), 195.0, 4500.0)
+        r = df.select(nx.alias("nx"), ny.alias("ny")).collect()[0]
+        assert r["nx"] == pytest.approx(-2659802.686, abs=1e-3)
+        assert r["ny"] == pytest.approx(2439233.334, abs=1e-3)
 
     def test_albers_southern_and_one_parallel(self):
         """Southern standard parallels (n < 0: Snyder's sign rules on rho
