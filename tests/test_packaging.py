@@ -1,0 +1,38 @@
+"""The spark-submit deployment artifact must not drift from the tree.
+
+dist/karta_spark.zip is what `spark-submit --py-files` actually executes
+on a cluster; a stale zip means the deployed engine silently differs from
+the tested one (this bit us once: an old knn.py in the zip crashed on the
+new zoom=None default while every local test passed).
+"""
+
+import os
+import zipfile
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ZIP = os.path.join(ROOT, "dist", "karta_spark.zip")
+
+
+def test_pyfiles_zip_matches_tree():
+    assert os.path.exists(ZIP), "dist/karta_spark.zip missing — run scripts/make_pyfiles.sh"
+    with zipfile.ZipFile(ZIP) as z:
+        names = set(z.namelist())
+        stale, missing = [], []
+        for dirpath, _, files in os.walk(os.path.join(ROOT, "karta_spark")):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                arc = os.path.relpath(full, ROOT)
+                if arc not in names:
+                    missing.append(arc)
+                    continue
+                with open(full, "rb") as f:
+                    if z.read(arc) != f.read():
+                        stale.append(arc)
+    assert not missing, f"files absent from the zip: {missing} — run scripts/make_pyfiles.sh"
+    assert not stale, f"zip entries differ from the tree: {stale} — run scripts/make_pyfiles.sh"
