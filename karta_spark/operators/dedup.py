@@ -170,6 +170,27 @@ def minhash_signatures_expr(
         "id", F.array(*[F.col(f"_m{j}") for j in range(num_perm)]).alias("sig"))
 
 
+def banded_minhash(df: DataFrame, text_col: str, id_col: str,
+                   num_perm: int = 64, bands: int = 16, shingle: int = 3,
+                   seed: int = 42) -> DataFrame:
+    """(id, band, bucket) banded MinHash bucket rows — the LSH key table
+    (kernel signatures; also the persistent state of the streaming
+    near-dup operator, O(bands) rows per doc)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle, seed)
+    return sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                           .cast("array<string>").cast("string")).alias("bucket"),
+            )
+            for i in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 64, bands: int = 16, shingle: int = 3,

@@ -91,3 +91,97 @@ def streaming_dedup(stream: DataFrame, keys: list[str], ts_col: str = "ts",
     continuous-ingest training pipeline needs in front of its sinks)."""
     return stream.withWatermark(ts_col, watermark) \
                  .dropDuplicatesWithinWatermark(keys)
+
+
+def minhash_neardup_sink(root: str, text_col: str = "text", id_col: str = "doc_id",
+                         num_perm: int = 64, bands: int = 16, shingle: int = 3,
+                         threshold: float = 0.5, seed: int = 42):
+    """foreachBatch sink for continuous NEAR-dup detection — the streaming
+    twin of dedup.minhash_lsh_pairs.
+
+    Per micro-batch: banded MinHash buckets of the new docs are equi-joined
+    against the ACCUMULATED bucket store (parquet under <root>/buckets —
+    O(bands) rows per doc ever ingested, compacted columnar storage rather
+    than executor memory, so state scales to the corpus, not the cluster
+    RAM), plus the in-batch self-join; candidates are verified with exact
+    n-gram Jaccard against the docs store and appended to <root>/pairs.
+
+    Restart-safe: every write lands under batch_id=N subdirectories with
+    overwrite mode, so a replayed batch (foreachBatch's at-least-once
+    contract) is idempotent."""
+    from karta_spark.operators import dedup as _dedup
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_docs = batch_df.select(F.col(id_col).alias("id"),
+                                   F.col(text_col).alias("t"))
+        if not new_docs.take(1):
+            return
+        new_docs = new_docs.localCheckpoint(eager=True)
+        banded = _dedup.banded_minhash(
+            batch_df, text_col, id_col, num_perm, bands, shingle, seed
+        ).localCheckpoint(eager=True)
+
+        def _read(sub, cols):
+            # drop the batch_id partition column partition discovery adds
+            try:
+                return spark.read.parquet(f"{root}/{sub}").select(*cols)
+            except Exception:
+                return None
+
+        store = _read("buckets", ["id", "band", "bucket"])
+        old_docs = _read("docs", ["id", "t"])
+        nb = banded.alias("n")
+        pairs_new_new = (
+            nb.join(banded.alias("m"),
+                    (F.col("n.band") == F.col("m.band"))
+                    & (F.col("n.bucket") == F.col("m.bucket"))
+                    & (F.col("n.id") < F.col("m.id")))
+            .select(F.col("n.id").alias("id_a"), F.col("m.id").alias("id_b")))
+        cand = pairs_new_new
+        if store is not None:
+            pairs_new_old = (
+                nb.join(store.alias("o"),
+                        (F.col("n.band") == F.col("o.band"))
+                        & (F.col("n.bucket") == F.col("o.bucket"))
+                        # a replayed batch sees its own buckets in the
+                        # store (at-least-once) — never self-pair
+                        & (F.col("n.id") != F.col("o.id")))
+                .select(F.least("n.id", "o.id").alias("id_a"),
+                        F.greatest("n.id", "o.id").alias("id_b")))
+            cand = cand.unionByName(pairs_new_old)
+        cand = cand.distinct()
+        texts = new_docs if old_docs is None else new_docs.unionByName(old_docs)
+        joined = (
+            cand.join(texts.select(F.col("id").alias("id_a"), F.col("t").alias("t_a")), "id_a")
+                .join(texts.select(F.col("id").alias("id_b"), F.col("t").alias("t_b")), "id_b"))
+        sh_a = F.array_distinct(F.expr(
+            f"transform(sequence(1, greatest(length(t_a)-{shingle - 1}, 1)),"
+            f" i -> substring(t_a, i, {shingle}))"))
+        sh_b = F.array_distinct(F.expr(
+            f"transform(sequence(1, greatest(length(t_b)-{shingle - 1}, 1)),"
+            f" i -> substring(t_b, i, {shingle}))"))
+        inter = F.size(F.array_intersect(sh_a, sh_b))
+        union = F.size(sh_a) + F.size(sh_b) - inter
+        pairs = (joined
+                 .withColumn("jaccard", inter.cast("double") / union)
+                 .where(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))
+        pairs.write.mode("overwrite").parquet(f"{root}/pairs/batch_id={batch_id}")
+        banded.write.mode("overwrite").parquet(f"{root}/buckets/batch_id={batch_id}")
+        new_docs.write.mode("overwrite").parquet(f"{root}/docs/batch_id={batch_id}")
+
+    return sink
+
+
+def streaming_minhash_neardup(stream: DataFrame, root: str, checkpoint_dir: str,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              **kw):
+    """Wire minhash_neardup_sink into a writeStream (see the sink for the
+    state/idempotency story)."""
+    return (
+        stream.writeStream
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(minhash_neardup_sink(root, text_col, id_col, **kw))
+        .start()
+    )
