@@ -126,3 +126,46 @@ class TestCodecProperties:
         assert dec.shape == a.shape and dec.dtype == np.uint8
         assert psnr(a if a.ndim == 3 else a[..., None].repeat(1, axis=2),
                     dec if dec.ndim == 3 else dec[..., None].repeat(1, axis=2)) >= 35.0
+
+
+class TestPortableHashProperties:
+    """The portable-hash SQL fragments (the q21/q22 oracle backbone) must
+    agree with an independent pure-python model for ANY input, not just
+    the corpus — DuckDB evaluates the fragment, python evaluates the
+    definition."""
+
+    @staticmethod
+    def _py_gram_hash(g: str, n: int) -> int:
+        P = 2147483647
+        g = (g + "\x01" * n)[:n]
+        acc = ord(g[0])
+        for ch in g[1:]:
+            acc = (acc % P) * 131 + ord(ch)
+        return acc % P
+
+    @given(st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+                   min_size=0, max_size=12),
+           st.integers(min_value=2, max_value=10))
+    @settings(max_examples=100, deadline=None)
+    def test_gram_hash_duckdb_matches_python(self, g, n):
+        import duckdb
+        from karta_spark.operators.dedup import portable_gram_hash_sql
+        # pad the gram exactly as the pipelines do
+        frag = portable_gram_hash_sql(f"rpad(substr(g, 1, {n}), {n}, chr(1))", n)
+        got = duckdb.connect().execute(
+            f"SELECT {frag} FROM (SELECT ? AS g)", [g]).fetchone()[0]
+        assert got == self._py_gram_hash(g, n)
+
+    @given(st.integers(min_value=0, max_value=2**62))
+    @settings(max_examples=100, deadline=None)
+    def test_stratified_hash_never_overflows(self, doc_id):
+        import duckdb
+        import random
+        from karta_spark.operators.dedup import _PORTABLE_P as P
+        rng = random.Random(13)
+        a, b = rng.randrange(1, P), rng.randrange(0, P)
+        got = duckdb.connect().execute(
+            f"SELECT ({a} * (CAST(? AS BIGINT) % {P}) + {b}) % {P}",
+            [doc_id]).fetchone()[0]
+        assert got == (a * (doc_id % P) + b) % P
+        assert 0 <= got < P
