@@ -464,10 +464,8 @@ def _aea_consts(lat1: float, lat2: float, lat0: float):
         return math.cos(phi) / math.sqrt(1.0 - E2_WGS84 * math.sin(phi) ** 2)
 
     def q(phi):
-        es = E_WGS84 * math.sin(phi)
-        return (1.0 - E2_WGS84) * (
-            math.sin(phi) / (1.0 - es * es)
-            - (1.0 / (2.0 * E_WGS84)) * math.log((1.0 - es) / (1.0 + es)))
+        # the module's backend-generic authalic q, on the numpy backend
+        return float(_authalic_q(_NpOps, phi))
 
     p1, p2, p0 = lat1 * _D2R, lat2 * _D2R, lat0 * _D2R
     m1, m2 = m(p1), m(p2)

@@ -787,7 +787,12 @@ def ellipsoidal_quad_area(a, b, x1, y1, x2, y2):
     num = np.cos(alpha1) ** 2 * np.cos(beta1) ** 2 + (np.cos(beta2) ** 2 - np.cos(beta1) ** 2)
     with np.errstate(invalid="ignore"):
         arg = np.sqrt(np.maximum(num, 0.0)) / np.cos(beta2)
-        alpha2 = np.where(arg <= 1.0, np.arccos(np.minimum(arg, 1.0)),
+        # the asin fall-back fires when the cos-composition leaves [0, 1]
+        # in EITHER direction — the reference's sqrt raises on num < 0
+        # (geodesy.py:274-283), so clamping num to the arccos branch there
+        # would diverge from it exactly where the branch exists
+        alpha2 = np.where((num >= 0.0) & (arg <= 1.0),
+                          np.arccos(np.minimum(arg, 1.0)),
                           np.arcsin(np.clip(np.sin(alpha0) / np.cos(beta2), -1.0, 1.0)))
     sigma2 = np.arctan2(np.sin(beta2), np.cos(alpha2) * np.cos(beta2))
     omega2 = np.arctan2(np.sin(alpha0) * np.sin(sigma2), np.cos(sigma2))

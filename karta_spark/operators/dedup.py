@@ -170,14 +170,10 @@ def minhash_signatures_expr(
         "id", F.array(*[F.col(f"_m{j}") for j in range(num_perm)]).alias("sig"))
 
 
-def banded_minhash(df: DataFrame, text_col: str, id_col: str,
-                   num_perm: int = 64, bands: int = 16, shingle: int = 3,
-                   seed: int = 42) -> DataFrame:
-    """(id, band, bucket) banded MinHash bucket rows — the LSH key table
-    (kernel signatures; also the persistent state of the streaming
-    near-dup operator, O(bands) rows per doc)."""
+def _band_buckets(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, sig) -> (id, band, bucket): hash each signature slice to one
+    bucket key per band — the LSH key table every variant shares."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle, seed)
     return sigs.select(
         "id",
         F.explode(F.array(*[
@@ -189,6 +185,17 @@ def banded_minhash(df: DataFrame, text_col: str, id_col: str,
             for i in range(bands)
         ])).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def banded_minhash(df: DataFrame, text_col: str, id_col: str,
+                   num_perm: int = 64, bands: int = 16, shingle: int = 3,
+                   seed: int = 42) -> DataFrame:
+    """(id, band, bucket) banded MinHash bucket rows — the LSH key table
+    (kernel signatures; also the persistent state of the streaming
+    near-dup operator, O(bands) rows per doc)."""
+    return _band_buckets(
+        minhash_signatures(df, text_col, id_col, num_perm, shingle, seed),
+        num_perm, bands)
 
 
 def minhash_lsh_pairs(
@@ -206,22 +213,11 @@ def minhash_lsh_pairs(
     affine mins beat 64 JVM string hashes per gram; sig stage 0.15 s vs
     2.8 s at sf0.1).  impl="expr" stays available for zero-Python
     deployments (no Python workers / streaming state contexts)."""
-    rows_per_band = num_perm // bands
     if impl == "expr":
         sigs = minhash_signatures_expr(df, text_col, id_col, num_perm, shingle)
     else:
         sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle, seed)
-    banded = sigs.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band)
-                           .cast("array<string>").cast("string")).alias("bucket"),
-            )
-            for i in range(bands)
-        ])).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _band_buckets(sigs, num_perm, bands)
     # localCheckpoint: the band self-join otherwise re-runs the signature
     # stage (Arrow UDF / 64 min-aggs) once per side — AQE does not reuse
     # the exchange across the aliases.  Blocks are GC-freed (ContextCleaner),

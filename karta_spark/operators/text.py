@@ -113,15 +113,20 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
     ).where(F.length("term") > 0)
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("_tc"))
     doclen = toks.groupBy("id").agg(F.count("*").alias("_dl"))
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    # lazy one-row N via countDistinct, cross-joined in (no eager scan at
+    # plan-build time); countDistinct excludes NULL ids — the same rule as
+    # the oracle's count(DISTINCT), so NULL-id rows can't skew the idf
+    ndocs = df.select(F.count_distinct(F.col(id_col)).alias("_n"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
-    idf = F.log((float(n_docs) + 1.0) / (F.col("_df").cast("double") + 1.0)) + 1.0
+    idf = F.log((F.col("_n").cast("double") + 1.0)
+                / (F.col("_df").cast("double") + 1.0)) + 1.0
     # no broadcast hint on dfreq: the vocabulary of a web-scale corpus is
     # itself huge; tf and dfreq are both keyed on term (dfreq derives from
     # tf's shuffle), so the sort-merge join reuses the partitioning, and
     # AQE still picks a broadcast when the vocab is actually small
     scored = (
         tf.join(doclen, "id").join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
         .withColumn("tfidf", (F.col("_tc").cast("double") / F.col("_dl")) * idf)
     )
     w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())

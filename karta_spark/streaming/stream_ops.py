@@ -123,11 +123,22 @@ def minhash_neardup_sink(root: str, text_col: str = "text", id_col: str = "doc_i
         ).localCheckpoint(eager=True)
 
         def _read(sub, cols):
-            # drop the batch_id partition column partition discovery adds
+            """Store rows from batches BEFORE this one.
+
+            Excluding batch_id == batch_id matters for replay: a failed
+            attempt already wrote this batch's rows, and re-reading them
+            would duplicate every cross-batch pair through the texts join.
+            Only a missing store (the first batch) maps to None — any
+            other read failure must surface, or all pairs against earlier
+            batches would silently vanish for this batch."""
+            from pyspark.errors import AnalysisException
             try:
-                return spark.read.parquet(f"{root}/{sub}").select(*cols)
-            except Exception:
-                return None
+                df = spark.read.parquet(f"{root}/{sub}")
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                    return None
+                raise
+            return df.where(F.col("batch_id") != batch_id).select(*cols)
 
         store = _read("buckets", ["id", "band", "bucket"])
         old_docs = _read("docs", ["id", "t"])

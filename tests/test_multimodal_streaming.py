@@ -193,10 +193,16 @@ class TestStreamingNearDup:
         pairs = {(r["id_a"], r["id_b"]) for r in
                  spark.read.parquet(f"{root}/pairs").collect()}
         assert (0, 5) in pairs and (1, 5) in pairs  # cross-batch recall
-        # replay batch 2 (foreachBatch retry): byte-identical state
+        # replay batch 2 (foreachBatch retry): byte-identical state — note
+        # ROW comparison, not set: a replayed batch whose own docs leak
+        # back in via the store fans pairs out into duplicates
+        before = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in
+                        spark.read.parquet(f"{root}/pairs").collect())
         sink(b2, 1)
-        again = {(r["id_a"], r["id_b"]) for r in
-                 spark.read.parquet(f"{root}/pairs").collect()}
+        after = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in
+                       spark.read.parquet(f"{root}/pairs").collect())
+        assert after == before
+        again = {(a, b) for a, b, _ in after}
         assert again == pairs
         n_buckets = spark.read.parquet(f"{root}/buckets").count()
         assert n_buckets == 16 * 4  # bands x docs, no replay duplication

@@ -333,6 +333,11 @@ class TestGeodesicParity:
         # parallel-bounded band area by ~0.31 km^2 because the top edge is
         # a geodesic, which bulges poleward of the lat-1 parallel.
         assert ell[0] == pytest.approx(12308778362.145212, abs=10.0)
+        # the driver-side ring kernel agrees, for both ring conventions
+        # (a repeated closing vertex contributes an exactly-zero segment)
+        ring = [(0, 0), (1, 0), (1, 1), (0, 1)]
+        assert K.geodesic_ring_area(ring) == pytest.approx(ell[0], abs=1e-3)
+        assert K.geodesic_ring_area(ring + [(0, 0)]) == pytest.approx(ell[0], abs=1e-3)
         assert ell[1] == pytest.approx(ell[0], rel=1e-9)  # dateline invariance
         sph = {r["geom_id"]: r["area"]
                for r in geometry.geodesic_area(df, spherical=True).collect()}
