@@ -82,14 +82,21 @@ def seg_length(spherical: bool = False) -> Column:
     return plane_distance(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"))
 
 
-def length(df: DataFrame, geom_id: str = "geom_id", spherical: bool = False) -> DataFrame:
-    """Total geometry length: sum of segment lengths (geometry.py:647-665)."""
-    return (
-        segments(df, geom_id)
-        .withColumn("_len", seg_length(spherical))
-        .groupBy(geom_id)
-        .agg(F.sum("_len").alias("length"))
-    )
+def length(df: DataFrame, geom_id: str = "geom_id", spherical: bool = False,
+           geodesic: bool = False) -> DataFrame:
+    """Total geometry length: sum of segment lengths (geometry.py:647-665).
+
+    ``geodesic`` sums WGS84 ellipsoidal (Vincenty) segment distances — the
+    reference's Line.length on LonLatWGS84 (its default geographic CRS);
+    ``spherical`` is the SphericalEarth arm; default planar."""
+    if geodesic:
+        from karta_spark.functions.geodesy import ellipsoid_distance
+        seg = segments(df, geom_id).withColumn(
+            "_len", ellipsoid_distance(F.col("x0"), F.col("y0"),
+                                       F.col("x1"), F.col("y1")))
+    else:
+        seg = segments(df, geom_id).withColumn("_len", seg_length(spherical))
+    return seg.groupBy(geom_id).agg(F.sum("_len").alias("length"))
 
 
 def cumlength(df: DataFrame, geom_id: str = "geom_id", spherical: bool = False) -> DataFrame:

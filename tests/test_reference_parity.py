@@ -358,6 +358,17 @@ class TestGeodesicParity:
                                      arr[:, 2], arr[:, 3])
         assert np.allclose(got, want, rtol=1e-12, atol=0)
 
+    def test_geodesic_line_length(self, spark):
+        """Line.length on LonLatWGS84 sums ellipsoidal geodesic segment
+        distances (reference geometry.py:647-665 + crs inverse); golden
+        recorded from the reference's own Karney inverse over the
+        Vancouver->Ottawa->Whitehorse line."""
+        df = spark.createDataFrame(
+            [(0, 0, VAN[0], VAN[1]), (0, 1, OTT[0], OTT[1]), (0, 2, WHI[0], WHI[1])],
+            "geom_id long, idx long, x double, y double")
+        got = geometry.length(df, geodesic=True).collect()[0]["length"]
+        assert got == pytest.approx(7700397.58726, abs=1e-3)
+
     def test_dateline_invariance(self, spark):
         """dateline_tests.py:15-38 — azimuth, distance and geodesic area
         are invariant under a dateline shift (both spherical and
