@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -126,7 +127,6 @@ def ellipsoid_distance(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -
     """WGS84 ellipsoidal geodesic distance (Vincenty inverse, Arrow-batched
     kernel). The reference delegates this to pyproj.Geod at runtime
     (crs.py:234-243); kernels.vincenty_inverse is the self-contained twin."""
-    import pandas as pd
     from pyspark.sql import functions as _F
 
     from karta_spark.functions.kernels import vincenty_inverse
