@@ -1349,6 +1349,20 @@ FROM seg GROUP BY geom_id ORDER BY geom_id
 """
 
 
+def q49_ivf_static(spark, sf_dir):
+    """IVF ANN top-k with a static integer codebook: list assignment and
+    probe selection are exact integer arithmetic (floor-quantized
+    components), bit-identical in DuckDB — the oracle checks the
+    approximate candidate structure, not just the final ranking."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding"))
+    vectors = e.where(F.col("vec_id") >= 5)
+    out = similarity.ivf_topk_static(vectors, queries, k=5, dim=64, nprobe=2)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q46_tfidf_terms(spark, sf_dir):
     """Smoothed TF-IDF top-3 terms per document (keyword extraction, pure
     Catalyst — one (doc,term) shuffle + broadcast df table + per-doc window)."""
@@ -1497,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_tfidf_terms": q46_tfidf_terms,
         "q47_stratified_sample": q47_stratified_sample,
         "q48_geodesic_area": q48_geodesic_area,
+        "q49_ivf_static": q49_ivf_static,
     }
 
 
@@ -1529,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         "q47_stratified_sample": text.stratified_sample_sql(
             "documents", ["lang"], "doc_id", cap=40),
         "q48_geodesic_area": _q48_sql(),
+        "q49_ivf_static": similarity.ivf_static_sql(k=5, dim=64, nprobe=2),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -198,6 +198,135 @@ SELECT query_id, {vid}, round(cosine, 6) AS cosine, rank FROM ranked WHERE rank 
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF with a static codebook (engine-agnostic assignment)
+# ---------------------------------------------------------------------------
+#
+# Data-trained centroids (train_centroids below) are floats — argmin over
+# float distances can flip between engines at ties/ulps.  The static
+# variant uses a seeded INTEGER codebook and floor-quantized components:
+# every distance is an exact integer below 2^53, so list assignment and
+# probe order are bit-identical in Spark and DuckDB — the oracle checks
+# the approximate candidate structure itself.  Deployment-realistic too:
+# production IVF trains the codebook offline and ships it as a constant.
+
+def static_codebook(c: int, dim: int, seed: int = 19) -> list[list[int]]:
+    import random as _random
+    rng = _random.Random(seed)
+    return [[rng.randrange(-_Q_SCALE, _Q_SCALE) for _ in range(dim)]
+            for _ in range(c)]
+
+
+def _quantized(vec_col):
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(v, lambda x: F.floor(x.cast("double") * _Q_SCALE).cast("double"))
+
+
+def _static_dists(vec_col, codebook) -> F.Column:
+    """array of exact squared distances d_j = s.s - 2 s.c_j + c_j.c_j."""
+    s = _quantized(vec_col)
+    ss = F.aggregate(F.transform(s, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    dists = []
+    for cj in codebook:
+        lit = F.array(*[F.lit(float(v)) for v in cj])
+        dot = F.aggregate(F.zip_with(s, lit, lambda x, y: x * y),
+                          F.lit(0.0), lambda a, x: a + x)
+        cc = float(sum(v * v for v in cj))
+        dists.append(ss - 2.0 * dot + cc)
+    return F.array(*dists)
+
+
+def ivf_topk_static(
+    vectors: DataFrame, queries: DataFrame, k: int, dim: int,
+    codebook: list[list[int]] | None = None, nprobe: int = 2,
+    vec_col: str = "embedding", vid: str = "vec_id",
+    q_vec: str = "q_embedding", qid: str = "query_id", seed: int = 19,
+) -> DataFrame:
+    """IVF ANN top-k against a static integer codebook: vectors hash to
+    their nearest codeword's list (exact integer argmin, ties to the
+    lowest index), queries probe their nprobe nearest lists, exact cosine
+    ranks the candidates (q18 discipline)."""
+    if codebook is None:
+        codebook = static_codebook(8, dim, seed)
+    if nprobe > 2:
+        raise ValueError("static IVF supports nprobe <= 2 (primary + secondary)")
+
+    def with_list(df, col, out):
+        d = _static_dists(col, codebook)
+        return df.withColumn("_d", d).withColumn(
+            out, (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
+
+    v = with_list(vectors, vec_col, "ivf_list").drop("_d")
+    q = with_list(queries, q_vec, "_p1")
+    if nprobe == 2:
+        m1 = F.array_min("_d")
+        rest = F.filter("_d", lambda x: x != m1)
+        p2 = F.when(F.size(rest) > 0,
+                    (F.array_position("_d", F.array_min(rest)) - 1).cast("int")
+                    ).otherwise(F.col("_p1"))
+        q = q.withColumn("_p2", p2)
+        probes = F.array_distinct(F.array("_p1", "_p2"))
+    else:
+        probes = F.array("_p1")
+    q = q.withColumn("ivf_list", F.explode(probes)).drop("_d", "_p1", "_p2")
+    joined = v.join(q, "ivf_list").withColumn("cosine", cosine_expr(vec_col, q_vec))
+    w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(vid).asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid, vid, "cosine", "rank")
+    )
+
+
+def ivf_static_sql(
+    k: int, dim: int, codebook: list[list[int]] | None = None, nprobe: int = 2,
+    seed: int = 19, table: str = "embeddings", vec_col: str = "embedding",
+    vid: str = "vec_id",
+    query_filter: str = "vec_id < 5", vector_filter: str = "vec_id >= 5",
+) -> str:
+    """DuckDB twin of ivf_topk_static — same codebook literals, identical
+    exact-integer assignment and probes."""
+    if codebook is None:
+        codebook = static_codebook(8, dim, seed)
+    s = f"list_transform(CAST({vec_col} AS DOUBLE[]), x -> floor(x * {_Q_SCALE}))"
+    ss = f"list_dot_product({s}, {s})"
+    dts = []
+    for cj in codebook:
+        lit = "[" + ", ".join(f"{float(v):.1f}" for v in cj) + "]::DOUBLE[]"
+        cc = float(sum(v * v for v in cj))
+        dts.append(f"({ss} - 2.0*list_dot_product({s}, {lit}) + {cc})")
+    darr = "[" + ", ".join(dts) + "]"
+    p1 = f"(list_position(d, list_min(d)) - 1)"
+    p2 = ("(CASE WHEN len(list_filter(d, x -> x != list_min(d))) > 0 "
+          "THEN list_position(d, list_min(list_filter(d, x -> x != list_min(d)))) - 1 "
+          f"ELSE {p1} END)")
+    probes = f"list_distinct([{p1}, {p2}])" if nprobe == 2 else f"[{p1}]"
+    return f"""
+WITH v0 AS (
+  SELECT {vid}, CAST({vec_col} AS DOUBLE[]) AS ev, {darr} AS d
+  FROM {table} WHERE {vector_filter}
+),
+v AS (SELECT {vid}, ev, list_position(d, list_min(d)) - 1 AS ivf_list FROM v0),
+q0 AS (
+  SELECT {vid} AS query_id, CAST({vec_col} AS DOUBLE[]) AS qv, {darr} AS d
+  FROM {table} WHERE {query_filter}
+),
+q AS (SELECT query_id, qv, unnest({probes}) AS ivf_list FROM q0),
+joined AS (
+  SELECT query_id, {vid},
+         list_dot_product(ev, qv)
+           / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS cosine
+  FROM v JOIN q USING (ivf_list)
+),
+ranked AS (
+  SELECT query_id, {vid}, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, {vid} ASC) AS BIGINT) AS rank
+  FROM joined
+)
+SELECT query_id, {vid}, round(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def train_centroids(vectors: DataFrame, vec_col: str, c: int, iters: int = 3,
                     seed: int = 11) -> np.ndarray:
     """Tiny driver-side k-means on a sample (centroids broadcast afterwards).

@@ -313,6 +313,28 @@ class TestSimilarity:
         want = sorted((a, b, round(c, 6), r) for a, b, c, r in con.execute(sql).fetchall())
         assert got == want
 
+    def test_ivf_static_recall_and_sql_twin(self, spark):
+        """Static-codebook IVF: recall comparable to the trained variant,
+        and the DuckDB twin reproduces assignment, probes, cosine and
+        ranks exactly (integer bucket math)."""
+        import duckdb
+        v = self._vectors(spark, 300, 16)
+        q = v.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding"))
+        brute = {(r["query_id"], r["vec_id"])
+                 for r in similarity.cosine_topk(v, q, k=5, qid="query_id").collect()}
+        out = similarity.ivf_topk_static(v, q, k=5, dim=16, nprobe=2)
+        got = sorted((r["query_id"], r["vec_id"], round(r["cosine"], 6), r["rank"])
+                     for r in out.collect())
+        recall = len(brute & {(a, b) for a, b, _, _ in got}) / len(brute)
+        assert recall >= 0.4  # 8 lists, 2 probed
+        con = duckdb.connect()
+        con.register("embeddings", v.toPandas())
+        sql = similarity.ivf_static_sql(
+            k=5, dim=16, nprobe=2, query_filter="vec_id < 10", vector_filter="TRUE")
+        want = sorted((a, b, round(c, 6), r) for a, b, c, r in con.execute(sql).fetchall())
+        assert got == want
+
     def test_ivf_recall(self, spark):
         v = self._vectors(spark, 300, 16)
         q = v.where(F.col("vec_id") < 10).select(
