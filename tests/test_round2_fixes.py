@@ -308,6 +308,53 @@ class TestBatchedCover:
                 want.add((j, p.poly_id))
         assert got == want
 
+    def test_distributed_cover_equals_driver_cover(self, spark):
+        """Above DISTRIBUTED_COVER_THRESHOLD cover rows are produced by a
+        mapInPandas stage; the table must be identical to the driver-side
+        build (same ids, same full/boundary classification)."""
+        from karta_spark.operators import pip_join as pj
+        rng = np.random.default_rng(5)
+        polys = [
+            pj.PolygonSpec(f"d{i:03d}", self._star(
+                rng.uniform(-150, 150), rng.uniform(-55, 55),
+                rng.uniform(2, 7)), crs="lonlat")
+            for i in range(pj.DISTRIBUTED_COVER_THRESHOLD + 24)
+        ]
+        # force one polygon through the holes arm too
+        sq = np.array([[-10.0, -10.0], [10.0, -10.0], [10.0, 10.0], [-10.0, 10.0]])
+        polys.append(pj.PolygonSpec("dhole", sq * 2.0, holes=(sq,), crs="lonlat"))
+        dist = {(r["poly_id"], r["cell_id"], r["full"])
+                for r in pj.cover_df(spark, polys, zoom=6).collect()}
+        driver = set()
+        for p in polys:
+            for cid, full in pj.cover_cells(p, 6):
+                driver.add((p.poly_id, cid, full))
+        assert dist == driver
+
+    def test_expr_poly_cap_routes_large_sets_to_kernel(self, spark):
+        """> MAX_EXPR_POLYS expression-able polygons must not compile a
+        giant CASE chain; results stay identical either way."""
+        from karta_spark.operators import pip_join as pj
+        rng = np.random.default_rng(17)
+        tri = lambda cx, cy: np.array(
+            [[cx - 2, cy - 2], [cx + 2, cy - 2], [cx, cy + 2.5]])
+        polys = [pj.PolygonSpec(f"t{i:02d}", tri(rng.uniform(-100, 100),
+                                                 rng.uniform(-50, 50)),
+                                crs="lonlat")
+                 for i in range(pj.MAX_EXPR_POLYS + 5)]
+        assert all(pj._expr_able(p) for p in polys)
+        pts = spark.createDataFrame(
+            [(j, float(x), float(y)) for j, (x, y) in enumerate(zip(
+                rng.uniform(-110, 110, 2000), rng.uniform(-60, 60, 2000)))],
+            "pid long, x double, y double")
+        got = {(r["pid"], r["poly_id"]) for r in
+               pj.point_in_polygon_join(pts, polys, zoom=6).collect()}
+        xs, ys = (np.array(a) for a in zip(
+            *[(r["x"], r["y"]) for r in pts.orderBy("pid").collect()]))
+        want = {(j, p.poly_id) for p in polys
+                for j in np.flatnonzero(p.contains(xs, ys))}
+        assert got == want
+
     def test_1k_polygon_cover_wall_time(self):
         import time
         from karta_spark.operators.pip_join import PolygonSpec, cover_cells
