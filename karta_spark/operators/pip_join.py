@@ -387,9 +387,14 @@ def point_in_polygon_join(
 
     if udf_polys:
         # fallback for polar / high-vertex polygons: full-cell hits bypass
-        # Python entirely; only boundary candidates serialize to the kernel
+        # Python entirely; only boundary candidates serialize to the kernel.
+        # Force-broadcast only small covers; a 10k-polygon zoom-12 cover is
+        # ~10^7 rows, where AQE must be free to pick a shuffle join on
+        # cell_id (the co-located join shape) instead
         cover = cover_df(spark, udf_polys, zoom, planar_size)
-        cand = pts.join(F.broadcast(cover), "cell_id", "inner")
+        if len(udf_polys) <= DISTRIBUTED_COVER_THRESHOLD:
+            cover = F.broadcast(cover)
+        cand = pts.join(cover, "cell_id", "inner")
         full_hits = cand.where(F.col("full")).drop("full", "cell_id")
         poly_map = {p.poly_id: p for p in udf_polys}
 
