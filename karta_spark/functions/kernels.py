@@ -71,6 +71,29 @@ def winding_contains(px, py, ring) -> np.ndarray:
     return winding_number(px, py, ring) != 0
 
 
+def winding_contains_packed(px, py, V) -> np.ndarray:
+    """Pair-batched winding test: point i is tested against its OWN ring
+    ``V[i]`` where V is (n, K+1, 2) — rings pre-closed (V[i, k] repeats
+    V[i, 0]) and padded by repeating the closure vertex, whose degenerate
+    edges (y0 == y1) contribute zero winding by construction.
+
+    Same per-edge algebra and edge order as ``winding_number``
+    (contains.pyx:25-40), so results are bit-identical; the point of this
+    form is batching MANY small polygons through one vectorized pass —
+    per-polygon numpy calls measured 8x slower at ~200-row group sizes
+    (per-call overhead dominates)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    cnt = np.zeros(px.shape, dtype=np.int64)
+    for i in range(V.shape[1] - 1):
+        x0, y0 = V[:, i, 0], V[:, i, 1]
+        x1, y1 = V[:, i + 1, 0], V[:, i + 1, 1]
+        left = (x1 - x0) * (py - y0) - (px - x0) * (y1 - y0)
+        cnt += ((y0 <= py) & (py < y1) & (left > 0)).astype(np.int64)
+        cnt -= ((y0 > py) & (py >= y1) & (left < 0)).astype(np.int64)
+    return cnt != 0
+
+
 def polygon_contains(px, py, outer, holes=()) -> np.ndarray:
     """Point in polygon-with-holes: inside outer ring and in no hole
     (reference geometry.py:1168-1174 semantics)."""

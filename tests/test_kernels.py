@@ -62,6 +62,37 @@ class TestContains:
         assert sphere_contains([45.0], [85.0], ring)[0]
         assert not sphere_contains([45.0], [75.0], ring)[0]
 
+    def test_packed_bit_identical_to_per_ring(self):
+        """winding_contains_packed must agree bit-for-bit with the per-ring
+        kernel across mixed ring sizes (padding edges are degenerate and
+        contribute zero winding), boundary points included."""
+        from karta_spark.functions.kernels import winding_contains_packed
+        rng = np.random.default_rng(11)
+        rings = []
+        for _ in range(40):
+            k = int(rng.integers(3, 30))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            rad = rng.uniform(0.5, 3.0, k)
+            cx, cy = rng.uniform(-5, 5, 2)
+            rings.append(np.column_stack(
+                [cx + rad * np.cos(ang), cy + rad * np.sin(ang)]))
+        kmax = max(len(r) for r in rings)
+        R = np.empty((len(rings), kmax + 1, 2))
+        for j, r in enumerate(rings):
+            R[j, :len(r)] = r
+            R[j, len(r):] = r[0]
+        n = 5000
+        pid = rng.integers(0, len(rings), n)
+        px = rng.uniform(-9, 9, n)
+        py = rng.uniform(-9, 9, n)
+        # force exact-boundary evaluations too
+        px[:40] = R[pid[:40], 0, 0]
+        py[:40] = R[pid[:40], 0, 1]
+        got = winding_contains_packed(px, py, R[pid])
+        for j, r in enumerate(rings):
+            m = pid == j
+            assert (got[m] == winding_contains(px[m], py[m], r)).all(), j
+
     def test_hole_excludes(self):
         outer = np.array([(0, 0), (10, 0), (10, 10), (0, 10)], dtype=float)
         hole = np.array([(2, 2), (4, 2), (3, 6)], dtype=float)
