@@ -297,6 +297,158 @@ def polyline_intersects(a: np.ndarray, b: np.ndarray, a_closed=False, b_closed=F
     return bool(np.any(hit))
 
 
+def _flat_segments(xs_seq, ys_seq, closed: bool):
+    """Flatten per-member vertex arrays into segment-endpoint arrays.
+
+    Returns (sx0, sy0, sx1, sy1, owner).  Replicates polyline_intersects'
+    closure rule exactly: a closed member appends its first vertex (so a
+    1-vertex closed member yields one degenerate segment), members with
+    <2 effective vertices yield no segments."""
+    n = len(xs_seq)
+    if n == 0:
+        e = np.empty(0, dtype=np.float64)
+        return e, e, e, e, np.empty(0, dtype=np.int64)
+    arrs_x = [np.asarray(v, dtype=np.float64) for v in xs_seq]
+    arrs_y = [np.asarray(v, dtype=np.float64) for v in ys_seq]
+    lens = np.fromiter((len(v) for v in arrs_x), dtype=np.int64, count=n)
+    X = np.concatenate(arrs_x) if lens.sum() else np.empty(0)
+    Y = np.concatenate(arrs_y) if lens.sum() else np.empty(0)
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    # open segments: every vertex except each member's last starts one
+    keep = np.ones(len(X), dtype=bool)
+    nonempty = lens > 0
+    keep[(offsets + lens - 1)[nonempty]] = False
+    starts = np.flatnonzero(keep)
+    owner = np.repeat(np.arange(n), np.maximum(lens - 1, 0))
+    sx0, sy0 = X[starts], Y[starts]
+    sx1, sy1 = X[starts + 1], Y[starts + 1]
+    if closed:
+        m = np.flatnonzero(nonempty)
+        last = (offsets + lens - 1)[m]
+        first = offsets[m]
+        sx0 = np.concatenate([sx0, X[last]])
+        sy0 = np.concatenate([sy0, Y[last]])
+        sx1 = np.concatenate([sx1, X[first]])
+        sy1 = np.concatenate([sy1, Y[first]])
+        owner = np.concatenate([owner, m])
+        # regroup so each member's segments are contiguous (stable: keeps
+        # the open-then-closure order of the reference's vstack form) —
+        # polyline_pairs_intersect indexes members by contiguous ranges
+        order = np.argsort(owner, kind="stable")
+        sx0, sy0 = sx0[order], sy0[order]
+        sx1, sy1 = sx1[order], sy1[order]
+        owner = owner[order]
+    return sx0, sy0, sx1, sy1, owner
+
+
+def polylines_intersect_target(xs_seq, ys_seq, closed: bool, target,
+                               t_closed: bool, chunk: int = 1 << 22) -> np.ndarray:
+    """Batched ``polyline_intersects(member_i, target)`` for MANY members in
+    one vectorized pass: all members' segments are flattened and tested
+    against the target's segments in chunks, then OR-reduced per member.
+    Decision-identical to calling polyline_intersects per member (same
+    segments_intersect primitive on the same endpoint pairs) without the
+    per-member Python call overhead."""
+    n = len(xs_seq)
+    out = np.zeros(n, dtype=bool)
+    t = np.asarray(target, dtype=np.float64)
+    if t_closed and len(t):
+        t = np.vstack([t, t[:1]])
+    if len(t) < 2 or n == 0:
+        return out
+    sx0, sy0, sx1, sy1, owner = _flat_segments(xs_seq, ys_seq, closed)
+    if not len(sx0):
+        return out
+    bx0, by0 = t[:-1, 0][None, :], t[:-1, 1][None, :]
+    bx1, by1 = t[1:, 0][None, :], t[1:, 1][None, :]
+    step = max(1, chunk // t.shape[0])
+    for s in range(0, len(sx0), step):
+        e = s + step
+        hit = segments_intersect(
+            sx0[s:e, None], sy0[s:e, None], sx1[s:e, None], sy1[s:e, None],
+            bx0, by0, bx1, by1).any(axis=1)
+        if hit.any():
+            out |= np.bincount(owner[s:e][hit], minlength=n).astype(bool)
+    return out
+
+
+def polyline_pairs_intersect(axs, ays, bxs, bys, a_closed: bool,
+                             b_closed: bool, chunk: int = 1 << 22) -> np.ndarray:
+    """Batched ``polyline_intersects(a_i, b_i)`` over row-aligned pairs of
+    vertex arrays: per-pair segment cross-products are laid out flat and
+    tested in one chunked segments_intersect call.  Decision-identical to
+    the per-pair kernel."""
+    n = len(axs)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    asx0, asy0, asx1, asy1, aown = _flat_segments(axs, ays, a_closed)
+    bsx0, bsy0, bsx1, bsy1, bown = _flat_segments(bxs, bys, b_closed)
+    na = np.bincount(aown, minlength=n)
+    nb = np.bincount(bown, minlength=n)
+    ao = np.concatenate([[0], np.cumsum(na)[:-1]])
+    bo = np.concatenate([[0], np.cumsum(nb)[:-1]])
+    prod = na * nb
+    total = int(prod.sum())
+    if total == 0:
+        return out
+    po = np.concatenate([[0], np.cumsum(prod)[:-1]])
+    # process pairs in runs whose summed products stay under *chunk*
+    i = 0
+    while i < n:
+        j = i
+        acc = 0
+        while j < n and (acc + prod[j] <= chunk or j == i):
+            acc += prod[j]
+            j += 1
+        if acc:
+            pair_of = np.repeat(np.arange(i, j), prod[i:j])
+            t = np.arange(acc) - (po[pair_of] - po[i])
+            ai = ao[pair_of] + t // nb[pair_of]
+            bi = bo[pair_of] + t % nb[pair_of]
+            hit = segments_intersect(
+                asx0[ai], asy0[ai], asx1[ai], asy1[ai],
+                bsx0[bi], bsy0[bi], bsx1[bi], bsy1[bi])
+            if hit.any():
+                out |= np.bincount(pair_of[hit], minlength=n).astype(bool)
+        i = j
+    return out
+
+
+def polylines_intersection_points_target(xs_seq, ys_seq, closed: bool,
+                                         target, t_closed: bool,
+                                         chunk: int = 1 << 22):
+    """Batched ``polyline_intersection_points(member_i, target)``: returns
+    (owner, ix, iy) arrays over all members at once (may contain dups —
+    caller dedups, matching the reference's set() dedup)."""
+    t = np.asarray(target, dtype=np.float64)
+    if t_closed and len(t):
+        t = np.vstack([t, t[:1]])
+    e = np.empty(0)
+    if len(t) < 2 or len(xs_seq) == 0:
+        return np.empty(0, dtype=np.int64), e, e
+    sx0, sy0, sx1, sy1, owner = _flat_segments(xs_seq, ys_seq, closed)
+    if not len(sx0):
+        return np.empty(0, dtype=np.int64), e, e
+    bx0, by0 = t[:-1, 0][None, :], t[:-1, 1][None, :]
+    bx1, by1 = t[1:, 0][None, :], t[1:, 1][None, :]
+    owners, pxs, pys = [], [], []
+    step = max(1, chunk // t.shape[0])
+    for s in range(0, len(sx0), step):
+        en = s + step
+        xs, ys, valid = segment_intersection_points(
+            sx0[s:en, None], sy0[s:en, None], sx1[s:en, None], sy1[s:en, None],
+            bx0, by0, bx1, by1)
+        r, c = np.nonzero(valid)
+        if len(r):
+            owners.append(owner[s:en][r])
+            pxs.append(xs[r, c])
+            pys.append(ys[r, c])
+    if not owners:
+        return np.empty(0, dtype=np.int64), e, e
+    return (np.concatenate(owners), np.concatenate(pxs), np.concatenate(pys))
+
+
 def polyline_intersection_points(a, b, a_closed=False, b_closed=False):
     """All pairwise intersection points between two vertex strings.
 

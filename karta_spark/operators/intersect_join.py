@@ -22,14 +22,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
 from karta_spark.operators.pip_join import PolygonSpec
-from karta_spark.functions.kernels import polyline_intersects
+from karta_spark.functions.kernels import (
+    polyline_pairs_intersect,
+    polylines_intersect_target,
+)
+
+
+def _xy_cols(vertices: str):
+    """JVM-side struct->array extraction: the Arrow pipe then ships plain
+    list<double> columns (cheaper than list<struct> and the kernels get
+    float arrays instead of per-vertex dicts)."""
+    return (F.transform(vertices, lambda v: v.x),
+            F.transform(vertices, lambda v: v.y))
 
 
 def with_member_bbox(df: DataFrame, vertices: str = "vertices") -> DataFrame:
     """Materialize per-member bbox columns from a geometry array — the
     distributed stand-in for R-tree node bboxes (rtree.pyx:39-65)."""
-    xs = F.transform(vertices, lambda v: v.x)
-    ys = F.transform(vertices, lambda v: v.y)
+    xs, ys = _xy_cols(vertices)
     return (
         df.withColumn("xmin", F.array_min(xs)).withColumn("xmax", F.array_max(xs))
         .withColumn("ymin", F.array_min(ys)).withColumn("ymax", F.array_max(ys))
@@ -53,12 +63,10 @@ def _intersects_udf(target_vertices, target_closed: bool, members_closed: bool):
     tv, tc = _target_arrays(target_vertices, target_closed)
 
     @F.pandas_udf(BooleanType())
-    def udf(vertices: pd.Series) -> pd.Series:
-        out = np.zeros(len(vertices), dtype=bool)
-        for i, verts in enumerate(vertices):
-            arr = np.array([[v["x"], v["y"]] for v in verts], dtype=np.float64)
-            out[i] = polyline_intersects(arr, tv, a_closed=members_closed, b_closed=tc)
-        return pd.Series(out)
+    def udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        # one flattened segments-vs-target pass for the whole batch
+        return pd.Series(polylines_intersect_target(
+            list(xs), list(ys), members_closed, tv, tc))
 
     return udf
 
@@ -72,18 +80,19 @@ def touching(
     bb = (tv[:, 0].min(), tv[:, 1].min(), tv[:, 0].max(), tv[:, 1].max())
     cand = with_member_bbox(members, vertices).where(_bbox_gate(bb))
     inter = _intersects_udf(tv, target_is_polygon, members_closed)
+    xs, ys = _xy_cols(vertices)
     if target_is_polygon:
         spec = PolygonSpec("t", tv)
 
         @F.pandas_udf(BooleanType())
-        def first_vertex_inside(verts: pd.Series) -> pd.Series:
-            fx = np.array([v[0]["x"] for v in verts], dtype=np.float64)
-            fy = np.array([v[0]["y"] for v in verts], dtype=np.float64)
-            return pd.Series(spec.contains(fx, fy))
+        def first_vertex_inside(fx: pd.Series, fy: pd.Series) -> pd.Series:
+            return pd.Series(spec.contains(
+                fx.to_numpy(dtype=np.float64), fy.to_numpy(dtype=np.float64)))
 
-        cond = first_vertex_inside(F.col(vertices)) | inter(F.col(vertices))
+        cond = (first_vertex_inside(F.element_at(xs, 1), F.element_at(ys, 1))
+                | inter(xs, ys))
     else:
-        cond = inter(F.col(vertices))
+        cond = inter(xs, ys)
     return cand.where(cond).drop("xmin", "xmax", "ymin", "ymax")
 
 
@@ -98,14 +107,15 @@ def within(
     cand = with_member_bbox(members, vertices).where(_bbox_gate(bb))
     spec = PolygonSpec("t", tv)
     inter = _intersects_udf(tv, True, members_closed)
+    xs, ys = _xy_cols(vertices)
 
     @F.pandas_udf(BooleanType())
-    def first_vertex_inside(verts: pd.Series) -> pd.Series:
-        fx = np.array([v[0]["x"] for v in verts], dtype=np.float64)
-        fy = np.array([v[0]["y"] for v in verts], dtype=np.float64)
-        return pd.Series(spec.contains(fx, fy))
+    def first_vertex_inside(fx: pd.Series, fy: pd.Series) -> pd.Series:
+        return pd.Series(spec.contains(
+            fx.to_numpy(dtype=np.float64), fy.to_numpy(dtype=np.float64)))
 
-    return cand.where(first_vertex_inside(F.col(vertices)) & ~inter(F.col(vertices))) \
+    return cand.where(first_vertex_inside(F.element_at(xs, 1), F.element_at(ys, 1))
+                      & ~inter(xs, ys)) \
                .drop("xmin", "xmax", "ymin", "ymax")
 
 
@@ -155,16 +165,16 @@ def line_intersection_join(
     cand = cand.dropDuplicates(["geom_id", "geom_id_r"])
 
     @F.pandas_udf(BooleanType())
-    def refine(va: pd.Series, vb: pd.Series) -> pd.Series:
-        out = np.zeros(len(va), dtype=bool)
-        for i in range(len(va)):
-            a = np.array([[v["x"], v["y"]] for v in va.iloc[i]], dtype=np.float64)
-            b = np.array([[v["x"], v["y"]] for v in vb.iloc[i]], dtype=np.float64)
-            out[i] = polyline_intersects(a, b, a_closed=left_closed, b_closed=right_closed)
-        return pd.Series(out)
+    def refine(ax: pd.Series, ay: pd.Series, bx: pd.Series, by: pd.Series) -> pd.Series:
+        # flat per-pair segment cross-products, one chunked kernel call
+        return pd.Series(polyline_pairs_intersect(
+            list(ax), list(ay), list(bx), list(by),
+            a_closed=left_closed, b_closed=right_closed))
 
+    lx, ly = _xy_cols(vertices)
+    rx, ry = _xy_cols(vertices + "_r")
     return (
-        cand.where(refine(F.col(vertices), F.col(vertices + "_r")))
+        cand.where(refine(lx, ly, rx, ry))
         .select("geom_id", "geom_id_r")
     )
 
@@ -179,27 +189,26 @@ def intersection_points(
     bbox-gated candidates, optional dedup (reference dedups via set()).
 
     Returns (geom_id, ix, iy)."""
-    from karta_spark.functions.kernels import polyline_intersection_points
+    from karta_spark.functions.kernels import polylines_intersection_points_target
 
     tv = np.asarray(target_vertices, dtype=np.float64)
     bb = (tv[:, 0].min(), tv[:, 1].min(), tv[:, 0].max(), tv[:, 1].max())
     cand = with_member_bbox(members, vertices).where(_bbox_gate(bb))
 
     out_schema = "geom_id long, ix double, iy double"
+    xs, ys = _xy_cols(vertices)
 
     def kernel(pdf_iter):
-        import pandas as pd
         for pdf in pdf_iter:
-            rows = []
-            for _, r in pdf.iterrows():
-                arr = np.array([[v["x"], v["y"]] for v in r[vertices]], dtype=np.float64)
-                pts = polyline_intersection_points(
-                    arr, tv, a_closed=members_closed, b_closed=target_closed)
-                for x, y in pts:
-                    rows.append((r["geom_id"], float(x), float(y)))
-            yield pd.DataFrame(rows, columns=["geom_id", "ix", "iy"])
+            owner, px, py = polylines_intersection_points_target(
+                list(pdf["_xs"]), list(pdf["_ys"]), members_closed,
+                tv, target_closed)
+            yield pd.DataFrame(
+                {"geom_id": pdf["geom_id"].to_numpy()[owner],
+                 "ix": px, "iy": py})
 
-    out = cand.select("geom_id", vertices).mapInPandas(kernel, out_schema)
+    out = (cand.select("geom_id", xs.alias("_xs"), ys.alias("_ys"))
+           .mapInPandas(kernel, out_schema))
     if not keep_duplicates:
         out = out.dropDuplicates(["geom_id", "ix", "iy"])
     return out

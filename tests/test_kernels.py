@@ -62,6 +62,60 @@ class TestContains:
         assert sphere_contains([45.0], [85.0], ring)[0]
         assert not sphere_contains([45.0], [75.0], ring)[0]
 
+    def test_batched_polyline_kernels_match_per_member(self):
+        """The flattened batch kernels must be decision-identical to the
+        per-member polyline_intersects, including degenerate members
+        (empty, 1-vertex, 1-vertex closed) and collinear overlaps."""
+        from karta_spark.functions.kernels import (
+            polyline_intersects,
+            polyline_pairs_intersect,
+            polylines_intersect_target,
+            polylines_intersection_points_target,
+            polyline_intersection_points,
+        )
+        rng = np.random.default_rng(23)
+        target = np.array([(0, 0), (4, 0), (4, 4), (0, 4)], dtype=float)
+
+        def rand_member():
+            k = int(rng.integers(0, 8))
+            return (rng.uniform(-2, 6, k), rng.uniform(-2, 6, k))
+
+        members = [rand_member() for _ in range(200)]
+        members += [(np.array([1.0]), np.array([1.0])),        # single vertex
+                    (np.empty(0), np.empty(0)),                 # empty
+                    (np.array([0.0, 4.0]), np.array([0.0, 0.0]))]  # collinear w/ edge
+        xs = [m[0] for m in members]
+        ys = [m[1] for m in members]
+        for closed in (False, True):
+            for t_closed in (False, True):
+                got = polylines_intersect_target(xs, ys, closed, target, t_closed)
+                want = [polyline_intersects(
+                    np.column_stack([x, y]) if len(x) else np.empty((0, 2)),
+                    target, a_closed=closed, b_closed=t_closed)
+                    for x, y in members]
+                assert list(got) == want, (closed, t_closed)
+        # pairwise variant: member i vs member (i+7)%n
+        n = len(members)
+        bxs = [xs[(i + 7) % n] for i in range(n)]
+        bys = [ys[(i + 7) % n] for i in range(n)]
+        got = polyline_pairs_intersect(xs, ys, bxs, bys, True, False)
+        want = [polyline_intersects(
+            np.column_stack([xs[i], ys[i]]) if len(xs[i]) else np.empty((0, 2)),
+            np.column_stack([bxs[i], bys[i]]) if len(bxs[i]) else np.empty((0, 2)),
+            a_closed=True, b_closed=False) for i in range(n)]
+        assert list(got) == want
+        # intersection points: same point sets per member
+        owner, px, py = polylines_intersection_points_target(
+            xs, ys, False, target, True)
+        for i in range(n):
+            mine = {(round(a, 12), round(b, 12))
+                    for a, b in zip(px[owner == i], py[owner == i])}
+            ref = polyline_intersection_points(
+                np.column_stack([xs[i], ys[i]]) if len(xs[i]) else np.empty((0, 2)),
+                target, a_closed=False, b_closed=True)
+            theirs = {(round(float(a), 12), round(float(b), 12)) for a, b in ref}
+            assert mine == theirs, i
+
     def test_packed_bit_identical_to_per_ring(self):
         """winding_contains_packed must agree bit-for-bit with the per-ring
         kernel across mixed ring sizes (padding edges are degenerate and
