@@ -240,27 +240,21 @@ def minhash_lsh_pairs(
         .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
     )
 
-    @F.pandas_udf("double")
-    def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        cache: dict[str, frozenset] = {}
+    # exact-Jaccard verify as pure Catalyst set algebra (array_intersect /
+    # array_union on distinct shingle arrays) — zero Python on the verify
+    # path; a short text (len < shingle) contributes its single truncated
+    # gram, identical to the previous kernel's frozenset rule
+    def gram_set(col):
+        t = F.coalesce(col, F.lit(""))
+        idx = F.sequence(F.lit(1),
+                         F.greatest(F.length(t) - (shingle - 1), F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(shingle))))
 
-        def sset(t):
-            t = t or ""
-            s = cache.get(t)
-            if s is None:
-                s = frozenset(t[j:j + shingle] for j in range(max(len(t) - shingle + 1, 1)))
-                cache[t] = s
-            return s
-
-        out = np.empty(len(ta))
-        for i in range(len(ta)):
-            sa, sb = sset(ta.iloc[i]), sset(tb.iloc[i])
-            u = len(sa | sb)
-            out[i] = len(sa & sb) / u if u else 0.0
-        return pd.Series(out)
-
+    ga, gb = gram_set(F.col("t_a")), gram_set(F.col("t_b"))
+    jac = (F.size(F.array_intersect(ga, gb)).cast("double")
+           / F.size(F.array_union(ga, gb)).cast("double"))
     return (
-        pairs.withColumn("jaccard", jaccard_udf("t_a", "t_b"))
+        pairs.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
