@@ -1363,6 +1363,52 @@ def q49_ivf_static(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def _q50_tris():
+    """120 seeded triangles — deliberately MORE than both large-set
+    thresholds (MAX_EXPR_POLYS=48, DISTRIBUTED_COVER_THRESHOLD=96) so the
+    gate exercises the many-polygon machinery: executor-built cover,
+    AQE-decided cover join, pair-batched packed winding kernel."""
+    rng = np.random.default_rng(50)
+    tris = []
+    for i in range(120):
+        cx = rng.uniform(-150.0, 150.0)
+        cy = rng.uniform(-55.0, 55.0)
+        r = rng.uniform(2.0, 8.0)
+        rot = rng.uniform(0.0, 2.0 * math.pi)
+        ang = rot + np.array([0.0, 2.0 * math.pi / 3.0, 4.0 * math.pi / 3.0])
+        tris.append((f"t{i:03d}", np.column_stack(
+            [cx + r * np.cos(ang), cy + r * np.sin(ang)])))
+    return tris
+
+
+def q50_pip_many_polys(spark, sf_dir):
+    """Per-polygon containment counts against 120 seeded triangles — the
+    large-polygon-set PIP path (distributed cover + packed Arrow kernel)
+    under the oracle: the SQL twin recomputes every triangle's membership
+    with the literal winding form."""
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    polys = [PolygonSpec(pid, v, crs="lonlat") for pid, v in _q50_tris()]
+    joined = pip_join.point_in_polygon_join(
+        c.select("c_custkey", "x", "y"), polys, zoom=6)
+    return joined.groupBy("poly_id").agg(
+        F.count("*").cast("long").alias("n_inside"))
+
+
+def _q50_sql():
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{pid}' AS poly_id, CAST(count(*) AS BIGINT) AS n_inside "
+        f"FROM pts WHERE {winding_sql(v, 'x', 'y')}"
+        for pid, v in _q50_tris())
+    return f"""
+WITH pts AS (
+  SELECT {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+), u AS (
+{arms}
+)
+SELECT poly_id, n_inside FROM u WHERE n_inside > 0
+"""
+
+
 def q46_tfidf_terms(spark, sf_dir):
     """Smoothed TF-IDF top-3 terms per document (keyword extraction, pure
     Catalyst — one (doc,term) shuffle + broadcast df table + per-doc window)."""
@@ -1512,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_stratified_sample": q47_stratified_sample,
         "q48_geodesic_area": q48_geodesic_area,
         "q49_ivf_static": q49_ivf_static,
+        "q50_pip_many_polys": q50_pip_many_polys,
     }
 
 
@@ -1545,6 +1592,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", ["lang"], "doc_id", cap=40),
         "q48_geodesic_area": _q48_sql(),
         "q49_ivf_static": similarity.ivf_static_sql(k=5, dim=64, nprobe=2),
+        "q50_pip_many_polys": _q50_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

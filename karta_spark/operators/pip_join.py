@@ -546,12 +546,20 @@ def winding_sql(outer: np.ndarray, x_expr: str, y_expr: str) -> str:
     term per edge; suitable for small literal polygons."""
     ring = np.asarray(outer, dtype=np.float64)
     k = len(ring)
+
+    def d(v):
+        # explicit DOUBLE literal: bare high-precision literals parse as
+        # DECIMAL in DuckDB and overflow DECIMAL(18,17) for |v| >= 10;
+        # CAST('repr' AS DOUBLE) is the exact repr->float64 roundtrip
+        return f"CAST({v!r} AS DOUBLE)"
+
     terms = []
     for i in range(k):
         x0, y0 = ring[i]
         x1, y1 = ring[(i + 1) % k]
-        left = f"(({x1!r} - {x0!r}) * ({y_expr} - {y0!r}) - ({x_expr} - {x0!r}) * ({y1!r} - {y0!r}))"
-        up = f"({y0!r} <= {y_expr} AND {y_expr} < {y1!r} AND {left} > 0)"
-        down = f"({y0!r} > {y_expr} AND {y_expr} >= {y1!r} AND {left} < 0)"
+        left = (f"(({d(x1)} - {d(x0)}) * ({y_expr} - {d(y0)}) "
+                f"- ({x_expr} - {d(x0)}) * ({d(y1)} - {d(y0)}))")
+        up = f"({d(y0)} <= {y_expr} AND {y_expr} < {d(y1)} AND {left} > 0)"
+        down = f"({d(y0)} > {y_expr} AND {y_expr} >= {d(y1)} AND {left} < 0)"
         terms.append(f"(CASE WHEN {up} THEN 1 WHEN {down} THEN -1 ELSE 0 END)")
     return "((" + " + ".join(terms) + ") <> 0)"
