@@ -331,6 +331,54 @@ class TestBatchedCover:
                 driver.add((p.poly_id, cid, full))
         assert dist == driver
 
+    def test_distributed_cover_planar_equals_driver(self, spark):
+        """The planar (cartesian-CRS) arm of the distributed cover build
+        must match the driver build too."""
+        from karta_spark.operators import pip_join as pj
+        rng = np.random.default_rng(9)
+        polys = [
+            pj.PolygonSpec(f"c{i:03d}", self._star(
+                rng.uniform(-1000, 1000), rng.uniform(-1000, 1000),
+                rng.uniform(20, 90)), crs="cartesian")
+            for i in range(pj.DISTRIBUTED_COVER_THRESHOLD + 10)
+        ]
+        size = 25.0
+        dist = {(r["poly_id"], r["cell_id"], r["full"]) for r in
+                pj.cover_df(spark, polys, zoom=0, planar_size=size).collect()}
+        driver = {(p.poly_id, cid, full)
+                  for p in polys for cid, full in pj.cover_cells_planar(p, size)}
+        assert dist == driver
+
+    def test_shuffle_join_arm_matches_broadcast(self, spark):
+        """With auto-broadcast disabled, the large-set branch must take the
+        sort-merge-join arm (cover too 'big' to broadcast) and produce the
+        identical join result — pins the SMJ code path AQE normally hides
+        by broadcasting test-sized covers."""
+        from karta_spark.operators import pip_join as pj
+        rng = np.random.default_rng(31)
+        polys = [pj.PolygonSpec(f"s{i:03d}", self._star(
+            rng.uniform(-150, 150), rng.uniform(-55, 55), rng.uniform(2, 7)),
+            crs="lonlat") for i in range(pj.DISTRIBUTED_COVER_THRESHOLD + 10)]
+        # concentrate points so one cell is hot (the skew shape a 100 TB
+        # corpus produces); correctness must be distribution-independent
+        pts = [(j, float(x), float(y)) for j, (x, y) in enumerate(zip(
+            np.concatenate([rng.uniform(-170, 170, 1500),
+                            polys[0].outer[0, 0] + rng.uniform(-1, 1, 1500)]),
+            np.concatenate([rng.uniform(-70, 70, 1500),
+                            polys[0].outer[0, 1] + rng.uniform(-1, 1, 1500)])))]
+        df = spark.createDataFrame(pts, "pid long, x double, y double")
+        baseline = {(r["pid"], r["poly_id"]) for r in
+                    pj.point_in_polygon_join(df, polys, zoom=6).collect()}
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            forced = {(r["pid"], r["poly_id"]) for r in
+                      pj.point_in_polygon_join(df, polys, zoom=6).collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert forced == baseline
+        assert len(baseline) > 500  # hot-cell points actually landed in polys
+
     def test_expr_poly_cap_routes_large_sets_to_kernel(self, spark):
         """> MAX_EXPR_POLYS expression-able polygons must not compile a
         giant CASE chain; results stay identical either way."""
