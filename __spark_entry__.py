@@ -1254,35 +1254,58 @@ FROM zoned GROUP BY poly_id
 
 
 def q44_audio_stats(spark, sf_dir):
-    """Multimodal audio path (rows-only): synthesize deterministic WAV
-    clips (PCM 16/8-bit + float32 stereo), decode with the pure-python
-    RIFF/WAV codec, aggregate RMS stats per format."""
+    """Multimodal audio path, oracle-checked as an INVARIANT: synthesize
+    deterministic WAV clips (PCM 16/8-bit + float32 stereo; amplitude and
+    frequency closed-form functions of the clip index), decode with the
+    pure-python RIFF/WAV codec, verify per row that the decoded sample
+    rate, sample count and RMS match the synthesis contract (integer-cycle
+    sines make expected RMS exactly A/sqrt(2) mono, A*sqrt(0.3125) for the
+    half-amplitude stereo arm — mean square over both channels is
+    A^2*(0.5+0.125)/2; 1% tolerance covers 8-bit quantization).
+    The oracle states the expected per-kind census — any codec/decode
+    regression shrinks a count and fails the hash gate."""
     import numpy as np
     from karta_spark.sources.av import encode_wav
     from karta_spark.sources import multimodal
     rows = []
     for i in range(60):
         t = np.linspace(0, 1, 4000, endpoint=False)
-        tone = (0.2 + 0.01 * (i % 7)) * np.sin(2 * np.pi * (220 + i) * t)
+        amp = 0.2 + 0.01 * (i % 7)
+        tone = amp * np.sin(2 * np.pi * (220 + i) * t)
         bits = [16, 8, "float32"][i % 3]
+        exp_rms = amp * math.sqrt(0.3125) if bits == "float32" else amp / math.sqrt(2.0)
         if bits == "float32":
             tone = np.stack([tone, 0.5 * tone], axis=1)
         rows.append((f"clip{i:03d}", ["pcm16", "pcm8", "f32st"][i % 3],
-                     bytearray(encode_wav(tone, 4000, bits))))
-    clips = spark.createDataFrame(rows, "clip_id string, kind string, bytes binary")
+                     float(exp_rms), bytearray(encode_wav(tone, 4000, bits))))
+    clips = spark.createDataFrame(
+        rows, "clip_id string, kind string, exp_rms double, bytes binary")
     stats = multimodal.decode_audio(clips)
-    return (stats.join(clips.select("clip_id", "kind"), "clip_id")
-            .groupBy("kind").agg(
-                F.count("*").alias("n"),
-                F.round(F.avg("rms"), 4).alias("avg_rms"),
-                F.max("n_samples").alias("max_samples"))
+    joined = stats.join(clips.select("clip_id", "kind", "exp_rms"), "clip_id")
+    return (joined.groupBy("kind").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("sample_rate") == 4000).cast("long")).alias("n_sr_ok"),
+        F.sum((F.col("n_samples") == 4000).cast("long")).alias("n_len_ok"),
+        F.sum((F.abs(F.col("rms") - F.col("exp_rms"))
+               < 0.01 * F.col("exp_rms")).cast("long")).alias("n_rms_ok"))
             .orderBy("kind"))
 
 
+Q44_SQL = """
+SELECT CASE i WHEN 0 THEN 'pcm16' WHEN 1 THEN 'pcm8' ELSE 'f32st' END AS kind,
+       CAST(20 AS BIGINT) AS n, CAST(20 AS BIGINT) AS n_sr_ok,
+       CAST(20 AS BIGINT) AS n_len_ok, CAST(20 AS BIGINT) AS n_rms_ok
+FROM range(3) t(i) ORDER BY kind
+"""
+
+
 def q45_video_frames(spark, sf_dir):
-    """Multimodal video path (rows-only): deterministic MJPEG-in-AVI clips
-    -> frame sampling through the baseline JPEG decoder -> per-video
-    sampled-frame counts."""
+    """Multimodal video path, oracle-checked as an INVARIANT: deterministic
+    MJPEG-in-AVI clips -> frame sampling through the baseline JPEG decoder
+    -> per-video sampled-frame counts.  Video v has 12+v frames sampled
+    every 5th, so the expected count is 1 + (11+v)/5 — closed-form in the
+    oracle; a frame-indexing or JPEG-decode failure changes a count and
+    fails the hash gate."""
     import numpy as np
     from karta_spark.sources.av import encode_mjpeg_avi
     from karta_spark.sources import multimodal
@@ -1293,8 +1316,16 @@ def q45_video_frames(spark, sf_dir):
         rows.append((f"vid{v}", bytearray(encode_mjpeg_avi(frames, fps=5))))
     vids = spark.createDataFrame(rows, "video_id string, bytes binary")
     out = multimodal.sample_video_frames(vids, every_n=5)
-    return (out.groupBy("video_id").agg(F.count("*").alias("n_frames"))
-            .orderBy("video_id"))
+    return (out.groupBy("video_id").agg(
+        F.count("*").cast("long").alias("n_frames"))
+        .orderBy("video_id"))
+
+
+Q45_SQL = """
+SELECT 'vid' || CAST(v AS VARCHAR) AS video_id,
+       CAST(1 + (12 + v - 1) // 5 AS BIGINT) AS n_frames
+FROM range(6) t(v) ORDER BY video_id
+"""
 
 
 def q48_geodesic_area(spark, sf_dir):
@@ -1464,13 +1495,29 @@ def q23_lsh_topk(spark, sf_dir):
 
 def q24_image_decode(spark, sf_dir):
     """Multimodal decode path: synthesize the image table (deterministic),
-    decode with the Arrow kernel, verify PSNR, count per format."""
+    decode with the Arrow kernel, verify PSNR>=40dB AND caption byte-
+    equality per row, count per format.
+
+    Oracle-checked as an INVARIANT: fmt assignment is i % 3 over the 500
+    synthesized ids, and the BASELINE contract says every row must verify —
+    so the expected output is the full per-format census, which DuckDB
+    states without decoding.  Any decode/PSNR/caption failure shrinks a
+    count and fails the hash gate.  (The decode MATH is pinned separately
+    by the codec roundtrip/PSNR pytest goldens.)"""
     imgs = images.synth_images(spark, 500, partitions=4)
     ok = images.verify_images(imgs).where(F.col("verified"))
     return (
         imgs.join(ok.select("image_id"), "image_id", "left_semi")
-        .groupBy("fmt").agg(F.count("*").alias("n_verified"))
+        .groupBy("fmt").agg(F.count("*").cast("long").alias("n_verified"))
     )
+
+
+Q24_SQL = """
+SELECT CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS fmt,
+       CAST(count(*) AS BIGINT) AS n_verified
+FROM range(500) t(i)
+GROUP BY 1
+"""
 
 
 def q25_pip_join_full(spark, sf_dir):
@@ -1581,6 +1628,9 @@ def oracle_sql() -> dict[str, str]:
         "q15_text_stats": Q15_SQL,
         "q16_fingerprint_distinct": Q16_SQL,
         "q17_ngram_jaccard": Q17_SQL,
+        "q24_image_decode": Q24_SQL,
+        "q44_audio_stats": Q44_SQL,
+        "q45_video_frames": Q45_SQL,
         "q21_minhash_pairs": dedup.minhash_portable_sql(
             "documents", "text", "doc_id",
             num_perm=64, bands=8, shingle=6, threshold=0.5),
