@@ -1440,6 +1440,75 @@ SELECT poly_id, n_inside FROM u WHERE n_inside > 0
 """
 
 
+def q51_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (training-pipeline op): documents sharing
+    any word 5-gram with the held-out set (doc_id % 17 == 0 plays the
+    benchmark) are flagged; output is every non-benchmark doc with its
+    contamination flag.  Spark plan: distinct-gram explode both sides ->
+    broadcast semi-join on the gram; the oracle recomputes the same gram
+    sets with list slicing."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 17 == 0)
+    corpus = d.where(F.col("doc_id") % 17 != 0)
+    bad = text.contaminated_ids(corpus, bench, "text", "doc_id", n=5)
+    return (corpus.join(bad.withColumnRenamed("id", "doc_id")
+                        .withColumn("contaminated", F.lit(True)),
+                        "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("contaminated", F.lit(False)).alias("contaminated")))
+
+
+Q51_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), doc_g AS (
+  SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i+4 AS INT)], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+  WHERE doc_id % 17 <> 0 AND len(t) >= 5
+), bench_g AS (
+  SELECT DISTINCT array_to_string(t[CAST(i AS INT):CAST(i+4 AS INT)], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+  WHERE doc_id % 17 = 0 AND len(t) >= 5
+), bad AS (
+  SELECT DISTINCT doc_id FROM doc_g WHERE g IN (SELECT g FROM bench_g)
+)
+SELECT d.doc_id, (bad.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN bad ON d.doc_id = bad.doc_id
+WHERE d.doc_id % 17 <> 0
+"""
+
+
+def q52_cluster_representatives(spark, sf_dir):
+    """Duplicate-cluster representative selection (training-pipeline op):
+    after q17 near-dup pairs collapse to clusters (q42 machinery), keep
+    ONE best copy per cluster — longest text, lowest doc_id on ties.  A
+    single min_by hash aggregate over (-score, id); the oracle replays the
+    recursive-CTE components and ranks with a window."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = q17_ngram_jaccard(spark, sf_dir)
+    out = dedup.cluster_representatives(
+        d, pairs, "doc_id", F.length("text").cast("double"))
+    return out.select("canonical_id", "rep_id", "n_members")
+
+
+def _q52_sql():
+    return f"""
+WITH comp AS ({_q42_sql()}),
+scored AS (
+  SELECT c.canonical_id, c.doc_id, length(d.text) AS sc
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+), ranked AS (
+  SELECT canonical_id, doc_id,
+         row_number() OVER (PARTITION BY canonical_id
+                            ORDER BY sc DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY canonical_id) AS n_members
+  FROM scored
+)
+SELECT canonical_id, doc_id AS rep_id, CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
 def q46_tfidf_terms(spark, sf_dir):
     """Smoothed TF-IDF top-3 terms per document (keyword extraction, pure
     Catalyst — one (doc,term) shuffle + broadcast df table + per-doc window)."""
@@ -1606,6 +1675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_geodesic_area": q48_geodesic_area,
         "q49_ivf_static": q49_ivf_static,
         "q50_pip_many_polys": q50_pip_many_polys,
+        "q51_decontaminate": q51_decontaminate,
+        "q52_cluster_representatives": q52_cluster_representatives,
     }
 
 
@@ -1643,6 +1714,8 @@ def oracle_sql() -> dict[str, str]:
         "q48_geodesic_area": _q48_sql(),
         "q49_ivf_static": similarity.ivf_static_sql(k=5, dim=64, nprobe=2),
         "q50_pip_many_polys": _q50_sql(),
+        "q51_decontaminate": Q51_SQL,
+        "q52_cluster_representatives": _q52_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

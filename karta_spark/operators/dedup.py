@@ -833,3 +833,25 @@ def duplicate_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
     return (df.select(F.col(id_col).alias("id"))
             .join(comp, "id", "left")
             .select("id", F.coalesce("comp", "id").alias("canonical_id")))
+
+
+def cluster_representatives(df: DataFrame, pairs: DataFrame, id_col: str,
+                            score, id_a: str = "id_a",
+                            id_b: str = "id_b") -> DataFrame:
+    """(canonical_id, rep_id, n_members): per near-dup cluster, the member
+    with the highest *score* (ties -> lowest id) — the corpus-shrinking
+    step after duplicate_clusters: keep the one best copy per cluster,
+    drop the rest.
+
+    *score* is any Column over df's columns (char count, a quality
+    heuristic, a recency timestamp).  One hash aggregate on canonical_id:
+    min_by over the (-score, id) struct gives argmax-score /
+    lowest-id-tie-break with map-side partial aggregation — no window, no
+    per-cluster shuffle beyond the agg."""
+    labels = duplicate_clusters(df, pairs, id_col)
+    scored = (df.select(F.col(id_col).alias("id"), score.alias("_s"))
+              .join(labels, "id"))
+    key = F.struct((-F.col("_s")).alias("neg"), F.col("id").alias("tid"))
+    return (scored.groupBy("canonical_id")
+            .agg(F.min_by("id", key).alias("rep_id"),
+                 F.count("*").cast("long").alias("n_members")))

@@ -254,6 +254,46 @@ SELECT {strata}, {id_col}, rank FROM ranked WHERE rank <= {cap}
 """
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """Distinct space-joined word n-grams of a string column (whitespace
+    tokens); documents with fewer than n tokens yield an empty array.
+    Pure Catalyst (split + sequence + slice + concat_ws)."""
+    toks = F.split(F.trim(col), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")) \
+            .otherwise(F.array_distinct(grams))
+
+
+def contaminated_ids(df: DataFrame, bench: DataFrame, text_col: str,
+                     id_col: str, n: int = 5,
+                     broadcast_bench: bool = True) -> DataFrame:
+    """ids of df documents sharing at least one word n-gram with ANY
+    benchmark document — exact benchmark decontamination (the training-
+    pipeline step that drops eval-set leakage before training).
+
+    Plan: both sides explode to distinct n-grams; a semi-join on the gram
+    marks contaminated docs.  The benchmark gram set broadcasts when small
+    (the common case — eval sets are tiny next to a training corpus);
+    pass broadcast_bench=False to let AQE pick the strategy for a big one."""
+    doc_g = df.select(F.col(id_col).alias("id"),
+                      F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+    bench_g = bench.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g")).distinct()
+    if broadcast_bench:
+        bench_g = F.broadcast(bench_g)
+    return doc_g.join(bench_g, "g", "left_semi").select("id").distinct()
+
+
+def decontaminate(df: DataFrame, bench: DataFrame, text_col: str,
+                  id_col: str, n: int = 5,
+                  broadcast_bench: bool = True) -> DataFrame:
+    """df minus documents sharing any word n-gram with the benchmark."""
+    bad = contaminated_ids(df, bench, text_col, id_col, n, broadcast_bench)
+    return df.join(bad.withColumnRenamed("id", id_col), id_col, "left_anti")
+
+
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One row per document with the full feature set."""
     c = F.col(text_col)

@@ -206,6 +206,41 @@ class TestTextPipeline:
         assert got[(2, 1)] == "word"
         assert got[(1, 1)] == "common"
 
+    def test_decontaminate_planted_overlap(self, spark):
+        """A doc sharing a 5-gram with the benchmark is dropped; others
+        survive; <5-token docs can never contaminate."""
+        from karta_spark.operators import text as T
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(0, "prefix words quick brown fox jumps over suffix"),  # leaked
+             (1, "completely unrelated text about spark engines here"),
+             (2, "quick brown fox jumps"),  # only 4 tokens -> no 5-gram
+             (3, "the quick brown fox JUMPS over nothing shared")],  # case-sensitive miss
+            "doc_id long, text string")
+        kept = {r["doc_id"] for r in T.decontaminate(
+            corpus, bench, "text", "doc_id", n=5).collect()}
+        assert kept == {1, 2, 3}
+        bad = {r["id"] for r in T.contaminated_ids(
+            corpus, bench, "text", "doc_id", n=5).collect()}
+        assert bad == {0}
+
+    def test_cluster_representatives_golden(self, spark):
+        """Highest score wins per cluster; ties break to lowest id;
+        singletons represent themselves."""
+        from karta_spark.operators import dedup as D
+        docs = spark.createDataFrame(
+            [(1, 10.0), (2, 30.0), (3, 30.0), (7, 5.0), (9, 1.0)],
+            "doc_id long, score double")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long")  # cluster {1,2,3}
+        got = {(r["canonical_id"], r["rep_id"], r["n_members"]) for r in
+               D.cluster_representatives(docs, pairs, "doc_id",
+                                         F.col("score")).collect()}
+        # cluster {1,2,3}: scores 10/30/30 -> tie between 2 and 3 -> 2
+        assert got == {(1, 2, 3), (7, 7, 1), (9, 9, 1)}
+
     def test_stratified_sample_deterministic_cap(self, spark):
         """Exactly `cap` rows per stratum, identical across partition
         layouts (hash order, not partition order)."""
