@@ -1478,6 +1478,39 @@ WHERE d.doc_id % 17 <> 0
 """
 
 
+def q53_repetition_filter(spark, sf_dir):
+    """Intra-document repetition (Gopher-style quality rule): fraction of
+    word bigrams that repeat an earlier bigram in the same doc, plus the
+    filter verdict at the 0.2 threshold — pure Catalyst; the oracle
+    recomputes the bigram multiset with list slicing."""
+    d = _t(spark, sf_dir, "documents")
+    rr = text.repetition_ratio(F.col("text"), n=2)
+    return d.select(
+        "doc_id", F.round(rr, 6).alias("rep_ratio"),
+        (rr <= 0.2).alias("keep"))
+
+
+Q53_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         len(t) - 1 AS total,
+         CASE WHEN len(t) < 2 THEN 0
+              ELSE (SELECT count(DISTINCT array_to_string(
+                        t[CAST(i AS INT):CAST(i+1 AS INT)], ' '))
+                    FROM UNNEST(range(1, len(t))) AS u(i)) END AS n_distinct
+  FROM toks
+), ratio AS (
+  SELECT doc_id,
+         CASE WHEN total < 1 THEN 0.0
+              ELSE 1.0 - CAST(n_distinct AS DOUBLE) / total END AS rr
+  FROM grams
+)
+SELECT doc_id, round(rr, 6) AS rep_ratio, rr <= 0.2 AS keep FROM ratio
+"""
+
+
 def q52_cluster_representatives(spark, sf_dir):
     """Duplicate-cluster representative selection (training-pipeline op):
     after q17 near-dup pairs collapse to clusters (q42 machinery), keep
@@ -1677,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_pip_many_polys": q50_pip_many_polys,
         "q51_decontaminate": q51_decontaminate,
         "q52_cluster_representatives": q52_cluster_representatives,
+        "q53_repetition_filter": q53_repetition_filter,
     }
 
 
@@ -1716,6 +1750,7 @@ def oracle_sql() -> dict[str, str]:
         "q50_pip_many_polys": _q50_sql(),
         "q51_decontaminate": Q51_SQL,
         "q52_cluster_representatives": _q52_sql(),
+        "q53_repetition_filter": Q53_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -266,6 +266,21 @@ def word_ngrams(col: Column, n: int) -> Column:
             .otherwise(F.array_distinct(grams))
 
 
+def repetition_ratio(col: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram in
+    the same document (Gopher-style intra-document repetition filter):
+    1 - distinct/total over the NON-distinct n-gram multiset; 0.0 for
+    documents with fewer than n tokens.  Pure Catalyst."""
+    toks = F.split(F.trim(col), r"\s+")
+    total = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), total),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total < 1, F.lit(0.0)).otherwise(
+        F.lit(1.0) - distinct.cast("double") / total.cast("double"))
+
+
 def contaminated_ids(df: DataFrame, bench: DataFrame, text_col: str,
                      id_col: str, n: int = 5,
                      broadcast_bench: bool = True) -> DataFrame:

@@ -226,6 +226,21 @@ class TestTextPipeline:
             corpus, bench, "text", "doc_id", n=5).collect()}
         assert bad == {0}
 
+    def test_repetition_ratio_goldens(self, spark):
+        """1 - distinct/total bigrams; short docs -> 0.0 exactly."""
+        from karta_spark.operators import text as T
+        d = spark.createDataFrame(
+            [(0, "a b a b a b"),       # bigrams: ab ba ab ba ab -> 2/5 distinct
+             (1, "all words are different here"),
+             (2, "single"), (3, ""), (4, "x x x x")],  # xx xx xx -> 1/3
+            "doc_id long, text string")
+        got = {r["doc_id"]: round(r["rr"], 6) for r in d.select(
+            "doc_id", T.repetition_ratio(F.col("text")).alias("rr")).collect()}
+        assert got[0] == round(1 - 2 / 5, 6)
+        assert got[1] == 0.0
+        assert got[2] == 0.0 and got[3] == 0.0
+        assert got[4] == round(1 - 1 / 3, 6)
+
     def test_cluster_representatives_golden(self, spark):
         """Highest score wins per cluster; ties break to lowest id;
         singletons represent themselves."""
