@@ -820,13 +820,10 @@ WHERE sqrt((x-lx)*(x-lx) + (y-ly)*(y-ly)) < 15.0
 """
 
 
-# -- non-SQL-expressible ops (driver records a weaker rows-only check) -------
-
-
 def q33_slope_stats(spark, sf_dir):
     """Raster stencil path: gridpoints raster -> dense tile table -> ESRI
-    slope stencil -> global stats (rows-only check; 3x3 stencil isn't
-    reasonably SQL-oracle-able)."""
+    slope stencil -> global stats; the oracle replays the 3x3 stencil as
+    an 8-way SQL self-join over the dense cell lattice."""
     from karta_spark.raster import stencil, tiles as rt
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "key", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
@@ -1557,7 +1554,7 @@ def q47_stratified_sample(spark, sf_dir):
     return text.stratified_sample(d, ["lang"], "doc_id", cap=40)
 
 
-# -- (kept) non-SQL-expressible ops -------
+# -- portable-hash twins (ARCHITECTURE 7b) -------
 
 def q21_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs, portable-hash variant: every hash is
