@@ -84,6 +84,12 @@ sections.append(("q50 many-polygon PIP (distributed cover -> single "
                  "AQE-decided join -> pair-batched packed winding kernel)",
                  plan_of(m.q50_pip_many_polys(spark, sf), 35)))
 
+# 12. q51 decontamination: gram explode both sides, broadcast semi-join —
+# the benchmark gram set ships to executors, the corpus never shuffles
+sections.append(("q51 benchmark decontamination (distinct-gram explode -> "
+                 "broadcast LeftSemi on the gram)",
+                 plan_of(m.q51_decontaminate(spark, sf), 35)))
+
 with open("/root/repo/PLANS.md", "w") as f:
     f.write("""# PLANS — physical plan review (.explain) of the headline operators
 
