@@ -1437,6 +1437,23 @@ SELECT poly_id, n_inside FROM u WHERE n_inside > 0
 """
 
 
+def q54_pip_table_join(spark, sf_dir):
+    """Big-big PIP: the SAME 120 seeded triangles as q50, but as a
+    distributed polygon TABLE (poly_id, vertices) — nothing broadcast,
+    nothing in a UDF closure: executor-built cover, AQE-decided cell join,
+    per-row flat winding kernel over variable rings.  Same oracle as q50
+    (the join semantics are identical; only the physical path differs)."""
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    poly_df = spark.createDataFrame(
+        [(pid, [{"x": float(x), "y": float(y)} for x, y in v])
+         for pid, v in _q50_tris()],
+        "poly_id string, vertices array<struct<x double, y double>>")
+    joined = pip_join.point_in_polygon_join_table(
+        c.select("c_custkey", "x", "y"), poly_df, zoom=6)
+    return joined.groupBy("poly_id").agg(
+        F.count("*").cast("long").alias("n_inside"))
+
+
 def q51_decontaminate(spark, sf_dir):
     """Benchmark decontamination (training-pipeline op): documents sharing
     any word 5-gram with the held-out set (doc_id % 17 == 0 plays the
@@ -1708,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_decontaminate": q51_decontaminate,
         "q52_cluster_representatives": q52_cluster_representatives,
         "q53_repetition_filter": q53_repetition_filter,
+        "q54_pip_table_join": q54_pip_table_join,
     }
 
 
@@ -1748,6 +1766,7 @@ def oracle_sql() -> dict[str, str]:
         "q51_decontaminate": Q51_SQL,
         "q52_cluster_representatives": _q52_sql(),
         "q53_repetition_filter": Q53_SQL,
+        "q54_pip_table_join": _q50_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

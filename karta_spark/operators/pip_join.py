@@ -539,6 +539,79 @@ def contains_flags(
     return inside.unionByName(outside)
 
 
+def point_in_polygon_join_table(
+    points: DataFrame,
+    polys: DataFrame,
+    zoom: int = 7,
+    lon: str = "x",
+    lat: str = "y",
+    poly_id: str = "poly_id",
+    vertices: str = "vertices",
+) -> DataFrame:
+    """Big-big PIP join: the polygon side is itself a distributed DataFrame
+    (poly_id, vertices array<struct<x double, y double>> — outer rings,
+    lonlat), not a driver-side list.  The scale shape the broadcast variant
+    can't reach: millions of polygons, nothing driver-side, nothing in a
+    UDF closure.
+
+    Plan:
+    1. polygon table -> classified cover rows via mapInPandas (same
+       full/boundary classification as the broadcast path);
+    2. points ⋈ cover on cell_id — both sides big, so the join strategy is
+       AQE's call (shuffle on cell_id, skew-split enabled);
+    3. boundary candidates join their polygon's coordinate arrays on
+       poly_id and run the flat per-segment winding kernel
+       (kernels.winding_contains_rows — variable ring sizes, no padding,
+       bit-identical to winding_number); full-cell hits skip Python.
+
+    A (point, polygon) pair appears at most once (the point has ONE cell)."""
+    from karta_spark.functions.kernels import winding_contains_rows
+
+    spark = points.sparkSession
+    xs_col = F.transform(vertices, lambda v: v.x)
+    ys_col = F.transform(vertices, lambda v: v.y)
+    ring = polys.select(F.col(poly_id).alias("_pid"),
+                        xs_col.alias("_rx"), ys_col.alias("_ry"))
+
+    def build(batches):
+        for pdf in batches:
+            pids, cids, fulls = [], [], []
+            for pid, rx, ry in zip(pdf["_pid"], pdf["_rx"], pdf["_ry"]):
+                outer = np.column_stack([np.asarray(rx, dtype=np.float64),
+                                         np.asarray(ry, dtype=np.float64)])
+                p = PolygonSpec(pid, outer, (), "lonlat")
+                for cid, full in cover_cells(p, zoom):
+                    pids.append(pid)
+                    cids.append(cid)
+                    fulls.append(full)
+            yield pd.DataFrame(
+                {"_pid": pids,
+                 "cell_id": pd.array(cids, dtype="int64"),
+                 "full": fulls})
+
+    cover = ring.select("_pid", "_rx", "_ry").mapInPandas(
+        build, "_pid string, cell_id long, full boolean")
+
+    pts = points.withColumn("cell_id", cells.tile_id(F.col(lon), F.col(lat), zoom))
+    cand = pts.join(cover, "cell_id", "inner")
+    full_hits = cand.where(F.col("full")).drop("full", "cell_id")
+    boundary = (cand.where(~F.col("full")).drop("full", "cell_id")
+                .join(ring, "_pid"))
+
+    @F.pandas_udf(BooleanType())
+    def refine(px: pd.Series, py: pd.Series, rx: pd.Series, ry: pd.Series) -> pd.Series:
+        return pd.Series(winding_contains_rows(
+            px.to_numpy(dtype=np.float64), py.to_numpy(dtype=np.float64),
+            list(rx), list(ry)))
+
+    boundary_hits = (boundary
+                     .where(refine(F.col(lon), F.col(lat),
+                                   F.col("_rx"), F.col("_ry")))
+                     .drop("_rx", "_ry"))
+    return (full_hits.unionByName(boundary_hits)
+            .withColumnRenamed("_pid", poly_id))
+
+
 def winding_sql(outer: np.ndarray, x_expr: str, y_expr: str) -> str:
     """ANSI-SQL winding-number containment for a *fixed* ring — the DuckDB
     oracle twin of the kernel (same float algebra: cross-product form of

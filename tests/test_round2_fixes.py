@@ -403,6 +403,54 @@ class TestBatchedCover:
                 for j in np.flatnonzero(p.contains(xs, ys))}
         assert got == want
 
+    def test_table_pip_join_matches_broadcast_path(self, spark):
+        """The big-big variant (polygon side a DataFrame) must produce the
+        identical join result as the broadcast-list path."""
+        from karta_spark.operators import pip_join as pj
+        rng = np.random.default_rng(41)
+        polys = [pj.PolygonSpec(f"s{i:03d}", self._star(
+            rng.uniform(-150, 150), rng.uniform(-55, 55), rng.uniform(2, 7)),
+            crs="lonlat") for i in range(60)]
+        pts = spark.createDataFrame(
+            [(j, float(x), float(y)) for j, (x, y) in enumerate(zip(
+                rng.uniform(-170, 170, 3000), rng.uniform(-70, 70, 3000)))],
+            "pid long, x double, y double")
+        want = {(r["pid"], r["poly_id"]) for r in
+                pj.point_in_polygon_join(pts, polys, zoom=6).collect()}
+        poly_df = spark.createDataFrame(
+            [(p.poly_id, [{"x": float(x), "y": float(y)} for x, y in p.outer])
+             for p in polys],
+            "poly_id string, vertices array<struct<x double, y double>>")
+        got = {(r["pid"], r["poly_id"]) for r in
+               pj.point_in_polygon_join_table(pts, poly_df, zoom=6).collect()}
+        assert got == want and len(want) > 100
+
+    def test_winding_rows_kernel_bit_identical(self):
+        """winding_contains_rows vs winding_number over variable rings,
+        boundary points included."""
+        from karta_spark.functions.kernels import (
+            winding_contains, winding_contains_rows)
+        rng = np.random.default_rng(13)
+        rings = []
+        for _ in range(60):
+            k = int(rng.integers(3, 25))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            rad = rng.uniform(0.5, 3.0, k)
+            cx, cy = rng.uniform(-5, 5, 2)
+            rings.append(np.column_stack(
+                [cx + rad * np.cos(ang), cy + rad * np.sin(ang)]))
+        n = 4000
+        rid = rng.integers(0, len(rings), n)
+        px = rng.uniform(-9, 9, n)
+        py = rng.uniform(-9, 9, n)
+        px[:40] = [rings[r][0, 0] for r in rid[:40]]  # exact vertices
+        py[:40] = [rings[r][0, 1] for r in rid[:40]]
+        got = winding_contains_rows(
+            px, py, [rings[r][:, 0] for r in rid], [rings[r][:, 1] for r in rid])
+        for j in range(len(rings)):
+            m = rid == j
+            assert (got[m] == winding_contains(px[m], py[m], rings[j])).all(), j
+
     def test_1k_polygon_cover_wall_time(self):
         import time
         from karta_spark.operators.pip_join import PolygonSpec, cover_cells
