@@ -49,6 +49,22 @@ def tile_id(lon: Column, lat: Column, zoom: int) -> Column:
     ).cast("long")
 
 
+def tile_id_clamped(lon: Column, lat: Column, zoom: int) -> Column:
+    """tile_id with the row index clamped into [0, 2^zoom): latitudes
+    poleward of MAX_LAT otherwise produce out-of-range rows (tile_y at
+    lat 89 is negative) and such points silently never match any cover
+    cell in a join.  Cell ASSIGNMENT only — exact refines keep the true
+    coordinates."""
+    n = 2 ** zoom
+    ty = F.least(F.greatest(tile_y(lat, zoom), F.lit(0).cast("long")),
+                 F.lit(n - 1).cast("long"))
+    return (
+        F.lit(zoom).cast("long") * (1 << 58)
+        + tile_x(lon, zoom) * (1 << 29)
+        + ty
+    ).cast("long")
+
+
 def unpack_tile_id(cell: Column):
     z = (cell / (1 << 58)).cast("long")
     x = ((cell % (1 << 58)) / (1 << 29)).cast("long")

@@ -155,7 +155,7 @@ def knn_join(
     rounds the remainder falls back to brute force (rare: empty regions)."""
     if zoom is None:
         zoom = auto_zoom(points.count(), k)
-    pts = points.withColumn("_cell", cells.tile_id(F.col(px), F.col(py), zoom))
+    pts = points.withColumn("_cell", cells.tile_id_clamped(F.col(px), F.col(py), zoom))
     remaining = queries
     results = []
     to_unpersist = []
@@ -164,7 +164,7 @@ def knn_join(
     for _ in range(max_widen):
         if n_remaining == 0:
             break
-        q = remaining.withColumn("_cell", cells.tile_id(F.col(qx), F.col(qy), zoom))
+        q = remaining.withColumn("_cell", cells.tile_id_clamped(F.col(qx), F.col(qy), zoom))
         q = q.withColumn("_probe", F.explode(neighbor_cells(F.col("_cell"), cur_ring, zoom)))
         cand = q.join(pts.withColumnRenamed("_cell", "_probe"), "_probe")
         d = _dist(F.col(qx), F.col(qy), F.col(px), F.col(py), spherical)

@@ -146,6 +146,16 @@ def cover_cells(poly: PolygonSpec, zoom: int):
     parity over speed).
     """
     xmin, ymin, xmax, ymax = poly.bbox()
+    if poly.polar:
+        # a polar ring encloses a pole BEYOND its vertex latitudes, and
+        # wraps every longitude — the vertex bbox under-covers both axes
+        # (points poleward of the vertices silently missed the join).
+        # Full lon span; extend lat to whichever pole the ring contains.
+        xmin, xmax = -180.0, 180.0
+        if poly.contains(np.array([0.0]), np.array([89.999]))[0]:
+            ymax = 90.0
+        if poly.contains(np.array([0.0]), np.array([-89.999]))[0]:
+            ymin = -90.0
     ymin = max(ymin, -cells.MAX_LAT + 1e-9)
     ymax = min(ymax, cells.MAX_LAT - 1e-9)
     xmin = max(xmin, -180.0)
@@ -387,6 +397,14 @@ def point_in_polygon_join(
             extents.append(max(xmax - xmin, ymax - ymin))
         planar_size = max(float(np.median(extents)) / 8.0, 1e-9)
 
+    # polar rings bypass the cover entirely: their contained region under
+    # the reference's azimuth-swing semantics (contains.pyx:44-83) is NOT
+    # lat/lon-bounded by the vertex bbox (a reversed-orientation ring
+    # contains points far from the ring), so no cell cover can index them.
+    # They take a dense kernel branch — rare parity path, full scan.
+    polar_polys = [p for p in polys if p.crs == "lonlat" and p.polar]
+    polys = [p for p in polys if not (p.crs == "lonlat" and p.polar)]
+
     expr_polys = [p for p in polys if _expr_able(p)]
     udf_polys = [p for p in polys if not _expr_able(p)]
     if len(expr_polys) > MAX_EXPR_POLYS:
@@ -400,7 +418,7 @@ def point_in_polygon_join(
         pts = points.withColumn(
             "cell_id", cells.planar_cell_id(F.col(lon), F.col(lat), planar_size))
     else:
-        pts = points.withColumn("cell_id", cells.tile_id(F.col(lon), F.col(lat), zoom))
+        pts = points.withColumn("cell_id", cells.tile_id_clamped(F.col(lon), F.col(lat), zoom))
 
     branches = []
     if expr_polys:
@@ -490,6 +508,20 @@ def point_in_polygon_join(
                                   F.col("full")))
                 .drop("full", "cell_id", "pidx"))
 
+    def _polar_udf(spec):
+        @F.pandas_udf(BooleanType())
+        def polar_refine(px: pd.Series, py: pd.Series) -> pd.Series:
+            return pd.Series(spec.contains(
+                px.to_numpy(dtype=np.float64), py.to_numpy(dtype=np.float64)))
+        return polar_refine
+
+    for p in polar_polys:
+        # dense arm: every point through the spherical kernel — correct for
+        # the unbounded polar contained-region, parallel, no index
+        branches.append(
+            points.where(_polar_udf(p)(F.col(lon), F.col(lat)))
+            .withColumn("poly_id", F.lit(p.poly_id)))
+
     result = branches[0]
     for b in branches[1:]:
         result = result.unionByName(b)
@@ -529,6 +561,11 @@ def contains_flags(
         return pd.Series(poly.contains(
             px.to_numpy(dtype=np.float64), py.to_numpy(dtype=np.float64)))
 
+    if poly.crs == "lonlat" and poly.polar:
+        # no bbox gate: a polar ring's contained region is not bounded by
+        # its vertex bbox (see point_in_polygon_join's polar arm) — dense
+        return points.withColumn(flag, refine(F.col(lon), F.col(lat)))
+
     # hard-filter the bbox slice before the Arrow kernel: Spark evaluates a
     # pandas UDF inside F.when() on EVERY row regardless of the branch, so
     # the when() form would defeat the bbox gate entirely (CLAUDE.md rule);
@@ -564,14 +601,34 @@ def point_in_polygon_join_table(
        (kernels.winding_contains_rows — variable ring sizes, no padding,
        bit-identical to winding_number); full-cell hits skip Python.
 
+    Polar rings (detected executor-side) bypass the cover — their
+    contained region under the reference's azimuth-swing semantics is not
+    bounded by the vertex bbox, so no cell cover can index them.  They
+    broadcast into a dense cross-join arm refined by the spherical kernel
+    (assumes polar rings are a small minority of the table — the realistic
+    shape; a corpus of millions of polar rings has no indexable form).
+
     A (point, polygon) pair appears at most once (the point has ONE cell)."""
-    from karta_spark.functions.kernels import winding_contains_rows
+    from karta_spark.functions.kernels import ispolar as _ispolar
+    from karta_spark.functions.kernels import sphere_contains, winding_contains_rows
 
     spark = points.sparkSession
     xs_col = F.transform(vertices, lambda v: v.x)
     ys_col = F.transform(vertices, lambda v: v.y)
-    ring = polys.select(F.col(poly_id).alias("_pid"),
-                        xs_col.alias("_rx"), ys_col.alias("_ry"))
+
+    @F.pandas_udf(BooleanType())
+    def is_polar(rx: pd.Series, ry: pd.Series) -> pd.Series:
+        return pd.Series([
+            bool(_ispolar(np.column_stack(
+                [np.asarray(x, dtype=np.float64),
+                 np.asarray(y, dtype=np.float64)])))
+            for x, y in zip(rx, ry)])
+
+    ring_all = polys.select(F.col(poly_id).alias("_pid"),
+                            xs_col.alias("_rx"), ys_col.alias("_ry"))
+    ring_all = ring_all.withColumn("_polar", is_polar(F.col("_rx"), F.col("_ry")))
+    ring = ring_all.where(~F.col("_polar")).drop("_polar")
+    polar_ring = ring_all.where(F.col("_polar")).drop("_polar")
 
     def build(batches):
         for pdf in batches:
@@ -592,7 +649,7 @@ def point_in_polygon_join_table(
     cover = ring.select("_pid", "_rx", "_ry").mapInPandas(
         build, "_pid string, cell_id long, full boolean")
 
-    pts = points.withColumn("cell_id", cells.tile_id(F.col(lon), F.col(lat), zoom))
+    pts = points.withColumn("cell_id", cells.tile_id_clamped(F.col(lon), F.col(lat), zoom))
     cand = pts.join(cover, "cell_id", "inner")
     full_hits = cand.where(F.col("full")).drop("full", "cell_id")
     boundary = (cand.where(~F.col("full")).drop("full", "cell_id")
@@ -608,7 +665,33 @@ def point_in_polygon_join_table(
                      .where(refine(F.col(lon), F.col(lat),
                                    F.col("_rx"), F.col("_ry")))
                      .drop("_rx", "_ry"))
-    return (full_hits.unionByName(boundary_hits)
+
+    @F.pandas_udf(BooleanType())
+    def polar_refine(px: pd.Series, py: pd.Series, pid: pd.Series,
+                     rx: pd.Series, ry: pd.Series) -> pd.Series:
+        # one sphere_contains call per distinct ring in the batch
+        # (argsort-sliced, same trick as the packed refine)
+        out = np.zeros(len(px), dtype=bool)
+        pxv = px.to_numpy(dtype=np.float64)
+        pyv = py.to_numpy(dtype=np.float64)
+        pids = pid.to_numpy()
+        order = np.argsort(pids, kind="stable")
+        sp = pids[order]
+        bounds = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1], True])
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            idx = order[b0:b1]
+            ringv = np.column_stack(
+                [np.asarray(rx.iloc[idx[0]], dtype=np.float64),
+                 np.asarray(ry.iloc[idx[0]], dtype=np.float64)])
+            out[idx] = sphere_contains(pxv[idx], pyv[idx], ringv)
+        return pd.Series(out)
+
+    polar_hits = (points.crossJoin(F.broadcast(polar_ring))
+                  .where(polar_refine(F.col(lon), F.col(lat), F.col("_pid"),
+                                      F.col("_rx"), F.col("_ry")))
+                  .drop("_rx", "_ry"))
+
+    return (full_hits.unionByName(boundary_hits).unionByName(polar_hits)
             .withColumnRenamed("_pid", poly_id))
 
 

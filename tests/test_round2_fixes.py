@@ -425,6 +425,56 @@ class TestBatchedCover:
                pj.point_in_polygon_join_table(pts, poly_df, zoom=6).collect()}
         assert got == want and len(want) > 100
 
+    # probed ground truth (sphere_contains — the reference's azimuth-swing
+    # semantics): cap=(lons 0..315 @80) contains the north polar region;
+    # srev=(lons 240,120,0 @-75, reversed orientation) contains the
+    # complement-side region incl. points far from its vertex bbox — the
+    # case that proves no cell cover can index polar rings.
+    _CAP = [(float(a), 80.0) for a in range(0, 360, 45)]
+    _SREV = [(float(a), -75.0) for a in (240, 120, 0)]
+    _POLAR_PTS = [(0, 45.0, 85.0), (1, 45.0, 75.0), (2, -120.0, 89.0),
+                  (3, 10.0, -80.0), (4, 10.0, -60.0)]
+    _POLAR_WANT = {(0, "cap"), (2, "cap"),
+                   (1, "srev"), (3, "srev"), (4, "srev")}
+
+    def test_broadcast_pip_join_polar_ring(self, spark):
+        """Latent bug fix: polar rings' contained region is not bounded by
+        the vertex bbox (points poleward of — or nowhere near — the
+        vertices were silently dropped by the cover join); they now take a
+        dense spherical-kernel arm."""
+        from karta_spark.operators import pip_join as pj
+        pts = spark.createDataFrame(self._POLAR_PTS,
+                                    "pid long, x double, y double")
+        got = {(r["pid"], r["poly_id"]) for r in pj.point_in_polygon_join(
+            pts, [pj.PolygonSpec("cap", np.array(self._CAP), crs="lonlat"),
+                  pj.PolygonSpec("srev", np.array(self._SREV), crs="lonlat")],
+            zoom=4).collect()}
+        assert got == self._POLAR_WANT
+
+    def test_table_pip_join_polar_ring(self, spark):
+        """Same memberships through the table variant's polar arm
+        (executor-side detection + broadcast dense cross-join)."""
+        from karta_spark.operators import pip_join as pj
+        poly_df = spark.createDataFrame(
+            [("cap", [{"x": x, "y": y} for x, y in self._CAP]),
+             ("srev", [{"x": x, "y": y} for x, y in self._SREV])],
+            "poly_id string, vertices array<struct<x double, y double>>")
+        pts = spark.createDataFrame(self._POLAR_PTS,
+                                    "pid long, x double, y double")
+        got = {(r["pid"], r["poly_id"]) for r in
+               pj.point_in_polygon_join_table(pts, poly_df, zoom=4).collect()}
+        assert got == self._POLAR_WANT
+
+    def test_contains_flags_polar_no_bbox_gate(self, spark):
+        """contains_flags had the same vertex-bbox trap for polar rings."""
+        from karta_spark.operators import pip_join as pj
+        pts = spark.createDataFrame(self._POLAR_PTS,
+                                    "pid long, x double, y double")
+        got = {r["pid"]: r["contained"] for r in pj.contains_flags(
+            pts, pj.PolygonSpec("cap", np.array(self._CAP), crs="lonlat")
+        ).collect()}
+        assert got == {0: True, 1: False, 2: True, 3: False, 4: False}
+
     def test_winding_rows_kernel_bit_identical(self):
         """winding_contains_rows vs winding_number over variable rings,
         boundary points included."""
