@@ -1009,11 +1009,15 @@ def q38_utm_reproject(spark, sf_dir):
     ex, ny = kcrs.forward_exprs(kcrs.utm(31), F.col("x"), F.col("y"))
     z = z.withColumn("easting", ex).withColumn("northing", ny)
     lon2, lat2 = kcrs.inverse_exprs(kcrs.utm(31), F.col("easting"), F.col("northing"))
+    # Roundtrip check as a BOOLEAN tolerance, not a rounded float: the
+    # Krüger roundtrip error is itself ~1e-9..1e-10, so round(err, 9) sits
+    # exactly at the rounding noise floor and a last-ulp difference between
+    # Spark and a DuckDB build flips +-1e-9 <-> 0.0 (driver r2 red cell).
     return z.select(
         "c_custkey", F.round("easting", 4).alias("easting"),
         F.round("northing", 4).alias("northing"),
-        F.round(lon2 - F.col("x"), 9).alias("lon_rt_err"),
-        F.round(lat2 - F.col("y"), 9).alias("lat_rt_err"))
+        (F.abs(lon2 - F.col("x")) < 1e-7).cast("int").alias("lon_rt_ok"),
+        (F.abs(lat2 - F.col("y")) < 1e-7).cast("int").alias("lat_rt_ok"))
 
 
 def _q38_sql():
@@ -1029,7 +1033,8 @@ WITH pts AS (
   SELECT c_custkey, x, y, {xs} AS easting, {ys} AS northing FROM zone
 )
 SELECT c_custkey, round(easting, 4) AS easting, round(northing, 4) AS northing,
-       round({lo} - x, 9) AS lon_rt_err, round({la} - y, 9) AS lat_rt_err
+       CAST(abs({lo} - x) < 1e-7 AS INT) AS lon_rt_ok,
+       CAST(abs({la} - y) < 1e-7 AS INT) AS lat_rt_ok
 FROM proj
 """
 
@@ -1659,15 +1664,65 @@ SELECT poly_id, CAST(count(*) AS BIGINT) AS n_points FROM flags WHERE contained 
 
 
 def q36_image_feature_buckets(spark, sf_dir):
-    """Full multimodal chain (rows-only): synthesize images -> decode ->
-    avg-pool embeddings -> random-hyperplane LSH buckets -> bucket sizes.
-    The decode and feature kernels are the real Arrow batch path."""
+    """Full multimodal chain, VALUE-ORACLE-checked: synthesize images ->
+    decode (real Arrow batch kernels) -> pooled embeddings -> portable
+    (Rademacher, floor-quantized) hyperplane LSH buckets -> bucket census.
+
+    Oracle-exact because every stage is integer-reproducible: the pixel
+    synthesis is a SQL-expressible hash (pixels_for_phash), lossless
+    formats decode bit-exactly, the 4x4 nearest-resize sample grid is
+    closed-form (rows/cols {2,6,10,14}), and the portable bucket uses
+    exact integer arithmetic (similarity.portable_bucket_expr).  DuckDB
+    regenerates the bytes from (i -> phash -> pixel hash) and must land
+    every image in the same bucket; any decode/pooling/batching bug moves
+    a row.  JPEG rows are excluded here (lossy decode has no SQL twin) —
+    they are invariant-checked by q24."""
     from karta_spark.sources import multimodal
     from karta_spark.operators import similarity as sim
-    imgs = images.synth_images(spark, 400, partitions=4)
+    imgs = images.synth_images(spark, 400, partitions=4).where(F.col("fmt") != "jpeg")
     feats = multimodal.image_features(imgs, pool=4)
-    bucketed = sim.hyperplane_signature(feats, "embedding", dim=48, nbits=4)
-    return bucketed.groupBy("lsh_bucket").agg(F.count("*").alias("n_images"))
+    bucketed = feats.withColumn(
+        "lsh_bucket", sim.portable_bucket_expr("embedding", dim=48, nbits=4))
+    return bucketed.groupBy("lsh_bucket").agg(
+        F.count("*").cast("long").alias("n_images"))
+
+
+def _q36_sql():
+    from karta_spark.operators.similarity import _rademacher_planes
+    from karta_spark.sources.images import pixel_hash_sql
+    planes = _rademacher_planes(48, 4, seed=7)
+    bits = []
+    for r in planes:
+        lit = "[" + ", ".join(f"{float(c):.1f}" for c in r) + "]::DOUBLE[]"
+        bits.append(f"(CASE WHEN list_dot_product(sv, {lit}) > 0"
+                    " THEN '1' ELSE '0' END)")
+    bucket = "||".join(bits)
+    # embedding component m samples pixel (y=4*(m//12)+2, x=4*((m//3)%4)+2,
+    # c=m%3) of the 16x16x3 image -> flat byte index y*48 + x*3 + c
+    return f"""
+WITH ids AS (
+  SELECT CAST(i AS BIGINT) AS i FROM range(400) t(i) WHERE i % 3 != 2
+), ph AS (
+  SELECT i, (i * 2654435761) % 4294967296
+           + ((i * 2246822519) % 2147483648) * 4294967296 AS phash
+  FROM ids
+), comp AS (
+  SELECT i, phash, CAST(m AS BIGINT) AS m,
+         (4*(m//12)+2)*48 + (4*((m//3)%4)+2)*3 + (m%3) AS idx
+  FROM ph, range(48) t(m)
+), bytes AS (
+  SELECT i, m, {pixel_hash_sql('phash', 'idx')} AS b FROM comp
+), quant AS (
+  SELECT i, m, floor(CAST(CAST(b / 255.0 AS REAL) AS DOUBLE) * 1048576) AS s
+  FROM bytes
+), vecs AS (
+  SELECT i, list(s ORDER BY m) AS sv FROM quant GROUP BY i
+), buckets AS (
+  SELECT i, {bucket} AS lsh_bucket FROM vecs
+)
+SELECT lsh_bucket, CAST(count(*) AS BIGINT) AS n_images
+FROM buckets GROUP BY lsh_bucket
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1779,6 +1834,7 @@ def oracle_sql() -> dict[str, str]:
         "q31_sessionize": Q31_SQL,
         "q32_raster_sample_cells": Q32_SQL,
         "q35_distance_join": Q35_SQL,
+        "q36_image_feature_buckets": _q36_sql(),
         "q33_slope_stats": Q33_SQL,
         "q34_geographic_bbox": Q34_SQL,
         "q37_webmercator": _q37_sql(),

@@ -58,9 +58,14 @@ def tile_id_clamped(lon: Column, lat: Column, zoom: int) -> Column:
     n = 2 ** zoom
     ty = F.least(F.greatest(tile_y(lat, zoom), F.lit(0).cast("long")),
                  F.lit(n - 1).cast("long"))
+    # lon == +180.0 exactly evaluates tile_x to 2^zoom, outside the cover
+    # column range [0, 2^zoom-1] (cover_cells clamps x to nmax), so such a
+    # point would silently never match any cover or kNN ring cell.
+    tx = F.least(F.greatest(tile_x(lon, zoom), F.lit(0).cast("long")),
+                 F.lit(n - 1).cast("long"))
     return (
         F.lit(zoom).cast("long") * (1 << 58)
-        + tile_x(lon, zoom) * (1 << 29)
+        + tx * (1 << 29)
         + ty
     ).cast("long")
 

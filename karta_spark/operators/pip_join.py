@@ -116,6 +116,14 @@ def _mark_edges(mark: np.ndarray, rings, to_frac):
         mark[i0, j1] = True
         mark[i1, j0] = True
         mark[i1, j1] = True
+        # Capped-subdivision pieces can be LONGER than half a cell, so their
+        # bbox may span >2x2 cells; 4-corner marking would leave interior
+        # crossed cells unmarked (a crossed cell with all 4 corners inside
+        # would then be misclassified 'full' and skip the exact refine).
+        # Fill the whole bbox rectangle for those rare wide pieces.
+        wide = np.nonzero((i1 - i0 > 1) | (j1 - j0 > 1))[0]
+        for k in wide:
+            mark[i0[k]:i1[k] + 1, j0[k]:j1[k] + 1] = True
 
 
 def _classify_cover(poly: PolygonSpec, nx: int, ny: int, corner_x, corner_y,

@@ -93,8 +93,21 @@ def run_stage(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_path)
 
-    # accumulator value is complete once the write action returns; dedup
-    # retried tasks (first report wins) and persist lineage as parquet
+    # Python-accumulator updates are delivered by an async handler thread,
+    # so a late task's report can still be in flight when the write action
+    # returns.  Poll until the report set stops growing (quiet period), so
+    # lineage is complete in practice; it remains best-effort by contract —
+    # resume correctness never depends on it (the _SUCCESS_STAGE marker and
+    # the data itself gate resume; lineage is metrics/observability).
+    deadline = time.monotonic() + 5.0
+    prev = -1
+    while time.monotonic() < deadline:
+        cur = len(acc.value)
+        if cur == prev:
+            break
+        prev = cur
+        time.sleep(0.05)
+    # dedup retried tasks (first report wins) and persist lineage as parquet
     seen: dict[int, tuple] = {}
     for rec in acc.value:
         seen.setdefault(rec[1], rec)

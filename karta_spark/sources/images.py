@@ -215,9 +215,36 @@ def lonlat_for_phash(phash: np.ndarray):
 
 
 def pixels_for_phash(phash: int, w: int = 16, h: int = 16) -> np.ndarray:
-    """Deterministic RGB pixels seeded by phash (verifiable on decode)."""
-    rng = np.random.default_rng(int(phash) & 0x7FFFFFFFFFFFFFFF)
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    """Deterministic RGB pixels seeded by phash (verifiable on decode).
+
+    The generator is a SQL-expressible integer hash (32-bit fold, two
+    multiply + xor-shift rounds; every product < 2^63 so BIGINT-exact in
+    any engine) rather than an opaque RNG stream: DuckDB regenerates the
+    exact bytes from (index -> phash -> pixel) alone, which gives the full
+    decode -> feature -> LSH chain a value oracle (q36)."""
+    n = h * w * 3
+    idx = np.arange(n, dtype=np.uint64)
+    M32 = np.uint64(0xFFFFFFFF)
+    p = np.uint64(phash)
+    h0 = ((p & M32) + (p >> np.uint64(32))) & M32
+    h1 = (h0 + idx * np.uint64(1000003)) & M32
+    h2 = (h1 * np.uint64(1597334677)) & M32
+    h3 = h2 ^ (h2 >> np.uint64(16))
+    h4 = (h3 * np.uint64(1103515245)) & M32
+    h5 = h4 ^ (h4 >> np.uint64(16))
+    return (h5 & np.uint64(255)).astype(np.uint8).reshape(h, w, 3)
+
+
+def pixel_hash_sql(phash_expr: str, idx_expr: str) -> str:
+    """DuckDB twin of the pixels_for_phash byte at flat index *idx*
+    (idx = y*w*3 + x*3 + c). BIGINT-safe: all products < 2^63."""
+    h0 = f"(({phash_expr}) % 4294967296 + ({phash_expr}) // 4294967296) % 4294967296"
+    h1 = f"(({h0}) + ({idx_expr}) * 1000003) % 4294967296"
+    h2 = f"(({h1}) * 1597334677) % 4294967296"
+    h3 = f"xor(({h2}), ({h2}) // 65536)"
+    h4 = f"(({h3}) * 1103515245) % 4294967296"
+    h5 = f"xor(({h4}), ({h4}) // 65536)"
+    return f"(({h5}) % 256)"
 
 
 def caption_for_index(i: int) -> str:
