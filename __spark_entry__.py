@@ -453,11 +453,11 @@ FROM documents
 
 def q17_ngram_jaccard(spark, sf_dir):
     """Word-trigram Jaccard near-dup pairs (threshold 0.2) — exact, via
-    shingle-explode self-join (dedup.ngram pipeline at word granularity)."""
+    the grouped posting-list plan (dedup.ngram pipeline, word grams)."""
     # tokens materialized as a named column: referencing the raw split()
     # inside the lambda makes Catalyst re-evaluate the split per element
-    # (measured 2.6x slower); shingles are hashed to int64 so the self-join
-    # shuffles 8-byte keys (collision odds over ~1e5 grams ~1e-9)
+    # (measured 2.6x slower); shingles are hashed to int64 so the gram
+    # shuffle moves 8-byte keys (collision odds over ~1e5 grams ~1e-9)
     d = _t(spark, sf_dir, "documents").withColumn(
         "toks", F.split(F.trim(F.col("text")), " "))
     idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
@@ -467,19 +467,25 @@ def q17_ngram_jaccard(spark, sf_dir):
     sh = d.select(F.col("doc_id").alias("id"),
                   F.explode(F.array_distinct(gram)).alias("gram"))
     # hot-shingle document-frequency cap (df > 50): one stop-trigram shared
-    # by f docs makes an f^2 bucket in the self-join — quadratic at corpus
-    # scale. Sizes and intersections are both computed on the capped set so
-    # the Jaccard stays a true Jaccard (mirrored in the SQL twin).
-    hot = (sh.groupBy("gram").agg(F.count("*").alias("_df"))
-           .where(F.col("_df") > 50).select("gram"))
-    sh = sh.join(F.broadcast(hot), "gram", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    # by f docs makes an f^2 candidate bucket — quadratic at corpus scale.
+    # Sizes and intersections are both computed on the capped set so the
+    # Jaccard stays a true Jaccard (mirrored in the SQL twin).
+    # Grouped single-scan plan (dedup.ngram_jaccard_pairs 'grouped'):
+    # groupBy(gram) -> sorted posting list, df filter, localCheckpoint the
+    # small grouped table, HOF pair explosion — no self-join, and the
+    # tokenize/explode subtree runs ONCE instead of 4x (r2 regression:
+    # 3.6-3.9 s -> 2.7 s at sf0.1).
+    grp = (sh.groupBy("gram").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+           .where(F.size("ids") <= 50).select("ids").localCheckpoint())
+    ids = F.col("ids")
+    pairs = F.flatten(F.transform(ids, lambda x, i:
+        F.transform(F.slice(ids, i + F.lit(2), F.size(ids)),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    inter = (grp.select(F.explode(pairs).alias("p"))
+             .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    sizes = grp.select(F.explode("ids").alias("id")).groupBy("id").agg(
+        F.count("*").alias("sz"))
     return (
         inter
         .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")

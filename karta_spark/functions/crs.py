@@ -268,6 +268,14 @@ NSIDC_NORTH = CrsDef("nsidc_north", "stere", (1.0, -45.0, 70.0, 1.0, 0.0, 0.0))
 NSIDC_SOUTH = CrsDef("nsidc_south", "stere", (-1.0, 0.0, 70.0, 1.0, 0.0, 0.0))
 # equatorial Lambert azimuthal equal-area (crs.py:378-381)
 LAEA_WGS84 = CrsDef("laea", "laea", (0.0,))
+# datum-shifted geographic CRSes (crs.py:354-356).  NAD27 rides Clarke 1866
+# + the CONUS Molodensky translation; NAD83 (GRS80) coincides with the
+# WGS84 pivot at the cm level, far below this transform's ~5 m fidelity.
+_F_CLRK66 = (6378206.4 - 6356583.8) / 6378206.4
+LONLAT_WGS84 = LONLAT
+LONLAT_NAD27 = CrsDef("lonlat_nad27", "lonlat_datum",
+                      (-8.0, 160.0, 176.0, 6378206.4, _F_CLRK66))
+LONLAT_NAD83 = CrsDef("lonlat_nad83", "lonlat")
 # Gall-Peters cylindrical equal-area, lat_ts=45 (crs.py:382-385)
 GALL_PETERS = CrsDef("gall_peters", "cea", (45.0,))
 
@@ -525,9 +533,53 @@ def albers(lat1: float, lat2: float, lat0: float = 0.0, lon0: float = 0.0,
                   (lat1, lat2, lat0, lon0, fe, fn))
 
 
+# ---------------------------------------------------------------------------
+# geographic datum shift (reference crs.py:355-356: LonLatNAD27/NAD83 carry
+# +datum identifiers that pyproj resolves to geocentric translations).
+# lonlat on a source ellipsoid+datum <-> the WGS84 lonlat pivot via a
+# 3-parameter geocentric Helmert translation; the geocentric->geodetic leg
+# uses Bowring's one-step formula (sub-mm at h=0).  CONUS Molodensky
+# parameters NAD27->WGS84 (dx,dy,dz)=(-8,160,176) m land within ~6 m of the
+# reference's NADCON-grade golden (crs_tests.py:268-271, places=3 ~ 55 m).
+# ---------------------------------------------------------------------------
+
+def _geocentric_shift(B, lon, lat, a1, f1, dx, dy, dz, a2, f2):
+    lam = _D2R * lon
+    phi = _D2R * lat
+    e2_1 = f1 * (2.0 - f1)
+    sphi = B.sin(phi)
+    cphi = B.cos(phi)
+    N = a1 / B.sqrt(1.0 - e2_1 * sphi * sphi)
+    X = N * cphi * B.cos(lam) + dx
+    Y = N * cphi * B.sin(lam) + dy
+    Z = N * (1.0 - e2_1) * sphi + dz
+    e2_2 = f2 * (2.0 - f2)
+    b2 = a2 * (1.0 - f2)
+    ep2 = e2_2 / (1.0 - e2_2)
+    p = B.sqrt(X * X + Y * Y)
+    theta = B.atan2(Z * a2, p * b2)
+    st = B.sin(theta)
+    ct = B.cos(theta)
+    phi2 = B.atan2(Z + ep2 * b2 * st * st * st, p - e2_2 * a2 * ct * ct * ct)
+    lam2 = B.atan2(Y, X)
+    return _R2D * lam2, _R2D * phi2
+
+
+def _datum_fwd(B, lon, lat, dx, dy, dz, a, f):
+    """WGS84-pivot lonlat -> datum lonlat (reverse translation)."""
+    return _geocentric_shift(B, lon, lat, A_WGS84, F_WGS84, -dx, -dy, -dz, a, f)
+
+
+def _datum_inv(B, lon, lat, dx, dy, dz, a, f):
+    """datum lonlat -> WGS84-pivot lonlat (forward translation)."""
+    return _geocentric_shift(B, lon, lat, a, f, dx, dy, dz, A_WGS84, F_WGS84)
+
+
 def _dispatch_fwd(B, crs: CrsDef, lon, lat):
     if crs.kind == "lonlat":
         return lon, lat
+    if crs.kind == "lonlat_datum":
+        return _datum_fwd(B, lon, lat, *crs.params)
     if crs.kind == "webmercator":
         return _webmercator_fwd(B, lon, lat)
     if crs.kind == "tmerc":
@@ -546,6 +598,8 @@ def _dispatch_fwd(B, crs: CrsDef, lon, lat):
 def _dispatch_inv(B, crs: CrsDef, x, y):
     if crs.kind == "lonlat":
         return x, y
+    if crs.kind == "lonlat_datum":
+        return _datum_inv(B, x, y, *crs.params)
     if crs.kind == "webmercator":
         return _webmercator_inv(B, x, y)
     if crs.kind == "tmerc":
@@ -600,7 +654,7 @@ def inverse_np(crs: CrsDef, x, y):
 
 _REGISTRY = {c.name: c for c in (
     LONLAT, WEB_MERCATOR, UPS_NORTH, UPS_SOUTH, NSIDC_NORTH, NSIDC_SOUTH,
-    LAEA_WGS84, GALL_PETERS)}
+    LAEA_WGS84, GALL_PETERS, LONLAT_NAD27, LONLAT_NAD83)}
 
 
 def lookup(crs: CrsDef | str) -> CrsDef:

@@ -51,42 +51,67 @@ def ngrams(col, n: int = 3):
 
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = None, strategy: str = "grouped",
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard >= threshold (id_a < id_b).
 
-    Plan: explode distinct shingles -> self equi-join on shingle (only pairs
-    sharing one shingle are generated) -> count intersections -> join set
-    sizes -> Jaccard filter. Every step is a hash agg/join on a content key.
-
     ``max_df`` caps shingle document frequency (classic near-dup practice):
-    a stop-shingle shared by f documents makes an f^2 candidate bucket in
-    the self-join — one shingle in 1% of a real corpus is quadratic death.
-    Shingles with df > max_df are dropped BEFORE sizes and intersections,
-    so the result is the exact Jaccard of the capped shingle sets (both
-    sides of the comparison see the same universe)."""
+    a stop-shingle shared by f documents makes an f^2 candidate bucket —
+    one shingle in 1% of a real corpus is quadratic death.  Shingles with
+    df > max_df are dropped BEFORE sizes and intersections, so the result
+    is the exact Jaccard of the capped shingle sets (both sides of the
+    comparison see the same universe).
+
+    strategy='grouped' (default): ONE scan of the corpus -> groupBy(gram)
+    collects the sorted doc-id list per shingle, df-filter, localCheckpoint
+    the (small) grouped table, then derive BOTH pair intersections (HOF
+    pair explosion, no self-join) and set sizes from it.  Measured ~25%
+    faster than the 4x-recompute two-pass plan at sf0.1 (2.7 s vs 3.6 s).
+    Caveat: collect_list materializes a gram's full posting list before the
+    df filter drops it — a degenerate gram present in millions of docs
+    builds that array in the agg buffer.  For adversarial corpora use
+    strategy='two_pass', which computes df first and never collects an
+    uncapped list.
+
+    strategy='two_pass': explode distinct shingles -> broadcast anti-join
+    against the hot-shingle set -> self equi-join on shingle -> count
+    intersections -> join set sizes -> Jaccard filter.  Every step is a
+    hash agg/join on a content key; nothing materializes a posting list."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(ngrams(F.col(text_col), n)).alias("gram"),
     )
-    if max_df is not None:
-        # the HOT set is the tiny one (few shingles exceed the cap) — anti-
-        # join against it broadcast, instead of semi-joining the huge
-        # rare-shingle complement
-        hot = (sh.groupBy("gram").agg(F.count("*").alias("_df"))
-               .where(F.col("_df") > max_df).select("gram"))
-        sh = sh.join(F.broadcast(hot), "gram", "left_anti")
-    # NOT checkpointed (unlike the minhash/simhash banded sides): the gram
-    # subtree is pure codegen'd Catalyst — MEASURED recompute (2.8-3.0 s at
-    # sf0.1) beats materializing millions of gram rows (3.2-3.7 s)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    if strategy == "grouped":
+        grp = sh.groupBy("gram").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        if max_df is not None:
+            grp = grp.where(F.size("ids") <= max_df)
+        grp = grp.select("ids").localCheckpoint()
+        ids = F.col("ids")
+        pairs = F.flatten(F.transform(ids, lambda x, i:
+            F.transform(F.slice(ids, i + F.lit(2), F.size(ids)),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+        inter = (grp.select(F.explode(pairs).alias("p"))
+                 .groupBy(F.col("p.id_a").alias("id_a"),
+                          F.col("p.id_b").alias("id_b"))
+                 .agg(F.count("*").alias("inter")))
+        sizes = grp.select(F.explode("ids").alias("id")).groupBy("id").agg(
+            F.count("*").alias("sz"))
+    else:
+        if max_df is not None:
+            # the HOT set is the tiny one (few shingles exceed the cap) —
+            # anti-join against it broadcast, instead of semi-joining the
+            # huge rare-shingle complement
+            hot = (sh.groupBy("gram").agg(F.count("*").alias("_df"))
+                   .where(F.col("_df") > max_df).select("gram"))
+            sh = sh.join(F.broadcast(hot), "gram", "left_anti")
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -202,7 +227,7 @@ def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 64, bands: int = 16, shingle: int = 3,
     threshold: float = 0.5, seed: int = 42, verify: bool = True,
-    impl: str = "kernel",
+    impl: str = "kernel", max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, optionally verified with exact
     n-gram Jaccard on candidates only (the classic shingle->minhash->band->
@@ -212,7 +237,16 @@ def minhash_lsh_pairs(
     end-to-end than the pure-Catalyst variant on this box (numpy's SIMD
     affine mins beat 64 JVM string hashes per gram; sig stage 0.15 s vs
     2.8 s at sf0.1).  impl="expr" stays available for zero-Python
-    deployments (no Python workers / streaming state contexts)."""
+    deployments (no Python workers / streaming state contexts).
+
+    ``max_bucket``: a (band, bucket) holding f docs emits f^2/2 candidate
+    pairs from the self-join — one boilerplate-heavy bucket with 10^6
+    near-identical docs is quadratic death at corpus scale.  Buckets
+    larger than max_bucket are dropped (broadcast anti-join on the tiny
+    oversized-bucket set) before the self-join; a bucket that size means
+    near-identical mass that exact_dedup/cluster_representatives should
+    absorb first.  Normal corpora never hit the cap, so pairs are
+    unchanged; None disables the guard."""
     if impl == "expr":
         sigs = minhash_signatures_expr(df, text_col, id_col, num_perm, shingle)
     else:
@@ -223,6 +257,13 @@ def minhash_lsh_pairs(
     # the exchange across the aliases.  Blocks are GC-freed (ContextCleaner),
     # unlike a leaked persist.  MEASURED: candidates 3.2 s -> 1.7 s at sf0.1.
     banded = banded.localCheckpoint(eager=False)
+    if max_bucket is not None:
+        oversized = (banded.groupBy("band", "bucket")
+                     .agg(F.count("*").alias("_n"))
+                     .where(F.col("_n") > max_bucket)
+                     .select("band", "bucket"))
+        banded = banded.join(F.broadcast(oversized), ["band", "bucket"],
+                             "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

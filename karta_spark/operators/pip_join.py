@@ -592,12 +592,21 @@ def point_in_polygon_join_table(
     lat: str = "y",
     poly_id: str = "poly_id",
     vertices: str = "vertices",
+    small_table_threshold: int | None = 256,
 ) -> DataFrame:
     """Big-big PIP join: the polygon side is itself a distributed DataFrame
     (poly_id, vertices array<struct<x double, y double>> — outer rings,
     lonlat), not a driver-side list.  The scale shape the broadcast variant
     can't reach: millions of polygons, nothing driver-side, nothing in a
     UDF closure.
+
+    ``small_table_threshold``: the distributed-cover machinery carries
+    fixed costs (mapInPandas cover stage, AQE shuffle join) that dominate
+    tiny inputs.  When the polygon table has at most this many rows (probed
+    with a limit+collect — one cheap early-stopping scan), the specs are
+    collected and routed through the broadcast arm
+    (point_in_polygon_join) — identical semantics, pinned by the
+    equality test; None disables the probe.
 
     Plan:
     1. polygon table -> classified cover rows via mapInPandas (same
@@ -619,6 +628,22 @@ def point_in_polygon_join_table(
     A (point, polygon) pair appears at most once (the point has ONE cell)."""
     from karta_spark.functions.kernels import ispolar as _ispolar
     from karta_spark.functions.kernels import sphere_contains, winding_contains_rows
+
+    if small_table_threshold is not None:
+        head = polys.select(poly_id, vertices).limit(
+            small_table_threshold + 1).collect()
+        if len(head) <= small_table_threshold:
+            specs = [
+                PolygonSpec(
+                    r[0],
+                    np.array([[v.x, v.y] for v in r[1]], dtype=np.float64),
+                    (), "lonlat")
+                for r in head
+            ]
+            out = point_in_polygon_join(points, specs, zoom=zoom,
+                                        lon=lon, lat=lat)
+            return (out if poly_id == "poly_id"
+                    else out.withColumnRenamed("poly_id", poly_id))
 
     spark = points.sparkSession
     xs_col = F.transform(vertices, lambda v: v.x)

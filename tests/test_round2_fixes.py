@@ -422,7 +422,7 @@ class TestBatchedCover:
              for p in polys],
             "poly_id string, vertices array<struct<x double, y double>>")
         got = {(r["pid"], r["poly_id"]) for r in
-               pj.point_in_polygon_join_table(pts, poly_df, zoom=6).collect()}
+               pj.point_in_polygon_join_table(pts, poly_df, zoom=6, small_table_threshold=None).collect()}
         assert got == want and len(want) > 100
 
     # probed ground truth (sphere_contains — the reference's azimuth-swing
@@ -462,7 +462,7 @@ class TestBatchedCover:
         pts = spark.createDataFrame(self._POLAR_PTS,
                                     "pid long, x double, y double")
         got = {(r["pid"], r["poly_id"]) for r in
-               pj.point_in_polygon_join_table(pts, poly_df, zoom=4).collect()}
+               pj.point_in_polygon_join_table(pts, poly_df, zoom=4, small_table_threshold=None).collect()}
         assert got == self._POLAR_WANT
 
     def test_contains_flags_polar_no_bbox_gate(self, spark):
