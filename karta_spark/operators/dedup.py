@@ -195,6 +195,22 @@ def minhash_signatures_expr(
         "id", F.array(*[F.col(f"_m{j}") for j in range(num_perm)]).alias("sig"))
 
 
+def _drop_oversized_buckets(banded: DataFrame, keys, max_bucket: int | None) -> DataFrame:
+    """Degenerate-bucket guard shared by every banded-LSH self-join: a
+    bucket holding f rows emits f^2/2 candidate pairs, so one
+    boilerplate-heavy bucket with 10^6 near-identical members is quadratic
+    death at corpus scale.  Buckets above *max_bucket* are dropped via a
+    broadcast anti-join on the (tiny) oversized-key set — mass that large
+    belongs to exact_dedup/cluster_representatives, not pairwise LSH.
+    Normal corpora never hit the cap; None disables."""
+    if max_bucket is None:
+        return banded
+    keys = list(keys)
+    oversized = (banded.groupBy(*keys).agg(F.count("*").alias("_n"))
+                 .where(F.col("_n") > max_bucket).select(*keys))
+    return banded.join(F.broadcast(oversized), keys, "left_anti")
+
+
 def _band_buckets(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
     """(id, sig) -> (id, band, bucket): hash each signature slice to one
     bucket key per band — the LSH key table every variant shares."""
@@ -257,13 +273,7 @@ def minhash_lsh_pairs(
     # the exchange across the aliases.  Blocks are GC-freed (ContextCleaner),
     # unlike a leaked persist.  MEASURED: candidates 3.2 s -> 1.7 s at sf0.1.
     banded = banded.localCheckpoint(eager=False)
-    if max_bucket is not None:
-        oversized = (banded.groupBy("band", "bucket")
-                     .agg(F.count("*").alias("_n"))
-                     .where(F.col("_n") > max_bucket)
-                     .select("band", "bucket"))
-        banded = banded.join(F.broadcast(oversized), ["band", "bucket"],
-                             "left_anti")
+    banded = _drop_oversized_buckets(banded, ("band", "bucket"), max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -540,7 +550,8 @@ def simhash_kernel(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket: int | None = 4096) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via banded
     exact-match blocking.
 
@@ -568,6 +579,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     ).select("id", "simhash", "bb.band", "bb.key")
     # see minhash_lsh_pairs: avoid recomputing the signature stage per side
     bands = bands.localCheckpoint(eager=False)
+    bands = _drop_oversized_buckets(bands, ("band", "key"), max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
@@ -755,6 +767,7 @@ def _band_signatures(df: DataFrame, vec_col: str, dim: int,
 def embedding_near_dup_candidates(
     df: DataFrame, vec_col: str, id_col: str, dim: int,
     nbits: int = 10, bands: int = 12, seed: int = 7,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs sharing >= 1 LSH band bucket.
 
@@ -771,6 +784,7 @@ def embedding_near_dup_candidates(
     )
     # see minhash_lsh_pairs: avoid recomputing the signature UDF per side
     banded = banded.localCheckpoint(eager=False)
+    banded = _drop_oversized_buckets(banded, ("band", "bucket"), max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -785,6 +799,7 @@ def embedding_near_dup_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
     method: str = "lsh", dim: int | None = None,
     nbits: int = 10, bands: int = 12, seed: int = 7,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold.
 
@@ -805,7 +820,8 @@ def embedding_near_dup_pairs(
     if dim is None:
         first = df.select(F.size(vec_col)).first()
         dim = int(first[0]) if first else 0
-    cand = embedding_near_dup_candidates(df, vec_col, id_col, dim, nbits, bands, seed)
+    cand = embedding_near_dup_candidates(df, vec_col, id_col, dim, nbits,
+                                     bands, seed, max_bucket=max_bucket)
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     return (
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")

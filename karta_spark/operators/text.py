@@ -80,7 +80,13 @@ def quality_score(col: Column) -> Column:
 
 
 def lang_id(col: Column) -> Column:
-    """Argmax of per-language stopword hits; ties + zero -> 'unknown'."""
+    """Argmax of per-language stopword hits; ties + zero -> 'unknown'.
+
+    Scope: a deterministic stopword-list heuristic — reliable on prose in
+    the bundled languages, not a fastText/CLD substitute (no subword
+    model, no short-string robustness).  It exists so language bucketing
+    is pure Catalyst and oracle-replicable; swap in a real classifier via
+    a pandas UDF when accuracy matters more than plan purity."""
     scores = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
     best = F.greatest(*scores.values())
     out = F.lit("unknown")

@@ -19,10 +19,129 @@ from karta_spark.functions.kernels import winding_contains
 from karta_spark.raster.tiles import TILE_SCHEMA
 
 
-def mask_by_poly(tiles: DataFrame, polys: list, invert: bool = False) -> DataFrame:
+def _ensure_clockwise(xp: np.ndarray, yp: np.ndarray):
+    """Reference mask_by_poly reverses counterclockwise rings before the
+    scanline (grid.py:652-654; isclockwise geometry.py:1044-1048:
+    sum (x1-x0)(y1+y0) over closed segments > 0)."""
+    x1 = np.roll(xp, -1)
+    y1 = np.roll(yp, -1)
+    if not (np.sum((x1 - xp) * (y1 + yp)) > 0):
+        return xp[::-1].copy(), yp[::-1].copy()
+    return xp, yp
+
+
+def scanline_crossings(xpoly, ypoly, nx, ny, transform, r_lo, r_hi):
+    """Per-row signed scanline crossings of one ring, reference-exact
+    (grid.py:1304-1384 mask_poly: node-index rounding, negative-step
+    normalization, left-southernmost start vertex, the same off-grid
+    guards), restricted to global rows [r_lo, r_hi).
+
+    Returns (rows_i, cols_j, signs): each triple means "rows_i's mask
+    columns >= max(0, cols_j) get signs added".  The boolean mask row is
+    (running column sum) != 0.  Callers window the columns, so a tile
+    never materializes the full grid width."""
+    xpoly = np.asarray(xpoly, dtype=np.float64)
+    ypoly = np.asarray(ypoly, dtype=np.float64)
+    xpoly, ypoly = _ensure_clockwise(xpoly, ypoly)
+    n = len(xpoly)
+    # left-southernmost start vertex (parity with the reference's seam
+    # handling; affects nothing with exact arithmetic but kept identical)
+    i_bot = 0
+    for i in range(1, n):
+        if ypoly[i] < ypoly[i_bot] or (
+                ypoly[i] == ypoly[i_bot] and xpoly[i] < xpoly[i_bot]):
+            i_bot = i
+    ta, tb, tc, td, te, tf = (float(v) for v in transform)
+    if tc < 0:
+        ta = ta + nx * tc
+        tc = -tc
+    if td < 0:
+        tb = tb + ny * td
+        td = -td
+
+    def row_of(x, y):
+        return int(round((y - tb - tf / tc * (x - ta)) / (td - tf * te / tc)))
+
+    def col_of(x, y):
+        return int(round((x - ta - te / td * (y - tb)) / (tc - te * tf / td)))
+
+    rows_out, cols_out, signs_out = [], [], []
+    x0, y0 = xpoly[i_bot], ypoly[i_bot]
+    i0, j0 = row_of(x0, y0), col_of(x0, y0)
+    for el in range(1, n + 1):
+        idx = (el + i_bot) % n
+        x1, y1 = xpoly[idx], ypoly[idx]
+        i1, j1 = row_of(x1, y1), col_of(x1, y1)
+        if ((0 <= i0 < ny) and (0 <= i1 < ny)) or (y1 != y0):
+            if y1 > y0:  # upward — mark cells to the right
+                ii = np.arange(max(i0, 0, r_lo), min(i1, ny, r_hi))
+                if len(ii):
+                    jj = np.round((ii - i0) * (x1 - x0) / (y1 - y0)
+                                  + j0).astype(np.int64)
+                    keep = jj < nx
+                    rows_out.append(ii[keep])
+                    cols_out.append(np.maximum(jj[keep], 0))
+                    signs_out.append(np.ones(int(keep.sum()), dtype=np.int32))
+            else:        # downward — unmark cells to the right
+                ii = np.arange(max(i1, 0, r_lo), min(i0, ny, r_hi))
+                if len(ii):
+                    jj = np.round((ii - i1) * (x1 - x0) / (y1 - y0)
+                                  + j1).astype(np.int64)
+                    keep = jj < nx
+                    rows_out.append(ii[keep])
+                    cols_out.append(np.maximum(jj[keep], 0))
+                    signs_out.append(-np.ones(int(keep.sum()), dtype=np.int32))
+        x0, y0, i0, j0 = x1, y1, i1, j1
+    if not rows_out:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.int32)
+    return (np.concatenate(rows_out), np.concatenate(cols_out),
+            np.concatenate(signs_out))
+
+
+def scanline_mask(xpoly, ypoly, nx: int, ny: int, transform) -> np.ndarray:
+    """Full boolean mask of one ring — the reference mask_poly bit-exact
+    (pinned by five grid_tests.py count/sum goldens)."""
+    ri, cj, s = scanline_crossings(xpoly, ypoly, nx, ny, transform, 0, ny)
+    diff = np.zeros((ny, nx), dtype=np.int32)
+    np.add.at(diff, (ri, cj), s)
+    return np.cumsum(diff, axis=1) != 0
+
+
+def _scanline_window(rings, nx, ny, transform, r_lo, r_hi, c_lo, c_hi):
+    """OR of per-ring scanline masks over the (row, col) window — base
+    counts for columns < c_lo are accumulated per row, so a tile only
+    materializes its own window, never the full grid width."""
+    h = r_hi - r_lo
+    w = c_hi - c_lo
+    out = np.zeros((h, w), dtype=bool)
+    for xp, yp in rings:
+        ri, cj, s = scanline_crossings(xp, yp, nx, ny, transform, r_lo, r_hi)
+        base = np.zeros(h, dtype=np.int32)
+        diff = np.zeros((h, w), dtype=np.int32)
+        left = cj < c_lo
+        np.add.at(base, ri[left] - r_lo, s[left])
+        win = (~left) & (cj < c_hi)
+        np.add.at(diff, (ri[win] - r_lo, cj[win] - c_lo), s[win])
+        out |= (base[:, None] + np.cumsum(diff, axis=1)) != 0
+    return out
+
+
+def mask_by_poly(tiles: DataFrame, polys: list, invert: bool = False,
+                 method: str = "winding") -> DataFrame:
     """Set cells outside all polygons to nodata (inside, when *invert*).
 
-    *polys* — list of (outer_ring ndarray, holes list) or PolygonSpec."""
+    *polys* — list of (outer_ring ndarray, holes list) or PolygonSpec.
+
+    method='winding' (default): pixel-CENTER containment via the winding
+    kernel — the geometrically clean semantic, hole-aware.
+    method='scanline': bit-exact replica of the reference's node-index
+    scanline rasterizer (grid.py:1304-1384), including its rounding, its
+    clockwise-enforcement and its negative-dy normalization quirk (a
+    flipped-row grid masks the same ARRAY cells as the south-up grid —
+    grid_tests.py:528 depends on it).  Holes are ignored (as the
+    reference ignores interior rings here); use it when byte-parity with
+    reference mask output matters more than center semantics."""
     rings = []
     for p in polys:
         if hasattr(p, "outer"):
@@ -44,14 +163,30 @@ def mask_by_poly(tiles: DataFrame, polys: list, invert: bool = False) -> DataFra
                 ii = np.arange(int(r["i0"]) - h, int(r["i0"]) + ny + h)
                 jj = np.arange(int(r["j0"]) - h, int(r["j0"]) + nx + h)
                 JJ, II = np.meshgrid(jj, ii)
-                cx = t["x0"] + (JJ + 0.5) * t["dx"] + (II + 0.5) * t["sx"]
-                cy = t["y0"] + (II + 0.5) * t["dy"] + (JJ + 0.5) * t["sy"]
-                mask = np.zeros(blk.shape, dtype=bool)
-                for outer, holes in rings:
-                    m = winding_contains(cx.ravel(), cy.ravel(), outer).reshape(blk.shape)
-                    for hole in holes:
-                        m &= ~winding_contains(cx.ravel(), cy.ravel(), hole).reshape(blk.shape)
-                    mask |= m
+                if method == "scanline":
+                    gny, gnx = int(r["gny"]), int(r["gnx"])
+                    tr = (t["x0"], t["y0"], t["dx"], t["dy"], t["sx"], t["sy"])
+                    r_lo = int(r["i0"]) - h
+                    c_lo = int(r["j0"]) - h
+                    r_hi = r_lo + ny + 2 * h
+                    c_hi = c_lo + nx + 2 * h
+                    rl, rh = max(r_lo, 0), min(r_hi, gny)
+                    cl, ch = max(c_lo, 0), min(c_hi, gnx)
+                    mask = np.zeros(blk.shape, dtype=bool)
+                    if rh > rl and ch > cl:
+                        ring_xy = [(o[:, 0], o[:, 1]) for o, _ in rings]
+                        mask[rl - r_lo:rh - r_lo, cl - c_lo:ch - c_lo] = \
+                            _scanline_window(ring_xy, gnx, gny, tr,
+                                             rl, rh, cl, ch)
+                else:
+                    cx = t["x0"] + (JJ + 0.5) * t["dx"] + (II + 0.5) * t["sx"]
+                    cy = t["y0"] + (II + 0.5) * t["dy"] + (JJ + 0.5) * t["sy"]
+                    mask = np.zeros(blk.shape, dtype=bool)
+                    for outer, holes in rings:
+                        m = winding_contains(cx.ravel(), cy.ravel(), outer).reshape(blk.shape)
+                        for hole in holes:
+                            m &= ~winding_contains(cx.ravel(), cy.ravel(), hole).reshape(blk.shape)
+                        mask |= m
                 if invert:
                     mask = ~mask
                 res = np.where(mask, blk, nd)

@@ -160,6 +160,116 @@ class TestMarkEdgesCappedBranch:
                 assert mark[i, j]
 
 
+class TestLshBucketCaps:
+    """The degenerate-bucket guard on the other two banded-LSH paths."""
+
+    def test_simhash_bucket_cap(self, spark):
+        from karta_spark.operators import dedup
+        boiler = [(f"b{i}", "identical boilerplate text repeated everywhere")
+                  for i in range(2000)]
+        normal = [("n0", "the quick brown fox jumps over the lazy dog"),
+                  ("n1", "the quick brown fox jumps over the lazy dog")]
+        df = spark.createDataFrame(boiler + normal, "doc_id string, text string")
+        out = dedup.simhash_near_pairs(df, "text", "doc_id", max_hamming=3,
+                                       max_bucket=100)
+        rows = out.collect()
+        assert len(rows) < 20
+        assert not any(r.id_a.startswith("b") for r in rows)
+        # normal corpus unchanged by the guard
+        small = spark.createDataFrame(normal, "doc_id string, text string")
+        on = sorted((r.id_a, r.id_b) for r in dedup.simhash_near_pairs(
+            small, "text", "doc_id", max_hamming=3, max_bucket=4096).collect())
+        off = sorted((r.id_a, r.id_b) for r in dedup.simhash_near_pairs(
+            small, "text", "doc_id", max_hamming=3, max_bucket=None).collect())
+        assert on == off and len(on) == 1
+
+    def test_embedding_bucket_cap(self, spark):
+        from karta_spark.operators import dedup
+        base = [0.1 * k for k in range(8)]
+        boiler = [(f"b{i}", base) for i in range(1500)]
+        normal = [("n0", [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.1]),
+                  ("n1", [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.11])]
+        df = spark.createDataFrame(boiler + normal,
+                                   "doc_id string, embedding array<double>")
+        out = dedup.embedding_near_dup_pairs(
+            df, "embedding", "doc_id", threshold=0.99, dim=8, max_bucket=100)
+        rows = out.collect()
+        assert not any(r.id_a.startswith("b") for r in rows)
+        assert {("n0", "n1")} == {(r.id_a, r.id_b) for r in rows}
+
+
+class TestScanlineMaskParity:
+    """Reference mask_poly goldens (grid_tests.py:481-556), bit-exact via
+    the scanline replica — counts and value-sums, kernel and tiled path."""
+
+    T = [0.0, 0.0, 0.1, 0.1, 0.0, 0.0]
+
+    @staticmethod
+    def _ring(scale, off, add):
+        t = -np.linspace(0, 2 * np.pi, 200)
+        xp = ((2 + np.cos(7 * t)) * np.cos(t + 0.3) + add) * scale + off[0]
+        yp = ((2 + np.cos(7 * t)) * np.sin(t + 0.2) + add) * scale + off[1]
+        return xp, yp
+
+    def test_kernel_goldens(self):
+        from karta_spark.raster.mask import scanline_mask
+        vals = np.arange(1e6).reshape(1000, 1000)
+        xp, yp = self._ring(12, (0, 0), 2)
+        assert scanline_mask(xp, yp, 1000, 1000, self.T).sum() == 181424  # grid_tests.py:481
+        x1, y1 = self._ring(4, (15, 72), 4)
+        x2, y2 = self._ring(6, (40, 30), 4)
+        mm = (scanline_mask(x1, y1, 1000, 1000, self.T)
+              | scanline_mask(x2, y2, 1000, 1000, self.T))
+        assert int(vals[mm].sum()) == 47081206720                         # grid_tests.py:500
+        x3, y3 = self._ring(12, (0, 0), 4)
+        mi = scanline_mask(x3, y3, 1000, 1000, [0.0, 100.0, 0.1, -0.1, 0.0, 0.0])
+        assert int(vals[mi].sum()) == 97048730546                         # grid_tests.py:528 (dy<0)
+        assert int(vals[scanline_mask(x3, y3, 1000, 1000, self.T)].sum()) \
+            == 97048730546                                                # grid_tests.py:515 (per band)
+        mmp = np.zeros((1000, 1000), bool)
+        t = -np.linspace(0, 2 * np.pi, 200)
+        for dx, dy in [(60, 30), (45, 80), (25, 35)]:
+            xpm = (2 + np.cos(7 * t)) * np.cos(t + 0.3) * 6 + dx
+            ypm = (2 + np.cos(7 * t)) * np.sin(t + 0.2) * 6 + dy
+            mmp |= scanline_mask(xpm, ypm, 1000, 1000, self.T)
+        assert int(vals[mmp].sum()) == 73399874364                        # grid_tests.py:540
+        p = np.array([(-2.0, 3.0), (8.0, -5.0), (8.0, -1.0), (-2.0, 7.0)])
+        assert scanline_mask(p[:, 0], p[:, 1], 7, 7, [0, 0, 1, 1, 0, 0]).sum() == 20  # :492
+
+    def test_counterclockwise_ring_reversed(self):
+        """Reference reverses ccw rings before the scanline — same mask."""
+        from karta_spark.raster.mask import scanline_mask
+        xp, yp = self._ring(12, (0, 0), 2)
+        a = scanline_mask(xp, yp, 1000, 1000, self.T)
+        b = scanline_mask(xp[::-1], yp[::-1], 1000, 1000, self.T)
+        assert np.array_equal(a, b)
+
+    def test_tiled_matches_kernel(self, spark):
+        """mask_by_poly(method='scanline') assembles to the kernel mask
+        bit-for-bit — windowed base counts across tile boundaries."""
+        from karta_spark.raster import tiles
+        from karta_spark.raster.mask import mask_by_poly, scanline_mask
+        vals = np.arange(250_000, dtype=np.float64).reshape(500, 500)
+        g = tiles.grid_to_df(spark, "g", vals, self.T, tile=128)
+        xp, yp = self._ring(6, (0, 0), 2)
+        out, _, _ = tiles.df_to_grid(mask_by_poly(
+            g, [(np.column_stack([xp, yp]), [])], method="scanline"))
+        want = scanline_mask(xp, yp, 500, 500, self.T)
+        assert np.array_equal(~np.isnan(out), want)
+        np.testing.assert_array_equal(out[want], vals[want])
+
+    def test_tiled_golden_partial(self, spark):
+        """Full 1000x1000 partial golden through the Spark path."""
+        from karta_spark.raster import tiles
+        from karta_spark.raster.mask import mask_by_poly
+        vals = np.arange(1e6).reshape(1000, 1000)
+        g = tiles.grid_to_df(spark, "g", vals, self.T, tile=256)
+        xp, yp = self._ring(12, (0, 0), 2)
+        out, _, _ = tiles.df_to_grid(mask_by_poly(
+            g, [(np.column_stack([xp, yp]), [])], method="scanline"))
+        assert int((~np.isnan(out)).sum()) == 181424
+
+
 class TestDatumShift:
     """NAD27/NAD83 datum-shift CRSes (reference crs.py:354-356; golden from
     crs_tests.py:268-271 test_datum_transform, NADCON-grade, places=3)."""
