@@ -1465,6 +1465,147 @@ def q54_pip_table_join(spark, sf_dir):
         F.count("*").cast("long").alias("n_inside"))
 
 
+def q55_nad27_reproject(spark, sf_dir):
+    """Datum-shift reprojection (reference crs.py:354-356 LonLatNAD27 ->
+    LonLatNAD83): geocentric 3-param Helmert + Bowring inverse as pure
+    Catalyst column math, DuckDB twin emitted from the same backend-generic
+    algebra.  CONUS-ish customers only (the Molodensky parameters are a
+    CONUS fit)."""
+    from karta_spark.functions import crs as kcrs
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    z = c.where((F.col("x") > -125) & (F.col("x") < -66)
+                & (F.col("y") > 24) & (F.col("y") < 49))
+    lon83, lat83 = kcrs.inverse_exprs(kcrs.LONLAT_NAD27, F.col("x"), F.col("y"))
+    return z.select(
+        "c_custkey",
+        F.round(lon83, 9).alias("lon_nad83"),
+        F.round(lat83, 9).alias("lat_nad83"),
+        F.round((lon83 - F.col("x")) * 3600.0, 6).alias("dlon_arcsec"),
+        F.round((lat83 - F.col("y")) * 3600.0, 6).alias("dlat_arcsec"))
+
+
+def _q55_sql():
+    from karta_spark.functions import crs as kcrs
+    lo, la = kcrs.inverse_sql(kcrs.LONLAT_NAD27, "x", "y")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+), zone AS (
+  SELECT * FROM pts WHERE x > -125 AND x < -66 AND y > 24 AND y < 49
+)
+SELECT c_custkey,
+       round({lo}, 9) AS lon_nad83,
+       round({la}, 9) AS lat_nad83,
+       round(({lo} - x) * 3600.0, 6) AS dlon_arcsec,
+       round(({la} - y) * 3600.0, 6) AS dlat_arcsec
+FROM zone
+"""
+
+
+def _q56_ring():
+    ang = -2.0 * np.pi * np.arange(12) / 12
+    r = np.where(np.arange(12) % 2 == 0, 44.0, 20.0)
+    x = np.round(28.3 + r * np.cos(ang + 0.23), 2)
+    y = np.round(48.2 + r * np.sin(ang + 0.23), 2)
+    return np.column_stack([x, y])  # clockwise; pokes off-grid at x<0
+
+
+def q56_scanline_mask_census(spark, sf_dir):
+    """Scanline raster mask parity at gate level: burn a 12-vertex star
+    into a 100x120 tiled grid with the reference-exact scanline rasterizer
+    (mask_by_poly method='scanline', reference grid.py:1304-1384) and
+    census the surviving cells per 10-row band.  The DuckDB twin replays
+    the same algebra — per-edge row crossings with floor(v+0.5) rounding
+    (identical to banker's here: no crossing lands on an exact half),
+    running-sum runs per row, closed-form value sums.  Any rounding,
+    normalization, clamping or tile-window regression moves a count."""
+    from karta_spark.raster import tiles as rtiles
+    from karta_spark.raster.mask import mask_by_poly
+    nx, ny = 120, 100
+    vals = np.arange(ny * nx, dtype=np.float64).reshape(ny, nx)  # v = i*nx + j
+    g = rtiles.grid_to_df(spark, "q56", vals, (0.0, 0.0, 1.0, 1.0, 0.0, 0.0),
+                          tile=32)
+    masked = mask_by_poly(g, [(_q56_ring(), [])], method="scanline")
+
+    def census(pdf_iter):
+        import pandas as _pd
+        for pdf in pdf_iter:
+            agg = {}
+            for _, r in pdf.iterrows():
+                h, tny, tnx = int(r["halo"]), int(r["ny"]), int(r["nx"])
+                blk = np.asarray(r["block"], dtype=np.float64).reshape(
+                    tny + 2 * h, tnx + 2 * h)[h:h + tny, h:h + tnx]
+                ii = np.arange(int(r["i0"]), int(r["i0"]) + tny)
+                ok = ~np.isnan(blk)
+                nrow = ok.sum(axis=1)
+                vrow = np.where(ok, blk, 0.0).sum(axis=1)
+                for band in np.unique(ii // 10):
+                    sel = (ii // 10) == band
+                    k = (int(band))
+                    n0, v0 = agg.get(k, (0, 0.0))
+                    agg[k] = (n0 + int(nrow[sel].sum()), v0 + float(vrow[sel].sum()))
+            yield _pd.DataFrame(
+                [(k, n, v) for k, (n, v) in agg.items()],
+                columns=["row_band", "n", "v"])
+
+    part = masked.mapInPandas(census, "row_band long, n long, v double")
+    return (part.groupBy("row_band")
+            .agg(F.sum("n").cast("long").alias("n_masked"),
+                 F.round(F.sum("v")).cast("long").alias("val_sum"))
+            .where(F.col("n_masked") > 0))
+
+
+def _q56_sql():
+    ring = _q56_ring()
+    nx, ny = 120, 100
+    edges = ", ".join(
+        f"({a!r}, {b!r}, {c!r}, {d!r})"
+        for (a, b), (c, d) in zip(ring, np.roll(ring, -1, axis=0)))
+    return f"""
+WITH edges(x0, y0, x1, y1) AS (VALUES {edges}),
+anch AS (
+  SELECT x0, y0, x1, y1,
+         CAST(floor(y0 + 0.5) AS BIGINT) AS i0,
+         CAST(floor(x0 + 0.5) AS BIGINT) AS j0,
+         CAST(floor(y1 + 0.5) AS BIGINT) AS i1,
+         CAST(floor(x1 + 0.5) AS BIGINT) AS j1
+  FROM edges
+),
+spans AS (
+  SELECT CASE WHEN y1 > y0 THEN greatest(i0, 0) ELSE greatest(i1, 0) END AS lo,
+         CASE WHEN y1 > y0 THEN least(i1, {ny}) ELSE least(i0, {ny}) END AS hi,
+         CASE WHEN y1 > y0 THEN i0 ELSE i1 END AS ia,
+         CASE WHEN y1 > y0 THEN j0 ELSE j1 END AS ja,
+         CASE WHEN y1 > y0 THEN 1 ELSE -1 END AS s,
+         (x1 - x0) / (y1 - y0) AS slope
+  FROM anch WHERE y1 <> y0
+),
+ev0 AS (
+  SELECT CAST(t.i AS BIGINT) AS i,
+         CAST(floor((CAST(t.i AS BIGINT) - ia) * slope + ja + 0.5) AS BIGINT) AS jraw,
+         s
+  FROM spans, LATERAL unnest(range(lo, hi)) AS t(i)
+  WHERE hi > lo
+),
+ev AS (
+  SELECT i, greatest(jraw, 0) AS j, CAST(sum(s) AS BIGINT) AS ds
+  FROM ev0 WHERE jraw < {nx} GROUP BY i, greatest(jraw, 0)
+),
+marks AS (
+  SELECT i, j AS j_lo,
+         lead(j, 1, {nx}) OVER (PARTITION BY i ORDER BY j) AS j_hi,
+         sum(ds) OVER (PARTITION BY i ORDER BY j) AS run
+  FROM ev
+),
+cells AS (SELECT i, j_lo, j_hi FROM marks WHERE run <> 0 AND j_hi > j_lo)
+SELECT CAST(i // 10 AS BIGINT) AS row_band,
+       CAST(sum(j_hi - j_lo) AS BIGINT) AS n_masked,
+       CAST(sum((j_hi - j_lo) * i * {nx}
+                + (j_hi * (j_hi - 1) - j_lo * (j_lo - 1)) // 2) AS BIGINT) AS val_sum
+FROM cells GROUP BY 1
+"""
+
+
 def q51_decontaminate(spark, sf_dir):
     """Benchmark decontamination (training-pipeline op): documents sharing
     any word 5-gram with the held-out set (doc_id % 17 == 0 plays the
@@ -1787,6 +1928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_cluster_representatives": q52_cluster_representatives,
         "q53_repetition_filter": q53_repetition_filter,
         "q54_pip_table_join": q54_pip_table_join,
+        "q55_nad27_reproject": q55_nad27_reproject,
+        "q56_scanline_mask_census": q56_scanline_mask_census,
     }
 
 
@@ -1828,6 +1971,8 @@ def oracle_sql() -> dict[str, str]:
         "q52_cluster_representatives": _q52_sql(),
         "q53_repetition_filter": Q53_SQL,
         "q54_pip_table_join": _q50_sql(),
+        "q55_nad27_reproject": _q55_sql(),
+        "q56_scanline_mask_census": _q56_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

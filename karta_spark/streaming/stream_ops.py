@@ -196,3 +196,73 @@ def streaming_minhash_neardup(stream: DataFrame, root: str, checkpoint_dir: str,
         .foreachBatch(minhash_neardup_sink(root, text_col, id_col, **kw))
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: streaming per-stratum reservoir sampling
+# (applyInPandasWithState — the escape hatch for state shapes the
+# declarative API cannot express; BASELINE.md names it for exactly this)
+# ---------------------------------------------------------------------------
+
+def streaming_reservoir_sample(
+    stream: DataFrame, keys: list[str], id_col: str, k: int,
+    seed: int = 7, payload_cols: list[str] | None = None,
+):
+    """Uniform reservoir of at most *k* rows per stratum over an unbounded
+    stream — the streaming twin of text.stratified_sample, as a CUSTOM
+    STATEFUL operator (applyInPandasWithState): per-group state holds
+    (n_seen, reservoir rows); each micro-batch runs classic Algorithm R
+    with a DETERMINISTIC acceptance index (blake2b of seed+id+n, not an
+    RNG), so a replayed batch sequence reproduces the identical reservoir
+    and tests can pin exact contents.  State is O(k) rows per stratum —
+    no per-event state growth, the property that makes it safe on an
+    unbounded corpus.  Emits the full current reservoir per group each
+    batch (outputMode update).
+
+    Built-ins cannot express this: dropDuplicates keeps ALL keys,
+    windowed aggs cannot hold arbitrary row payloads with replacement
+    semantics, and sampling transforms are stateless per batch."""
+    import hashlib
+    import pickle
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    payload_cols = payload_cols or [id_col]
+    out_fields = [stream.schema[c] for c in keys] + \
+                 [stream.schema[c] for c in payload_cols] + \
+                 [StructField("n_seen", LongType())]
+    out_schema = StructType(out_fields)
+    state_schema = StructType([StructField("n", LongType()),
+                               StructField("blob", BinaryType())])
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            n, blob = state.get
+            res = pickle.loads(bytes(blob))
+        else:
+            n, res = 0, []
+        id_idx = payload_cols.index(id_col)
+        for pdf in pdf_iter:
+            for row in pdf[payload_cols].itertuples(index=False, name=None):
+                n += 1
+                if len(res) < k:
+                    res.append(row)
+                else:
+                    # deterministic Algorithm R: j ~ U[0, n) from a hash
+                    # of (seed, id, n) — replay-identical, uniform
+                    h = hashlib.blake2b(
+                        f"{seed}|{row[id_idx]}|{n}".encode(),
+                        digest_size=8).digest()
+                    j = int.from_bytes(h, "big") % n
+                    if j < k:
+                        res[j] = row
+        state.update((n, pickle.dumps(res)))
+        yield pd.DataFrame(
+            [key + r + (n,) for r in res],
+            columns=list(keys) + payload_cols + ["n_seen"])
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
