@@ -189,6 +189,82 @@ def clip(df: DataFrame, xmin: float, xmax: float, ymin: float, ymax: float) -> D
     return cand.mapInPandas(blank, TILE_SCHEMA)
 
 
+def tile_cells(df: DataFrame) -> DataFrame:
+    """Explode a tile table to (cell_i, cell_j, value) rows (halo excluded,
+    nodata dropped) — the inverse of tiles_from_cells; the re-keying step
+    any lattice-changing op (resize, re-tiling) shuffles through."""
+    def explode(pdf_iter):
+        for pdf in pdf_iter:
+            outs = []
+            for _, r in pdf.iterrows():
+                h, ny, nx = int(r["halo"]), int(r["ny"]), int(r["nx"])
+                blk = np.asarray(r["block"], dtype=np.float64).reshape(
+                    ny + 2 * h, nx + 2 * h)[h:h + ny, h:h + nx]
+                jj, ii = np.meshgrid(np.arange(nx), np.arange(ny))
+                ok = ~np.isnan(blk)
+                nd = float(r["nodata"])
+                if not np.isnan(nd):
+                    ok &= blk != nd
+                outs.append(pd.DataFrame({
+                    "cell_i": (ii[ok] + int(r["i0"])).astype(np.int64),
+                    "cell_j": (jj[ok] + int(r["j0"])).astype(np.int64),
+                    "value": blk[ok],
+                }))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"cell_i": [], "cell_j": [], "value": []})
+
+    return df.mapInPandas(explode, "cell_i long, cell_j long, value double")
+
+
+def _resize_round(a: float) -> int:
+    """The reference resize's own rounding (grid.py:576-581): half-values
+    go DOWN (r <= 0.5 -> floor), unlike banker's or half-away."""
+    import math as _m
+    r = a % 1
+    return int(a // 1) if r <= 0.5 else int(a // 1 + 1)
+
+
+def resize(df: DataFrame, bboxnew, grid_id: str = "resized",
+           tile: int = DEFAULT_TILE) -> DataFrame:
+    """Reference RegularGrid.resize (grid.py:564-617): re-register the grid
+    on a new bbox at the same resolution; the new width/height are ceil'd
+    to integer multiples of (dx, dy), data is pasted by pure index shift
+    (nearest-neighbour under non-integer origin shifts, the reference's
+    _round doing the tie-breaking), everything else nodata.
+
+    Distributed: explode in-window cells (tile_cells), shift indices, and
+    re-tile with tiles_from_cells — ONE shuffle on the destination tile
+    key; no driver-side array ever materializes."""
+    import math as _m
+    meta = df.select("transform", "gny", "gnx").first()
+    t = meta["transform"]
+    dx, dy, sx, sy = t["dx"], t["dy"], t["sx"], t["sy"]
+    ny, nx = int(meta["gny"]), int(meta["gnx"])
+    # reference bbox(): node-edge bbox of the old grid
+    bb = (t["x0"], t["y0"], t["x0"] + nx * dx, t["y0"] + ny * dy)
+    bbnew = list(bboxnew)
+    bbnew[2] = bbnew[0] + dx * _m.ceil((bbnew[2] - bbnew[0]) / dx)
+    bbnew[3] = bbnew[1] + dy * _m.ceil((bbnew[3] - bbnew[1]) / dy)
+    nxnew = _resize_round((bbnew[2] - bbnew[0]) / dx)
+    nynew = _resize_round((bbnew[3] - bbnew[1]) / dy)
+    t_new = (bbnew[0], bbnew[1], dx, dy, sx, sy)
+    j0new = max(0, _resize_round((bb[0] - bbnew[0]) / dx))
+    i0new = max(0, _resize_round((bb[1] - bbnew[1]) / dy))
+    j0 = max(0, _resize_round((bbnew[0] - bb[0]) / dx))
+    j1 = min(nx, _resize_round((bbnew[2] - bb[0]) / dx))
+    i0 = max(0, _resize_round((bbnew[1] - bb[1]) / dy))
+    i1 = min(ny, _resize_round((bbnew[3] - bb[1]) / dy))
+
+    cells_df = (tile_cells(df)
+                .where((F.col("cell_i") >= i0) & (F.col("cell_i") < i1)
+                       & (F.col("cell_j") >= j0) & (F.col("cell_j") < j1))
+                .select((F.col("cell_i") - i0 + i0new).alias("cell_i"),
+                        (F.col("cell_j") - j0 + j0new).alias("cell_j"),
+                        "value"))
+    return tiles_from_cells(cells_df, t_new, (nynew, nxnew),
+                            grid_id=grid_id, tile=tile)
+
+
 def data_extent(df: DataFrame) -> DataFrame:
     """nodata-trimmed extent as (xmin, xmax, ymin, ymax) of valid cell
     centers (reference RegularGrid.data_extent, grid.py:389-463) — per-tile

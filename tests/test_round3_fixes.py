@@ -316,6 +316,55 @@ class TestScanlineMaskParity:
         assert int((~np.isnan(out)).sum()) == 181424
 
 
+class TestResizeParity:
+    """Reference RegularGrid.resize goldens (grid_tests.py:420-444) through
+    the distributed explode/re-tile path."""
+
+    @staticmethod
+    def _peaks(n=50):
+        X, Y = np.meshgrid(np.linspace(-3, 3, n), np.linspace(-3, 3, n))
+        return (3.0 * (1 - X)**2 * np.exp(-X**2 - (Y + 1)**2)
+                - 10.0 * (X / 5.0 - X**3 - Y**5) * np.exp(-X**2 - Y**2)
+                - 1.0 / 3.0 * np.exp(-(X + 1)**2 - Y**2))
+
+    def _grid(self, spark):
+        from karta_spark.raster import tiles
+        return tiles.grid_to_df(spark, "p", self._peaks(50),
+                                (500, 500, 30, 30, 0, 0), tile=16)
+
+    def _out(self, spark, bbox):
+        from karta_spark.raster import tiles
+        vals, t, _ = tiles.df_to_grid(tiles.resize(self._grid(spark), bbox,
+                                                   tile=16))
+        return vals, t
+
+    def test_resize_smaller(self, spark):
+        proto = self._peaks(50)
+        vals, t = self._out(spark, [620, 650, 1370, 1310])
+        assert t == (620.0, 650.0, 30.0, 30.0, 0.0, 0.0)
+        assert vals.shape == (22, 25)
+        assert np.array_equal(vals, proto[5:27, 4:29])
+
+    def test_resize_larger(self, spark):
+        proto = self._peaks(50)
+        vals, t = self._out(spark, [380, 320, 380 + 30 * 60, 320 + 30 * 62])
+        assert t == (380.0, 320.0, 30.0, 30.0, 0.0, 0.0)
+        assert np.array_equal(vals[6:56, 4:54], proto)
+        assert np.isnan(vals[0, 0])
+
+    def test_resize_lower_left(self, spark):
+        proto = self._peaks(50)
+        vals, t = self._out(spark, [380, 320, 380 + 30 * 30, 320 + 30 * 32])
+        assert t == (380.0, 320.0, 30.0, 30.0, 0.0, 0.0)
+        assert np.array_equal(vals[6:, 4:], proto[:26, :26])
+
+    def test_resize_upper_right(self, spark):
+        proto = self._peaks(50)
+        vals, t = self._out(spark, [1940, 1910, 1940 + 30 * 10, 1910 + 30 * 7])
+        assert t == (1940.0, 1910.0, 30.0, 30.0, 0.0, 0.0)
+        assert np.array_equal(vals[:3, :2], proto[-3:, -2:])
+
+
 class TestDatumShift:
     """NAD27/NAD83 datum-shift CRSes (reference crs.py:354-356; golden from
     crs_tests.py:268-271 test_datum_transform, NADCON-grade, places=3)."""
