@@ -89,7 +89,9 @@ def sample_join(
     out_fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in points.schema.fields]
     out_schema = ", ".join(out_fields + [f"`{value_col}` double"])
     keep = [f.name for f in points.schema.fields]
-    use_bilinear = method == "bilinear"
+    if method not in ("bilinear", "linear", "nearest"):
+        raise ValueError(f"unknown sampling method {method!r}")
+    use_bilinear = method in ("bilinear", "linear")  # reference names it 'linear'
 
     def kernel(pdf_iter):
         for pdf in pdf_iter:
@@ -222,3 +224,42 @@ def resample(
     )
     sampled = sample_join(targets, tiles, transform, method=method, tile=tile)
     return sampled, tnew, (ny, nx)
+
+
+def resample_transform(
+    tiles: DataFrame, transform, shape: tuple, t_new,
+    method: str = "nearest", tile: int = DEFAULT_TILE,
+):
+    """Resample the grid onto a NEW transform of the same shape (reference
+    grid.py:670-694 _resample_transform): every target pixel center of
+    *t_new* sampled from the source lattice through the distributed
+    sampling join."""
+    gny, gnx = shape
+    t_new = tuple(float(v) for v in t_new)
+    spark = tiles.sparkSession
+    targets = (
+        spark.range(gny).withColumnRenamed("id", "ti")
+        .crossJoin(spark.range(gnx).withColumnRenamed("id", "tj"))
+        .select(
+            F.col("ti").cast("int"), F.col("tj").cast("int"),
+            (t_new[0] + (F.col("tj") + 0.5) * t_new[2]
+             + (F.col("ti") + 0.5) * t_new[4]).alias("x"),
+            (t_new[1] + (F.col("ti") + 0.5) * t_new[3]
+             + (F.col("tj") + 0.5) * t_new[5]).alias("y"),
+        )
+    )
+    sampled = sample_join(targets, tiles, transform, method=method, tile=tile)
+    return sampled, t_new, (gny, gnx)
+
+
+def align_origin(
+    tiles: DataFrame, transform, shape: tuple, x: float, y: float,
+    method: str = "nearest", tile: int = DEFAULT_TILE,
+):
+    """Snap the transform anchor to an integer multiple of (x, y) and
+    resample onto it (reference grid.py:696-722 _align_origin; python
+    banker's round, as the reference uses)."""
+    t = tuple(float(v) for v in transform)
+    t_new = (x * round(t[0] / x), y * round(t[1] / y), t[2], t[3], t[4], t[5])
+    return resample_transform(tiles, transform, shape, t_new,
+                              method=method, tile=tile)

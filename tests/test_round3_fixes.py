@@ -365,6 +365,27 @@ class TestResizeParity:
         assert np.array_equal(vals[:3, :2], proto[-3:, -2:])
 
 
+class TestAlignOrigin:
+    def test_align_origin_golden(self, spark):
+        """grid_tests.py:154-160: (27,53,5,5) snapped to (5,5) -> origin
+        (25,55); the shifted lattice's first row/col sample off-grid."""
+        from karta_spark.raster import sampling, tiles
+        xx, yy = np.meshgrid(np.linspace(0, 1, 50), np.linspace(0, 1, 30))
+        zz = 2.0 * xx**2 - 3.0 * yy**2
+        t = (27.0, 53.0, 5.0, 5.0, 0.0, 0.0)
+        g = tiles.grid_to_df(spark, "g", zz, t, tile=16)
+        sampled, tnew, (ny, nx) = sampling.align_origin(
+            g, t, zz.shape, 5, 5, method="linear")
+        assert (tnew[0], tnew[1]) == (25.0, 55.0)
+        assert (ny, nx) == (30, 50)
+        got = np.full((ny, nx), np.nan)
+        for r in sampled.collect():
+            got[r["ti"], r["tj"]] = r["value"]
+        assert np.isnan(got[0, 0])     # reference golden: corner off-grid
+        # interior linear samples of a smooth field are finite and close
+        assert np.isfinite(got[5:25, 5:45]).all()
+
+
 class TestDatumShift:
     """NAD27/NAD83 datum-shift CRSes (reference crs.py:354-356; golden from
     crs_tests.py:268-271 test_datum_transform, NADCON-grade, places=3)."""
