@@ -1606,6 +1606,42 @@ FROM cells GROUP BY 1
 """
 
 
+def q57_resize_census(spark, sf_dir):
+    """Distributed RegularGrid.resize (reference grid.py:564-617) under the
+    value gate: resize a 90x140 grid with v = i*140 + j onto a shifted,
+    partly-overlapping bbox (explode -> index-shift -> re-tile, one
+    shuffle), then census surviving cells per target row band.  The oracle
+    predicts the index mapping in closed form: new (i,j) holds old
+    (i - i0new + i0, j - j0new + j0) inside the pasted window, nodata
+    elsewhere.  Transform (0,0,1,1): old bbox (0,0,140,90), new bbox
+    (-20,30,100,130) -> paste window rows [0,60) cols [20,120) of the new
+    100x120 grid mapping to old rows [30,90) cols [0,100)."""
+    from karta_spark.raster import tiles as rtiles
+    ny, nx = 90, 140
+    vals = np.arange(ny * nx, dtype=np.float64).reshape(ny, nx)
+    g = rtiles.grid_to_df(spark, "q57", vals, (0.0, 0.0, 1.0, 1.0, 0.0, 0.0),
+                          tile=32)
+    out = rtiles.resize(g, [-20.0, 30.0, 100.0, 130.0], tile=32)
+    cells_new = rtiles.tile_cells(out)
+    return (cells_new
+            .groupBy((F.col("cell_i") / 10).cast("long").alias("row_band"))
+            .agg(F.count("*").cast("long").alias("n_cells"),
+                 F.sum("value").cast("long").alias("val_sum"))
+            .where(F.col("n_cells") > 0))
+
+
+Q57_SQL = """
+WITH newcells AS (
+  SELECT i, j, (CAST(i AS BIGINT) + 30) * 140 + (CAST(j AS BIGINT) - 20) AS v
+  FROM range(0, 60) t(i), range(20, 120) u(j)
+)
+SELECT CAST(i // 10 AS BIGINT) AS row_band,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(v) AS BIGINT) AS val_sum
+FROM newcells GROUP BY 1
+"""
+
+
 def q51_decontaminate(spark, sf_dir):
     """Benchmark decontamination (training-pipeline op): documents sharing
     any word 5-gram with the held-out set (doc_id % 17 == 0 plays the
@@ -1930,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_pip_table_join": q54_pip_table_join,
         "q55_nad27_reproject": q55_nad27_reproject,
         "q56_scanline_mask_census": q56_scanline_mask_census,
+        "q57_resize_census": q57_resize_census,
     }
 
 
@@ -1973,6 +2010,7 @@ def oracle_sql() -> dict[str, str]:
         "q54_pip_table_join": _q50_sql(),
         "q55_nad27_reproject": _q55_sql(),
         "q56_scanline_mask_census": _q56_sql(),
+        "q57_resize_census": Q57_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -327,6 +327,32 @@ def to_points_geodesic_df(df: DataFrame, dx: float, geom_id: str = "geom_id",
         kernel, f"{geom_id} long, sample_idx int, x double, y double")
 
 
+def to_npoints_geodesic_df(df: DataFrame, n: int, geom_id: str = "geom_id",
+                           vertices: str = "vertices") -> DataFrame:
+    """Geodesic ``Line.to_npoints`` (LonLatWGS84, geometry.py:920-960) —
+    sequential ellipsoid walk per geometry (kernels.to_npoints_geodesic)
+    in an Arrow batch kernel; always yields exactly *n* points per line
+    (precision behavior pinned by the reference's Greenland-coast test)."""
+    import numpy as np
+    import pandas as pd
+
+    from karta_spark.functions.kernels import to_npoints_geodesic
+
+    def kernel(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = np.array([[v["x"], v["y"]] for v in r[vertices]],
+                               dtype=np.float64)
+                pts = to_npoints_geodesic(arr, n)
+                for k, (x, y) in enumerate(pts):
+                    rows.append((r[geom_id], k, float(x), float(y)))
+            yield pd.DataFrame(rows, columns=[geom_id, "sample_idx", "x", "y"])
+
+    return df.select(geom_id, vertices).mapInPandas(
+        kernel, f"{geom_id} long, sample_idx int, x double, y double")
+
+
 def to_npoints(df: DataFrame, n: int, geom_id: str = "geom_id") -> DataFrame:
     """n equally spaced points along each line (geometry.py:920-960):
     positions k * total/(n-1), k = 0..n-1; endpoint always included."""

@@ -680,6 +680,58 @@ def to_points_geodesic(vertices, dx: float, a=WGS84_A, f=WGS84_F) -> np.ndarray:
     return np.asarray(out, dtype=np.float64)
 
 
+def to_npoints_geodesic(vertices, n: int, a=WGS84_A, f=WGS84_F) -> np.ndarray:
+    """Geodesic ``Line.to_npoints`` — exact replica of the reference walk
+    (geometry.py:920-960): n equally spaced points at step Ltotal/(n-1);
+    the azimuth is recomputed each iteration from the CURRENT position to
+    the segment end (the reference mutates seg._vertices[0]), segment
+    budgets are tracked by subtraction (not re-measurement), the loop ends
+    at Ltotal - 1e-8 and appends the final vertex when the walk terminates
+    one point short — all faithfully copied, drift included."""
+    v = np.asarray(vertices, dtype=np.float64)
+    nseg = len(v) - 1
+    seglens = []
+    for k in range(nseg):
+        _, _, d = vincenty_inverse(v[k, 0], v[k, 1], v[k + 1, 0], v[k + 1, 1],
+                                   a=a, f=f)
+        seglens.append(float(d[0]))
+    ltotal = float(np.sum(seglens))
+    step = ltotal / float(n - 1)
+    step_remaining = step
+    pos = (float(v[0, 0]), float(v[0, 1]))
+    out = [pos]
+    x = 0.0
+    k = 0
+    s0 = (float(v[0, 0]), float(v[0, 1]))
+    s1 = (float(v[1, 0]), float(v[1, 1]))
+    seg_remaining = seglens[0]
+    while x < ltotal - 1e-8:
+        az, _, _ = vincenty_inverse(s0[0], s0[1], s1[0], s1[1], a=a, f=f)
+        az = float(az[0])
+        if step_remaining <= seg_remaining:
+            lon2, lat2, _ = vincenty_forward(pos[0], pos[1], az,
+                                             step_remaining, a=a, f=f)
+            pos = (float(lon2[0]), float(lat2[0]))
+            x += step_remaining
+            seg_remaining -= step_remaining
+            step_remaining = step
+            out.append(pos)
+            s0 = pos
+        else:
+            pos = s1
+            x += seg_remaining
+            step_remaining -= seg_remaining
+            k += 1
+            if k < nseg:  # next(segments, seg): exhausted -> keep current
+                s0 = (float(v[k, 0]), float(v[k, 1]))
+                s1 = (float(v[k + 1, 0]), float(v[k + 1, 1]))
+            _, _, d = vincenty_inverse(s0[0], s0[1], s1[0], s1[1], a=a, f=f)
+            seg_remaining = float(d[0])
+    if len(out) == n - 1:
+        out.append(s1)
+    return np.asarray(out, dtype=np.float64)
+
+
 def sphere_walk(lon, lat, az_deg, dist_m, radius=None):
     """Spherical destination point (forward problem on the sphere)."""
     if radius is None:

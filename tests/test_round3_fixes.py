@@ -365,6 +365,46 @@ class TestResizeParity:
         assert np.array_equal(vals[:3, :2], proto[-3:, -2:])
 
 
+class TestToNpointsGeodesic:
+    """Reference to_npoints precision test (geometry_tests.py:587-597):
+    the Greenland-coast line must yield EXACTLY n points for n = 2..30."""
+
+    LINE = [(-20.247017, 79.683933), (-20.0993, 79.887917),
+            (-19.13705, 80.048567), (-18.680467, 80.089333),
+            (-17.451917, 80.14405), (-16.913233, 80.02715),
+            (-16.631367, 80.022933), (-16.194067, 80.0168),
+            (-15.915983, 80.020267), (-15.7763, 80.021283)]
+
+    def test_count_precision_kernel(self):
+        from karta_spark.functions.kernels import (to_npoints_geodesic,
+                                                   vincenty_inverse)
+        v = np.array(self.LINE)
+        for n in range(2, 30):
+            pts = to_npoints_geodesic(v, n)
+            assert len(pts) == n, f"n={n} gave {len(pts)}"
+        # endpoints pinned, spacing within 1% of the nominal step
+        pts = to_npoints_geodesic(v, 12)
+        np.testing.assert_allclose(pts[0], v[0])
+        np.testing.assert_allclose(pts[-1], v[-1], atol=1e-6)
+        # spacing is near-uniform but NOT exact — the reference's budgets
+        # are subtracted, not re-measured, so steps that cross a vertex
+        # drift (geometry_tests.py pins only the counts); sanity: every
+        # gap within 20% of the nominal step
+        d = [float(vincenty_inverse(a[0], a[1], b[0], b[1])[2][0])
+             for a, b in zip(pts[:-1], pts[1:])]
+        step = sum(d) / len(d)
+        assert all(abs(g - step) / step < 0.2 for g in d)
+
+    def test_dataframe_op(self, spark):
+        from karta_spark.functions.geometry import to_npoints_geodesic_df
+        df = spark.createDataFrame(
+            [(1, [{"x": float(x), "y": float(y)} for x, y in self.LINE])],
+            "geom_id long, vertices array<struct<x double, y double>>")
+        out = to_npoints_geodesic_df(df, 17).collect()
+        assert len(out) == 17
+        assert sorted(r.sample_idx for r in out) == list(range(17))
+
+
 class TestAlignOrigin:
     def test_align_origin_golden(self, spark):
         """grid_tests.py:154-160: (27,53,5,5) snapped to (5,5) -> origin
