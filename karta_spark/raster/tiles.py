@@ -265,6 +265,28 @@ def resize(df: DataFrame, bboxnew, grid_id: str = "resized",
                             grid_id=grid_id, tile=tile)
 
 
+def set_nodata_value(df: DataFrame, val: float) -> DataFrame:
+    """Redefine the nodata sentinel (reference grid.py:243-256): cells
+    currently equal to the old nodata (NaN-aware) are rewritten to *val*
+    and the nodata metadata column updates — one mapInPandas pass, no
+    shuffle."""
+    def rewrite(pdf_iter):
+        for pdf in pdf_iter:
+            out = pdf.copy()
+            blocks = []
+            for _, r in pdf.iterrows():
+                blk = np.asarray(r["block"], dtype=np.float64)
+                old = float(r["nodata"])
+                mask = np.isnan(blk) if np.isnan(old) else blk == old
+                blk = np.where(mask, float(val), blk)
+                blocks.append(blk.tolist())
+            out["block"] = blocks
+            out["nodata"] = float(val)
+            yield out
+
+    return df.mapInPandas(rewrite, TILE_SCHEMA)
+
+
 def data_extent(df: DataFrame) -> DataFrame:
     """nodata-trimmed extent as (xmin, xmax, ymin, ymax) of valid cell
     centers (reference RegularGrid.data_extent, grid.py:389-463) — per-tile

@@ -405,6 +405,24 @@ class TestToNpointsGeodesic:
         assert sorted(r.sample_idx for r in out) == list(range(17))
 
 
+class TestSetNodata:
+    def test_set_nodata_golden(self, spark):
+        """grid_tests.py:655-664: -1-sentinel grid -> NaN nodata; 4 cells
+        flip, no -1 survives."""
+        from karta_spark.raster import tiles
+        v = np.arange(64, dtype=np.float64).reshape(8, 8)
+        v[2:4, 5:7] = -1
+        g = tiles.grid_to_df(spark, "g", v, (0, 0, 1, 1, 0, 0), tile=4,
+                             nodata=-1.0)
+        out = tiles.set_nodata_value(g, float("nan"))
+        vals, _, nodata = tiles.df_to_grid(out)
+        assert np.isnan(nodata)
+        assert int(np.sum(np.isnan(vals))) == 4
+        assert int(np.sum(vals == -1.0)) == 0
+        keep = ~np.isnan(vals)
+        assert np.array_equal(vals[keep], v[keep])
+
+
 class TestAlignOrigin:
     def test_align_origin_golden(self, spark):
         """grid_tests.py:154-160: (27,53,5,5) snapped to (5,5) -> origin
