@@ -669,6 +669,105 @@ def lookup(crs: CrsDef | str) -> CrsDef:
     raise ValueError(f"unknown CRS {crs!r}")
 
 
+def from_proj4(s: str) -> CrsDef:
+    """Construct a CrsDef from a proj.4 string — the reference's CRS
+    construction path (crs.py:248-306 ProjectedCRS(proj=...), named
+    instances crs.py:354-390).  Strings whose parameters coincide with a
+    named CrsDef return that instance; unsupported projections raise."""
+    toks: dict[str, str] = {}
+    flags = set()
+    for part in s.split():
+        if not part.startswith("+"):
+            continue
+        if "=" in part:
+            k, v = part[1:].split("=", 1)
+            toks.setdefault(k, v)
+        else:
+            flags.add(part[1:])
+    proj = toks.get("proj", "longlat")
+
+    def g(key, default=0.0):
+        return float(toks.get(key, default))
+
+    k0 = float(toks.get("k", toks.get("k_0", 1.0)))
+    if proj in ("longlat", "lonlat", "latlong", "latlon"):
+        datum = toks.get("datum", "WGS84")
+        if datum == "NAD27":
+            return LONLAT_NAD27
+        if datum == "NAD83":
+            return LONLAT_NAD83
+        return LONLAT
+    if proj == "merc":
+        # the reference's only mercator is the spherical Web Mercator
+        return WEB_MERCATOR
+    if proj == "utm":
+        return utm(int(toks["zone"]), "south" in flags)
+    if proj == "tmerc":
+        return tmerc(g("lon_0"), k0, g("x_0"), g("y_0"))
+    if proj == "stere":
+        lat0 = g("lat_0", 90.0)
+        sgn = 1.0 if lat0 >= 0 else -1.0
+        params = (sgn, g("lon_0"), abs(g("lat_ts", lat0)), k0,
+                  g("x_0"), g("y_0"))
+        for named in (UPS_NORTH, UPS_SOUTH, NSIDC_NORTH, NSIDC_SOUTH):
+            if named.params == params:
+                return named
+        return CrsDef(f"stere_{params[1]}_{params[2]}_{params[3]}",
+                      "stere", params)
+    if proj == "laea":
+        lon0 = g("lon_0")
+        return LAEA_WGS84 if lon0 == 0.0 else CrsDef(f"laea_{lon0}",
+                                                     "laea", (lon0,))
+    if proj == "cea":
+        lat_ts = g("lat_ts")
+        return GALL_PETERS if lat_ts == 45.0 else CrsDef(f"cea_{lat_ts}",
+                                                         "cea", (lat_ts,))
+    if proj == "aea":
+        return albers(g("lat_1"), g("lat_2"), g("lat_0"), g("lon_0"),
+                      g("x_0"), g("y_0"))
+    raise ValueError(f"unsupported proj.4 projection {proj!r}")
+
+
+def to_proj4(crs: CrsDef | str) -> str:
+    """proj.4 string for a CrsDef (the reference's get_proj4 analogue) —
+    round-trips through from_proj4."""
+    c = lookup(crs)
+    if c.kind == "lonlat":
+        datum = "NAD83" if c.name == "lonlat_nad83" else "WGS84"
+        return f"+proj=longlat +datum={datum} +no_defs"
+    if c.kind == "lonlat_datum":
+        return "+proj=longlat +datum=NAD27 +no_defs"
+    if c.kind == "webmercator":
+        return ("+proj=merc +a=6378137 +b=6378137 +lat_ts=0.0 +lon_0=0.0 "
+                "+x_0=0.0 +y_0=0 +k=1.0 +units=m +nadgrids=@null +no_defs")
+    if c.kind == "tmerc":
+        lon0, k0, fe, fn = c.params
+        if c.name.startswith("utm"):
+            zone = int(round((lon0 + 183.0) / 6.0))
+            south = " +south" if fn else ""
+            return (f"+proj=utm +zone={zone}{south} +ellps=WGS84 "
+                    "+datum=WGS84 +units=m +no_defs")
+        return (f"+proj=tmerc +lon_0={lon0} +k={k0} +x_0={fe} +y_0={fn} "
+                "+ellps=WGS84 +datum=WGS84 +units=m +no_defs")
+    if c.kind == "stere":
+        sgn, lon0, lat_ts, k0, fe, fn = c.params
+        return (f"+proj=stere +lat_0={int(sgn * 90)} "
+                f"+lat_ts={sgn * lat_ts:g} +lon_0={lon0:g} +k={k0:g} "
+                f"+x_0={fe:g} +y_0={fn:g} +units=m +datum=WGS84 +no_defs")
+    if c.kind == "laea":
+        return (f"+proj=laea +lat_0=0 +lon_0={c.params[0]:g} +x_0=0 +y_0=0 "
+                "+ellps=WGS84 +datum=WGS84")
+    if c.kind == "cea":
+        return (f"+proj=cea +lon_0=0 +lat_ts={c.params[0]:g} +x_0=0 +y_0=0 "
+                "+ellps=WGS84 +datum=WGS84 +units=m +no_defs")
+    if c.kind == "aea":
+        lat1, lat2, lat0, lon0, fe, fn = c.params
+        return (f"+proj=aea +lat_1={lat1:g} +lat_2={lat2:g} +lat_0={lat0:g} "
+                f"+lon_0={lon0:g} +x_0={fe:g} +y_0={fn:g} "
+                "+ellps=WGS84 +datum=WGS84 +units=m +no_defs")
+    raise ValueError(f"no proj.4 form for kind {c.kind!r}")
+
+
 def reproject(df: DataFrame, src: CrsDef | str, dst: CrsDef | str,
               x: str = "x", y: str = "y",
               out_x: str | None = None, out_y: str | None = None) -> DataFrame:

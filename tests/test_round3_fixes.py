@@ -405,6 +405,72 @@ class TestToNpointsGeodesic:
         assert sorted(r.sample_idx for r in out) == list(range(17))
 
 
+class TestProj4Strings:
+    """from_proj4 / to_proj4 — the reference constructs CRSes from proj.4
+    strings (crs.py:248-306, named instances :354-390)."""
+
+    REFERENCE_STRINGS = {
+        # exact strings from reference crs.py:354-390
+        "+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +k=0.994 +x_0=2000000 "
+        "+y_0=2000000 +units=m +ellps=WGS84 +datum=WGS84 +no_defs": "ups_north",
+        "+proj=stere +lat_0=-90 +lat_ts=-90 +lon_0=0 +k=0.994 +x_0=2000000 "
+        "+y_0=2000000 +units=m +ellps=WGS84 +datum=WGS84 +no_defs": "ups_south",
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +k=1 +x_0=0 +y_0=0 "
+        "+units=m +datum=WGS84 +no_defs": "nsidc_north",
+        "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 +k=1 +x_0=0 +y_0=0 "
+        "+units=m +datum=WGS84 +no_defs": "nsidc_south",
+        "+proj=laea +lat_0=0 +lon_0=0 +x_0=0 +ellps=WGS84 +y_0=0 "
+        "+datum=WGS84": "laea",
+        "+proj=cea +lon_0=0 +lat_ts=45 +x_0=0 +y_0=0 +ellps=WGS84 "
+        "+datum=WGS84 +units=m +no_defs": "gall_peters",
+        "+proj=merc +a=6378137 +b=6378137 +lat_ts=0.0 +lon_0=0.0 +x_0=0.0 "
+        "+y_0=0 +k=1.0 +units=m +a=6378137 +b=6378137 +nadgrids=@null "
+        "+wktext +no_defs": "webmercator",
+        "+proj=longlat +datum=NAD27 +no_defs": "lonlat_nad27",
+        "+proj=longlat +datum=NAD83 +no_defs": "lonlat_nad83",
+        "+proj=longlat +ellps=WGS84 +datum=WGS84": "lonlat",
+    }
+
+    def test_reference_strings_resolve_to_named(self):
+        from karta_spark.functions import crs as kcrs
+        for s, name in self.REFERENCE_STRINGS.items():
+            assert kcrs.from_proj4(s).name == name, s
+
+    def test_utm_and_roundtrip(self):
+        from karta_spark.functions import crs as kcrs
+        c = kcrs.from_proj4("+proj=utm +zone=31 +ellps=WGS84 +datum=WGS84 "
+                            "+units=m +no_defs")
+        assert c == kcrs.utm(31)
+        s = kcrs.to_proj4(c)
+        assert kcrs.from_proj4(s) == c
+        south = kcrs.from_proj4("+proj=utm +zone=19 +south +datum=WGS84")
+        assert south == kcrs.utm(19, south=True)
+        assert kcrs.from_proj4(kcrs.to_proj4(south)) == south
+
+    def test_all_named_roundtrip(self):
+        from karta_spark.functions import crs as kcrs
+        for c in (kcrs.LONLAT, kcrs.WEB_MERCATOR, kcrs.UPS_NORTH,
+                  kcrs.UPS_SOUTH, kcrs.NSIDC_NORTH, kcrs.NSIDC_SOUTH,
+                  kcrs.LAEA_WGS84, kcrs.GALL_PETERS, kcrs.LONLAT_NAD27,
+                  kcrs.LONLAT_NAD83, kcrs.albers(55, 65, 50, -154),
+                  kcrs.tmerc(-63.0, 0.9996, 500000.0, 0.0)):
+            assert kcrs.from_proj4(kcrs.to_proj4(c)).params == c.params
+
+    def test_forward_agrees_with_named(self):
+        from karta_spark.functions import crs as kcrs
+        c = kcrs.from_proj4(
+            "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +k=1 +x_0=0 "
+            "+y_0=0 +units=m +datum=WGS84 +no_defs")
+        x1, y1 = kcrs.forward_np(c, [-30.0], [75.0])
+        x2, y2 = kcrs.forward_np(kcrs.NSIDC_NORTH, [-30.0], [75.0])
+        assert x1[0] == x2[0] and y1[0] == y2[0]
+
+    def test_unsupported_raises(self):
+        from karta_spark.functions import crs as kcrs
+        with pytest.raises(ValueError):
+            kcrs.from_proj4("+proj=robin +lon_0=0")
+
+
 class TestSetNodata:
     def test_set_nodata_golden(self, spark):
         """grid_tests.py:655-664: -1-sentinel grid -> NaN nodata; 4 cells
