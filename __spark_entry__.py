@@ -417,6 +417,7 @@ def q15_text_stats(spark, sf_dir):
     return d.select(
         "doc_id",
         text.token_count(c).cast("long").alias("n_tokens"),
+        text.bpe_token_count(c).cast("long").alias("n_bpe_tokens"),
         F.length(c).cast("long").alias("n_chars"),
         F.round(text.digit_ratio(c), 6).alias("digit_ratio"),
         F.round(text.mean_token_len(c), 6).alias("mean_token_len"),
@@ -427,6 +428,7 @@ Q15_SQL = r"""
 SELECT doc_id,
        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+       CAST({bpe} AS BIGINT) AS n_bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars,
        round(CASE WHEN length(text) = 0 THEN 0.0
              ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
@@ -436,6 +438,7 @@ SELECT doc_id,
                   / len(regexp_split_to_array(trim(text), '\s+')) END, 6) AS mean_token_len
 FROM documents
 """
+Q15_SQL = Q15_SQL.replace("{bpe}", text.bpe_token_count_sql("text"))
 
 
 def q16_fingerprint_distinct(spark, sf_dir):

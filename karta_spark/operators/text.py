@@ -29,6 +29,29 @@ def char_count(col: Column) -> Column:
     return F.length(col)
 
 
+# GPT-2-style pre-tokenizer pattern (the public regex from the GPT-2 BPE
+# vocab.bpe tooling, simplified to what Spark/DuckDB RE2-ish engines both
+# support: no lookahead): contractions, letter runs, digit runs,
+# punctuation runs, residual non-space runs.
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: the number of GPT-2-style pre-tokenizer pieces
+    (each piece maps to >=1 BPE tokens, so this is the standard cheap
+    proxy for 'how many tokens will this document cost').  Pure Catalyst:
+    regexp_extract_all + size, zero Python."""
+    t = F.coalesce(col, F.lit(""))
+    return F.size(F.regexp_extract_all(t, F.lit(f"({_BPE_PATTERN})"), 1))
+
+
+def bpe_token_count_sql(col_expr: str) -> str:
+    """DuckDB twin of bpe_token_count (same pattern, same semantics)."""
+    pat = _BPE_PATTERN.replace("'", "''")
+    return (f"len(regexp_extract_all(coalesce({col_expr}, ''), "
+            f"'{pat}'))")
+
+
 def punct_ratio(col: Column) -> Column:
     """Fraction of characters that are common ASCII punctuation."""
     removed = F.length(F.regexp_replace(col, _PUNCT, ""))
