@@ -304,6 +304,28 @@ class TestScanlineMaskParity:
         assert np.array_equal(~np.isnan(out), want)
         np.testing.assert_array_equal(out[want], vals[want])
 
+    def test_tiled_matches_kernel_randomized(self, spark):
+        """Windowed assembly equals the kernel for random rings, odd tile
+        sizes, and rings poking off every grid edge (base-count paths)."""
+        from karta_spark.raster import tiles
+        from karta_spark.raster.mask import mask_by_poly, scanline_mask
+        ny, nx = 140, 170
+        vals = np.zeros((ny, nx))
+        rng = np.random.default_rng(33)
+        for trial, tile in [(0, 37), (1, 64), (2, 21)]:
+            k = int(rng.integers(5, 14))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))[::-1]  # clockwise
+            r = rng.uniform(20, 110, k)
+            cx, cy = rng.uniform(-20, 190), rng.uniform(-20, 160)
+            xp = np.round(cx + r * np.cos(ang), 3)
+            yp = np.round(cy + r * np.sin(ang), 3)
+            g = tiles.grid_to_df(spark, f"g{trial}", vals,
+                                 (0.0, 0.0, 1.0, 1.0, 0.0, 0.0), tile=tile)
+            out, _, _ = tiles.df_to_grid(mask_by_poly(
+                g, [(np.column_stack([xp, yp]), [])], method="scanline"))
+            want = scanline_mask(xp, yp, nx, ny, (0, 0, 1, 1, 0, 0))
+            assert np.array_equal(~np.isnan(out), want), f"trial {trial}"
+
     def test_tiled_golden_partial(self, spark):
         """Full 1000x1000 partial golden through the Spark path."""
         from karta_spark.raster import tiles
