@@ -1645,6 +1645,59 @@ FROM newcells GROUP BY 1
 """
 
 
+def q58_phash_neardup(spark, sf_dir):
+    """Perceptual-hash image near-dup (the input_hint's phash column at
+    corpus scale): 400 base images via the closed-form phash rule plus 100
+    planted variants with three deterministic bit flips; pairs at
+    hamming <= 4 through the banded pigeonhole blocking
+    (dedup.hamming_near_pairs — recall-complete, degenerate-bucket
+    guarded).  The oracle brute-forces all pairs with xor + bit_count:
+    the scale path must reproduce the exhaustive answer exactly."""
+    from karta_spark.operators.dedup import hamming_near_pairs
+    base = spark.range(0, 500).select(
+        F.col("id").alias("img_id"),
+        ((F.col("id") % 400) * F.lit(2654435761) % F.lit(2 ** 32)
+         + ((F.col("id") % 400) * F.lit(2246822519) % F.lit(2 ** 31))
+         * F.lit(2 ** 32)).cast("long").alias("_ph0"))
+    # python F.shiftleft only takes a literal shift — the SQL function
+    # accepts expressions
+    flips = F.expr(
+        "shiftleft(1L, cast((img_id - 400) % 63 as int)) | "
+        "shiftleft(1L, cast(((img_id - 400) * 7 + 11) % 63 as int)) | "
+        "shiftleft(1L, cast(((img_id - 400) * 13 + 29) % 63 as int))")
+    imgs = base.select(
+        "img_id",
+        F.when(F.col("img_id") >= 400,
+               F.col("_ph0").bitwiseXOR(flips)).otherwise(F.col("_ph0"))
+        .alias("phash"))
+    return (hamming_near_pairs(imgs, "phash", "img_id", max_hamming=4)
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"),
+                    F.col("hamming").cast("long").alias("hamming")))
+
+
+Q58_SQL = """
+WITH base AS (
+  SELECT i AS img_id,
+         (i % 400) * 2654435761 % 4294967296
+         + ((i % 400) * 2246822519 % 2147483648) * 4294967296 AS ph0
+  FROM range(500) t(i)
+), imgs AS (
+  SELECT img_id,
+         CASE WHEN img_id >= 400 THEN
+           xor(ph0, (1::BIGINT << CAST((img_id - 400) % 63 AS INT))
+                  | (1::BIGINT << CAST(((img_id - 400) * 7 + 11) % 63 AS INT))
+                  | (1::BIGINT << CAST(((img_id - 400) * 13 + 29) % 63 AS INT)))
+         ELSE ph0 END AS phash
+  FROM base
+)
+SELECT CAST(a.img_id AS BIGINT) AS id_a, CAST(b.img_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM imgs a JOIN imgs b ON a.img_id < b.img_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 4
+"""
+
+
 def q51_decontaminate(spark, sf_dir):
     """Benchmark decontamination (training-pipeline op): documents sharing
     any word 5-gram with the held-out set (doc_id % 17 == 0 plays the
@@ -1970,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_nad27_reproject": q55_nad27_reproject,
         "q56_scanline_mask_census": q56_scanline_mask_census,
         "q57_resize_census": q57_resize_census,
+        "q58_phash_neardup": q58_phash_neardup,
     }
 
 
@@ -2014,6 +2068,7 @@ def oracle_sql() -> dict[str, str]:
         "q55_nad27_reproject": _q55_sql(),
         "q56_scanline_mask_census": _q56_sql(),
         "q57_resize_census": Q57_SQL,
+        "q58_phash_neardup": Q58_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -560,23 +560,36 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     bits must agree exactly on at least one band — so blocking on band
     equality never drops a qualifying pair (b bands only cover b-1 flips,
     which is why a fixed 4-band split silently lost hamming 4..8 pairs)."""
+    sh = simhash(df, text_col, id_col)
+    return hamming_near_pairs(sh, "simhash", "id", max_hamming, max_bucket)
+
+
+def hamming_near_pairs(df: DataFrame, sig_col: str, id_col: str,
+                       max_hamming: int = 3,
+                       max_bucket: int | None = 4096) -> DataFrame:
+    """Near-dup pairs by hamming distance over ANY precomputed 64-bit
+    signature column — e.g. the image **phash** of the BASELINE input
+    table (perceptual near-dup image dedup at corpus scale), or a
+    simhash.  Banded pigeonhole blocking: bands = max_hamming + 1, so a
+    qualifying pair must agree exactly on >= 1 band; the self-join is an
+    equi-join on (band, key) with the shared degenerate-bucket guard."""
     n_bands = max_hamming + 1
     if n_bands > 64:
-        raise ValueError("max_hamming must be < 64 for 64-bit simhash blocking")
+        raise ValueError("max_hamming must be < 64 for 64-bit blocking")
     # band widths: distribute 64 bits as evenly as possible (wider first)
     base, extra = divmod(64, n_bands)
     widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    sh = simhash(df, text_col, id_col)
+    sh = df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("_sig"))
     bands = sh.select(
-        "id", "simhash",
+        "id", "_sig",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.shiftrightunsigned("simhash", offsets[i])
+                     F.shiftrightunsigned("_sig", offsets[i])
                      .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("key"))
             for i in range(n_bands)
         ])).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.key")
+    ).select("id", "_sig", "bb.band", "bb.key")
     # see minhash_lsh_pairs: avoid recomputing the signature stage per side
     bands = bands.localCheckpoint(eager=False)
     bands = _drop_oversized_buckets(bands, ("band", "key"), max_bucket)
@@ -585,7 +598,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+                F.col("a._sig").alias("sh_a"), F.col("b._sig").alias("sh_b"))
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

@@ -427,6 +427,30 @@ class TestToNpointsGeodesic:
         assert sorted(r.sample_idx for r in out) == list(range(17))
 
 
+class TestHammingNearPairs:
+    def test_matches_bruteforce(self, spark):
+        """hamming_near_pairs (banded pigeonhole on a precomputed 64-bit
+        signature — the image-phash dedup path) equals exhaustive
+        xor+popcount over random signatures with planted variants."""
+        from karta_spark.operators.dedup import hamming_near_pairs
+        rng = np.random.default_rng(5)
+        sigs = rng.integers(0, 1 << 62, 300, dtype=np.int64).tolist()
+        for j in range(40):   # planted variants of the first 40
+            flips = (1 << int(rng.integers(0, 63))) | (1 << int(rng.integers(0, 63)))
+            sigs.append(sigs[j] ^ flips)
+        df = spark.createDataFrame(
+            [(i, int(s)) for i, s in enumerate(sigs)], "img_id long, sig long")
+        got = {(r.id_a, r.id_b, r.hamming) for r in hamming_near_pairs(
+            df, "sig", "img_id", max_hamming=3).collect()}
+        want = set()
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                h = bin(sigs[i] ^ sigs[j]).count("1")
+                if h <= 3:
+                    want.add((i, j, h))
+        assert got == want and len(want) >= 40
+
+
 class TestBpeTokenCount:
     def test_pieces(self, spark):
         """GPT-2-style pre-tokenizer proxy: contractions split, digit and
