@@ -160,7 +160,10 @@ def knn_join(
     results = []
     to_unpersist = []
     cur_ring = ring
-    n_remaining = None  # unknown before the first materialization
+    # one cheap count up front lets every round decide "all satisfied?"
+    # from ok_ids.count() alone — the common single-round case then skips
+    # the remaining-side anti-join materialization entirely
+    n_remaining = remaining.count()
     for _ in range(max_widen):
         if n_remaining == 0:
             break
@@ -181,12 +184,16 @@ def knn_join(
             F.count("*").alias("_n"), F.max("dist").alias("_maxd"),
             F.first(qx).alias(qx), F.first(qy).alias(qy),
         )
-        ok_ids = stats.where((F.col("_n") >= k) & (F.col("_maxd") <= guarantee)).select(query_id)
+        ok_ids = stats.where((F.col("_n") >= k) & (F.col("_maxd") <= guarantee)) \
+                      .select(query_id).persist()
+        to_unpersist.append(ok_ids)
+        n_ok = ok_ids.count()  # materializes topk; ok_ids is tiny
         results.append(topk.join(ok_ids, query_id, "left_semi")
                        .select(query_id, point_id, "dist", "rank"))
-        remaining = remaining.join(ok_ids, query_id, "left_anti").persist()
-        to_unpersist.append(remaining)
-        n_remaining = remaining.count()
+        n_remaining -= n_ok
+        if n_remaining > 0:
+            remaining = remaining.join(ok_ids, query_id, "left_anti").persist()
+            to_unpersist.append(remaining)
         cur_ring *= 2
 
     if n_remaining == 0:
