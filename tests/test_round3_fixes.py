@@ -427,6 +427,35 @@ class TestToNpointsGeodesic:
         assert sorted(r.sample_idx for r in out) == list(range(17))
 
 
+class TestSphericalCrsGoldens:
+    """crs_tests.py:SphericalForward1-3 / SphericalInverse1-3 goldens
+    against the repo's spherical kernels (radius 6370997, crs.py:77)."""
+
+    def test_forward(self):
+        from karta_spark.functions.kernels import sphere_azimuth, sphere_walk
+        lon2, lat2 = sphere_walk(0.0, 0.0, 90.0, 5003778.767588614)
+        assert abs(lon2 - 45.000084759104425) < 1e-8 and abs(lat2) < 1e-8
+        lon2, lat2 = sphere_walk(30.0, 0.0, 90.0, 5003778.767588614)
+        assert abs(lon2 - 75.00008475910442) < 1e-8 and abs(lat2) < 1e-8
+        lon2, lat2 = sphere_walk(-120.0, 49.0, 310.0, 2000e3)
+        assert abs(lon2 - -146.51186194714958) < 1e-6
+        assert abs(lat2 - 57.99979808258465) < 1e-6
+        baz = np.degrees(sphere_azimuth(float(lon2), float(lat2), -120.0, 49.0))
+        assert abs(baz - 108.48890006687964) < 1e-6
+
+    def test_inverse(self):
+        from karta_spark.functions.kernels import sphere_azimuth, sphere_distance
+        assert abs(sphere_distance(0.0, 0.0, -45.0, 0.0)
+                   - 5003769.342810653) < 1e-6
+        assert abs(np.degrees(sphere_azimuth(0.0, 0.0, -45.0, 0.0)) - -90.0) < 1e-9
+        az = np.degrees(sphere_azimuth(32.0, -17.0, 38.0, 5.0))
+        d = sphere_distance(32.0, -17.0, 38.0, 5.0)
+        assert abs(az - 15.597740818516172) < 1e-6
+        assert abs(d - 2533567.302751705) < 1e-5
+        az = np.degrees(sphere_azimuth(32.0, 5.0, 38.0, -17.0))
+        assert abs(az - 165.0417463964294) < 1e-6  # SphericalInverse3 arm
+
+
 class TestHammingNearPairs:
     def test_matches_bruteforce(self, spark):
         """hamming_near_pairs (banded pigeonhole on a precomputed 64-bit
