@@ -1000,6 +1000,245 @@ def _c4_coeffs(ep2, k2):
     return (C40, C41, C42, C43, C44, C45)
 
 
+# ---------------------------------------------------------------------------
+# Karney (2013) geodesic inverse — "Algorithms for geodesics", J. Geod 87.
+# The reference implements the same published algorithm in pure python
+# (geodesy.py:432-635); this is an independent scalar implementation kept
+# branch-compatible (equatorial / two meridional cases / Newton with the
+# 0.0087-rad antipodal threshold, astroid starter, |dlambda12| <= 1e-12
+# stop) so the ellipsoidal AREA path lands on the reference's azimuths to
+# machine precision — the Vincenty azimuth previously left ~2e-3 km^2 on
+# the 84275623.42235 km^2 crs_tests golden vs the reference's own
+# places=4 assertion.
+# ---------------------------------------------------------------------------
+
+def _brent(f, xa, xb, tol, max_iter=200):
+    """Brent's root finder (standard bracketing algorithm)."""
+    fa, fb = f(xa), f(xb)
+    if fa * fb > 0:
+        raise ValueError("root not bracketed")
+    if abs(fa) < abs(fb):
+        xa, xb, fa, fb = xb, xa, fb, fa
+    xc, fc = xa, fa
+    d = e = xb - xa
+    for _ in range(max_iter):
+        if fb == 0.0 or abs(xb - xa) < tol:
+            return xb
+        if fa != fc and fb != fc:
+            s = (xa * fb * fc / ((fa - fb) * (fa - fc))
+                 + xb * fa * fc / ((fb - fa) * (fb - fc))
+                 + xc * fa * fb / ((fc - fa) * (fc - fb)))
+        else:
+            s = xb - fb * (xb - xa) / (fb - fa)
+        cond = ((s < (3 * xa + xb) / 4 or s > xb) if xa < xb
+                else (s > (3 * xa + xb) / 4 or s < xb))
+        if cond or abs(s - xb) >= abs(e) / 2:
+            s = 0.5 * (xa + xb)
+            d = e = xb - xa
+        else:
+            e, d = d, s - xb
+        fs = f(s)
+        xc, fc = xb, fb
+        if fa * fs < 0:
+            xb, fb = s, fs
+        else:
+            xa, fa = s, fs
+        if abs(fa) < abs(fb):
+            xa, xb, fa, fb = xb, xa, fb, fa
+    return xb
+
+
+def _k_c1(eps):
+    """Karney eq. 18 C1 coefficients, O(eps^6)."""
+    return [-eps / 2 + 3 * eps ** 3 / 16 - eps ** 5 / 32,
+            -eps ** 2 / 16 + eps ** 4 / 32 - 9 * eps ** 6 / 2048,
+            -eps ** 3 / 48 + 3 * eps ** 5 / 256,
+            -5 * eps ** 4 / 512 + 3 * eps ** 6 / 512,
+            -7 * eps ** 5 / 1280,
+            -7 * eps ** 6 / 2048]
+
+
+def _k_i1(sigma, eps):
+    """Karney eq. 15/17 distance integral I1(sigma)."""
+    a1 = (1 + eps ** 2 / 4 + eps ** 4 / 64 + eps ** 6 / 256) / (1 - eps)
+    return a1 * (sigma + sum(c * math.sin(2 * (i + 1) * sigma)
+                             for i, c in enumerate(_k_c1(eps))))
+
+
+def _k_i2(sigma, eps):
+    """Karney eq. 41-43 I2(sigma) (for the reduced length m12)."""
+    a2 = (1 - eps) * (1 + eps ** 2 / 4 + 9 * eps ** 4 / 64 + 25 * eps ** 6 / 256)
+    c2 = [eps / 2 + eps ** 3 / 16 + eps ** 5 / 32,
+          3 * eps ** 2 / 16 + eps ** 4 / 32 + 35 * eps ** 6 / 2048,
+          5 * eps ** 3 / 48 + 5 * eps ** 5 / 256,
+          35 * eps ** 4 / 512 + 7 * eps ** 6 / 512,
+          63 * eps ** 5 / 1280,
+          77 * eps ** 6 / 2048]
+    return a2 * (sigma + sum(c * math.sin(2 * (i + 1) * sigma)
+                             for i, c in enumerate(c2)))
+
+
+def _k_i3(sigma, eps, n):
+    """Karney eq. 23-25 longitude integral I3(sigma)."""
+    n2 = n * n
+    a3 = (1.0 - (0.5 - 0.5 * n) * eps - (0.25 + n / 8 - 3 * n2 / 8) * eps ** 2
+          - (1.0 / 16 + 3 * n / 16 + n2 / 16) * eps ** 3
+          - (3.0 / 64 + n / 32) * eps ** 4 - 3 * eps ** 5 / 128)
+    c3 = [(0.25 - n / 4) * eps + (1.0 / 8 - n2 / 8) * eps ** 2
+          + (3.0 / 64 + 3 * n / 64 - n2 / 64) * eps ** 3
+          + (5.0 / 128 + n / 64) * eps ** 4 + 3 * eps ** 5 / 128,
+          (1.0 / 16 - 3 * n / 32 + n2 / 32) * eps ** 2
+          + (3.0 / 64 - n / 32 - 3 * n2 / 64) * eps ** 3
+          + (3.0 / 128 + n / 128) * eps ** 4 + 5 * eps ** 5 / 256,
+          (5.0 / 192 - 3 * n / 64 + 5 * n2 / 192) * eps ** 3
+          + (3.0 / 128 - 5 * n / 192) * eps ** 4 + 7 * eps ** 5 / 512,
+          (7.0 / 512 - 7 * n / 256) * eps ** 4 + 7 * eps ** 5 / 512,
+          21 * eps ** 5 / 2560]
+    return a3 * (sigma + sum(c * math.sin(2 * (i + 1) * sigma)
+                             for i, c in enumerate(c3)))
+
+
+def _k_nea(alpha0, alpha1, beta1):
+    """Karney eq. 11: sigma/omega at point 1 from the node."""
+    sigma1 = math.atan2(math.sin(beta1), math.cos(alpha1) * math.cos(beta1))
+    omega1 = math.atan2(math.sin(alpha0) * math.sin(sigma1), math.cos(sigma1))
+    return sigma1, omega1
+
+
+def _k_neb(alpha0, alpha1, beta1, beta2):
+    """Karney eq. 5/11 at point 2, with the asin fallback exactly where
+    the cos-composition leaves its domain (the reference's try/except,
+    geodesy.py:274-283)."""
+    num = (math.cos(alpha1) ** 2 * math.cos(beta1) ** 2
+           + (math.cos(beta2) ** 2 - math.cos(beta1) ** 2))
+    if num >= 0.0 and math.sqrt(num) / math.cos(beta2) <= 1.0:
+        alpha2 = math.acos(math.sqrt(num) / math.cos(beta2))
+    else:
+        alpha2 = math.asin(min(1.0, max(
+            -1.0, math.sin(alpha0) / math.cos(beta2))))
+    sigma2 = math.atan2(math.sin(beta2), math.cos(alpha2) * math.cos(beta2))
+    omega2 = math.atan2(math.sin(alpha0) * math.sin(sigma2), math.cos(sigma2))
+    return alpha2, sigma2, omega2
+
+
+def karney_inverse_scalar(x1, y1, x2, y2, a=WGS84_A, f=WGS84_F, tol=1e-12):
+    """(az_deg, back_az_deg, s12_m) geodesic inverse, Karney 2013.
+
+    Branch structure and thresholds mirror the reference (geodesy.py:
+    432-635): equatorial shortcut, canonical configuration (eq. 44), two
+    meridional special cases, Vincenty-sphere or astroid (eq. 55-57)
+    starting azimuth by the 0.0087-rad antipodal test, Newton on
+    lambda12 via the reduced length m12 (eq. 38)."""
+    if y1 == y2 == 0:
+        diff = (x2 - x1 + 180.0) % 360.0 - 180.0
+        az, baz = (-90.0, 90.0) if diff < 0 else (90.0, -90.0)
+        return az, baz, 2 * math.pi * a * abs(x1 - x2) / 360.0
+
+    # canonical configuration (Karney eq. 44) with a transformation record
+    yflip = abs(y1) < abs(y2)
+    if yflip:
+        y1, y2 = y2, y1
+    ysign = y1 > 0
+    if ysign:
+        y1, y2 = -y1, -y2
+    dx = (x2 - x1 + 180.0) % 360.0 - 180.0
+    xflip = (dx < 0) or (dx > 180.0)
+    if xflip:
+        dx = -dx
+    x1, x2 = 0.0, dx
+
+    phi1 = math.radians(y1)
+    phi2 = math.radians(y2)
+    lambda12 = math.radians(x2)
+    b = a * (1.0 - f)
+    beta1 = math.atan((1 - f) * math.tan(phi1))
+    beta2 = math.atan((1 - f) * math.tan(phi2))
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    n = f / (2 - f)
+
+    if x1 == x2:
+        # meridional: the geodesic runs due north
+        alpha0 = alpha1 = alpha2 = 0.0
+        sigma1, _ = _k_nea(alpha0, alpha1, beta1)
+        _, sigma2, _ = _k_neb(alpha0, alpha1, beta1, beta2)
+        k2 = ep2
+    elif abs(lambda12 % (2 * math.pi) - math.pi) < 1e-12:
+        # meridional through the pole
+        if y1 + y2 > 0:
+            alpha0 = alpha1 = 0.0
+            alpha2 = math.pi
+        else:
+            alpha0 = alpha1 = math.pi
+            alpha2 = 0.0
+        sigma1, _ = _k_nea(alpha0, alpha1, beta1)
+        _, sigma2, _ = _k_neb(alpha0, alpha1, beta1, beta2)
+        k2 = ep2
+    else:
+        if abs(lambda12 - math.pi) > 0.0087 and abs(phi1 + phi2) > 0.0087:
+            # Vincenty starting azimuth on the auxiliary sphere (eq. 48-51)
+            w = math.sqrt(1 - e2 * (0.5 * (math.cos(beta1) + math.cos(beta2))) ** 2)
+            om12 = lambda12 / w
+            alpha1 = math.atan2(
+                math.cos(beta2) * math.sin(om12),
+                math.cos(beta1) * math.sin(beta2)
+                - math.sin(beta1) * math.cos(beta2) * math.cos(om12))
+        else:
+            # astroid starter for nearly-antipodal inputs (eq. 55-57)
+            delta = f * a * math.pi * math.cos(beta1) ** 2
+            ax = (lambda12 - math.pi) * a * math.cos(beta1) / delta
+            ay = (beta2 + beta1) * a / delta
+            mu = _brent(
+                lambda m: (m ** 4 + 2 * m ** 3 + (1 - ax * ax - ay * ay) * m * m
+                           - 2 * ay * ay * m - ay * ay),
+                1e-6, math.pi * a, 1e-12)
+            alpha1 = math.atan2(-ax / (1 + mu), ay / mu)
+
+        alpha0 = alpha2 = sigma1 = sigma2 = 0.0
+        k2 = ep2
+        dl = tol + 1.0
+        for _ in range(100):
+            if abs(dl) <= tol:
+                break
+            hyp = math.sqrt(math.cos(alpha1) ** 2
+                            + (math.sin(alpha1) * math.sin(beta1)) ** 2)
+            alpha0 = math.atan2(math.sin(alpha1) * math.cos(beta1), hyp)
+            sigma1, omega1 = _k_nea(alpha0, alpha1, beta1)
+            alpha2, sigma2, omega2 = _k_neb(alpha0, alpha1, beta1, beta2)
+            k2 = ep2 * math.cos(alpha0) ** 2
+            rad = math.sqrt(1 + k2)
+            eps = (rad - 1) / (rad + 1)
+            lam1 = omega1 - f * math.sin(alpha0) * _k_i3(sigma1, eps, n)
+            lam2 = omega2 - f * math.sin(alpha0) * _k_i3(sigma2, eps, n)
+            dl = (lam2 - lam1) - lambda12
+            if abs(dl) > tol:
+                js1 = _k_i1(sigma1, eps) - _k_i2(sigma1, eps)
+                js2 = _k_i1(sigma2, eps) - _k_i2(sigma2, eps)
+                m12 = b * (math.sqrt(1 + k2 * math.sin(sigma2) ** 2)
+                           * math.cos(sigma1) * math.sin(sigma2)
+                           - math.sqrt(1 + k2 * math.sin(sigma1) ** 2)
+                           * math.sin(sigma1) * math.cos(sigma2)
+                           - math.cos(sigma1) * math.cos(sigma2) * (js2 - js1))
+                dldalpha = m12 / (a * math.cos(alpha2) * math.cos(beta2))
+                alpha1 = (alpha1 - dl / dldalpha) % (2 * math.pi)
+
+    k2 = ep2 * math.cos(alpha0) ** 2
+    rad = math.sqrt(1 + k2)
+    eps = (rad - 1) / (rad + 1)
+    s12 = (_k_i1(sigma2, eps) - _k_i1(sigma1, eps)) * b
+
+    if xflip:
+        alpha1, alpha2 = -alpha1, -alpha2
+    if yflip:
+        alpha1, alpha2 = math.pi - alpha2, math.pi - alpha1
+    if ysign:
+        alpha1 = math.pi - alpha1
+        alpha2 = math.pi - alpha2
+    az = (math.degrees(alpha1) + 180.0) % 360.0 - 180.0
+    baz = (math.degrees(alpha2) + 180.0 + 180.0) % 360.0 - 180.0
+    return az, baz, s12
+
+
 def ellipsoidal_quad_area(a, b, x1, y1, x2, y2):
     """Signed area of the quadrilateral bounded by a geodesic, two
     meridians and the equator on the (a, b) ellipsoid (geodesy.py:697-729).
@@ -1021,9 +1260,15 @@ def ellipsoidal_quad_area(a, b, x1, y1, x2, y2):
     e = math.sqrt(e2)
     c2 = a * a / 2.0 + b * b / 2.0 * math.atanh(e) / e  # authalic radius^2
 
-    # tol=1e-15: the area term amplifies alpha1 error by c^2 ~ 4e13 m^2,
-    # so the default 1e-12 lambda tolerance leaves ~100 m^2 of noise
-    az1, _, _ = vincenty_inverse(x1c, y1c, x2c, y2c, a=a, f=f, tol=1e-15)
+    # alpha1 from the Karney inverse (bit-matched to the reference solver
+    # on randomized ensembles incl. near-antipodal) — the Vincenty azimuth
+    # left ~2e-3 km^2 on the crs_tests area golden vs the reference's own
+    # places=4 assertion; scalar per segment, vectorized trig after
+    fq = (a - b) / a
+    az1 = np.array([
+        karney_inverse_scalar(float(px1), float(py1), float(px2), float(py2),
+                              a=a, f=fq)[0]
+        for px1, py1, px2, py2 in zip(x1c, y1c, x2c, y2c)])
     alpha1 = np.radians(az1)
     beta1 = np.arctan((1.0 - f) * np.tan(np.radians(y1c)))
     beta2 = np.arctan((1.0 - f) * np.tan(np.radians(y2c)))

@@ -305,16 +305,57 @@ class TestGeodesicParity:
         assert abs(S) / 1e6 == pytest.approx(84516702.1955, abs=1e-4)
 
     def test_ellipsoidal_quad_area_goldens(self):
-        """crs_tests.py:190-208 — Karney I4 ellipsoidal area.  The golden
-        was recorded from the reference's own Karney-style inverse; our
-        Vincenty fixed point differs from it by ~2e-12 rad in alpha1,
-        which the c^2 ~ 4e13 m^2 factor amplifies to ~165 m^2 — parity
-        asserted to 2e-3 km^2 (1.9e-9 relative)."""
+        """crs_tests.py:190-208 — Karney I4 ellipsoidal area at the
+        reference's OWN tolerance (places=4 on km^2): alpha1 now comes
+        from the Karney inverse replica (bit-matched to the reference
+        solver on randomized ensembles), so the quad area lands on the
+        reference's computed value to ~10 m^2 — the Vincenty-era 2e-3 km^2
+        slack is gone."""
         a, b = 6378137.0, 6356752.314245
         S = K.ellipsoidal_quad_area(a, b, 0.0, 40.0, 137.84490004377, 41.79331020506)
-        assert abs(S[0]) / 1e6 == pytest.approx(84275623.42235, abs=2e-3)
+        assert abs(S[0]) / 1e6 == pytest.approx(84275623.42235, abs=5e-5)
         S = K.ellipsoidal_quad_area(a, b, 70.0, 40.0, 207.84490004377, 41.79331020506)
-        assert abs(S[0]) / 1e6 == pytest.approx(84275623.42235, abs=2e-3)
+        assert abs(S[0]) / 1e6 == pytest.approx(84275623.42235, abs=5e-5)
+
+    def test_karney_inverse_matches_reference_solver(self):
+        """Behavioral equality against the reference's runnable
+        ellipsoidal_inverse (pure python) on a randomized ensemble plus
+        the crs_tests near-antipodal case — azimuths to 1e-8 deg,
+        distance to 1e-6 m."""
+        import importlib.util
+        import sys
+        import types
+        import warnings
+        pkg = types.ModuleType("karta_ref")
+        pkg.__path__ = ["/root/reference/karta"]
+        sys.modules.setdefault("karta_ref", pkg)
+        errmod = types.ModuleType("karta_ref.errors")
+        errmod.NoIntersection = type("NoIntersection", (Exception,), {})
+        sys.modules.setdefault("karta_ref.errors", errmod)
+        spec = importlib.util.spec_from_file_location(
+            "karta_ref.geodesy", "/root/reference/karta/geodesy.py")
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+        a, b = 6378137.0, 6356752.314245
+        f = (a - b) / a
+        rng = np.random.default_rng(7)
+        checked = 0
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            for _ in range(60):
+                x1, x2 = rng.uniform(-180, 180, 2)
+                y1, y2 = rng.uniform(-89, 89, 2)
+                want = ref.ellipsoidal_inverse(a, b, x1, y1, x2, y2)
+                got = K.karney_inverse_scalar(x1, y1, x2, y2, a=a, f=f)
+                assert abs(got[0] - want[0]) < 1e-8
+                assert abs(got[1] - want[1]) < 1e-8
+                assert abs(got[2] - want[2]) < 1e-6
+                checked += 1
+            want = ref.ellipsoidal_inverse(a, b, 0.0, 30.0, 179.9999, -29.9999)
+            got = K.karney_inverse_scalar(0.0, 30.0, 179.9999, -29.9999,
+                                          a=a, f=f)
+            assert got == pytest.approx(want, abs=1e-7)  # crs_tests.py:210-216
+        assert checked == 60
 
     def test_geodesic_area_operator(self, spark):
         """geometry.geodesic_area (Polygon.area's geographic arm,
