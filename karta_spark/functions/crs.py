@@ -699,6 +699,17 @@ def from_proj4(s: str) -> CrsDef:
         return LONLAT
     if proj == "merc":
         # the reference's only mercator is the spherical Web Mercator
+        # (crs.py:354-368 SphericalMercator) — reject ellipsoidal/offset
+        # variants instead of silently coercing them
+        a = toks.get("a"); b = toks.get("b")
+        if (g("lat_ts") != 0.0 or g("lon_0") != 0.0 or g("x_0") != 0.0
+                or g("y_0") != 0.0 or k0 != 1.0
+                or (a is not None and b is not None and float(a) != float(b))
+                or (a is not None and float(a) != 6378137.0)
+                or toks.get("ellps") not in (None, "sphere")):
+            raise ValueError(
+                "unsupported merc variant (only spherical Web Mercator): "
+                + s)
         return WEB_MERCATOR
     if proj == "utm":
         return utm(int(toks["zone"]), "south" in flags)
@@ -706,6 +717,10 @@ def from_proj4(s: str) -> CrsDef:
         return tmerc(g("lon_0"), k0, g("x_0"), g("y_0"))
     if proj == "stere":
         lat0 = g("lat_0", 90.0)
+        if abs(lat0) != 90.0:
+            raise ValueError(
+                f"unsupported stere with non-polar lat_0={lat0} "
+                "(only polar stereographic)")
         sgn = 1.0 if lat0 >= 0 else -1.0
         params = (sgn, g("lon_0"), abs(g("lat_ts", lat0)), k0,
                   g("x_0"), g("y_0"))

@@ -1132,6 +1132,12 @@ def karney_inverse_scalar(x1, y1, x2, y2, a=WGS84_A, f=WGS84_F, tol=1e-12):
     if y1 == y2 == 0:
         diff = (x2 - x1 + 180.0) % 360.0 - 180.0
         az, baz = (-90.0, 90.0) if diff < 0 else (90.0, -90.0)
+        # Distance intentionally uses the UNWRAPPED abs(x1-x2) while the
+        # azimuth uses the wrapped diff — replicating the reference's
+        # equatorial-shortcut quirk (geodesy.py:421-431), where an
+        # antimeridian-crossing equatorial pair (e.g. 170 -> -170) gets
+        # the long-way distance.  Do NOT "fix" this on one side only:
+        # the DuckDB oracle twins pin this exact behavior.
         return az, baz, 2 * math.pi * a * abs(x1 - x2) / 360.0
 
     # canonical configuration (Karney eq. 44) with a transformation record

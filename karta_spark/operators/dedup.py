@@ -49,9 +49,15 @@ def ngrams(col, n: int = 3):
     return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(n))))
 
 
+#: corpora at or below this row count default to the measured-faster
+#: 'grouped' plan; above it the scale-safe 'two_pass' plan is the default
+#: (its agg buffers never materialize an uncapped posting list).
+NGRAM_GROUPED_MAX_DOCS = 1_000_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5,
-    max_df: int | None = None, strategy: str = "grouped",
+    max_df: int | None = None, strategy: str = "auto",
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard >= threshold (id_a < id_b).
 
@@ -62,7 +68,11 @@ def ngram_jaccard_pairs(
     is the exact Jaccard of the capped shingle sets (both sides of the
     comparison see the same universe).
 
-    strategy='grouped' (default): ONE scan of the corpus -> groupBy(gram)
+    strategy='auto' (default): pick by corpus size — 'grouped' up to
+    NGRAM_GROUPED_MAX_DOCS rows (one cheap count()), 'two_pass' beyond,
+    so the scale-safe plan is the default where the grouped caveat bites.
+
+    strategy='grouped': ONE scan of the corpus -> groupBy(gram)
     collects the sorted doc-id list per shingle, df-filter, localCheckpoint
     the (small) grouped table, then derive BOTH pair intersections (HOF
     pair explosion, no self-join) and set sizes from it.  Measured ~25%
@@ -77,6 +87,11 @@ def ngram_jaccard_pairs(
     against the hot-shingle set -> self equi-join on shingle -> count
     intersections -> join set sizes -> Jaccard filter.  Every step is a
     hash agg/join on a content key; nothing materializes a posting list."""
+    if strategy == "auto":
+        strategy = ("grouped" if df.count() <= NGRAM_GROUPED_MAX_DOCS
+                    else "two_pass")
+    if strategy not in ("grouped", "two_pass"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(ngrams(F.col(text_col), n)).alias("gram"),
@@ -202,13 +217,33 @@ def _drop_oversized_buckets(banded: DataFrame, keys, max_bucket: int | None) -> 
     death at corpus scale.  Buckets above *max_bucket* are dropped via a
     broadcast anti-join on the (tiny) oversized-key set — mass that large
     belongs to exact_dedup/cluster_representatives, not pairwise LSH.
-    Normal corpora never hit the cap; None disables."""
+    Normal corpora never hit the cap; None disables.
+
+    NOTE: dropping a bucket makes the callers' recall guarantees
+    conditional — a qualifying pair whose only agreeing band sits in a
+    dropped bucket is silently lost.  Callers document this; audit with
+    ``oversized_bucket_stats`` when recall matters."""
     if max_bucket is None:
         return banded
     keys = list(keys)
     oversized = (banded.groupBy(*keys).agg(F.count("*").alias("_n"))
                  .where(F.col("_n") > max_bucket).select(*keys))
     return banded.join(F.broadcast(oversized), keys, "left_anti")
+
+
+def oversized_bucket_stats(banded: DataFrame, keys, max_bucket: int) -> DataFrame:
+    """Audit companion to the degenerate-bucket guard: per oversized
+    (band, key) bucket, its member count and the candidate-pair mass
+    n*(n-1)/2 that the guard will drop.  Run this (it is one groupBy)
+    before an LSH self-join when silent recall loss is unacceptable; an
+    empty result means the guard is a no-op on this corpus."""
+    keys = list(keys)
+    n = F.count("*")
+    return (banded.groupBy(*keys)
+            .agg(n.alias("members"),
+                 (n * (n - F.lit(1)) / F.lit(2)).cast("long")
+                 .alias("dropped_pairs"))
+            .where(F.col("members") > max_bucket))
 
 
 def _band_buckets(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
@@ -557,9 +592,16 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
 
     Recall guarantee is pigeonhole: splitting 64 bits into
     ``bands = max_hamming + 1`` bands, any pair differing in <= max_hamming
-    bits must agree exactly on at least one band — so blocking on band
-    equality never drops a qualifying pair (b bands only cover b-1 flips,
-    which is why a fixed 4-band split silently lost hamming 4..8 pairs)."""
+    bits must agree exactly on at least one band — so the band blocking
+    itself never drops a qualifying pair (b bands only cover b-1 flips,
+    which is why a fixed 4-band split silently lost hamming 4..8 pairs).
+
+    The guarantee is CONDITIONAL on the degenerate-bucket guard: with the
+    default ``max_bucket=4096``, a band bucket holding more members than
+    the cap is dropped wholesale (see _drop_oversized_buckets), so pairs
+    whose only agreeing band lands in such a bucket are lost.  Pass
+    ``max_bucket=None`` for unconditional recall (quadratic risk on
+    boilerplate-heavy corpora)."""
     sh = simhash(df, text_col, id_col)
     return hamming_near_pairs(sh, "simhash", "id", max_hamming, max_bucket)
 

@@ -197,10 +197,19 @@ def knn_join(
         cur_ring *= 2
 
     if n_remaining == 0:
-        # every query satisfied its guarantee — skip the brute-force plan
-        out = results[0]
-        for r in results[1:]:
-            out = out.unionByName(r)
+        if not results:
+            # empty queries input: the loop never ran — return an empty
+            # result with the contract schema (query_id, point_id, dist, rank)
+            out = (queries.limit(0)
+                   .join(points.limit(0), F.lit(True))
+                   .select(F.col(query_id), F.col(point_id),
+                           F.lit(0.0).cast("double").alias("dist"),
+                           F.lit(0).alias("rank")))
+        else:
+            # every query satisfied its guarantee — skip the brute-force plan
+            out = results[0]
+            for r in results[1:]:
+                out = out.unionByName(r)
     else:
         out = knn_bruteforce(remaining, points, k, query_id, point_id,
                              qx, qy, px, py, spherical)

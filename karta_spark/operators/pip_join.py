@@ -593,6 +593,7 @@ def point_in_polygon_join_table(
     poly_id: str = "poly_id",
     vertices: str = "vertices",
     small_table_threshold: int | None = 256,
+    max_polar_rings: int | None = 10_000,
 ) -> DataFrame:
     """Big-big PIP join: the polygon side is itself a distributed DataFrame
     (poly_id, vertices array<struct<x double, y double>> — outer rings,
@@ -624,6 +625,10 @@ def point_in_polygon_join_table(
     broadcast into a dense cross-join arm refined by the spherical kernel
     (assumes polar rings are a small minority of the table — the realistic
     shape; a corpus of millions of polar rings has no indexable form).
+    ``max_polar_rings`` guards that assumption: the polar side is counted
+    before the cross-join and the operator fails loudly above the
+    threshold instead of silently planning an O(points x polar) join
+    (None disables the guard and accepts the cross-join at any size).
 
     A (point, polygon) pair appears at most once (the point has ONE cell)."""
     from karta_spark.functions.kernels import ispolar as _ispolar
@@ -662,6 +667,17 @@ def point_in_polygon_join_table(
     ring_all = ring_all.withColumn("_polar", is_polar(F.col("_rx"), F.col("_ry")))
     ring = ring_all.where(~F.col("_polar")).drop("_polar")
     polar_ring = ring_all.where(F.col("_polar")).drop("_polar")
+    if max_polar_rings is not None:
+        n_polar = polar_ring.count()
+        if n_polar > max_polar_rings:
+            raise ValueError(
+                f"point_in_polygon_join_table: {n_polar} polar rings exceed "
+                f"max_polar_rings={max_polar_rings}; the polar arm is a "
+                "broadcast cross-join (polar containment has no cell-index "
+                "form), so a polar-heavy table would plan an "
+                "O(points x polar_rings) join. Split the polar rings out "
+                "and process them in batches, or pass max_polar_rings=None "
+                "to accept the cross-join.")
 
     def build(batches):
         for pdf in batches:

@@ -1,0 +1,156 @@
+"""Round-4 regression tests (VERDICT r3 roadmap + ADVICE findings)."""
+import numpy as np
+import pytest
+
+
+class TestKnnEmptyQueries:
+    """ADVICE r3 (medium): empty queries input made the widening loop
+    break before round one, so results==[] and results[0] raised."""
+
+    def test_empty_queries_returns_empty_with_contract_schema(self, spark):
+        import pandas as pd
+        from karta_spark.operators.knn import knn_join
+        pts = spark.createDataFrame(pd.DataFrame(
+            {"point_id": [1, 2, 3], "x": [0.0, 1.0, 2.0], "y": [0.0, 1.0, 2.0]}))
+        qs = spark.createDataFrame(
+            [], "query_id long, qx double, qy double")
+        out = knn_join(qs, pts, k=2)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == \
+            ["query_id", "point_id", "dist", "rank"]
+
+
+class TestFromProj4Strictness:
+    """ADVICE r3 (low): unsupported merc/stere variants must raise, not
+    silently coerce to WEB_MERCATOR / polar stereographic."""
+
+    def test_nonpolar_stere_raises(self):
+        from karta_spark.functions import crs
+        with pytest.raises(ValueError, match="non-polar"):
+            crs.from_proj4("+proj=stere +lat_0=45 +lon_0=0 +k=1")
+
+    def test_ellipsoidal_merc_raises(self):
+        from karta_spark.functions import crs
+        with pytest.raises(ValueError, match="merc"):
+            crs.from_proj4("+proj=merc +a=6378137 +b=6356752.3142 +lon_0=0")
+
+    def test_offset_merc_raises(self):
+        from karta_spark.functions import crs
+        with pytest.raises(ValueError, match="merc"):
+            crs.from_proj4("+proj=merc +lon_0=110 +k=1")
+
+    def test_webmercator_roundtrip_still_accepted(self):
+        from karta_spark.functions import crs
+        assert crs.from_proj4(crs.to_proj4(crs.WEB_MERCATOR)) is crs.WEB_MERCATOR
+        for named in (crs.UPS_NORTH, crs.UPS_SOUTH,
+                      crs.NSIDC_NORTH, crs.NSIDC_SOUTH):
+            assert crs.from_proj4(crs.to_proj4(named)) is named
+
+
+class TestPolarRingGuard:
+    """VERDICT r3 item 6: the polar arm of point_in_polygon_join_table is
+    a broadcast cross-join; a polar-heavy table must fail loudly."""
+
+    @staticmethod
+    def _polar_ring(lon0):
+        # a ring encircling the north pole (azimuth swings a full turn)
+        lons = (np.arange(0.0, 360.0, 45.0) + lon0) % 360.0 - 180.0
+        return [{"x": float(lo), "y": 80.0} for lo in lons]
+
+    def test_polar_heavy_table_raises(self, spark):
+        from karta_spark.operators.pip_join import point_in_polygon_join_table
+        import pandas as pd
+        polys = spark.createDataFrame(
+            [(f"p{i}", self._polar_ring(i)) for i in range(5)],
+            "poly_id string, vertices array<struct<x double, y double>>")
+        pts = spark.createDataFrame(pd.DataFrame(
+            {"pid": [0, 1], "x": [10.0, -120.0], "y": [85.0, 40.0]}))
+        with pytest.raises(ValueError, match="polar rings exceed"):
+            point_in_polygon_join_table(
+                pts, polys, zoom=4, small_table_threshold=None,
+                max_polar_rings=3)
+
+    def test_guard_disabled_still_runs(self, spark):
+        from karta_spark.operators.pip_join import point_in_polygon_join_table
+        import pandas as pd
+        polys = spark.createDataFrame(
+            [(f"p{i}", self._polar_ring(i)) for i in range(5)],
+            "poly_id string, vertices array<struct<x double, y double>>")
+        pts = spark.createDataFrame(pd.DataFrame(
+            {"pid": [0, 1], "x": [10.0, -120.0], "y": [85.0, 40.0]}))
+        out = point_in_polygon_join_table(
+            pts, polys, zoom=4, small_table_threshold=None,
+            max_polar_rings=None)
+        rows = out.collect()
+        # the lat-85 point is inside every polar ring; lat-40 in none
+        assert sorted({r.pid for r in rows}) == [0]
+        assert len(rows) == 5
+
+
+class TestNgramAutoStrategy:
+    """VERDICT r3 item 5: strategy='auto' picks grouped for small corpora,
+    two_pass above NGRAM_GROUPED_MAX_DOCS, and both agree exactly."""
+
+    def _docs(self, spark):
+        import pandas as pd
+        base = "the quick brown fox jumps over the lazy dog "
+        rows = []
+        for i in range(30):
+            rows.append((i, base + f"variant {i % 7}"))
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    def test_auto_equals_both_explicit_strategies(self, spark):
+        from karta_spark.operators import dedup
+
+        def norm(df):
+            return sorted((r.id_a, r.id_b, round(r.jaccard, 12))
+                          for r in df.collect())
+
+        docs = self._docs(spark)
+        got_auto = norm(dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                                  threshold=0.5))
+        got_g = norm(dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                               threshold=0.5, strategy="grouped"))
+        got_t = norm(dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                               threshold=0.5, strategy="two_pass"))
+        assert got_auto == got_g == got_t
+        assert len(got_auto) > 0
+
+    def test_auto_threshold_boundary(self, spark, monkeypatch):
+        from karta_spark.operators import dedup
+        docs = self._docs(spark)
+        # force the corpus over the threshold: auto must take two_pass
+        monkeypatch.setattr(dedup, "NGRAM_GROUPED_MAX_DOCS", 10)
+        got = sorted((r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5).collect())
+        want = sorted((r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5, strategy="two_pass").collect())
+        assert got == want
+
+    def test_unknown_strategy_raises(self, spark):
+        from karta_spark.operators import dedup
+        with pytest.raises(ValueError, match="strategy"):
+            dedup.ngram_jaccard_pairs(self._docs(spark), "text", "doc_id",
+                                      strategy="bogus")
+
+
+class TestOversizedBucketStats:
+    """ADVICE r3 (low): the degenerate-bucket guard's recall loss must be
+    auditable — oversized_bucket_stats reports what the guard drops."""
+
+    def test_stats_match_guard(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.operators.dedup import (
+            _drop_oversized_buckets, oversized_bucket_stats)
+        rows = [("a%d" % i, 0, 7) for i in range(10)] + \
+               [("b%d" % i, 1, 9) for i in range(3)]
+        banded = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["id", "band", "key"]))
+        stats = oversized_bucket_stats(banded, ("band", "key"), 5).collect()
+        assert len(stats) == 1
+        assert stats[0].band == 0 and stats[0].members == 10
+        assert stats[0].dropped_pairs == 45
+        kept = _drop_oversized_buckets(banded, ("band", "key"), 5)
+        assert kept.count() == 3
+        assert oversized_bucket_stats(banded, ("band", "key"), 100).count() == 0
