@@ -1964,6 +1964,35 @@ FROM buckets GROUP BY lsh_bucket
 """
 
 
+def q59_jpeg_modes_census(spark, sf_dir):
+    """4:2:0 / 4:2:2 / restart-interval JPEG decode census (round 4):
+    synthesize the photo-like corpus cycling all six (subsampling,
+    restart) modes the baseline codec supports, decode every stream with
+    the from-scratch decoder, verify the BASELINE lossy invariant
+    (PSNR >= 40 dB vs the closed-form regenerated reference) per row.
+
+    Oracle-checked as an INVARIANT like q24: mode assignment is i % 6
+    over 300 ids and every row must verify, so DuckDB states the full
+    per-mode census without decoding; any subsampling/restart/placement
+    bug drops a row from its count and fails the hash gate.  (The decode
+    MATH is pinned separately by the hand-built bit-level 4:2:0 fixture
+    in tests/test_jpeg.py.)"""
+    photos = images.synth_photo_jpegs(spark, 300, partitions=4)
+    ok = images.verify_photo_jpegs(photos).where(F.col("verified"))
+    return ok.groupBy("mode").agg(
+        F.count("*").cast("long").alias("n_verified"))
+
+
+Q59_SQL = """
+SELECT CASE i % 6 WHEN 0 THEN '444_r0' WHEN 1 THEN '422_r0'
+                  WHEN 2 THEN '420_r0' WHEN 3 THEN '444_r2'
+                  WHEN 4 THEN '422_r2' ELSE '420_r2' END AS mode,
+       CAST(count(*) AS BIGINT) AS n_verified
+FROM range(300) t(i)
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2024,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_scanline_mask_census": q56_scanline_mask_census,
         "q57_resize_census": q57_resize_census,
         "q58_phash_neardup": q58_phash_neardup,
+        "q59_jpeg_modes_census": q59_jpeg_modes_census,
     }
 
 
@@ -2069,6 +2099,7 @@ def oracle_sql() -> dict[str, str]:
         "q56_scanline_mask_census": _q56_sql(),
         "q57_resize_census": Q57_SQL,
         "q58_phash_neardup": Q58_SQL,
+        "q59_jpeg_modes_census": Q59_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

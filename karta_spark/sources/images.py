@@ -27,8 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
-    StructType,
+    BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 try:  # pragma: no cover - not present in this container
@@ -288,6 +288,101 @@ def with_lonlat(images: DataFrame) -> DataFrame:
     from karta_spark.functions import cells
     return images.withColumn("x", cells.lon_from_phash(F.col("phash"))) \
                  .withColumn("y", cells.lat_from_phash(F.col("phash")))
+
+
+# ---------------------------------------------------------------------------
+# photo-like JPEG corpus (4:2:0 / 4:2:2 / restart-interval coverage)
+# ---------------------------------------------------------------------------
+
+#: (subsampling, restart_interval) cycled by row index — covers the
+#: real-world-dominant 4:2:0 plus restart framing (round 4)
+JPEG_MODES = (("444", 0), ("422", 0), ("420", 0),
+              ("444", 2), ("422", 2), ("420", 2))
+
+PHOTO_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("bytes", BinaryType()),
+    StructField("w", IntegerType()),
+    StructField("h", IntegerType()),
+    StructField("mode", StringType()),
+])
+
+
+def photo_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic photo-LIKE RGB content: detailed luma, smooth chroma
+    — the statistical shape chroma subsampling is designed for (hash-noise
+    chroma is unrecoverable under 2x2 averaging, so the pixels_for_phash
+    corpus cannot exercise 4:2:0 at the PSNR>=40 invariant).  Pure
+    closed-form trig of (index, x, y): regenerable anywhere, no RNG."""
+    a = float((i * 37) % 101)
+    b = float((i * 61) % 97)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    luma = 128.0 + 70.0 * np.sin((xx + a) / 9.0) * np.cos((yy + b) / 11.0)
+    cb = 15.0 * np.sin((xx + a) / 53.0)
+    cr = 12.0 * np.cos((yy + b) / 47.0)
+    r = luma + 1.402 * cr
+    g = luma - 0.344136 * cb - 0.714136 * cr
+    bl = luma + 1.772 * cb
+    return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+
+
+def synth_photo_jpegs(spark: SparkSession, n: int, w: int = 52, h: int = 36,
+                      quality: int = 95,
+                      partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic photo-JPEG table cycling through
+    JPEG_MODES (i % 6): every chroma-subsampling + restart-interval shape
+    the baseline decoder supports, at a size (52x36 default) that is not
+    an MCU multiple in any mode — edge-padding and multi-RST streams are
+    exercised on every row."""
+    from karta_spark.sources.jpeg import encode_jpeg_baseline
+
+    base = spark.range(0, n, 1, partitions or max(4, n // 50_000 + 1))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                sub, ri = JPEG_MODES[i % len(JPEG_MODES)]
+                pix = photo_pixels(i, w, h)
+                data = encode_jpeg_baseline(pix, quality, subsampling=sub,
+                                            restart_interval=ri)
+                rows.append((f"photo{i:09d}", bytearray(data), w, h,
+                             f"{sub}_r{ri}"))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in PHOTO_SCHEMA.fields])
+
+    return base.mapInPandas(gen, PHOTO_SCHEMA)
+
+
+def verify_photo_jpegs(photos: DataFrame, min_psnr: float = 40.0) -> DataFrame:
+    """Per-row decode + PSNR>=min_psnr vs the regenerated reference —
+    the BASELINE lossy invariant over the subsampled/restart corpus.
+    Returns (image_id, mode, psnr_vs_ref, verified)."""
+    from karta_spark.sources.jpeg import decode_jpeg_baseline
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("mode", StringType()),
+        StructField("psnr_vs_ref", DoubleType()),
+        StructField("verified", BooleanType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for iid, raw, w, h, mode in zip(
+                    pdf["image_id"].to_numpy(), pdf["bytes"].to_numpy(),
+                    pdf["w"].to_numpy(), pdf["h"].to_numpy(),
+                    pdf["mode"].to_numpy()):
+                i = int(iid[5:])
+                pix = decode_jpeg_baseline(bytes(raw))
+                ref = photo_pixels(i, int(w), int(h))
+                p = psnr(pix, ref)
+                out.append((iid, mode, p, bool(p >= min_psnr)))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return photos.mapInPandas(run, schema)
 
 
 DECODE_STATS_SCHEMA = StructType([

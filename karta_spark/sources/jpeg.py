@@ -3,9 +3,12 @@
 Implements the public JPEG/JFIF baseline sequential process (ITU-T T.81):
 8x8 DCT, Annex-K quantization tables scaled by quality, zigzag, DC
 differential + AC run-length, canonical Huffman coding with the Annex-K
-typical tables, 4:4:4 interleave (no chroma subsampling) or grayscale.
-The decoder parses DQT/DHT/SOF0/SOS from the stream (it does not assume
-the encoder's tables) and rejects progressive/subsampled streams.
+typical tables, grayscale or color with 4:4:4 / 4:2:2 / 4:2:0 chroma
+subsampling (A.2.3 interleaved MCUs), and restart intervals (DRI +
+RST0-7, F.2.1.3.1).  The decoder parses DQT/DHT/SOF0/DRI/SOS from the
+stream (it does not assume the encoder's tables), handles any sampling
+factors in {1,2} x {1,2} — which covers the real-world-dominant 4:2:0 —
+and rejects progressive streams.
 
 This closes the reference's lossy-imagery arm (karta reads real-world
 imagery through GDAL, _gdal.py:114-188): the BASELINE invariant
@@ -216,13 +219,49 @@ def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
     return full[:h, :w]
 
 
-def encode_jpeg_baseline(arr: np.ndarray, quality: int = 95) -> bytes:
-    """Encode gray8 (H,W) or RGB8 (H,W,3) to baseline JFIF, 4:4:4."""
+#: (h, v) sampling factors per component, luma first (A.1.1 notation)
+_SUBSAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _box_downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Box-average a plane by integer factors (edge-pad to multiples)."""
+    if fx == 1 and fy == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = (-h) % fy, (-w) % fx
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    H, W = plane.shape
+    return plane.reshape(H // fy, fy, W // fx, fx).mean(axis=(1, 3))
+
+
+def _pad_to(plane: np.ndarray, H: int, W: int) -> np.ndarray:
+    h, w = plane.shape
+    if h == H and w == W:
+        return plane
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
+def encode_jpeg_baseline(arr: np.ndarray, quality: int = 95,
+                         subsampling: str = "444",
+                         restart_interval: int = 0) -> bytes:
+    """Encode gray8 (H,W) or RGB8 (H,W,3) to baseline JFIF.
+
+    ``subsampling``: '444' (no chroma subsampling), '422' (2x1) or '420'
+    (2x2 box-averaged chroma) — the real-world-dominant shape; ignored
+    for grayscale.  ``restart_interval`` > 0 emits a DRI marker and an
+    RSTn marker every that many MCUs (byte-aligned, DC predictors reset)
+    — the stream-resynchronization feature real encoders use."""
     arr = np.asarray(arr)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     if gray:
         planes = [arr.astype(np.float64) - 128.0]
+        samp = ((1, 1),)
     else:
         r = arr[:, :, 0].astype(np.float64)
         g = arr[:, :, 1].astype(np.float64)
@@ -231,17 +270,30 @@ def encode_jpeg_baseline(arr: np.ndarray, quality: int = 95) -> bytes:
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        if subsampling not in _SUBSAMPLING:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        samp = _SUBSAMPLING[subsampling]
+
+    ncomp = len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
     qlum = scaled_quant(QUANT_LUM, quality)
     qchrom = scaled_quant(QUANT_CHROM, quality)
     qtabs = [qlum] + ([qchrom] if not gray else [])
 
-    # DCT + quantize + zigzag per component, all blocks at once
+    # per component: downsample, pad to the MCU grid, DCT all blocks at
+    # once, zigzag; comp_coefs[ci] is (blocks_y, blocks_x) raster order
     comp_coefs = []
     for ci, p in enumerate(planes):
-        blocks = _to_blocks(p)
-        d = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+        hi, vi = samp[ci]
+        ds = _box_downsample(p, hmax // hi, vmax // vi)
+        ds = _pad_to(ds, mcuy * vi * 8, mcux * hi * 8)
+        blocks = _to_blocks(ds)
         q = qlum if ci == 0 else qchrom
+        d = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
         coefs = np.round(d / q).astype(np.int64)
         comp_coefs.append(coefs.reshape(-1, 64)[:, ZIGZAG])
 
@@ -252,10 +304,11 @@ def encode_jpeg_baseline(arr: np.ndarray, quality: int = 95) -> bytes:
     for ti, q in enumerate(qtabs):
         out += b"\xFF\xDB" + struct.pack(">HB", 67, ti) \
             + bytes(int(v) for v in q.reshape(-1)[ZIGZAG])
-    ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        hi, vi = samp[ci]
+        sof += struct.pack("BBB", ci + 1, (hi << 4) | vi,
+                           0 if ci == 0 else 1)
     out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
 
     def dht(cls, tid, bits, vals):
@@ -268,6 +321,9 @@ def encode_jpeg_baseline(arr: np.ndarray, quality: int = 95) -> bytes:
         out += dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
         out += dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
 
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+
     sos = struct.pack("B", ncomp)
     for ci in range(ncomp):
         sos += struct.pack("BB", ci + 1, 0x00 if ci == 0 else 0x11)
@@ -275,14 +331,30 @@ def encode_jpeg_baseline(arr: np.ndarray, quality: int = 95) -> bytes:
     out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
 
     wtr = _BitWriter()
-    nb = comp_coefs[0].shape[0]
     preds = [0] * ncomp
     enc_dc = [_ENC_DC_LUM] + [_ENC_DC_CHROM] * (ncomp - 1)
     enc_ac = [_ENC_AC_LUM] + [_ENC_AC_CHROM] * (ncomp - 1)
-    for bi in range(nb):  # interleaved 4:4:4 MCUs
+    n_mcu = mcux * mcuy
+    since_restart = 0
+    rst_n = 0
+    for mi in range(n_mcu):  # interleaved MCUs (A.2.3 ordering)
+        if restart_interval and since_restart == restart_interval:
+            wtr.flush()
+            wtr.buf += bytes((0xFF, 0xD0 + rst_n))
+            rst_n = (rst_n + 1) % 8
+            preds = [0] * ncomp
+            since_restart = 0
+        my, mx = divmod(mi, mcux)
         for ci in range(ncomp):
-            preds[ci] = _encode_blocks(
-                wtr, comp_coefs[ci][bi:bi + 1], enc_dc[ci], enc_ac[ci], preds[ci])
+            hi, vi = samp[ci]
+            bw = mcux * hi
+            for by in range(vi):
+                for bx in range(hi):
+                    bi = (my * vi + by) * bw + (mx * hi + bx)
+                    preds[ci] = _encode_blocks(
+                        wtr, comp_coefs[ci][bi:bi + 1],
+                        enc_dc[ci], enc_ac[ci], preds[ci])
+        since_restart += 1
     wtr.flush()
     out += wtr.buf
     out += b"\xFF\xD9"  # EOI
@@ -323,15 +395,18 @@ def _decode_lut(bits, vals):
 
 
 def decode_jpeg_baseline(data: bytes) -> np.ndarray:
-    """Decode baseline sequential JFIF (4:4:4 or grayscale, no restart
-    markers, Huffman tables read from the stream)."""
+    """Decode baseline sequential JFIF: grayscale or color with any
+    sampling factors in {1,2}x{1,2} (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0),
+    restart intervals (DRI + RST0-7), Huffman tables read from the
+    stream.  Subsampled chroma is upsampled by sample replication."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple, tuple] = {}
-    comps = []
+    comps = []  # (cid, hi, vi, tq)
     h = w = 0
+    restart_interval = 0
     scan_comps = []
     scan_start = None
     while pos < len(data):
@@ -358,9 +433,11 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                 raise NotImplementedError("non-8-bit precision")
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3:9 + ci * 3]
-                if hv != 0x11:
-                    raise NotImplementedError("chroma subsampling (only 4:4:4)")
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factors {hi}x{vi} (only 1..2)")
+                comps.append((cid, hi, vi, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline sequential (SOF0)")
         elif marker == 0xC4:
@@ -373,7 +450,7 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                 huff[(tc_th >> 4, tc_th & 0xF)] = _decode_lut(bits, vals)
                 off += 17 + nv
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             ns = body[0]
             for ci in range(ns):
@@ -385,8 +462,11 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     if scan_start is None:
         raise ValueError("no SOS in stream")
 
-    # de-stuff entropy-coded bytes up to EOI
+    # de-stuff entropy-coded bytes up to EOI; RST0-7 markers become
+    # byte-aligned segment boundaries (restart = reset bit phase + DC
+    # predictors at the boundary)
     raw = bytearray()
+    boundaries = []  # raw offsets where a restart segment begins
     i = scan_start
     while i < len(data):
         b = data[i]
@@ -394,6 +474,10 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
             nxt = data[i + 1] if i + 1 < len(data) else 0xD9
             if nxt == 0x00:
                 raw.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                boundaries.append(len(raw))
                 i += 2
                 continue
             break  # EOI or another marker
@@ -408,18 +492,40 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     acc = 0
     navail = 0
     nc = len(comps)
-    nbx = (w + 7) // 8
-    nby = (h + 7) // 8
-    nb = nbx * nby
-    coefs = [np.zeros((nb, 64), dtype=np.int32) for _ in range(nc)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = [np.zeros((mcuy * vi * mcux * hi, 64), dtype=np.int32)
+             for _, hi, vi, _ in comps]
     preds = [0] * nc
     comp_tabs = {cid: (dc, ac) for cid, dc, ac in scan_comps}
     tabs = []
-    for cid, tq in comps:
+    for cid, hi, vi, tq in comps:
         dc_t, ac_t = comp_tabs[cid]
         tabs.append((huff[(0, dc_t)], huff[(1, ac_t)]))
-    for bi in range(nb):
-        for ci in range(nc):
+    # flat per-MCU block schedule: (ci, block-index offset fn inputs)
+    sched = []
+    for ci, (_, hi, vi, _) in enumerate(comps):
+        for by in range(vi):
+            for bx in range(hi):
+                sched.append((ci, hi, vi, by, bx))
+    n_mcu = mcux * mcuy
+    since_restart = 0
+    seg = 0
+    for mi in range(n_mcu):
+        if restart_interval and since_restart == restart_interval:
+            if seg >= len(boundaries):
+                raise ValueError("missing RST marker in entropy stream")
+            pos = boundaries[seg]
+            seg += 1
+            acc = 0
+            navail = 0
+            preds = [0] * nc
+            since_restart = 0
+        my, mx = divmod(mi, mcux)
+        for ci, hi, vi, by, bx in sched:
+            bi = (my * vi + by) * (mcux * hi) + (mx * hi + bx)
             (dsym, dln), (asym, aln) = tabs[ci]
             while navail < 16:
                 acc = (acc << 8) | (data[pos] if pos < dlen else 0)
@@ -468,12 +574,20 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                 blk[k] = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
                 k += 1
             coefs[ci][bi] = blk
+        since_restart += 1
 
     planes = []
-    for ci, (cid, tq) in enumerate(comps):
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
         dq = coefs[ci][:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64) * qtabs[tq]
         blocks = np.einsum("ji,njk,kl->nil", _DCT, dq, _DCT)
-        planes.append(_from_blocks(blocks, h, w) + 128.0)
+        ch = mcuy * vi * 8
+        cw = mcux * hi * 8
+        full = (blocks.reshape(ch // 8, cw // 8, 8, 8)
+                .transpose(0, 2, 1, 3).reshape(ch, cw))
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:  # sample-replication upsample to full res
+            full = np.repeat(np.repeat(full, fy, axis=0), fx, axis=1)
+        planes.append(full[:h, :w] + 128.0)
 
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -79,3 +79,195 @@ class TestPipelineIntegration:
                 pix = np.repeat(pix[:, :, None], 3, 2)
             assert psnr(pix, ref) >= 40.0, (i, fmt)
         assert seen == {"png", "bmp", "jpeg"}
+
+
+def _photo(h, w, seed=7):
+    """Photo-like content: detailed luma, SMOOTH chroma (the shape 4:2:0
+    is designed for — noise chroma is unrecoverable under subsampling)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    luma = 128 + 70 * np.sin(xx / 9.0) * np.cos(yy / 11.0) + rng.normal(0, 2, (h, w))
+    cb = 15 * np.sin(xx / 53.0)
+    cr = 12 * np.cos(yy / 47.0)
+    r = luma + 1.402 * cr
+    g = luma - 0.344136 * cb - 0.714136 * cr
+    b = luma + 1.772 * cb
+    return np.clip(np.stack([r, g, b], 2), 0, 255).astype(np.uint8)
+
+
+class TestSubsampling:
+    """4:2:0 / 4:2:2 chroma subsampling + restart intervals (round 4 —
+    the dominant real-world JPEG shape; reference reads it via GDAL,
+    _gdal.py:114-188)."""
+
+    @pytest.mark.parametrize("sub", ["444", "422", "420"])
+    @pytest.mark.parametrize("ri", [0, 3])
+    def test_photo_roundtrip_psnr40(self, sub, ri):
+        a = _photo(57, 43)
+        dec = decode_jpeg_baseline(
+            encode_jpeg_baseline(a, 95, subsampling=sub, restart_interval=ri))
+        assert dec.shape == a.shape
+        assert psnr(a, dec) >= 40.0
+
+    @pytest.mark.parametrize("shape", [(16, 16), (17, 23), (8, 9), (33, 65)])
+    def test_420_odd_sizes(self, shape):
+        a = _photo(*shape)
+        dec = decode_jpeg_baseline(
+            encode_jpeg_baseline(a, 95, subsampling="420"))
+        assert dec.shape == a.shape
+        assert psnr(a, dec) >= 39.0
+
+    def test_dri_without_rst_is_identical(self):
+        a = _photo(24, 24)
+        d0 = decode_jpeg_baseline(encode_jpeg_baseline(a, 95, subsampling="420"))
+        d1 = decode_jpeg_baseline(
+            encode_jpeg_baseline(a, 95, subsampling="420", restart_interval=999))
+        assert np.array_equal(d0, d1)
+
+    def test_restart_resets_are_lossless_vs_no_restart(self):
+        # restart only changes entropy framing, not dequantized blocks
+        a = _photo(48, 64)
+        d0 = decode_jpeg_baseline(encode_jpeg_baseline(a, 92, subsampling="420"))
+        d1 = decode_jpeg_baseline(
+            encode_jpeg_baseline(a, 92, subsampling="420", restart_interval=1))
+        assert np.array_equal(d0, d1)
+
+    def test_gray_restart(self):
+        a = _photo(47, 51)[:, :, 0]
+        d = decode_jpeg_baseline(encode_jpeg_baseline(a, 95, restart_interval=2))
+        assert psnr(a, d) >= 40.0
+
+    def test_unknown_subsampling_raises(self):
+        with pytest.raises(ValueError):
+            encode_jpeg_baseline(np.zeros((8, 8, 3), np.uint8), subsampling="411")
+
+    def test_missing_rst_marker_raises(self):
+        enc = bytearray(encode_jpeg_baseline(_photo(32, 32), 95,
+                                             subsampling="420",
+                                             restart_interval=1))
+        # strip the RST markers from the entropy stream -> decoder must
+        # notice the promised restart never arrives
+        i = enc.find(b"\xFF\xDA")
+        body = enc[:i + 2]
+        rest = bytes(enc[i + 2:])
+        out = bytearray()
+        j = 0
+        (seglen,) = __import__("struct").unpack(">H", rest[:2])
+        out += rest[:seglen]
+        j = seglen
+        while j < len(rest):
+            if rest[j] == 0xFF and j + 1 < len(rest) and 0xD0 <= rest[j + 1] <= 0xD7:
+                j += 2
+                continue
+            out.append(rest[j])
+            j += 1
+        with pytest.raises(ValueError, match="RST"):
+            decode_jpeg_baseline(bytes(body + out))
+
+
+class TestHandBuilt420Fixture:
+    """Bit-level golden: a 4:2:0 stream written by independent test code
+    (T.81 A.2.3 MCU ordering, F.1.2 magnitude coding) — pins the
+    decoder's absolute block placement so a matched encoder/decoder
+    ordering bug cannot hide behind roundtrip tests."""
+
+    @staticmethod
+    def _build(restart):
+        import struct as st
+        from karta_spark.sources.jpeg import (
+            AC_CHROM_BITS, AC_CHROM_VALS, AC_LUM_BITS, AC_LUM_VALS,
+            DC_CHROM_BITS, DC_CHROM_VALS, DC_LUM_BITS, DC_LUM_VALS,
+            ZIGZAG, _canonical_codes)
+
+        dc_l = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+        dc_c = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+        eob_l = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)[0x00]
+        eob_c = _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)[0x00]
+
+        out = bytearray(b"\xFF\xD8")
+        ones = bytes(int(v) for v in np.ones(64, dtype=np.uint8))
+        for tid in (0, 1):
+            out += b"\xFF\xDB" + st.pack(">HB", 67, tid) + ones
+        # SOF0: 16 high, 32 wide; Y 2x2 q0, Cb/Cr 1x1 q1
+        sof = st.pack(">BHHB", 8, 16, 32, 3)
+        sof += st.pack("BBB", 1, 0x22, 0)
+        sof += st.pack("BBB", 2, 0x11, 1)
+        sof += st.pack("BBB", 3, 0x11, 1)
+        out += b"\xFF\xC0" + st.pack(">H", 2 + len(sof)) + sof
+        for cls, tid, bits, vals in ((0, 0, DC_LUM_BITS, DC_LUM_VALS),
+                                     (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+                                     (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+                                     (1, 1, AC_CHROM_BITS, AC_CHROM_VALS)):
+            body = st.pack("B", (cls << 4) | tid) + bytes(bits) + bytes(vals)
+            out += b"\xFF\xC4" + st.pack(">H", 2 + len(body)) + body
+        if restart:
+            out += b"\xFF\xDD" + st.pack(">HH", 4, 1)
+        sos = st.pack("B", 3) + st.pack("BB", 1, 0x00) \
+            + st.pack("BB", 2, 0x11) + st.pack("BB", 3, 0x11) + b"\x00\x3F\x00"
+        out += b"\xFF\xDA" + st.pack(">H", 2 + len(sos)) + sos
+
+        # independent bit writer (stuffing + 1-pad)
+        state = {"acc": 0, "n": 0, "buf": bytearray()}
+
+        def put(code, ln):
+            state["acc"] = (state["acc"] << ln) | code
+            state["n"] += ln
+            while state["n"] >= 8:
+                state["n"] -= 8
+                b = (state["acc"] >> state["n"]) & 0xFF
+                state["buf"].append(b)
+                if b == 0xFF:
+                    state["buf"].append(0x00)
+            state["acc"] &= (1 << state["n"]) - 1
+
+        def flush():
+            if state["n"]:
+                pad = 8 - state["n"]
+                put((1 << pad) - 1, pad)
+
+        def put_dc(diff, table):
+            if diff == 0:
+                c, ln = table[0]
+                put(c, ln)
+                return
+            s = abs(diff).bit_length()
+            bits = diff if diff > 0 else diff + (1 << s) - 1
+            c, ln = table[s]
+            put(c, ln)
+            put(bits, s)
+
+        # luma tile (r, c) decodes flat to 128 + (r*4 + c + 1); DC = 8*v
+        dcs = {}
+        for r in range(2):
+            for c in range(4):
+                dcs[(r, c)] = 8 * (r * 4 + c + 1)
+        pred_y = pred_cb = pred_cr = 0
+        for mx in range(2):  # MCU order: Y(0,0) Y(0,1) Y(1,0) Y(1,1) Cb Cr
+            if restart and mx == 1:
+                flush()
+                state["buf"] += b"\xFF\xD0"
+                pred_y = pred_cb = pred_cr = 0
+            for by in range(2):
+                for bx in range(2):
+                    dc = dcs[(by, mx * 2 + bx)]
+                    put_dc(dc - pred_y, dc_l)
+                    pred_y = dc
+                    put(*eob_l)
+            put_dc(0 - pred_cb, dc_c)
+            put(*eob_c)
+            put_dc(0 - pred_cr, dc_c)
+            put(*eob_c)
+        flush()
+        out += state["buf"] + b"\xFF\xD9"
+        assert ZIGZAG[0] == 0  # sanity: DC is zigzag index 0
+        return bytes(out)
+
+    @pytest.mark.parametrize("restart", [False, True])
+    def test_block_placement(self, restart):
+        dec = decode_jpeg_baseline(self._build(restart))
+        assert dec.shape == (16, 32, 3)
+        for r in range(2):
+            for c in range(4):
+                tile = dec[8 * r:8 * r + 8, 8 * c:8 * c + 8]
+                want = 128 + (r * 4 + c + 1)
+                assert (tile == want).all(), (r, c, np.unique(tile), want)
