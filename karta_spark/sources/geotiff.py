@@ -4,13 +4,15 @@ georeferencing tags, enough for raster interchange).
 
 Supported:
 - read: uncompressed, Deflate/zlib (codes 8 and 32946), LZW (5, TIFF
-  early-change variant) and PackBits (32773) strips; horizontal-
+  early-change variant) and PackBits (32773), in STRIP (tags 273/278/279)
+  or TILE organization (tags 322-325, the cloud-optimized layout GDAL
+  writes for large rasters — edge-tile padding dropped); horizontal-
   differencing predictor (tag 317 = 2) for integer data;
   single- or multi-band chunky interleave (SamplesPerPixel tag 277,
   PlanarConfiguration 284 = 1); uint8/16/32, int16/32, float32/64.
 - write: single-band, optional compress="deflate" | "packbits" | "lzw"
   (the analog of the reference's compression write option,
-  grid.py:1066-1076).
+  grid.py:1066-1076) and optional tiled=<edge> tile organization.
 
 Follows the reference's convention flip (raster/read.py:27-62, _gdal.py):
 TIFF stores rows top-down with an upper-left tiepoint; the tile table uses
@@ -193,36 +195,68 @@ def _entry(tag, ftype, count, value):
     return struct.pack("<HHI4s", tag, ftype, count, value)
 
 
+def _compress_chunk(raw: bytes, compress: str | None) -> tuple[int, bytes]:
+    if compress is None:
+        return COMPRESSION_NONE, raw
+    if compress == "deflate":
+        return COMPRESSION_DEFLATE_ADOBE, zlib.compress(raw, 6)
+    if compress == "packbits":
+        return COMPRESSION_PACKBITS, packbits_encode(raw)
+    if compress == "lzw":
+        return COMPRESSION_LZW, lzw_encode(raw)
+    raise ValueError(f"unknown compress option {compress!r}")
+
+
 def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64,
-                  compress: str | None = None):
+                  compress: str | None = None, tiled: int | None = None):
     """Write a (small) single-band tile table to a GeoTIFF.
 
-    compress: None | "deflate" | "packbits" | "lzw"."""
+    compress: None | "deflate" | "packbits" | "lzw".
+    tiled: tile edge in pixels (multiple of 16, TIFF spec §15) — emits a
+    tile-organized file (tags 322-325, the cloud-optimized layout GDAL
+    writes for large rasters) instead of one strip; each tile is
+    compressed independently (edge tiles zero-padded to full size)."""
     values, transform, nodata = df_to_grid(tiles)
     x0, y0, dx, dy, sx, sy = transform
     if sx != 0 or sy != 0:
         raise ValueError("GeoTIFF writer supports unskewed grids only")
     ny, nx = values.shape
     arr = np.asarray(values, dtype=dtype)[::-1]  # LL-row-first -> top-down
-    raw = arr.tobytes()
-    if compress is None:
-        comp_code, data = COMPRESSION_NONE, raw
-    elif compress == "deflate":
-        comp_code, data = COMPRESSION_DEFLATE_ADOBE, zlib.compress(raw, 6)
-    elif compress == "packbits":
-        comp_code, data = COMPRESSION_PACKBITS, packbits_encode(raw)
-    elif compress == "lzw":
-        comp_code, data = COMPRESSION_LZW, lzw_encode(raw)
+
+    chunks: list[bytes] = []
+    if tiled is None:
+        comp_code, data = _compress_chunk(arr.tobytes(), compress)
+        chunks.append(data)
     else:
-        raise ValueError(f"unknown compress option {compress!r}")
+        if tiled % 16 != 0 or tiled <= 0:
+            raise ValueError("TIFF tile size must be a positive multiple of 16")
+        ntx = (nx + tiled - 1) // tiled
+        nty = (ny + tiled - 1) // tiled
+        padded = np.zeros((nty * tiled, ntx * tiled), dtype=arr.dtype)
+        padded[:ny, :nx] = arr
+        comp_code = COMPRESSION_NONE
+        for ty in range(nty):
+            for tx in range(ntx):
+                t = padded[ty * tiled:(ty + 1) * tiled,
+                           tx * tiled:(tx + 1) * tiled]
+                comp_code, data = _compress_chunk(
+                    np.ascontiguousarray(t).tobytes(), compress)
+                chunks.append(data)
 
     bits = arr.dtype.itemsize * 8
     fmt = {np.dtype(np.uint8): 1, np.dtype(np.uint16): 1, np.dtype(np.uint32): 1,
            np.dtype(np.int16): 2, np.dtype(np.int32): 2,
            np.dtype(np.float32): 3, np.dtype(np.float64): 3}[arr.dtype]
 
-    # layout: header(8) + IFD + external values + pixel data
-    n_entries = 12
+    def val_long(v):
+        return struct.pack("<I", v)
+
+    def val_short(v):
+        return struct.pack("<HH", v, 0)
+
+    # layout: header(8) + IFD + external values + chunk data
+    nchunks = len(chunks)
+    n_entries = 12 if tiled is None else 13
     ifd_off = 8
     ifd_size = 2 + n_entries * 12 + 4
     ext_off = ifd_off + ifd_size
@@ -232,13 +266,27 @@ def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64,
     tie_bytes = struct.pack("<6d", 0.0, 0.0, 0.0, x0, y_top, 0.0)
     scale_off = ext_off
     tie_off = scale_off + len(scale_bytes)
-    data_off = tie_off + len(tie_bytes)
+    arrays_off = tie_off + len(tie_bytes)
+    # offset/count arrays go external when nchunks > 1 (4-byte LONGs)
+    if nchunks > 1:
+        offsets_off = arrays_off
+        counts_off = offsets_off + 4 * nchunks
+        data_off = counts_off + 4 * nchunks
+    else:
+        offsets_off = counts_off = 0
+        data_off = arrays_off
+    chunk_offsets = []
+    pos = data_off
+    for c in chunks:
+        chunk_offsets.append(pos)
+        pos += len(c)
 
-    def val_long(v):
-        return struct.pack("<I", v)
-
-    def val_short(v):
-        return struct.pack("<HH", v, 0)
+    def chunk_arrays(off_tag, cnt_tag):
+        if nchunks == 1:
+            return [_entry(off_tag, 4, 1, val_long(chunk_offsets[0])),
+                    _entry(cnt_tag, 4, 1, val_long(len(chunks[0])))]
+        return [_entry(off_tag, 4, nchunks, val_long(offsets_off)),
+                _entry(cnt_tag, 4, nchunks, val_long(counts_off))]
 
     entries = [
         _entry(256, 4, 1, val_long(nx)),           # ImageWidth
@@ -246,19 +294,30 @@ def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64,
         _entry(258, 3, 1, val_short(bits)),        # BitsPerSample
         _entry(259, 3, 1, val_short(comp_code)),   # Compression
         _entry(262, 3, 1, val_short(1)),           # Photometric: BlackIsZero
-        _entry(273, 4, 1, val_long(data_off)),     # StripOffsets
         _entry(277, 3, 1, val_short(1)),           # SamplesPerPixel
-        _entry(278, 4, 1, val_long(ny)),           # RowsPerStrip
-        _entry(279, 4, 1, val_long(len(data))),    # StripByteCounts
         _entry(339, 3, 1, val_short(fmt)),         # SampleFormat
         _entry(33550, 12, 3, val_long(scale_off)),  # ModelPixelScale
         _entry(33922, 12, 6, val_long(tie_off)),    # ModelTiepoint
     ]
+    if tiled is None:
+        entries += [_entry(278, 4, 1, val_long(ny))]  # RowsPerStrip
+        entries += chunk_arrays(273, 279)             # Strip offsets/counts
+    else:
+        entries += [_entry(322, 4, 1, val_long(tiled)),   # TileWidth
+                    _entry(323, 4, 1, val_long(tiled))]   # TileLength
+        entries += chunk_arrays(324, 325)                 # Tile offsets/counts
+    entries.sort(key=lambda e: struct.unpack_from("<H", e)[0])
+    assert len(entries) == n_entries
     with open(path, "wb") as f:
         f.write(b"II*\x00" + struct.pack("<I", ifd_off))
         f.write(struct.pack("<H", n_entries) + b"".join(entries)
                 + struct.pack("<I", 0))
-        f.write(scale_bytes + tie_bytes + data)
+        f.write(scale_bytes + tie_bytes)
+        if nchunks > 1:
+            f.write(struct.pack(f"<{nchunks}I", *chunk_offsets))
+            f.write(struct.pack(f"<{nchunks}I", *[len(c) for c in chunks]))
+        for c in chunks:
+            f.write(c)
 
 
 def _read_geotiff_arrays(path: str):
@@ -308,35 +367,59 @@ def _read_geotiff_arrays(path: str):
         raise NotImplementedError("PlanarConfiguration=2 (planar) not supported")
     fmt = tag_ints(339, default=[1])[0]
     dtype = np.dtype(_DTYPES[(bits, fmt)])
-    offsets = tag_ints(273)
-    counts = tag_ints(279)
-    rows_per_strip = tag_ints(278, default=[ny])[0]
 
-    row_bytes = nx * spp * dtype.itemsize
-    chunks = []
-    for k, (o, c) in enumerate(zip(offsets, counts)):
-        strip_rows = min(rows_per_strip, ny - k * rows_per_strip)
-        expected = strip_rows * row_bytes
-        raw = buf[o:o + c]
+    def decompress(raw, expected):
         if comp == COMPRESSION_NONE:
-            data = raw
-        elif comp in (COMPRESSION_DEFLATE_ADOBE, COMPRESSION_DEFLATE_OLD):
-            data = zlib.decompress(raw)
-        elif comp == COMPRESSION_PACKBITS:
-            data = packbits_decode(raw, expected)
-        elif comp == COMPRESSION_LZW:
-            data = lzw_decode(raw, expected)
-        else:
-            raise NotImplementedError(f"TIFF compression {comp} not supported "
-                                      "(none/deflate/packbits are)")
-        strip = np.frombuffer(data[:expected], dtype="<" + dtype.str[1:])
-        strip = strip.reshape(strip_rows, nx, spp)
+            return raw
+        if comp in (COMPRESSION_DEFLATE_ADOBE, COMPRESSION_DEFLATE_OLD):
+            return zlib.decompress(raw)
+        if comp == COMPRESSION_PACKBITS:
+            return packbits_decode(raw, expected)
+        if comp == COMPRESSION_LZW:
+            return lzw_decode(raw, expected)
+        raise NotImplementedError(f"TIFF compression {comp} not supported "
+                                  "(none/deflate/lzw/packbits are)")
+
+    def undo_predictor(chunk):
         if predictor == 2:
             if not np.issubdtype(dtype, np.integer):
                 raise NotImplementedError("predictor=2 on float samples")
-            strip = np.cumsum(strip, axis=1, dtype=dtype)
-        chunks.append(strip)
-    arr = np.concatenate(chunks, axis=0)  # (ny, nx, spp) top-down
+            return np.cumsum(chunk, axis=1, dtype=dtype)
+        return chunk
+
+    if 322 in tags:  # tile-organized (TIFF §15: tags 322-325)
+        tw = tag_ints(322)[0]
+        th = tag_ints(323)[0]
+        offsets = tag_ints(324)
+        counts = tag_ints(325)
+        ntx = (nx + tw - 1) // tw
+        nty = (ny + th - 1) // th
+        if len(offsets) != ntx * nty:
+            raise ValueError("tile count mismatch (planar/multi-IFD tile "
+                             "layout not supported)")
+        expected = th * tw * spp * dtype.itemsize
+        arr = np.zeros((nty * th, ntx * tw, spp), dtype=dtype)
+        for k, (o, c) in enumerate(zip(offsets, counts)):
+            data = decompress(buf[o:o + c], expected)
+            t = np.frombuffer(data[:expected], dtype="<" + dtype.str[1:])
+            t = undo_predictor(t.reshape(th, tw, spp))
+            ty, tx = divmod(k, ntx)
+            arr[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw] = t
+        arr = arr[:ny, :nx]  # drop edge-tile padding
+    else:
+        offsets = tag_ints(273)
+        counts = tag_ints(279)
+        rows_per_strip = tag_ints(278, default=[ny])[0]
+        row_bytes = nx * spp * dtype.itemsize
+        chunks = []
+        for k, (o, c) in enumerate(zip(offsets, counts)):
+            strip_rows = min(rows_per_strip, ny - k * rows_per_strip)
+            expected = strip_rows * row_bytes
+            data = decompress(buf[o:o + c], expected)
+            strip = np.frombuffer(data[:expected], dtype="<" + dtype.str[1:])
+            strip = undo_predictor(strip.reshape(strip_rows, nx, spp))
+            chunks.append(strip)
+        arr = np.concatenate(chunks, axis=0)  # (ny, nx, spp) top-down
 
     dxs = tag_doubles(33550)
     tie = tag_doubles(33922)

@@ -459,3 +459,119 @@ class TestGeoTiffLzw:
         geotiff.write_geotiff(p, tiles, compress="lzw", dtype=np.uint8)
         back, t, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=8))
         assert np.array_equal(back, Z)
+
+
+class TestGeoTiffTiled:
+    """Round-4: tile-organized TIFF (tags 322-325) — the cloud-optimized
+    layout GDAL writes for large rasters; reference reads it via GDAL
+    (_gdal.py:114-188)."""
+
+    def _grid(self, spark, ny=37, nx=23):
+        import numpy as np
+        from karta_spark.raster.tiles import grid_to_df
+        rng = np.random.default_rng(11)
+        Z = rng.integers(0, 250, size=(ny, nx)).astype(np.float64)
+        return Z, grid_to_df(spark, "g", Z, (1.0, -4.0, 0.5, 0.5, 0.0, 0.0),
+                             tile=16)
+
+    @pytest.mark.parametrize("compress", [None, "deflate", "lzw", "packbits"])
+    def test_tiled_roundtrip(self, spark, tmp_path, compress):
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        Z, tiles = self._grid(spark)  # 37x23: edge tiles padded both axes
+        p = str(tmp_path / "t.tif")
+        geotiff.write_geotiff(p, tiles, dtype=np.uint8, compress=compress,
+                              tiled=16)
+        back, t, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=16))
+        assert np.array_equal(back, Z)
+        assert t[:4] == (1.0, -4.0, 0.5, 0.5)
+
+    def test_tiled_float_roundtrip(self, spark, tmp_path):
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid, grid_to_df
+        from karta_spark.sources import geotiff
+        rng = np.random.default_rng(12)
+        Z = rng.uniform(-1e4, 1e4, size=(16, 33)).round(4)
+        tiles = grid_to_df(spark, "g", Z, (0.0, 0.0, 1.0, 1.0, 0.0, 0.0), tile=16)
+        p = str(tmp_path / "tf.tif")
+        geotiff.write_geotiff(p, tiles, compress="deflate", tiled=16)
+        back, _, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=16))
+        assert np.array_equal(back, Z)
+
+    def test_tile_size_must_be_multiple_of_16(self, spark, tmp_path):
+        from karta_spark.sources import geotiff
+        _, tiles = self._grid(spark, 8, 8)
+        with pytest.raises(ValueError, match="multiple of 16"):
+            geotiff.write_geotiff(str(tmp_path / "x.tif"), tiles, tiled=10)
+
+    def test_handbuilt_tiled_predictor_lzw(self, spark, tmp_path):
+        """Independent writer: 4-tile uint16 file with predictor=2 + LZW,
+        pinning tile raster order and edge-padding semantics (a matched
+        writer/reader bug cannot hide behind the roundtrip tests)."""
+        import struct
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        from karta_spark.sources.geotiff import lzw_encode
+        ny, nx, tw, th = 18, 20, 16, 16
+        rng = np.random.default_rng(13)
+        A = rng.integers(0, 60000, (ny, nx)).astype(np.uint16)
+        ntx = (nx + tw - 1) // tw
+        nty = (ny + th - 1) // th
+        padded = np.zeros((nty * th, ntx * tw), dtype=np.uint16)
+        padded[:ny, :nx] = A
+        tiles_raw = []
+        for ty in range(nty):
+            for tx in range(ntx):
+                t = padded[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+                diff = np.empty_like(t)
+                diff[:, 0] = t[:, 0]
+                diff[:, 1:] = t[:, 1:] - t[:, :-1]  # horizontal differencing
+                tiles_raw.append(lzw_encode(diff.tobytes()))
+
+        entry = lambda tag, ftype, count, value: struct.pack(
+            "<HHI4s", tag, ftype, count, value)
+        vl = lambda v: struct.pack("<I", v)
+        vs = lambda v: struct.pack("<HH", v, 0)
+        n_entries = 14
+        ifd_off = 8
+        ext_off = ifd_off + 2 + n_entries * 12 + 4
+        scale_off = ext_off
+        tie_off = scale_off + 24
+        off_off = tie_off + 48
+        cnt_off = off_off + 4 * len(tiles_raw)
+        data_off = cnt_off + 4 * len(tiles_raw)
+        offs, pos = [], data_off
+        for t in tiles_raw:
+            offs.append(pos); pos += len(t)
+        entries = [
+            entry(256, 4, 1, vl(nx)), entry(257, 4, 1, vl(ny)),
+            entry(258, 3, 1, vs(16)),
+            entry(259, 3, 1, vs(5)),              # LZW
+            entry(262, 3, 1, vs(1)),
+            entry(277, 3, 1, vs(1)),
+            entry(317, 3, 1, vs(2)),              # predictor
+            entry(322, 4, 1, vl(tw)), entry(323, 4, 1, vl(th)),
+            entry(324, 4, len(tiles_raw), vl(off_off)),
+            entry(325, 4, len(tiles_raw), vl(cnt_off)),
+            entry(339, 3, 1, vs(1)),
+            entry(33550, 12, 3, vl(scale_off)),
+            entry(33922, 12, 6, vl(tie_off)),
+        ]
+        p = str(tmp_path / "hb.tif")
+        with open(p, "wb") as f:
+            f.write(b"II*\x00" + struct.pack("<I", ifd_off))
+            f.write(struct.pack("<H", n_entries) + b"".join(entries)
+                    + struct.pack("<I", 0))
+            f.write(struct.pack("<3d", 2.0, 1.0, 0.0))
+            f.write(struct.pack("<6d", 0, 0, 0, 5.0, -3.0 + ny * 1.0, 0))
+            f.write(struct.pack(f"<{len(tiles_raw)}I", *offs))
+            f.write(struct.pack(f"<{len(tiles_raw)}I",
+                                *[len(t) for t in tiles_raw]))
+            for t in tiles_raw:
+                f.write(t)
+
+        back, t, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=16))
+        assert np.array_equal(back, A[::-1].astype(np.float64))
+        assert t[:4] == (5.0, -3.0, 2.0, 1.0)
