@@ -529,7 +529,9 @@ def albers(lat1: float, lat2: float, lat0: float = 0.0, lon0: float = 0.0,
     """Albers equal-area conic CRS (e.g. AlaskaAlbers = albers(55, 65, 50,
     -154)) — the reference reaches these through arbitrary proj4 strings
     (crs.py:219-243); here each conic is a named CrsDef."""
-    return CrsDef(f"aea_{lat1}_{lat2}_{lat0}_{lon0}", "aea",
+    lat1, lat2, lat0, lon0, fe, fn = (
+        float(lat1), float(lat2), float(lat0), float(lon0), float(fe), float(fn))
+    return CrsDef(f"aea_{lat1:g}_{lat2:g}_{lat0:g}_{lon0:g}", "aea",
                   (lat1, lat2, lat0, lon0, fe, fn))
 
 
@@ -781,6 +783,226 @@ def to_proj4(crs: CrsDef | str) -> str:
                 f"+lon_0={lon0:g} +x_0={fe:g} +y_0={fn:g} "
                 "+ellps=WGS84 +datum=WGS84 +units=m +no_defs")
     raise ValueError(f"no proj.4 form for kind {c.kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# WKT1 (OGC 01-009, the GDAL ExportToWkt dialect) — the reference's
+# CRS.get_wkt/ref_wkt interchange surface (crs.py:143-158) goes through
+# osgeo.osr; here the named CrsDef registry emits and parses WKT1 directly.
+# ---------------------------------------------------------------------------
+
+def _wkt_num(v: float) -> str:
+    v = float(v)
+    return str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
+
+
+_WKT_GEOGCS = {
+    "wgs84": ('GEOGCS["WGS 84",DATUM["WGS_1984",'
+              'SPHEROID["WGS 84",6378137,298.257223563]],'
+              'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'),
+    "sphere": ('GEOGCS["Normalized Sphere (r=6378137)",DATUM["unknown",'
+               'SPHEROID["sphere",6378137,0]],'
+               'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'),
+    "nad27": ('GEOGCS["NAD27",DATUM["North_American_Datum_1927",'
+              'SPHEROID["Clarke 1866",6378206.4,294.978698213898]],'
+              'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'),
+    "nad83": ('GEOGCS["NAD83",DATUM["North_American_Datum_1983",'
+              'SPHEROID["GRS 1980",6378137,298.257222101]],'
+              'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'),
+}
+
+
+def _wkt_projcs(name: str, geogcs: str, projection: str,
+                params: list[tuple[str, float]]) -> str:
+    body = ",".join(f'PARAMETER["{k}",{_wkt_num(v)}]' for k, v in params)
+    return (f'PROJCS["{name}",{geogcs},PROJECTION["{projection}"],{body},'
+            'UNIT["metre",1]]')
+
+
+def to_wkt(crs: CrsDef | str) -> str:
+    """WKT1 string for a CrsDef — mirrors the reference's ``get_wkt``
+    surface (crs.py:143-158, which exports via osgeo.osr); round-trips
+    through :func:`from_wkt`."""
+    c = lookup(crs)
+    if c.kind == "lonlat":
+        return _WKT_GEOGCS["nad83" if c.name == "lonlat_nad83" else "wgs84"]
+    if c.kind == "lonlat_datum":
+        return _WKT_GEOGCS["nad27"]
+    if c.kind == "webmercator":
+        return _wkt_projcs(
+            "WGS 84 / Pseudo-Mercator", _WKT_GEOGCS["sphere"], "Mercator_1SP",
+            [("central_meridian", 0), ("scale_factor", 1),
+             ("false_easting", 0), ("false_northing", 0)])
+    if c.kind == "tmerc":
+        lon0, k0, fe, fn = c.params
+        if c.name.startswith("utm"):
+            zone = int(round((lon0 + 183.0) / 6.0))
+            hemi = "S" if fn else "N"
+            title = f"WGS 84 / UTM zone {zone}{hemi}"
+        else:
+            title = c.name
+        return _wkt_projcs(
+            title, _WKT_GEOGCS["wgs84"], "Transverse_Mercator",
+            [("latitude_of_origin", 0), ("central_meridian", lon0),
+             ("scale_factor", k0), ("false_easting", fe),
+             ("false_northing", fn)])
+    if c.kind == "stere":
+        sgn, lon0, lat_ts, k0, fe, fn = c.params
+        return _wkt_projcs(
+            c.name, _WKT_GEOGCS["wgs84"], "Polar_Stereographic",
+            [("latitude_of_origin", sgn * lat_ts),
+             ("central_meridian", lon0), ("scale_factor", k0),
+             ("false_easting", fe), ("false_northing", fn)])
+    if c.kind == "laea":
+        return _wkt_projcs(
+            c.name, _WKT_GEOGCS["wgs84"], "Lambert_Azimuthal_Equal_Area",
+            [("latitude_of_center", 0), ("longitude_of_center", c.params[0]),
+             ("false_easting", 0), ("false_northing", 0)])
+    if c.kind == "cea":
+        return _wkt_projcs(
+            c.name, _WKT_GEOGCS["wgs84"], "Cylindrical_Equal_Area",
+            [("standard_parallel_1", c.params[0]), ("central_meridian", 0),
+             ("false_easting", 0), ("false_northing", 0)])
+    if c.kind == "aea":
+        lat1, lat2, lat0, lon0, fe, fn = c.params
+        return _wkt_projcs(
+            c.name, _WKT_GEOGCS["wgs84"], "Albers_Conic_Equal_Area",
+            [("standard_parallel_1", lat1), ("standard_parallel_2", lat2),
+             ("latitude_of_center", lat0), ("longitude_of_center", lon0),
+             ("false_easting", fe), ("false_northing", fn)])
+    raise ValueError(f"no WKT form for kind {c.kind!r}")
+
+
+def _wkt_parse(s: str, pos: int = 0):
+    """Recursive WKT1 node parser: NAME["quoted", 1.5, CHILD[...]] ->
+    (name, [items]); items are str (quoted), float, or nested tuples."""
+    n = len(s)
+    while pos < n and s[pos].isspace():
+        pos += 1
+    start = pos
+    while pos < n and (s[pos].isalnum() or s[pos] in "_"):
+        pos += 1
+    name = s[start:pos]
+    while pos < n and s[pos].isspace():
+        pos += 1
+    if pos >= n or s[pos] != "[":
+        raise ValueError(f"WKT parse error at {pos}: expected '['")
+    pos += 1
+    items = []
+    while True:
+        while pos < n and s[pos].isspace():
+            pos += 1
+        if pos >= n:
+            raise ValueError("unterminated WKT node")
+        ch = s[pos]
+        if ch == "]":
+            return (name, items), pos + 1
+        if ch == ",":
+            pos += 1
+            continue
+        if ch == '"':
+            end = s.index('"', pos + 1)
+            items.append(s[pos + 1:end])
+            pos = end + 1
+        elif ch.isalpha():
+            # identifier: a nested NODE[...] or a bare keyword (e.g. the
+            # EAST/NORTH axis directions in GDAL output)
+            probe = pos
+            while probe < n and (s[probe].isalnum() or s[probe] == "_"):
+                probe += 1
+            after = probe
+            while after < n and s[after].isspace():
+                after += 1
+            if after < n and s[after] == "[":
+                node, pos = _wkt_parse(s, pos)
+                items.append(node)
+            else:
+                items.append(s[pos:probe])
+                pos = probe
+        else:
+            start = pos
+            while pos < n and s[pos] not in ",]":
+                pos += 1
+            items.append(float(s[start:pos].strip()))
+
+
+def _wkt_children(node, name):
+    return [it for it in node[1]
+            if isinstance(it, tuple) and it[0].upper() == name]
+
+
+def from_wkt(s: str) -> CrsDef:
+    """Construct a CrsDef from a WKT1 string (GEOGCS or PROJCS) —
+    inverse of :func:`to_wkt`; unsupported projections/datums raise."""
+    root, _ = _wkt_parse(s)
+    kind = root[0].upper()
+    if kind == "GEOGCS":
+        datums = _wkt_children(root, "DATUM")
+        dname = str(datums[0][1][0]) if datums else ""
+        if "1927" in dname:
+            return LONLAT_NAD27
+        if "1983" in dname:
+            return LONLAT_NAD83
+        return LONLAT
+    if kind != "PROJCS":
+        raise ValueError(f"unsupported WKT root {root[0]!r}")
+    proj_nodes = _wkt_children(root, "PROJECTION")
+    if not proj_nodes:
+        raise ValueError("PROJCS without PROJECTION")
+    proj = str(proj_nodes[0][1][0])
+    p = {str(it[1][0]).lower(): float(it[1][1])
+         for it in _wkt_children(root, "PARAMETER")}
+
+    def g(key, default=0.0):
+        return p.get(key, default)
+
+    k0 = g("scale_factor", 1.0)
+    if proj == "Mercator_1SP":
+        geogs = _wkt_children(root, "GEOGCS")
+        sph = _wkt_children(geogs[0], "DATUM") and \
+            _wkt_children(_wkt_children(geogs[0], "DATUM")[0], "SPHEROID")
+        inv_f = float(sph[0][1][2]) if sph else 0.0
+        if (inv_f != 0.0 or g("central_meridian") != 0.0 or k0 != 1.0
+                or g("false_easting") != 0.0 or g("false_northing") != 0.0):
+            raise ValueError(
+                "unsupported Mercator_1SP variant (only spherical "
+                "Web Mercator)")
+        return WEB_MERCATOR
+    if proj == "Transverse_Mercator":
+        if g("latitude_of_origin") != 0.0:
+            raise ValueError("Transverse_Mercator with non-zero "
+                             "latitude_of_origin not supported")
+        lon0, fe, fn = g("central_meridian"), g("false_easting"), \
+            g("false_northing")
+        if (k0 == 0.9996 and fe == 500000.0 and fn in (0.0, 10000000.0)
+                and (lon0 + 183.0) % 6.0 == 0.0):
+            return utm(int(round((lon0 + 183.0) / 6.0)), fn != 0.0)
+        return tmerc(lon0, k0, fe, fn)
+    if proj == "Polar_Stereographic":
+        lat0 = g("latitude_of_origin", 90.0)
+        sgn = 1.0 if lat0 >= 0 else -1.0
+        params = (sgn, g("central_meridian"), abs(lat0), k0,
+                  g("false_easting"), g("false_northing"))
+        for named in (UPS_NORTH, UPS_SOUTH, NSIDC_NORTH, NSIDC_SOUTH):
+            if named.params == params:
+                return named
+        return CrsDef(f"stere_{params[1]}_{params[2]}_{params[3]}",
+                      "stere", params)
+    if proj == "Lambert_Azimuthal_Equal_Area":
+        if g("latitude_of_center") != 0.0:
+            raise ValueError("oblique LAEA not supported (equatorial only)")
+        lon0 = g("longitude_of_center")
+        return LAEA_WGS84 if lon0 == 0.0 else CrsDef(f"laea_{lon0}",
+                                                     "laea", (lon0,))
+    if proj == "Cylindrical_Equal_Area":
+        lat_ts = g("standard_parallel_1")
+        return GALL_PETERS if lat_ts == 45.0 else CrsDef(f"cea_{lat_ts}",
+                                                         "cea", (lat_ts,))
+    if proj == "Albers_Conic_Equal_Area":
+        return albers(g("standard_parallel_1"), g("standard_parallel_2"),
+                      g("latitude_of_center"), g("longitude_of_center"),
+                      g("false_easting"), g("false_northing"))
+    raise ValueError(f"unsupported WKT projection {proj!r}")
 
 
 def reproject(df: DataFrame, src: CrsDef | str, dst: CrsDef | str,

@@ -154,3 +154,66 @@ class TestOversizedBucketStats:
         kept = _drop_oversized_buckets(banded, ("band", "key"), 5)
         assert kept.count() == 3
         assert oversized_bucket_stats(banded, ("band", "key"), 100).count() == 0
+
+
+class TestWkt:
+    """VERDICT r3 item 7: WKT1 interchange surface mirroring the
+    reference's CRS.get_wkt (crs.py:143-158, via osgeo.osr there)."""
+
+    def test_named_registry_roundtrip(self):
+        from karta_spark.functions import crs
+        named = [crs.LONLAT, crs.LONLAT_NAD27, crs.LONLAT_NAD83,
+                 crs.WEB_MERCATOR, crs.UPS_NORTH, crs.UPS_SOUTH,
+                 crs.NSIDC_NORTH, crs.NSIDC_SOUTH, crs.LAEA_WGS84,
+                 crs.GALL_PETERS, crs.utm(10), crs.utm(33, True),
+                 crs.tmerc(9.0), crs.albers(55, 65, 50, -154)]
+        for c in named:
+            back = crs.from_wkt(crs.to_wkt(c))
+            assert back == c, (c.name, back.name)
+
+    def test_parses_gdal_flavored_epsg32610(self):
+        # real-world WKT with AUTHORITY/AXIS decorations the emitter omits
+        from karta_spark.functions import crs
+        s = ('PROJCS["WGS 84 / UTM zone 10N",GEOGCS["WGS 84",'
+             'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,'
+             'AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+             'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+             'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+             'AUTHORITY["EPSG","4326"]],PROJECTION["Transverse_Mercator"],'
+             'PARAMETER["latitude_of_origin",0],'
+             'PARAMETER["central_meridian",-123],'
+             'PARAMETER["scale_factor",0.9996],'
+             'PARAMETER["false_easting",500000],'
+             'PARAMETER["false_northing",0],'
+             'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+             'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
+             'AUTHORITY["EPSG","32610"]]')
+        assert crs.from_wkt(s) == crs.utm(10)
+
+    def test_geogcs_datum_dispatch(self):
+        from karta_spark.functions import crs
+        assert crs.from_wkt(crs.to_wkt(crs.LONLAT)) is crs.LONLAT
+        nad27 = ('GEOGCS["NAD27",DATUM["North_American_Datum_1927",'
+                 'SPHEROID["Clarke 1866",6378206.4,294.978698213898]],'
+                 'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]')
+        assert crs.from_wkt(nad27) is crs.LONLAT_NAD27
+
+    def test_unsupported_projection_raises(self):
+        from karta_spark.functions import crs
+        s = ('PROJCS["x",GEOGCS["WGS 84",DATUM["WGS_1984",'
+             'SPHEROID["WGS 84",6378137,298.257223563]],'
+             'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+             'PROJECTION["Sinusoidal"],PARAMETER["central_meridian",0],'
+             'UNIT["metre",1]]')
+        with pytest.raises(ValueError, match="Sinusoidal"):
+            crs.from_wkt(s)
+
+    def test_ellipsoidal_mercator_wkt_raises(self):
+        from karta_spark.functions import crs
+        s = ('PROJCS["x",GEOGCS["WGS 84",DATUM["WGS_1984",'
+             'SPHEROID["WGS 84",6378137,298.257223563]],'
+             'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+             'PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],'
+             'PARAMETER["scale_factor",1],UNIT["metre",1]]')
+        with pytest.raises(ValueError, match="Mercator"):
+            crs.from_wkt(s)
