@@ -26,9 +26,10 @@ import struct
 import zlib
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from karta_spark.raster.tiles import df_to_grid, grid_to_df
+from karta_spark.raster.tiles import TILE_SCHEMA, df_to_grid, grid_to_df
 
 _DTYPES = {
     (8, 1): np.uint8, (16, 1): np.uint16, (32, 1): np.uint32,
@@ -320,55 +321,86 @@ def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64,
             f.write(c)
 
 
-def _read_geotiff_arrays(path: str):
-    """Parse a GeoTIFF into (bands: list[np.ndarray LL-row-first float64],
-    transform). Pure python/numpy."""
-    with open(path, "rb") as f:
-        buf = f.read()
-    if buf[:4] not in (b"II*\x00",):
-        raise ValueError("only little-endian baseline TIFF supported")
-    (ifd_off,) = struct.unpack_from("<I", buf, 4)
-    (n,) = struct.unpack_from("<H", buf, ifd_off)
-    tags = {}
-    for i in range(n):
-        tag, ftype, count, raw = struct.unpack_from("<HHI4s", buf, ifd_off + 2 + i * 12)
-        tags[tag] = (ftype, count, raw)
+class TiffMeta:
+    """Parsed IFD of a baseline GeoTIFF — all metadata, NO pixel data.
+    Reads the header, IFD and external tag arrays with seeks (a few KB
+    regardless of file size), so windowed and distributed scans can plan
+    byte ranges without touching the raster — the lazy-band analog of the
+    reference's GdalFileBand (_gdal.py:17-57, which reads strips on
+    demand through GDAL)."""
 
-    def tag_ints(tag, default=None):
-        if tag not in tags:
-            if default is not None:
-                return default
-            raise KeyError(f"missing TIFF tag {tag}")
-        ftype, count, raw = tags[tag]
-        size = {3: 2, 4: 4}[ftype]
-        if count * size <= 4:
-            vals = struct.unpack_from(f"<{count}{'H' if ftype == 3 else 'I'}", raw)
-        else:
+    def __init__(self, f):
+        head = f.read(8)
+        if head[:4] != b"II*\x00":
+            raise ValueError("only little-endian baseline TIFF supported")
+        (ifd_off,) = struct.unpack_from("<I", head, 4)
+        f.seek(ifd_off)
+        (n,) = struct.unpack("<H", f.read(2))
+        body = f.read(n * 12)
+        tags = {}
+        for i in range(n):
+            tag, ftype, count, raw = struct.unpack_from("<HHI4s", body, i * 12)
+            tags[tag] = (ftype, count, raw)
+
+        def tag_ints(tag, default=None):
+            if tag not in tags:
+                if default is not None:
+                    return default
+                raise KeyError(f"missing TIFF tag {tag}")
+            ftype, count, raw = tags[tag]
+            size = {3: 2, 4: 4}[ftype]
+            code = "H" if ftype == 3 else "I"
+            if count * size <= 4:
+                return list(struct.unpack_from(f"<{count}{code}", raw))
             (off,) = struct.unpack("<I", raw)
-            vals = struct.unpack_from(f"<{count}{'H' if ftype == 3 else 'I'}", buf, off)
-        return list(vals)
+            f.seek(off)
+            return list(struct.unpack(f"<{count}{code}", f.read(count * size)))
 
-    def tag_doubles(tag):
-        _, count, raw = tags[tag]
-        (off,) = struct.unpack("<I", raw)
-        return list(struct.unpack_from(f"<{count}d", buf, off))
+        def tag_doubles(tag):
+            _, count, raw = tags[tag]
+            (off,) = struct.unpack("<I", raw)
+            f.seek(off)
+            return list(struct.unpack(f"<{count}d", f.read(count * 8)))
 
-    nx = tag_ints(256)[0]
-    ny = tag_ints(257)[0]
-    spp = tag_ints(277, default=[1])[0]
-    bits_l = tag_ints(258)
-    if len(set(bits_l)) != 1:
-        raise NotImplementedError("per-band BitsPerSample must be uniform")
-    bits = bits_l[0]
-    comp = tag_ints(259, default=[1])[0]
-    planar = tag_ints(284, default=[1])[0]
-    predictor = tag_ints(317, default=[1])[0]
-    if planar != 1:
-        raise NotImplementedError("PlanarConfiguration=2 (planar) not supported")
-    fmt = tag_ints(339, default=[1])[0]
-    dtype = np.dtype(_DTYPES[(bits, fmt)])
+        self.nx = tag_ints(256)[0]
+        self.ny = tag_ints(257)[0]
+        self.spp = tag_ints(277, default=[1])[0]
+        bits_l = tag_ints(258)
+        if len(set(bits_l)) != 1:
+            raise NotImplementedError("per-band BitsPerSample must be uniform")
+        self.comp = tag_ints(259, default=[1])[0]
+        planar = tag_ints(284, default=[1])[0]
+        if planar != 1:
+            raise NotImplementedError(
+                "PlanarConfiguration=2 (planar) not supported")
+        self.predictor = tag_ints(317, default=[1])[0]
+        fmt = tag_ints(339, default=[1])[0]
+        self.dtype = np.dtype(_DTYPES[(bits_l[0], fmt)])
+        self.tiled = 322 in tags
+        if self.tiled:  # tile-organized (TIFF §15: tags 322-325)
+            self.tw = tag_ints(322)[0]
+            self.th = tag_ints(323)[0]
+            self.offsets = tag_ints(324)
+            self.counts = tag_ints(325)
+            self.ntx = (self.nx + self.tw - 1) // self.tw
+            self.nty = (self.ny + self.th - 1) // self.th
+            if len(self.offsets) != self.ntx * self.nty:
+                raise ValueError("tile count mismatch (planar/multi-IFD "
+                                 "tile layout not supported)")
+        else:
+            self.offsets = tag_ints(273)
+            self.counts = tag_ints(279)
+            self.rows_per_strip = tag_ints(278, default=[self.ny])[0]
+        dxs = tag_doubles(33550)
+        tie = tag_doubles(33922)
+        self.dx, self.dy = dxs[0], dxs[1]
+        self.x0 = tie[3]
+        y_top = tie[4]
+        self.y0 = y_top - self.ny * self.dy  # UL tiepoint -> LL corner
+        self.transform = (self.x0, self.y0, self.dx, self.dy, 0.0, 0.0)
 
-    def decompress(raw, expected):
+    def _decompress(self, raw, expected):
+        comp = self.comp
         if comp == COMPRESSION_NONE:
             return raw
         if comp in (COMPRESSION_DEFLATE_ADOBE, COMPRESSION_DEFLATE_OLD):
@@ -380,56 +412,85 @@ def _read_geotiff_arrays(path: str):
         raise NotImplementedError(f"TIFF compression {comp} not supported "
                                   "(none/deflate/lzw/packbits are)")
 
-    def undo_predictor(chunk):
-        if predictor == 2:
-            if not np.issubdtype(dtype, np.integer):
+    def _undo_predictor(self, chunk):
+        if self.predictor == 2:
+            if not np.issubdtype(self.dtype, np.integer):
                 raise NotImplementedError("predictor=2 on float samples")
-            return np.cumsum(chunk, axis=1, dtype=dtype)
+            return np.cumsum(chunk, axis=1, dtype=self.dtype)
         return chunk
 
-    if 322 in tags:  # tile-organized (TIFF §15: tags 322-325)
-        tw = tag_ints(322)[0]
-        th = tag_ints(323)[0]
-        offsets = tag_ints(324)
-        counts = tag_ints(325)
-        ntx = (nx + tw - 1) // tw
-        nty = (ny + th - 1) // th
-        if len(offsets) != ntx * nty:
-            raise ValueError("tile count mismatch (planar/multi-IFD tile "
-                             "layout not supported)")
-        expected = th * tw * spp * dtype.itemsize
-        arr = np.zeros((nty * th, ntx * tw, spp), dtype=dtype)
-        for k, (o, c) in enumerate(zip(offsets, counts)):
-            data = decompress(buf[o:o + c], expected)
-            t = np.frombuffer(data[:expected], dtype="<" + dtype.str[1:])
-            t = undo_predictor(t.reshape(th, tw, spp))
-            ty, tx = divmod(k, ntx)
-            arr[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw] = t
-        arr = arr[:ny, :nx]  # drop edge-tile padding
-    else:
-        offsets = tag_ints(273)
-        counts = tag_ints(279)
-        rows_per_strip = tag_ints(278, default=[ny])[0]
-        row_bytes = nx * spp * dtype.itemsize
-        chunks = []
-        for k, (o, c) in enumerate(zip(offsets, counts)):
-            strip_rows = min(rows_per_strip, ny - k * rows_per_strip)
-            expected = strip_rows * row_bytes
-            data = decompress(buf[o:o + c], expected)
-            strip = np.frombuffer(data[:expected], dtype="<" + dtype.str[1:])
-            strip = undo_predictor(strip.reshape(strip_rows, nx, spp))
-            chunks.append(strip)
-        arr = np.concatenate(chunks, axis=0)  # (ny, nx, spp) top-down
+    def read_chunk(self, f, k) -> np.ndarray:
+        """Decode chunk *k* by seeking to its byte range: (rows, cols, spp)
+        top-down, tiles padded to (th, tw), strips sized to their rows."""
+        f.seek(self.offsets[k])
+        raw = f.read(self.counts[k])
+        if self.tiled:
+            rows, cols = self.th, self.tw
+        else:
+            rows = min(self.rows_per_strip,
+                       self.ny - k * self.rows_per_strip)
+            cols = self.nx
+        expected = rows * cols * self.spp * self.dtype.itemsize
+        data = self._decompress(raw, expected)
+        chunk = np.frombuffer(data[:expected], dtype="<" + self.dtype.str[1:])
+        return self._undo_predictor(chunk.reshape(rows, cols, self.spp))
 
-    dxs = tag_doubles(33550)
-    tie = tag_doubles(33922)
-    dx, dy = dxs[0], dxs[1]
-    x0 = tie[3]
-    y_top = tie[4]
-    y0 = y_top - ny * dy  # UL tiepoint -> LL-corner convention
-    transform = (x0, y0, dx, dy, 0.0, 0.0)
-    bands = [arr[::-1, :, b].astype(np.float64) for b in range(spp)]
-    return bands, transform
+    def read_window(self, f, r0: int, r1: int, c0: int, c1: int) -> np.ndarray:
+        """(r1-r0, c1-c0, spp) top-down window decoded from ONLY the
+        chunks it intersects."""
+        if not (0 <= r0 <= r1 <= self.ny and 0 <= c0 <= c1 <= self.nx):
+            raise ValueError("window out of raster bounds")
+        out = np.zeros((r1 - r0, c1 - c0, self.spp), dtype=self.dtype)
+        if self.tiled:
+            for ty in range(r0 // self.th, (max(r1, r0 + 1) - 1) // self.th + 1):
+                for tx in range(c0 // self.tw,
+                                (max(c1, c0 + 1) - 1) // self.tw + 1):
+                    chunk = self.read_chunk(f, ty * self.ntx + tx)
+                    tr0, tc0 = ty * self.th, tx * self.tw
+                    rr0, rr1 = max(r0, tr0), min(r1, tr0 + self.th)
+                    cc0, cc1 = max(c0, tc0), min(c1, tc0 + self.tw)
+                    if rr0 >= rr1 or cc0 >= cc1:
+                        continue
+                    out[rr0 - r0:rr1 - r0, cc0 - c0:cc1 - c0] = \
+                        chunk[rr0 - tr0:rr1 - tr0, cc0 - tc0:cc1 - tc0]
+        else:
+            rps = self.rows_per_strip
+            for k in range(r0 // rps, (max(r1, r0 + 1) - 1) // rps + 1):
+                chunk = self.read_chunk(f, k)
+                sr0 = k * rps
+                rr0, rr1 = max(r0, sr0), min(r1, sr0 + chunk.shape[0])
+                if rr0 >= rr1:
+                    continue
+                out[rr0 - r0:rr1 - r0, :] = \
+                    chunk[rr0 - sr0:rr1 - sr0, c0:c1]
+        return out
+
+
+def _read_geotiff_arrays(path: str):
+    """Parse a GeoTIFF into (bands: list[np.ndarray LL-row-first float64],
+    transform). Pure python/numpy."""
+    with open(path, "rb") as f:
+        m = TiffMeta(f)
+        arr = m.read_window(f, 0, m.ny, 0, m.nx)
+    bands = [arr[::-1, :, b].astype(np.float64) for b in range(m.spp)]
+    return bands, m.transform
+
+
+def read_geotiff_window(path: str, i0: int, j0: int, ny: int, nx: int,
+                        band: int = 0):
+    """Read ONLY the strips/tiles covering a window of a (possibly huge)
+    GeoTIFF — the lazy disk-backed band path (reference GdalFileBand,
+    _gdal.py:17-57).  Window in the tile-table grid convention: (i0, j0)
+    = lower-left corner in LL-row-first pixel coordinates.  Returns
+    (values LL-row-first float64, window transform)."""
+    with open(path, "rb") as f:
+        m = TiffMeta(f)
+        r1 = m.ny - i0          # top-down row range covering the window
+        r0 = m.ny - (i0 + ny)
+        arr = m.read_window(f, r0, r1, j0, j0 + nx)
+    vals = arr[::-1, :, band].astype(np.float64)
+    t = (m.x0 + j0 * m.dx, m.y0 + i0 * m.dy, m.dx, m.dy, 0.0, 0.0)
+    return vals, t
 
 
 def read_geotiff(spark: SparkSession, path: str, grid_id: str = "gtiff",
@@ -437,7 +498,8 @@ def read_geotiff(spark: SparkSession, path: str, grid_id: str = "gtiff",
                  ibands: list[int] | None = None) -> DataFrame:
     """Parse a GeoTIFF into a tile table (one band column value per band,
     mirroring the reference's read_geotiff ibands selection,
-    raster/read.py:27-62)."""
+    raster/read.py:27-62).  Driver-side decode — fine for reference
+    layers; use :func:`read_geotiff_distributed` for big rasters."""
     bands, transform = _read_geotiff_arrays(path)
     sel = ibands if ibands is not None else range(len(bands))
     out = None
@@ -446,3 +508,60 @@ def read_geotiff(spark: SparkSession, path: str, grid_id: str = "gtiff",
                         nodata=nodata, band=int(b), tile=tile)
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def read_geotiff_distributed(spark: SparkSession, path: str,
+                             grid_id: str = "gtiff", tile: int = 256,
+                             nodata: float = float("nan"), band: int = 0,
+                             halo: int = 1) -> DataFrame:
+    """Distributed lazy GeoTIFF scan: the DRIVER parses only the IFD (a
+    few KB); each Spark task then opens the file and seeks to exactly the
+    strip/tile byte ranges its output tiles need (TiffMeta.read_window).
+    Nothing driver-side scales with raster size — the Spark-shaped
+    replacement for the reference's on-demand GdalFileBand strip reads
+    (_gdal.py:17-57).  The path must be visible to executors (shared FS /
+    object store — the standard cluster layout for raster sidecars).
+
+    Output is the standard halo'd tile table (TILE_SCHEMA), so stencil /
+    sampling / mask operators run on it unchanged."""
+    with open(path, "rb") as f:
+        m = TiffMeta(f)
+    gny, gnx = m.ny, m.nx
+    transform = m.transform
+    specs = []
+    for i0 in range(0, gny, tile):
+        for j0 in range(0, gnx, tile):
+            specs.append((i0 // tile, j0 // tile, i0, j0,
+                          min(tile, gny - i0), min(tile, gnx - j0)))
+    spec_df = spark.createDataFrame(
+        specs, "tile_i int, tile_j int, i0 int, j0 int, ny int, nx int")
+    spec_df = spec_df.repartition(min(len(specs), 64))
+    t = {"x0": transform[0], "y0": transform[1], "dx": transform[2],
+         "dy": transform[3], "sx": 0.0, "sy": 0.0}
+    cols = [f.split(" ")[0] for f in TILE_SCHEMA.split(", ")]
+
+    def gen(batches):
+        with open(path, "rb") as fh:
+            meta = TiffMeta(fh)
+            for pdf in batches:
+                rows = []
+                for ti, tj, i0, j0, ny, nx in zip(
+                        pdf["tile_i"], pdf["tile_j"], pdf["i0"], pdf["j0"],
+                        pdf["ny"], pdf["nx"]):
+                    ti, tj, i0, j0, ny, nx = (int(ti), int(tj), int(i0),
+                                              int(j0), int(ny), int(nx))
+                    ilo, ihi = max(i0 - halo, 0), min(i0 + ny + halo, gny)
+                    jlo, jhi = max(j0 - halo, 0), min(j0 + nx + halo, gnx)
+                    r1 = gny - ilo          # LL rows -> top-down rows
+                    r0 = gny - ihi
+                    win = meta.read_window(fh, r0, r1, jlo, jhi)
+                    vals = win[::-1, :, band].astype(np.float64)
+                    blk = np.full((ny + 2 * halo, nx + 2 * halo), np.nan)
+                    blk[halo - (i0 - ilo): halo - (i0 - ilo) + (ihi - ilo),
+                        halo - (j0 - jlo): halo - (j0 - jlo) + (jhi - jlo)] = vals
+                    rows.append((grid_id, band, ti, tj, i0, j0, ny, nx, halo,
+                                 blk.ravel().tolist(), t, float(nodata),
+                                 gny, gnx))
+                yield pd.DataFrame(rows, columns=cols)
+
+    return spec_df.mapInPandas(gen, TILE_SCHEMA)

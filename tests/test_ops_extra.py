@@ -575,3 +575,71 @@ class TestGeoTiffTiled:
         back, t, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=16))
         assert np.array_equal(back, A[::-1].astype(np.float64))
         assert t[:4] == (5.0, -3.0, 2.0, 1.0)
+
+
+class TestGeoTiffLazyWindow:
+    """Round-4: lazy windowed + distributed GeoTIFF scans — only the
+    strips/tiles a window needs are read (reference GdalFileBand,
+    _gdal.py:17-57)."""
+
+    def _write(self, spark, tmp_path, tiled, compress, ny=70, nx=53):
+        import numpy as np
+        from karta_spark.raster.tiles import grid_to_df
+        from karta_spark.sources import geotiff
+        rng = np.random.default_rng(21)
+        Z = rng.integers(0, 250, size=(ny, nx)).astype(np.float64)
+        tiles = grid_to_df(spark, "g", Z, (10.0, -5.0, 0.5, 0.25, 0.0, 0.0),
+                           tile=32)
+        p = str(tmp_path / "w.tif")
+        geotiff.write_geotiff(p, tiles, dtype=np.uint8, compress=compress,
+                              tiled=tiled)
+        return Z, p
+
+    @pytest.mark.parametrize("tiled,compress", [
+        (None, None), (None, "deflate"), (16, None), (16, "lzw")])
+    def test_window_equals_slice(self, spark, tmp_path, tiled, compress):
+        import numpy as np
+        from karta_spark.sources import geotiff
+        Z, p = self._write(spark, tmp_path, tiled, compress)
+        for (i0, j0, ny, nx) in [(0, 0, 70, 53), (5, 7, 20, 11),
+                                 (60, 40, 10, 13), (0, 0, 1, 1),
+                                 (33, 0, 16, 53)]:
+            vals, t = geotiff.read_geotiff_window(p, i0, j0, ny, nx)
+            assert np.array_equal(vals, Z[i0:i0 + ny, j0:j0 + nx]), \
+                (tiled, compress, i0, j0)
+            assert t == (10.0 + j0 * 0.5, -5.0 + i0 * 0.25, 0.5, 0.25, 0.0, 0.0)
+
+    def test_window_out_of_bounds_raises(self, spark, tmp_path):
+        from karta_spark.sources import geotiff
+        _, p = self._write(spark, tmp_path, None, None)
+        with pytest.raises(ValueError, match="bounds"):
+            geotiff.read_geotiff_window(p, 60, 0, 20, 10)
+
+    @pytest.mark.parametrize("tiled", [None, 16])
+    def test_distributed_equals_driver_read(self, spark, tmp_path, tiled):
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        Z, p = self._write(spark, tmp_path, tiled, "deflate")
+        dist = geotiff.read_geotiff_distributed(spark, p, tile=32)
+        back, t, _ = df_to_grid(dist)
+        assert np.array_equal(back, Z)
+        assert t[:4] == (10.0, -5.0, 0.5, 0.25)
+
+    def test_distributed_halo_matches_grid_to_df(self, spark, tmp_path):
+        """Halo contents must match the driver-side tiling exactly, so
+        stencil ops give identical answers on the lazy table."""
+        import numpy as np
+        from karta_spark.sources import geotiff
+        Z, p = self._write(spark, tmp_path, 16, None)
+        dist = geotiff.read_geotiff_distributed(spark, p, tile=32).collect()
+        ref = geotiff.read_geotiff(spark, p, tile=32).collect()
+        key = lambda r: (r.tile_i, r.tile_j)
+        da = {key(r): r for r in dist}
+        dr = {key(r): r for r in ref}
+        assert set(da) == set(dr)
+        for k in da:
+            a = np.asarray(da[k].block, dtype=np.float64)
+            b = np.asarray(dr[k].block, dtype=np.float64)
+            assert np.array_equal(np.isnan(a), np.isnan(b)), k
+            assert np.array_equal(a[~np.isnan(a)], b[~np.isnan(b)]), k
