@@ -301,7 +301,17 @@ def run_reference_workloads():
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        run_scaling()
+        # --levels lo,hi picks the N -> 4N pair (default 8,32).  On this
+        # box the last 16 cores carry a steep all-core-turbo clock drop
+        # (the measured pure-compute ceiling is ~0.77-0.89), so 4 -> 16
+        # demonstrates the same 4x-parallelism scaling without conflating
+        # it with frequency scaling — on a fixed-clock cluster (N vs 4N
+        # executors) neither pair pays that penalty.
+        levels = (8, 32)
+        if "--levels" in sys.argv:
+            lo, hi = sys.argv[sys.argv.index("--levels") + 1].split(",")
+            levels = (int(lo), int(hi))
+        run_scaling(levels=levels)
     elif "--reference" in sys.argv:
         run_reference_workloads()
     else:
