@@ -1993,6 +1993,63 @@ GROUP BY 1
 """
 
 
+def q60_geotiff_window_census(spark, sf_dir):
+    """Lazy tiled-GeoTIFF scan census (round 4): synthesize a
+    closed-form grid, write it as a TILED + LZW GeoTIFF (tags 322-325),
+    re-read it with the DISTRIBUTED lazy scan (driver parses only the
+    IFD; every executor task seeks to exactly the tile byte ranges its
+    halo'd output tiles need — geotiff.TiffMeta.read_window), explode to
+    cells and census three windows.
+
+    Value-oracle-exact because the content is integer closed-form
+    ((i*31 + j*17) % 97 as uint8): DuckDB regenerates every cell from
+    the formula, so any tile-placement / LZW / predictor / edge-padding
+    / halo bug in the lazy read path moves a sum and fails the hash
+    gate."""
+    import os
+    import tempfile
+    from karta_spark.raster.tiles import grid_to_df, tile_cells
+    from karta_spark.sources import geotiff
+    ny, nx = 120, 90
+    ii, jj = np.mgrid[0:ny, 0:nx]
+    Z = ((ii * 31 + jj * 17) % 97).astype(np.float64)
+    path = os.path.join(tempfile.gettempdir(), "karta_q60_lazy.tif")
+    tiles = grid_to_df(spark, "q60", Z, (0.0, 0.0, 1.0, 1.0, 0.0, 0.0),
+                       tile=32)
+    geotiff.write_geotiff(path, tiles, dtype=np.uint8, compress="lzw",
+                          tiled=16)
+    cells_df = tile_cells(
+        geotiff.read_geotiff_distributed(spark, path, tile=32))
+    i = F.col("cell_i")
+    j = F.col("cell_j")
+    w1 = cells_df.where((i >= 10) & (i < 40) & (j >= 5) & (j < 50)) \
+                 .withColumn("win", F.lit("w1"))
+    w2 = cells_df.where((i >= 100) & (j >= 60)).withColumn("win", F.lit("w2"))
+    wf = cells_df.withColumn("win", F.lit("full"))
+    v = F.col("value").cast("long")
+    return (w1.unionByName(w2).unionByName(wf)
+            .groupBy("win")
+            .agg(F.count("*").cast("long").alias("n_cells"),
+                 F.sum(v).alias("sum_v"),
+                 F.min(v).alias("min_v"),
+                 F.max(v).alias("max_v")))
+
+
+Q60_SQL = """
+WITH g AS (
+  SELECT i, j, (i*31 + j*17) % 97 AS v
+  FROM range(120) t(i), range(90) s(j)
+), w AS (
+  SELECT 'w1' AS win, v FROM g WHERE i >= 10 AND i < 40 AND j >= 5 AND j < 50
+  UNION ALL SELECT 'w2', v FROM g WHERE i >= 100 AND j >= 60
+  UNION ALL SELECT 'full', v FROM g
+)
+SELECT win, CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+FROM w GROUP BY win
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2054,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_resize_census": q57_resize_census,
         "q58_phash_neardup": q58_phash_neardup,
         "q59_jpeg_modes_census": q59_jpeg_modes_census,
+        "q60_geotiff_window_census": q60_geotiff_window_census,
     }
 
 
@@ -2100,6 +2158,7 @@ def oracle_sql() -> dict[str, str]:
         "q57_resize_census": Q57_SQL,
         "q58_phash_neardup": Q58_SQL,
         "q59_jpeg_modes_census": Q59_SQL,
+        "q60_geotiff_window_census": Q60_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,
