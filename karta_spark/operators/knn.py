@@ -17,9 +17,27 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 from karta_spark.functions import cells
 from karta_spark.functions.geodesy import plane_distance, sphere_distance
+
+
+def _sphere_dist_np(lon1, lat1, lon2, lat2, radius: float = 6370997.0):
+    """numpy twin of geodesy.sphere_distance (two-branch rule,
+    geodesy.py:96-108) — identical op sequence for float parity."""
+    import numpy as np
+    rlon1, rlat1 = np.radians(lon1), np.radians(lat1)
+    rlon2, rlat2 = np.radians(lon2), np.radians(lat2)
+    dx = np.abs(rlon1 - rlon2)
+    dy = np.abs(rlat1 - rlat2)
+    loc = np.arccos(np.clip(
+        np.sin(rlat1) * np.sin(rlat2)
+        + np.cos(rlat1) * np.cos(rlat2) * np.cos(dx), -1.0, 1.0))
+    hav = 2.0 * np.arcsin(np.sqrt(
+        np.sin(dy / 2) ** 2
+        + np.cos(rlat1) * np.cos(rlat2) * np.sin(dx / 2) ** 2))
+    return np.where((dx > 0.01) | (dy > 0.01), loc, hav) * radius
 
 
 def _dist(qx, qy, px, py, spherical: bool):
@@ -137,11 +155,88 @@ def auto_zoom(n_points: int, k: int, per_tile_factor: float = 128.0,
     return max(lo, min(hi, z))
 
 
+def knn_broadcast_kernel(
+    queries: DataFrame, points: DataFrame, k: int,
+    query_id: str = "query_id", point_id: str = "point_id",
+    qx: str = "qx", qy: str = "qy", px: str = "x", py: str = "y",
+    spherical: bool = False,
+) -> DataFrame:
+    """Exact kNN for a BROADCAST-SMALL point side: the points collect to
+    the driver (bounded — the caller gates on count), ship in the UDF
+    closure, and each Arrow batch of queries evaluates all distances as
+    one numpy matrix + argpartition top-k.  No join, no window shuffle —
+    one narrow pass over the query side, so the query side can be any
+    size.  The small-side twin of the cell-ring join (same role the
+    broadcast arm plays for point_in_polygon_join).
+
+    Float parity: the planar kernel evaluates sqrt(dx*dx + dy*dy) —
+    pure arithmetic, BIT-identical to the Catalyst expression (pinned by
+    test).  The spherical kernel replicates sphere_distance's two-branch
+    rule with the same op sequence, but numpy's libm trig can differ
+    from the JVM's in the last ulp — ranks agree except on exact
+    near-ties; knn_join therefore auto-dispatches here only for planar."""
+    import numpy as np
+    import pandas as pd
+
+    rows = points.select(point_id, px, py).collect()
+    pids = np.array([r[0] for r in rows])
+    pxs = np.array([float(r[1]) for r in rows], dtype=np.float64)
+    pys = np.array([float(r[2]) for r in rows], dtype=np.float64)
+    order0 = np.argsort(pids, kind="stable")  # pre-sort for tie-breaks
+    pids, pxs, pys = pids[order0], pxs[order0], pys[order0]
+    n_p = len(pids)
+    kk = min(k, n_p)
+    # chunk the query batch so the distance matrix stays ~32 MB
+    rows_per_chunk = max(1, 4_000_000 // max(n_p, 1))
+
+    q_field = queries.schema[query_id]
+    p_field = points.schema[point_id]
+    schema = StructType([q_field, p_field,
+                         StructField("dist", DoubleType()),
+                         StructField("rank", IntegerType())])
+
+    def run(batches):
+        for pdf in batches:
+            qxa = pdf[qx].to_numpy(dtype=np.float64)
+            qya = pdf[qy].to_numpy(dtype=np.float64)
+            qida = pdf[query_id].to_numpy()
+            out_q, out_p, out_d, out_r = [], [], [], []
+            for s0 in range(0, len(qxa), rows_per_chunk):
+                cqx = qxa[s0:s0 + rows_per_chunk, None]
+                cqy = qya[s0:s0 + rows_per_chunk, None]
+                if spherical:
+                    d = _sphere_dist_np(cqx, cqy, pxs[None, :], pys[None, :])
+                else:
+                    dx = pxs[None, :] - cqx
+                    dy = pys[None, :] - cqy
+                    d = np.sqrt(dx * dx + dy * dy)
+                if kk < n_p:
+                    part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                else:
+                    part = np.broadcast_to(np.arange(n_p), (d.shape[0], n_p))
+                for r in range(d.shape[0]):
+                    # (dist asc, point_id asc): indices follow pid order
+                    # (arrays pre-sorted by pid), so sorting the selected
+                    # indices then a STABLE sort on distance yields the
+                    # exact row_number() tie-break of the ring path
+                    sel = np.sort(part[r])
+                    o = sel[np.argsort(d[r, sel], kind="stable")][:kk]
+                    out_q.extend([qida[s0 + r]] * kk)
+                    out_p.extend(pids[o].tolist())
+                    out_d.extend(d[r, o].tolist())
+                    out_r.extend(range(1, kk + 1))
+            yield pd.DataFrame({query_id: out_q, point_id: out_p,
+                                "dist": out_d, "rank": out_r})
+
+    return queries.mapInPandas(run, schema)
+
+
 def knn_join(
     queries: DataFrame, points: DataFrame, k: int, zoom: int | None = 6, ring: int = 1,
     query_id: str = "query_id", point_id: str = "point_id",
     qx: str = "qx", qy: str = "qy", px: str = "x", py: str = "y",
     spherical: bool = False, max_widen: int = 3,
+    small_points_threshold: int = 100_000,
 ) -> DataFrame:
     """Exact distributed kNN: cell-ring candidate join + top-k window +
     guarantee check with iterative widening for unsatisfied queries.
@@ -152,9 +247,27 @@ def knn_join(
     Mercator row shrink accounted for — see _covered_radius), no closer
     point can live outside the ring.  Queries failing the guarantee (or
     with < k candidates) re-run with a doubled ring; after ``max_widen``
-    rounds the remainder falls back to brute force (rare: empty regions)."""
+    rounds the remainder falls back to brute force (rare: empty regions).
+
+    ``zoom=None`` also enables the small-side dispatch: when the point
+    count (already needed for auto_zoom) is at most
+    ``small_points_threshold``, the whole ring machinery — its multiple
+    actions, persists and shuffles — costs more than the problem, and the
+    broadcast numpy kernel (knn_broadcast_kernel: one narrow pass over
+    queries, no join, no window) answers exactly; the query side may be
+    any size either way.  Same dispatch philosophy as the PIP join's
+    small_table_threshold."""
     if zoom is None:
-        zoom = auto_zoom(points.count(), k)
+        n_points = points.count()
+        # planar only: the planar kernel is pure arithmetic and therefore
+        # BIT-identical to the Catalyst expression; the spherical kernel's
+        # trig can drift a last ulp from the JVM's (Math.sin vs libm), so
+        # the spherical route keeps the ring plan (call the kernel
+        # explicitly if ulp-level drift is acceptable)
+        if n_points <= small_points_threshold and not spherical:
+            return knn_broadcast_kernel(queries, points, k, query_id,
+                                        point_id, qx, qy, px, py, spherical)
+        zoom = auto_zoom(n_points, k)
     pts = points.withColumn("_cell", cells.tile_id_clamped(F.col(px), F.col(py), zoom))
     remaining = queries
     results = []

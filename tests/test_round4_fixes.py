@@ -217,3 +217,63 @@ class TestWkt:
              'PARAMETER["scale_factor",1],UNIT["metre",1]]')
         with pytest.raises(ValueError, match="Mercator"):
             crs.from_wkt(s)
+
+
+class TestKnnBroadcastKernel:
+    """Round-4 perf: small point sides dispatch to the broadcast numpy
+    kernel (no join, no window shuffle) — must be BIT-identical to the
+    ring path for planar."""
+
+    def _data(self, spark, n_q=40, n_p=300):
+        import pandas as pd
+        rng = np.random.default_rng(3)
+        q = spark.createDataFrame(pd.DataFrame({
+            "query_id": np.arange(n_q),
+            "qx": rng.uniform(-170, 170, n_q),
+            "qy": rng.uniform(-80, 80, n_q)}))
+        p = spark.createDataFrame(pd.DataFrame({
+            "point_id": np.arange(n_p),
+            "x": rng.uniform(-170, 170, n_p),
+            "y": rng.uniform(-80, 80, n_p)}))
+        return q, p
+
+    def test_kernel_bit_equals_ring_path_planar(self, spark):
+        from karta_spark.operators import knn
+        q, p = self._data(spark)
+        ring = sorted(map(tuple, knn.knn_join(q, p, k=4, zoom=3).collect()))
+        kern = sorted(map(tuple, knn.knn_join(q, p, k=4, zoom=None).collect()))
+        assert ring == kern  # exact float equality, ranks included
+        assert len(kern) == 40 * 4
+
+    def test_tie_break_lowest_point_id(self, spark):
+        # two points equidistant from the query: lower id must rank first
+        import pandas as pd
+        from karta_spark.operators import knn
+        q = spark.createDataFrame(pd.DataFrame(
+            {"query_id": [0], "qx": [0.0], "qy": [0.0]}))
+        p = spark.createDataFrame(pd.DataFrame(
+            {"point_id": [7, 3, 9], "x": [1.0, -1.0, 5.0], "y": [0.0, 0.0, 0.0]}))
+        out = {r.rank: r.point_id
+               for r in knn.knn_join(q, p, k=3, zoom=None).collect()}
+        assert out == {1: 3, 2: 7, 3: 9}
+
+    def test_k_exceeds_point_count(self, spark):
+        import pandas as pd
+        from karta_spark.operators import knn
+        q = spark.createDataFrame(pd.DataFrame(
+            {"query_id": [0, 1], "qx": [0.0, 2.0], "qy": [0.0, 2.0]}))
+        p = spark.createDataFrame(pd.DataFrame(
+            {"point_id": [1, 2], "x": [1.0, 3.0], "y": [0.0, 0.0]}))
+        out = knn.knn_join(q, p, k=5, zoom=None).collect()
+        assert len(out) == 4  # 2 queries x min(k, n_points)=2
+
+    def test_spherical_keeps_ring_path(self, spark):
+        # the auto dispatch must NOT reroute spherical (ulp drift) — the
+        # zoom=None spherical plan still matches the explicit-zoom plan
+        from karta_spark.operators import knn
+        q, p = self._data(spark, 15, 120)
+        a = sorted(map(tuple,
+                       knn.knn_join(q, p, k=3, zoom=3, spherical=True).collect()))
+        b = sorted(map(tuple,
+                       knn.knn_join(q, p, k=3, zoom=None, spherical=True).collect()))
+        assert a == b
