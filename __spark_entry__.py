@@ -2056,6 +2056,45 @@ FROM w GROUP BY win
 """
 
 
+def q61_sequence_packing(spark, sf_dir):
+    """GPT-style sequence packing census (round 4): shard the documents
+    table (portable id%16 shard), concatenate each shard's whitespace
+    token stream in id order, slice into fixed 512-token training
+    sequences (text.pack_token_spans — window cumsum partitioned by
+    shard, no global window), then census per shard: docs, total
+    tokens, sequences produced, boundary-spanning docs.
+
+    Value-oracle-exact: pure integer window algebra, identical in
+    DuckDB (pack_token_spans_sql)."""
+    d = _t(spark, sf_dir, "documents")
+    spans = text.pack_token_spans(
+        d, text.token_count(F.col("text")), id_col="doc_id",
+        budget=512, shards=16, shard_by="mod")
+    return (spans.groupBy("shard")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.col("tok_end") - F.col("tok_start")).alias("n_tokens"),
+                 (F.max("seq_last") + 1).alias("n_seqs"),
+                 F.sum(F.when(F.col("n_seqs_spanned") > 1, 1)
+                       .otherwise(0)).cast("long").alias("n_spanning")))
+
+
+def _q61_sql():
+    from karta_spark.operators.text import pack_token_spans_sql
+    tok = ("CASE WHEN len(trim(text)) = 0 THEN 0 "
+           "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+    inner = pack_token_spans_sql("documents", tok, "doc_id",
+                                 budget=512, shards=16)
+    return f"""
+WITH spans AS ({inner})
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok_end - tok_start) AS BIGINT) AS n_tokens,
+       CAST(max(seq_last) + 1 AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN n_seqs_spanned > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_spanning
+FROM spans GROUP BY shard
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2118,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_phash_neardup": q58_phash_neardup,
         "q59_jpeg_modes_census": q59_jpeg_modes_census,
         "q60_geotiff_window_census": q60_geotiff_window_census,
+        "q61_sequence_packing": q61_sequence_packing,
     }
 
 
@@ -2165,6 +2205,7 @@ def oracle_sql() -> dict[str, str]:
         "q58_phash_neardup": Q58_SQL,
         "q59_jpeg_modes_census": Q59_SQL,
         "q60_geotiff_window_census": Q60_SQL,
+        "q61_sequence_packing": _q61_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

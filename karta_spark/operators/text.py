@@ -353,3 +353,79 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def pack_token_spans(df: DataFrame, token_col, id_col: str = "doc_id",
+                     budget: int = 2048, shards: int = 64,
+                     shard_by: str = "hash") -> DataFrame:
+    """GPT-style sequence packing (concat-then-chunk), sharded.
+
+    The standard pretraining data layout: each shard concatenates its
+    documents' token streams in id order and slices the stream into
+    fixed ``budget``-token training sequences; a document crossing a
+    sequence boundary is split across sequences (zero padding waste —
+    unlike greedy bin packing, which trades waste for document
+    atomicity).  ``token_col`` is a column name or Column of per-doc
+    token counts (token_count / bpe_token_count); docs with no tokens
+    are dropped (they occupy no stream positions).
+
+    Scale shape: sharding IS the parallelism — the window cumsum
+    partitions by shard (pmod of the id), so no global single-partition
+    window exists; each shard's stream is an independent training file,
+    which is exactly how production corpora are laid out.  Output per
+    doc: shard, tok_start/tok_end (offsets in the shard stream),
+    seq_first/seq_last (the training sequences the doc lands in),
+    n_seqs_spanned.  All integer arithmetic — exactly reproducible in
+    any engine (the DuckDB twin is the same window cumsum).
+
+    ``shard_by``: 'hash' (default — xxhash64 of the id, best balance for
+    clustered ids) or 'mod' (id % shards — engine-portable, what the
+    DuckDB twin replicates; use for oracle-checked runs)."""
+    from pyspark.sql import Window
+
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    out = df.select(F.col(id_col), tok.cast("long").alias("_n_tok")) \
+            .where(F.col("_n_tok") > 0)
+    if shard_by == "hash":
+        sh = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+    elif shard_by == "mod":
+        sh = F.pmod(F.col(id_col), F.lit(shards))
+    else:
+        raise ValueError(f"unknown shard_by {shard_by!r}")
+    out = out.withColumn("shard", sh.cast("int"))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    end = F.sum("_n_tok").over(w)
+    start = end - F.col("_n_tok")
+    return out.select(
+        F.col(id_col), "shard",
+        start.alias("tok_start"), end.alias("tok_end"),
+        F.floor(start / budget).alias("seq_first"),
+        F.floor((end - 1) / budget).alias("seq_last"),
+    ).withColumn("n_seqs_spanned",
+                 (F.col("seq_last") - F.col("seq_first") + 1).cast("long"))
+
+
+def pack_token_spans_sql(table: str, token_expr: str, id_col: str = "doc_id",
+                         budget: int = 2048, shards: int = 64) -> str:
+    """DuckDB twin of pack_token_spans — same shard hash cannot be
+    replicated (xxhash64 is engine-internal), so the twin takes the
+    token expression and reproduces the cumsum/slicing algebra given the
+    SAME shard assignment; callers that need a full-value oracle use a
+    portable shard (id % shards), which this emits."""
+    return f"""
+WITH t AS (
+  SELECT {id_col}, CAST({token_expr} AS BIGINT) AS n_tok,
+         CAST({id_col} % {shards} AS INTEGER) AS shard
+  FROM {table} WHERE {token_expr} > 0
+), c AS (
+  SELECT {id_col}, shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY {id_col}) AS tok_end
+  FROM t
+)
+SELECT {id_col}, shard, tok_end - n_tok AS tok_start, tok_end,
+       (tok_end - n_tok) // {budget} AS seq_first,
+       (tok_end - 1) // {budget} AS seq_last,
+       CAST((tok_end - 1) // {budget} - (tok_end - n_tok) // {budget} + 1
+            AS BIGINT) AS n_seqs_spanned
+FROM c
+"""

@@ -277,3 +277,73 @@ class TestKnnBroadcastKernel:
         b = sorted(map(tuple,
                        knn.knn_join(q, p, k=3, zoom=None, spherical=True).collect()))
         assert a == b
+
+
+class TestPackTokenSpans:
+    """Round-4 training-data op: GPT-style concat-then-chunk sequence
+    packing, sharded (text.pack_token_spans)."""
+
+    def test_single_shard_offsets_and_spanning(self, spark):
+        import pandas as pd
+        from karta_spark.operators import text as T
+        from pyspark.sql import functions as F
+        docs = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [0, 1, 2, 3, 4],
+            "n": [3, 4, 0, 6, 2]}))  # doc 2 empty -> dropped
+        out = {r.doc_id: r for r in T.pack_token_spans(
+            docs, F.col("n"), budget=5, shards=1, shard_by="mod").collect()}
+        assert set(out) == {0, 1, 3, 4}
+        # stream: d0 [0,3) d1 [3,7) d3 [7,13) d4 [13,15); budget 5
+        assert (out[0].tok_start, out[0].tok_end) == (0, 3)
+        assert (out[0].seq_first, out[0].seq_last) == (0, 0)
+        assert (out[1].seq_first, out[1].seq_last) == (0, 1)  # spans 5
+        assert out[1].n_seqs_spanned == 2
+        assert (out[3].seq_first, out[3].seq_last) == (1, 2)  # [7,13) spans 10
+        assert (out[4].seq_first, out[4].seq_last) == (2, 2)
+
+    def test_exact_boundary_does_not_span(self, spark):
+        import pandas as pd
+        from karta_spark.operators import text as T
+        from pyspark.sql import functions as F
+        docs = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [0, 1], "n": [5, 5]}))
+        out = {r.doc_id: r for r in T.pack_token_spans(
+            docs, F.col("n"), budget=5, shards=1, shard_by="mod").collect()}
+        assert out[0].n_seqs_spanned == 1 and out[1].n_seqs_spanned == 1
+        assert (out[1].seq_first, out[1].seq_last) == (1, 1)
+
+    def test_sharding_partitions_streams(self, spark):
+        import pandas as pd
+        from karta_spark.operators import text as T
+        from pyspark.sql import functions as F
+        docs = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": list(range(10)), "n": [3] * 10}))
+        out = T.pack_token_spans(docs, F.col("n"), budget=4, shards=2,
+                                 shard_by="mod").collect()
+        for r in out:
+            assert r.shard == r.doc_id % 2
+        # each shard has 5 docs x 3 tokens: offsets restart per shard
+        for shard in (0, 1):
+            ends = sorted(r.tok_end for r in out if r.shard == shard)
+            assert ends == [3, 6, 9, 12, 15]
+
+    def test_hash_and_mod_agree_within_shard_algebra(self, spark):
+        # same docs, different shard fn: per-shard stream algebra must be
+        # self-consistent (tok_end increments by n in id order)
+        import pandas as pd
+        from karta_spark.operators import text as T
+        from pyspark.sql import functions as F
+        rng = np.random.default_rng(5)
+        docs = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": list(range(100)),
+             "n": rng.integers(1, 50, 100).tolist()}))
+        for mode in ("hash", "mod"):
+            rows = T.pack_token_spans(docs, F.col("n"), budget=64,
+                                      shards=4, shard_by=mode).collect()
+            by_shard = {}
+            for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+                prev = by_shard.get(r.shard, 0)
+                assert r.tok_start == prev, (mode, r)
+                by_shard[r.shard] = r.tok_end
+        with pytest.raises(ValueError, match="shard_by"):
+            T.pack_token_spans(docs, F.col("n"), shard_by="bogus").collect()
