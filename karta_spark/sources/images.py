@@ -82,7 +82,9 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decoder for the encoder above plus filters 0-2 (Sub/Up)."""
+    """Decoder for the encoder above plus ALL five PNG filter types
+    (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth — RFC 2083 §6; real-world
+    encoders emit Paeth/Average heavily, round 4)."""
     assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
     pos, idat, w = 8, b"", 0
     h = bit_depth = color_type = 0
@@ -109,15 +111,31 @@ def decode_png(data: bytes) -> np.ndarray:
         out = np.zeros((h, stride), dtype=np.uint8)
         for i in range(h):
             ftype = int(filters[i])
-            row = buf[i, 1:].copy()
-            if ftype == 1:  # Sub
+            row = buf[i, 1:].astype(np.int32)
+            prev = out[i - 1].astype(np.int32) if i else np.zeros(stride, np.int32)
+            if ftype == 0:
+                pass
+            elif ftype == 1:    # Sub: left neighbor (sequential in x)
                 for j in range(nch, stride):
                     row[j] = (row[j] + row[j - nch]) & 0xFF
-            elif ftype == 2:  # Up
-                row = (row.astype(np.int16) + out[i - 1].astype(np.int16)).astype(np.uint8) if i else row
-            elif ftype != 0:
+            elif ftype == 2:    # Up: vectorized over the row
+                row = (row + prev) & 0xFF
+            elif ftype == 3:    # Average: floor((left + up)/2)
+                for j in range(stride):
+                    left = row[j - nch] if j >= nch else 0
+                    row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+            elif ftype == 4:    # Paeth predictor (RFC 2083 §6.6)
+                for j in range(stride):
+                    a = int(row[j - nch]) if j >= nch else 0
+                    b = int(prev[j])
+                    c = int(out[i - 1, j - nch]) if (i and j >= nch) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row[j] = (row[j] + pred) & 0xFF
+            else:
                 raise NotImplementedError(f"PNG filter {ftype} not supported")
-            out[i] = row
+            out[i] = row.astype(np.uint8)
     return out.reshape(h, w) if nch == 1 else out.reshape(h, w, 3)
 
 

@@ -347,3 +347,68 @@ class TestPackTokenSpans:
                 by_shard[r.shard] = r.tok_end
         with pytest.raises(ValueError, match="shard_by"):
             T.pack_token_spans(docs, F.col("n"), shard_by="bogus").collect()
+
+
+class TestPngAllFilters:
+    """Round-4: PNG filters 3 (Average) and 4 (Paeth) — real-world
+    encoders emit them heavily; previously only 0-2 decoded."""
+
+    @staticmethod
+    def _encode_with_filters(arr, ftypes):
+        """Test-side PNG writer applying a chosen filter per row
+        (forward filtering per RFC 2083 §6) — independent of the
+        library's filter-0-only encoder."""
+        import struct
+        import zlib
+        h, w, nch = arr.shape[0], arr.shape[1], (arr.shape[2] if arr.ndim == 3 else 1)
+        raw_rows = arr.reshape(h, w * nch).astype(np.int32)
+        out_rows = []
+        for i in range(h):
+            ft = ftypes[i % len(ftypes)]
+            cur = raw_rows[i]
+            prev = raw_rows[i - 1] if i else np.zeros(w * nch, np.int32)
+            f = np.empty(w * nch, np.int32)
+            for j in range(w * nch):
+                a = int(cur[j - nch]) if j >= nch else 0
+                b = int(prev[j])
+                c = int(prev[j - nch]) if (i and j >= nch) else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b if i else 0
+                elif ft == 3:
+                    pred = (a + (b if i else 0)) >> 1
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f[j] = (cur[j] - pred) & 0xFF
+            out_rows.append(bytes([ft]) + f.astype(np.uint8).tobytes())
+        raw = b"".join(out_rows)
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        color = 2 if nch == 3 else 0
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+    @pytest.mark.parametrize("ftypes", [[3], [4], [0, 1, 2, 3, 4], [4, 3]])
+    def test_filters_roundtrip_rgb(self, ftypes):
+        from karta_spark.sources.images import decode_png
+        rng = np.random.default_rng(sum(ftypes) + 1)
+        a = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+        dec = decode_png(self._encode_with_filters(a, ftypes))
+        assert np.array_equal(dec, a), ftypes
+
+    @pytest.mark.parametrize("ftypes", [[3], [4]])
+    def test_filters_roundtrip_gray(self, ftypes):
+        from karta_spark.sources.images import decode_png
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 256, (7, 11), dtype=np.uint8)
+        dec = decode_png(self._encode_with_filters(a, ftypes))
+        assert np.array_equal(dec, a), ftypes
