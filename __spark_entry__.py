@@ -1972,12 +1972,14 @@ FROM buckets GROUP BY lsh_bucket
 
 def q59_jpeg_modes_census(spark, sf_dir):
     """4:2:0 / 4:2:2 / restart-interval JPEG decode census (round 4):
-    synthesize the photo-like corpus cycling all six (subsampling,
-    restart) modes the baseline codec supports, decode every stream with
-    the from-scratch decoder, verify the BASELINE lossy invariant
-    (PSNR >= 40 dB vs the closed-form regenerated reference) per row.
+    synthesize the photo-like corpus cycling all nine (subsampling,
+    restart, progressive) modes the codec supports — incl. progressive
+    SOF2 in both spectral-selection and successive-approximation forms —
+    decode every stream with the from-scratch decoder, verify the
+    BASELINE lossy invariant (PSNR >= 40 dB vs the closed-form
+    regenerated reference) per row.
 
-    Oracle-checked as an INVARIANT like q24: mode assignment is i % 6
+    Oracle-checked as an INVARIANT like q24: mode assignment is i % 9
     over 300 ids and every row must verify, so DuckDB states the full
     per-mode census without decoding; any subsampling/restart/placement
     bug drops a row from its count and fails the hash gate.  (The decode
@@ -1990,9 +1992,11 @@ def q59_jpeg_modes_census(spark, sf_dir):
 
 
 Q59_SQL = """
-SELECT CASE i % 6 WHEN 0 THEN '444_r0' WHEN 1 THEN '422_r0'
+SELECT CASE i % 9 WHEN 0 THEN '444_r0' WHEN 1 THEN '422_r0'
                   WHEN 2 THEN '420_r0' WHEN 3 THEN '444_r2'
-                  WHEN 4 THEN '422_r2' ELSE '420_r2' END AS mode,
+                  WHEN 4 THEN '422_r2' WHEN 5 THEN '420_r2'
+                  WHEN 6 THEN '444_prog_ss' WHEN 7 THEN '420_prog_sa'
+                  ELSE '422_prog_sa' END AS mode,
        CAST(count(*) AS BIGINT) AS n_verified
 FROM range(300) t(i)
 GROUP BY 1

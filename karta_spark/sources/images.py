@@ -312,10 +312,13 @@ def with_lonlat(images: DataFrame) -> DataFrame:
 # photo-like JPEG corpus (4:2:0 / 4:2:2 / restart-interval coverage)
 # ---------------------------------------------------------------------------
 
-#: (subsampling, restart_interval) cycled by row index — covers the
-#: real-world-dominant 4:2:0 plus restart framing (round 4)
-JPEG_MODES = (("444", 0), ("422", 0), ("420", 0),
-              ("444", 2), ("422", 2), ("420", 2))
+#: (subsampling, restart_interval, progressive) cycled by row index —
+#: covers the real-world-dominant 4:2:0, restart framing, and
+#: progressive SOF2 in both modes (spectral selection 'ss' and
+#: successive approximation 'sa') — round 4
+JPEG_MODES = (("444", 0, None), ("422", 0, None), ("420", 0, None),
+              ("444", 2, None), ("422", 2, None), ("420", 2, None),
+              ("444", 0, "ss"), ("420", 0, "sa"), ("422", 0, "sa"))
 
 PHOTO_SCHEMA = StructType([
     StructField("image_id", StringType()),
@@ -348,11 +351,12 @@ def synth_photo_jpegs(spark: SparkSession, n: int, w: int = 52, h: int = 36,
                       quality: int = 95,
                       partitions: int | None = None) -> DataFrame:
     """Distributed deterministic photo-JPEG table cycling through
-    JPEG_MODES (i % 6): every chroma-subsampling + restart-interval shape
-    the baseline decoder supports, at a size (52x36 default) that is not
+    JPEG_MODES (i % 9): every chroma-subsampling / restart-interval /
+    progressive shape the decoder supports, at a size (52x36 default) that is not
     an MCU multiple in any mode — edge-padding and multi-RST streams are
     exercised on every row."""
-    from karta_spark.sources.jpeg import encode_jpeg_baseline
+    from karta_spark.sources.jpeg import (encode_jpeg_baseline,
+                                          encode_jpeg_progressive)
 
     base = spark.range(0, n, 1, partitions or max(4, n // 50_000 + 1))
 
@@ -361,12 +365,18 @@ def synth_photo_jpegs(spark: SparkSession, n: int, w: int = 52, h: int = 36,
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                sub, ri = JPEG_MODES[i % len(JPEG_MODES)]
+                sub, ri, prog = JPEG_MODES[i % len(JPEG_MODES)]
                 pix = photo_pixels(i, w, h)
-                data = encode_jpeg_baseline(pix, quality, subsampling=sub,
-                                            restart_interval=ri)
-                rows.append((f"photo{i:09d}", bytearray(data), w, h,
-                             f"{sub}_r{ri}"))
+                if prog is None:
+                    data = encode_jpeg_baseline(
+                        pix, quality, subsampling=sub, restart_interval=ri)
+                    mode = f"{sub}_r{ri}"
+                else:
+                    data = encode_jpeg_progressive(
+                        pix, quality, subsampling=sub,
+                        successive=(prog == "sa"))
+                    mode = f"{sub}_prog_{prog}"
+                rows.append((f"photo{i:09d}", bytearray(data), w, h, mode))
             yield pd.DataFrame(rows,
                                columns=[f.name for f in PHOTO_SCHEMA.fields])
 

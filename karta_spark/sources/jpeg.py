@@ -6,9 +6,11 @@ differential + AC run-length, canonical Huffman coding with the Annex-K
 typical tables, grayscale or color with 4:4:4 / 4:2:2 / 4:2:0 chroma
 subsampling (A.2.3 interleaved MCUs), and restart intervals (DRI +
 RST0-7, F.2.1.3.1).  The decoder parses DQT/DHT/SOF0/DRI/SOS from the
-stream (it does not assume the encoder's tables), handles any sampling
-factors in {1,2} x {1,2} — which covers the real-world-dominant 4:2:0 —
-and rejects progressive streams.
+stream (it does not assume the encoder's tables) and handles any
+sampling factors in {1,2} x {1,2} — which covers the real-world-dominant
+4:2:0.  Progressive DCT streams (SOF2, Annex G) decode too: spectral
+selection, successive approximation (DC/AC refinement, EOB runs,
+in-refinement ZRL) and restarts; encode_jpeg_progressive writes them.
 
 This closes the reference's lossy-imagery arm (karta reads real-world
 imagery through GDAL, _gdal.py:114-188): the BASELINE invariant
@@ -246,16 +248,10 @@ def _pad_to(plane: np.ndarray, H: int, W: int) -> np.ndarray:
     return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
 
 
-def encode_jpeg_baseline(arr: np.ndarray, quality: int = 95,
-                         subsampling: str = "444",
-                         restart_interval: int = 0) -> bytes:
-    """Encode gray8 (H,W) or RGB8 (H,W,3) to baseline JFIF.
-
-    ``subsampling``: '444' (no chroma subsampling), '422' (2x1) or '420'
-    (2x2 box-averaged chroma) — the real-world-dominant shape; ignored
-    for grayscale.  ``restart_interval`` > 0 emits a DRI marker and an
-    RSTn marker every that many MCUs (byte-aligned, DC predictors reset)
-    — the stream-resynchronization feature real encoders use."""
+def _quantize_planes(arr: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: color transform, downsample, DCT,
+    quantize, zigzag.  Returns (gray, samp, h, w, mcux, mcuy, qtabs,
+    comp_coefs) with comp_coefs[ci] zigzag-ordered (nb, 64) int64."""
     arr = np.asarray(arr)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -274,7 +270,6 @@ def encode_jpeg_baseline(arr: np.ndarray, quality: int = 95,
             raise ValueError(f"unsupported subsampling {subsampling!r}")
         samp = _SUBSAMPLING[subsampling]
 
-    ncomp = len(planes)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -296,6 +291,22 @@ def encode_jpeg_baseline(arr: np.ndarray, quality: int = 95,
         d = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
         coefs = np.round(d / q).astype(np.int64)
         comp_coefs.append(coefs.reshape(-1, 64)[:, ZIGZAG])
+    return gray, samp, h, w, mcux, mcuy, qtabs, comp_coefs
+
+
+def encode_jpeg_baseline(arr: np.ndarray, quality: int = 95,
+                         subsampling: str = "444",
+                         restart_interval: int = 0) -> bytes:
+    """Encode gray8 (H,W) or RGB8 (H,W,3) to baseline JFIF.
+
+    ``subsampling``: '444' (no chroma subsampling), '422' (2x1) or '420'
+    (2x2 box-averaged chroma) — the real-world-dominant shape; ignored
+    for grayscale.  ``restart_interval`` > 0 emits a DRI marker and an
+    RSTn marker every that many MCUs (byte-aligned, DC predictors reset)
+    — the stream-resynchronization feature real encoders use."""
+    gray, samp, h, w, mcux, mcuy, qtabs, comp_coefs = _quantize_planes(
+        arr, quality, subsampling)
+    ncomp = len(comp_coefs)
 
     out = bytearray()
     out += b"\xFF\xD8"  # SOI
@@ -438,8 +449,11 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                     raise NotImplementedError(
                         f"sampling factors {hi}x{vi} (only 1..2)")
                 comps.append((cid, hi, vi, tq))
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xC2:
+            return _decode_progressive(data)
+        elif marker in (0xC1, 0xC3):
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2)")
         elif marker == 0xC4:
             off = 0
             while off < len(body):
@@ -576,6 +590,12 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
             coefs[ci][bi] = blk
         since_restart += 1
 
+    return _reconstruct(comps, coefs, qtabs, h, w, mcux, mcuy, hmax, vmax)
+
+
+def _reconstruct(comps, coefs, qtabs, h, w, mcux, mcuy, hmax, vmax):
+    """Zigzag coefficient grids -> dequantize -> IDCT -> upsample ->
+    color-convert.  Shared by the baseline and progressive decoders."""
     planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):
         dq = coefs[ci][:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64) * qtabs[tq]
@@ -589,10 +609,525 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
             full = np.repeat(np.repeat(full, fy, axis=0), fx, axis=1)
         planes.append(full[:h, :w] + 128.0)
 
-    if nc == 1:
+    if len(comps) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2, T.81 Annex G) — spectral selection + successive
+# approximation, DC/AC first and refinement scans, EOB runs, restarts
+# ---------------------------------------------------------------------------
+
+def _destuff_scan(data: bytes, start: int):
+    """De-stuff one scan's entropy bytes from *start* until the next
+    non-RST marker.  Returns (raw, rst_boundaries, end_pos) where
+    end_pos indexes the terminating 0xFF."""
+    raw = bytearray()
+    boundaries = []
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                raw.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                boundaries.append(len(raw))
+                i += 2
+                continue
+            break
+        raw.append(b)
+        i += 1
+    return bytes(raw), boundaries, i
+
+
+class _ScanBits:
+    """Bit reader over a de-stuffed scan; restart() realigns to the
+    next RST segment and is the caller's cue to reset DC preds/EOBRUN."""
+
+    __slots__ = ("data", "boundaries", "seg", "pos", "acc", "n")
+
+    def __init__(self, raw: bytes, boundaries):
+        self.data = raw
+        self.boundaries = boundaries
+        self.seg = 0
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def restart(self):
+        if self.seg >= len(self.boundaries):
+            raise ValueError("missing RST marker in progressive scan")
+        self.pos = self.boundaries[self.seg]
+        self.seg += 1
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        while self.n < k:
+            self.acc = (self.acc << 8) | (
+                self.data[self.pos] if self.pos < len(self.data) else 0)
+            self.pos += 1
+            self.n += 8
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, lut) -> int:
+        sym, ln = lut
+        while self.n < 16:
+            self.acc = (self.acc << 8) | (
+                self.data[self.pos] if self.pos < len(self.data) else 0)
+            self.pos += 1
+            self.n += 8
+        p = (self.acc >> (self.n - 16)) & 0xFFFF
+        self.n -= ln[p]
+        self.acc &= (1 << self.n) - 1
+        return sym[p]
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    """Progressive DCT decode (T.81 Annex G): accumulate coefficients
+    across scans, then reconstruct once.  Supports interleaved DC scans,
+    non-interleaved DC/AC scans, successive approximation (DC/AC
+    refinement with EOB runs and in-refinement ZRL), and restarts."""
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple, tuple] = {}
+    comps = []  # (cid, hi, vi, tq)
+    h = w = 0
+    restart_interval = 0
+    hmax = vmax = mcux = mcuy = 1
+    coefs: list[np.ndarray] = []
+    eobrun = 0
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq_tq = body[off]
+                if pq_tq >> 4:
+                    raise NotImplementedError("16-bit quant tables")
+                q = np.frombuffer(body[off + 1:off + 65], dtype=np.uint8)
+                qtabs[pq_tq & 0xF] = q[UNZIGZAG].reshape(8, 8).astype(np.int32)
+                off += 65
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("non-8-bit precision")
+            for ci in range(nc):
+                cid, hv, tq = body[6 + ci * 3:9 + ci * 3]
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factors {hi}x{vi} (only 1..2)")
+                comps.append((cid, hi, vi, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = [np.zeros((mcuy * vi * mcux * hi, 64), dtype=np.int32)
+                     for _, hi, vi, _ in comps]
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = tuple(body[off + 1:off + 17])
+                nv = sum(bits)
+                vals = tuple(body[off + 17:off + 17 + nv])
+                huff[(tc_th >> 4, tc_th & 0xF)] = _decode_lut(bits, vals)
+                off += 17 + nv
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for ci in range(ns):
+                cid, tabs = body[1 + ci * 2], body[2 + ci * 2]
+                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
+                scan.append((idx, tabs >> 4, tabs & 0xF))
+            ss, se, ahal = body[1 + ns * 2:4 + ns * 2]
+            ah, al = ahal >> 4, ahal & 0xF
+            raw, bounds, end = _destuff_scan(data, pos + seglen)
+            _decode_prog_scan(
+                _ScanBits(raw, bounds), scan, ss, se, ah, al, comps, coefs,
+                huff, mcux, mcuy, hmax, vmax, w, h, restart_interval)
+            pos = end
+            continue
+        pos += seglen
+
+    if not comps:
+        raise ValueError("no SOF2 frame in stream")
+    return _reconstruct(comps, coefs, qtabs, h, w, mcux, mcuy, hmax, vmax)
+
+
+def _decode_prog_scan(br, scan, ss, se, ah, al, comps, coefs, huff,
+                      mcux, mcuy, hmax, vmax, w, h, restart_interval):
+    """One progressive scan into the coefficient grids (zigzag order)."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        _decode_prog_dc(br, scan, ah, al, comps, coefs, huff,
+                        mcux, mcuy, hmax, vmax, w, h, restart_interval)
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        _decode_prog_ac(br, scan[0], ss, se, ah, al, comps, coefs, huff,
+                        mcux, mcuy, hmax, vmax, w, h, restart_interval)
+
+
+def _comp_block_grid(comps, ci, mcux, mcuy, hmax, vmax, w, h):
+    """Non-interleaved (single-component-scan) block grid of component
+    *ci*: true ceil dims (A.2.2), plus the padded storage row stride."""
+    _, hi, vi, _ = comps[ci]
+    cbw = ((w * hi + hmax - 1) // hmax + 7) // 8
+    cbh = ((h * vi + vmax - 1) // vmax + 7) // 8
+    return cbw, cbh, mcux * hi
+
+
+def _decode_prog_dc(br, scan, ah, al, comps, coefs, huff,
+                    mcux, mcuy, hmax, vmax, w, h, restart_interval):
+    preds = [0] * len(scan)
+    since = 0
+    if len(scan) > 1:
+        if len(scan) != len(comps):
+            raise NotImplementedError("partial-interleave DC scan")
+        sched = []
+        for si, (ci, td, ta) in enumerate(scan):
+            _, hi, vi, _ = comps[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    sched.append((si, ci, hi, vi, by, bx))
+        for mi in range(mcux * mcuy):
+            if restart_interval and since == restart_interval:
+                br.restart()
+                preds = [0] * len(scan)
+                since = 0
+            my, mx = divmod(mi, mcux)
+            for si, ci, hi, vi, by, bx in sched:
+                bi = (my * vi + by) * (mcux * hi) + (mx * hi + bx)
+                _dc_unit(br, scan[si], si, ci, bi, ah, al, coefs, huff, preds)
+            since += 1
+    else:
+        ci = scan[0][0]
+        cbw, cbh, stride = _comp_block_grid(comps, ci, mcux, mcuy,
+                                            hmax, vmax, w, h)
+        for k in range(cbw * cbh):
+            if restart_interval and since == restart_interval:
+                br.restart()
+                preds = [0]
+                since = 0
+            by, bx = divmod(k, cbw)
+            _dc_unit(br, scan[0], 0, ci, by * stride + bx, ah, al,
+                     coefs, huff, preds)
+            since += 1
+
+
+def _dc_unit(br, scomp, si, ci, bi, ah, al, coefs, huff, preds):
+    if ah == 0:  # first DC scan: baseline diff coding, values in 2^Al units
+        s = br.huff(huff[(0, scomp[1])])
+        diff = _extend(br.bits(s), s) if s else 0
+        preds[si] += diff
+        coefs[ci][bi, 0] = preds[si] << al
+    else:        # refinement: one raw bit
+        if br.bits(1):
+            coefs[ci][bi, 0] |= (1 << al)
+
+
+def _decode_prog_ac(br, scomp, ss, se, ah, al, comps, coefs, huff,
+                    mcux, mcuy, hmax, vmax, w, h, restart_interval):
+    ci, _, ta = scomp
+    lut = huff[(1, ta)]
+    cbw, cbh, stride = _comp_block_grid(comps, ci, mcux, mcuy,
+                                        hmax, vmax, w, h)
+    grid = coefs[ci]
+    eobrun = 0
+    since = 0
+    for u in range(cbw * cbh):
+        if restart_interval and since == restart_interval:
+            br.restart()
+            eobrun = 0
+            since = 0
+        since += 1
+        by, bx = divmod(u, cbw)
+        blk = grid[by * stride + bx]
+        if ah == 0:
+            # ----- AC first scan (G.1.2.2) -----
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = br.huff(lut)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:        # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += r
+                if k > se:
+                    break
+                blk[k] = _extend(br.bits(s), s) << al
+                k += 1
+        else:
+            # ----- AC refinement scan (G.1.2.3) -----
+            p1 = 1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = br.huff(lut)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0 and r < 15:
+                        # unlike the first-scan formula, the CURRENT
+                        # block is part of the run here: its remaining
+                        # nonzero coefs get correction bits in the
+                        # eobrun block below, which consumes one
+                        eobrun = (1 << r)
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    val = 0
+                    if s:
+                        # s must be 1 in a refinement scan
+                        val = p1 if br.bits(1) else -p1
+                    # advance over r zero-history coefs, correcting
+                    # nonzero-history coefs on the way
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if br.bits(1) and (abs(c) & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else -p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val != 0 and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if br.bits(1) and (abs(c) & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else -p1)
+                    k += 1
+                eobrun -= 1
+
+
+def _enc_dc_scan(comp_coefs, samp, mcux, mcuy, ah, al):
+    """Interleaved DC scan body: first pass (Ah=0, diffs of coef>>Al) or
+    refinement (one raw bit per block)."""
+    w = _BitWriter()
+    ncomp = len(comp_coefs)
+    preds = [0] * ncomp
+    enc_dc = [_ENC_DC_LUM] + [_ENC_DC_CHROM] * (ncomp - 1)
+    for mi in range(mcux * mcuy):
+        my, mx = divmod(mi, mcux)
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    bi = (my * vi + by) * (mcux * hi) + (mx * hi + bx)
+                    dc = int(comp_coefs[ci][bi, 0]) >> al  # arithmetic shift
+                    if ah == 0:
+                        s, bits = _magnitude(dc - preds[ci])
+                        preds[ci] = dc
+                        c, ln = enc_dc[ci][s]
+                        w.write(c, ln)
+                        if s:
+                            w.write(bits, s)
+                    else:
+                        w.write(dc & 1, 1)
+    w.flush()
+    return w.buf
+
+
+def _noninterleaved_blocks(comp_coefs, ci, samp, mcux, mcuy, w_px, h_px):
+    """Yield the component's blocks in non-interleaved scan order (true
+    ceil block grid, A.2.2), indexing into the MCU-padded storage."""
+    hi, vi = samp[ci]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    cbw = ((w_px * hi + hmax - 1) // hmax + 7) // 8
+    cbh = ((h_px * vi + vmax - 1) // vmax + 7) // 8
+    stride = mcux * hi
+    for u in range(cbw * cbh):
+        by, bx = divmod(u, cbw)
+        yield comp_coefs[ci][by * stride + bx]
+
+
+def _enc_ac_first_scan(blocks, ss, se, al, ac_tab):
+    """AC first scan body (G.1.2.2): RLE on the point-transformed band
+    (magnitude-truncated |v| >> Al), EOB per trailing-zero block."""
+    w = _BitWriter()
+    for blk in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                c, ln = ac_tab[0xF0]
+                w.write(c, ln)
+                r -= 16
+            tv = t if v >= 0 else -t
+            s, bits = _magnitude(tv)
+            c, ln = ac_tab[(r << 4) | s]
+            w.write(c, ln)
+            w.write(bits, s)
+            r = 0
+        if r:
+            c, ln = ac_tab[0x00]  # EOB (run of 1 — Annex-K tables have
+            w.write(c, ln)        # no EOBn>0 codes; decoder handles both)
+    w.flush()
+    return w.buf
+
+
+def _enc_ac_refine_scan(blocks, ss, se, al, ac_tab):
+    """AC refinement scan body (G.1.2.3) — emits exactly the symbol/bit
+    stream the refinement decoder consumes: newly-significant coefs as
+    (run<<4)|1 + sign, correction bits for already-nonzero coefs
+    positionally interleaved, ZRL over 16 zero-history coefs, EOB."""
+    w = _BitWriter()
+    for blk in blocks:
+        t = [abs(int(blk[k])) >> al for k in range(64)]
+        k = ss
+        while k <= se:
+            r = 0
+            nxt = None
+            j = k
+            while j <= se:
+                if t[j] == 1:
+                    nxt = j
+                    break
+                if t[j] == 0:
+                    r += 1
+                j += 1
+            if nxt is None:
+                c, ln = ac_tab[0x00]
+                w.write(c, ln)
+                for m in range(k, se + 1):
+                    if t[m] > 1:
+                        w.write(t[m] & 1, 1)
+                break
+            while r > 15:
+                c, ln = ac_tab[0xF0]
+                w.write(c, ln)
+                cnt = 0
+                while cnt < 16:
+                    if t[k] == 0:
+                        cnt += 1
+                    elif t[k] > 1:
+                        w.write(t[k] & 1, 1)
+                    k += 1
+                r -= 16
+            c, ln = ac_tab[(r << 4) | 1]
+            w.write(c, ln)
+            w.write(1 if int(blk[nxt]) >= 0 else 0, 1)
+            for m in range(k, nxt):
+                if t[m] > 1:
+                    w.write(t[m] & 1, 1)
+            k = nxt + 1
+    w.flush()
+    return w.buf
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 95,
+                            subsampling: str = "444",
+                            successive: bool = True) -> bytes:
+    """Encode gray8/RGB8 to PROGRESSIVE JFIF (SOF2, T.81 Annex G).
+
+    Scan script: interleaved DC scan, then one full-band AC scan per
+    component.  With ``successive=True`` (default) every first pass uses
+    point transform Al=1 and a second round of DC/AC refinement scans
+    (Ah=1, Al=0) restores full precision — exercising both progressive
+    modes (spectral selection AND successive approximation).  Decodes
+    bit-identically to the baseline encoding of the same image (same
+    quantized coefficients)."""
+    gray, samp, h, w, mcux, mcuy, qtabs, comp_coefs = _quantize_planes(
+        arr, quality, subsampling)
+    ncomp = len(comp_coefs)
+
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += (b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x01"
+            + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    for ti, q in enumerate(qtabs):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, ti) \
+            + bytes(int(v) for v in q.reshape(-1)[ZIGZAG])
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += struct.pack("BBB", ci + 1, (hi << 4) | vi,
+                           0 if ci == 0 else 1)
+    out += b"\xFF\xC2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(cls, tid, bits, vals):
+        body = struct.pack("B", (cls << 4) | tid) + bytes(bits) + bytes(vals)
+        return b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+    out += dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+    if not gray:
+        out += dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
+        out += dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
+
+    def sos(comp_ids, ss, se, ah, al):
+        hdr = struct.pack("B", len(comp_ids))
+        for ci in comp_ids:
+            hdr += struct.pack("BB", ci + 1,
+                               0x00 if ci == 0 else 0x11)
+        hdr += struct.pack("BBB", ss, se, (ah << 4) | al)
+        return b"\xFF\xDA" + struct.pack(">H", 2 + len(hdr)) + hdr
+
+    al0 = 1 if successive else 0
+    out += sos(list(range(ncomp)), 0, 0, 0, al0)
+    out += _enc_dc_scan(comp_coefs, samp, mcux, mcuy, 0, al0)
+    for ci in range(ncomp):
+        ac_tab = _ENC_AC_LUM if ci == 0 else _ENC_AC_CHROM
+        out += sos([ci], 1, 63, 0, al0)
+        out += _enc_ac_first_scan(
+            _noninterleaved_blocks(comp_coefs, ci, samp, mcux, mcuy, w, h),
+            1, 63, al0, ac_tab)
+    if successive:
+        out += sos(list(range(ncomp)), 0, 0, 1, 0)
+        out += _enc_dc_scan(comp_coefs, samp, mcux, mcuy, 1, 0)
+        for ci in range(ncomp):
+            ac_tab = _ENC_AC_LUM if ci == 0 else _ENC_AC_CHROM
+            out += sos([ci], 1, 63, 1, 0)
+            out += _enc_ac_refine_scan(
+                _noninterleaved_blocks(comp_coefs, ci, samp, mcux, mcuy,
+                                       w, h),
+                1, 63, 0, ac_tab)
+    out += b"\xFF\xD9"
+    return bytes(out)

@@ -271,3 +271,162 @@ class TestHandBuilt420Fixture:
                 tile = dec[8 * r:8 * r + 8, 8 * c:8 * c + 8]
                 want = 128 + (r * 4 + c + 1)
                 assert (tile == want).all(), (r, c, np.unique(tile), want)
+
+
+class TestProgressive:
+    """Progressive JPEG (SOF2, T.81 Annex G) — round 4: spectral
+    selection + successive approximation decode, progressive encoder."""
+
+    @pytest.mark.parametrize("succ", [False, True])
+    @pytest.mark.parametrize("sub", ["444", "422", "420"])
+    def test_progressive_decodes_bit_equal_to_baseline(self, succ, sub):
+        from karta_spark.sources.jpeg import encode_jpeg_progressive
+        a = _photo(57, 43)
+        prog = encode_jpeg_progressive(a, 92, subsampling=sub, successive=succ)
+        base = encode_jpeg_baseline(a, 92, subsampling=sub)
+        # same quantized coefficients -> identical pixels by construction
+        assert np.array_equal(decode_jpeg_baseline(prog),
+                              decode_jpeg_baseline(base))
+
+    @pytest.mark.parametrize("shape", [(8, 8), (16, 16, 3), (17, 23, 3),
+                                       (9, 31)])
+    def test_noise_roundtrip_shapes(self, shape):
+        from karta_spark.sources.jpeg import encode_jpeg_progressive
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        prog = encode_jpeg_progressive(a, 95, successive=True)
+        base = encode_jpeg_baseline(a, 95)
+        assert np.array_equal(decode_jpeg_baseline(prog),
+                              decode_jpeg_baseline(base))
+
+    def test_sof2_marker_present(self):
+        from karta_spark.sources.jpeg import encode_jpeg_progressive
+        enc = encode_jpeg_progressive(np.zeros((8, 8), np.uint8))
+        assert b"\xFF\xC2" in enc and b"\xFF\xC0" not in enc
+
+    def test_handbuilt_eobrun_first_scan(self):
+        """EOBn (n>1) in an AC FIRST scan — Annex-K tables can't express
+        it, so the encoder never emits it; pin the decoder with a
+        hand-built gray stream: 4 blocks, distinct DCs, zero AC coded as
+        ONE EOB3 symbol (r=2, appended bits 00 -> run covers blocks
+        1..4)."""
+        import struct as st
+        from karta_spark.sources.jpeg import (
+            DC_LUM_BITS, DC_LUM_VALS, _canonical_codes, decode_jpeg_baseline)
+        dc = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+        # custom AC table: symbols 0x20 (EOB3) and 0x00 (EOB) at len 2/2
+        ac_bits = (0, 2) + (0,) * 14
+        ac_vals = (0x20, 0x00)
+        ac = _canonical_codes(ac_bits, ac_vals)
+
+        out = bytearray(b"\xFF\xD8")
+        out += b"\xFF\xDB" + st.pack(">HB", 67, 0) + bytes([1] * 64)
+        sof = st.pack(">BHHB", 8, 8, 32, 1) + st.pack("BBB", 1, 0x11, 0)
+        out += b"\xFF\xC2" + st.pack(">H", 2 + len(sof)) + sof
+        for cls, tid, bits, vals in ((0, 0, DC_LUM_BITS, DC_LUM_VALS),
+                                     (1, 0, ac_bits, ac_vals)):
+            body = st.pack("B", (cls << 4) | tid) + bytes(bits) + bytes(vals)
+            out += b"\xFF\xC4" + st.pack(">H", 2 + len(body)) + body
+
+        state = {"acc": 0, "n": 0, "buf": bytearray()}
+
+        def put(code, ln):
+            state["acc"] = (state["acc"] << ln) | code
+            state["n"] += ln
+            while state["n"] >= 8:
+                state["n"] -= 8
+                b = (state["acc"] >> state["n"]) & 0xFF
+                state["buf"].append(b)
+                if b == 0xFF:
+                    state["buf"].append(0x00)
+            state["acc"] &= (1 << state["n"]) - 1
+
+        def flush():
+            if state["n"]:
+                put((1 << (8 - state["n"])) - 1, 8 - state["n"])
+
+        def sos(ss, se, ah, al):
+            hdr = st.pack("B", 1) + st.pack("BB", 1, 0x00) \
+                + st.pack("BBB", ss, se, (ah << 4) | al)
+            return b"\xFF\xDA" + st.pack(">H", 2 + len(hdr)) + hdr
+
+        # DC scan (Al=0): flat blocks 8*(v) for v in 10, 20, 30, 40
+        out += sos(0, 0, 0, 0)
+        pred = 0
+        for v in (10, 20, 30, 40):
+            dcv = 8 * v
+            diff = dcv - pred
+            pred = dcv
+            s = abs(diff).bit_length()
+            bits = diff if diff > 0 else diff + (1 << s) - 1
+            c, ln = dc[s]
+            put(c, ln)
+            put(bits, s)
+        flush()
+        out += state["buf"]
+        state["buf"] = bytearray()
+
+        # AC scan: ONE EOB3 symbol + 2 appended bits (00) covers all 4
+        out += sos(1, 63, 0, 0)
+        c, ln = ac[0x20]
+        put(c, ln)
+        put(0, 2)
+        flush()
+        out += state["buf"] + b"\xFF\xD9"
+
+        dec = decode_jpeg_baseline(bytes(out))
+        assert dec.shape == (8, 32)
+        for i, v in enumerate((10, 20, 30, 40)):
+            assert (dec[:, 8 * i:8 * i + 8] == 128 + v).all(), i
+
+    def test_handbuilt_progressive_restart(self):
+        """DRI + RSTn inside a progressive DC scan: predictors reset at
+        the boundary."""
+        import struct as st
+        from karta_spark.sources.jpeg import (
+            AC_LUM_BITS, AC_LUM_VALS, DC_LUM_BITS, DC_LUM_VALS,
+            _canonical_codes, decode_jpeg_baseline)
+        dc = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+        ac = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+        out = bytearray(b"\xFF\xD8")
+        out += b"\xFF\xDB" + st.pack(">HB", 67, 0) + bytes([1] * 64)
+        sof = st.pack(">BHHB", 8, 8, 16, 1) + st.pack("BBB", 1, 0x11, 0)
+        out += b"\xFF\xC2" + st.pack(">H", 2 + len(sof)) + sof
+        for cls, tid, bits, vals in ((0, 0, DC_LUM_BITS, DC_LUM_VALS),
+                                     (1, 0, AC_LUM_BITS, AC_LUM_VALS)):
+            body = st.pack("B", (cls << 4) | tid) + bytes(bits) + bytes(vals)
+            out += b"\xFF\xC4" + st.pack(">H", 2 + len(body)) + body
+        out += b"\xFF\xDD" + st.pack(">HH", 4, 1)  # DRI = 1 data unit
+
+        def enc_dc(diff):
+            s = abs(diff).bit_length() if diff else 0
+            buf, acc, n = bytearray(), 0, 0
+            c, ln = dc[s]
+            acc = (acc << ln) | c
+            n += ln
+            if s:
+                bits = diff if diff > 0 else diff + (1 << s) - 1
+                acc = (acc << s) | bits
+                n += s
+            pad = (8 - n % 8) % 8
+            acc = (acc << pad) | ((1 << pad) - 1)
+            n += pad
+            return acc.to_bytes(n // 8, "big")
+
+        hdr = st.pack("B", 1) + st.pack("BB", 1, 0x00) + st.pack("BBB", 0, 0, 0)
+        out += b"\xFF\xDA" + st.pack(">H", 2 + len(hdr)) + hdr
+        # block 0: DC 8*25 (diff from 0); RST0; block 1: DC 8*50 with
+        # PRED RESET (diff from 0 again, not from 200)
+        out += enc_dc(8 * 25) + b"\xFF\xD0" + enc_dc(8 * 50)
+        # AC scan: EOB per block (no restart needed: DRI applies, so RST
+        # between the two data units here as well)
+        hdr = st.pack("B", 1) + st.pack("BB", 1, 0x00) + st.pack("BBB", 1, 63, 0)
+        out += b"\xFF\xDA" + st.pack(">H", 2 + len(hdr)) + hdr
+        c, ln = ac[0x00]
+        eob = (c << (8 - ln)) | ((1 << (8 - ln)) - 1)
+        out += bytes([eob]) + b"\xFF\xD1" + bytes([eob])
+        out += b"\xFF\xD9"
+
+        dec = decode_jpeg_baseline(bytes(out))
+        assert (dec[:, :8] == 128 + 25).all()
+        assert (dec[:, 8:] == 128 + 50).all()
