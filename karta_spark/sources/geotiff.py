@@ -331,15 +331,20 @@ class TiffMeta:
 
     def __init__(self, f):
         head = f.read(8)
-        if head[:4] != b"II*\x00":
-            raise ValueError("only little-endian baseline TIFF supported")
-        (ifd_off,) = struct.unpack_from("<I", head, 4)
+        if head[:4] == b"II*\x00":
+            e = "<"
+        elif head[:4] == b"MM\x00*":
+            e = ">"  # big-endian classic TIFF (round 4) — common in the wild
+        else:
+            raise ValueError("not a classic TIFF (II*\\0 / MM\\0*)")
+        self.endian = e
+        (ifd_off,) = struct.unpack_from(e + "I", head, 4)
         f.seek(ifd_off)
-        (n,) = struct.unpack("<H", f.read(2))
+        (n,) = struct.unpack(e + "H", f.read(2))
         body = f.read(n * 12)
         tags = {}
         for i in range(n):
-            tag, ftype, count, raw = struct.unpack_from("<HHI4s", body, i * 12)
+            tag, ftype, count, raw = struct.unpack_from(e + "HHI4s", body, i * 12)
             tags[tag] = (ftype, count, raw)
 
         def tag_ints(tag, default=None):
@@ -351,16 +356,17 @@ class TiffMeta:
             size = {3: 2, 4: 4}[ftype]
             code = "H" if ftype == 3 else "I"
             if count * size <= 4:
-                return list(struct.unpack_from(f"<{count}{code}", raw))
-            (off,) = struct.unpack("<I", raw)
+                return list(struct.unpack_from(f"{e}{count}{code}", raw))
+            (off,) = struct.unpack(e + "I", raw)
             f.seek(off)
-            return list(struct.unpack(f"<{count}{code}", f.read(count * size)))
+            return list(struct.unpack(f"{e}{count}{code}",
+                                      f.read(count * size)))
 
         def tag_doubles(tag):
             _, count, raw = tags[tag]
-            (off,) = struct.unpack("<I", raw)
+            (off,) = struct.unpack(e + "I", raw)
             f.seek(off)
-            return list(struct.unpack(f"<{count}d", f.read(count * 8)))
+            return list(struct.unpack(f"{e}{count}d", f.read(count * 8)))
 
         self.nx = tag_ints(256)[0]
         self.ny = tag_ints(257)[0]
@@ -432,7 +438,8 @@ class TiffMeta:
             cols = self.nx
         expected = rows * cols * self.spp * self.dtype.itemsize
         data = self._decompress(raw, expected)
-        chunk = np.frombuffer(data[:expected], dtype="<" + self.dtype.str[1:])
+        chunk = np.frombuffer(data[:expected],
+                              dtype=self.endian + self.dtype.str[1:])
         return self._undo_predictor(chunk.reshape(rows, cols, self.spp))
 
     def read_window(self, f, r0: int, r1: int, c0: int, c1: int) -> np.ndarray:

@@ -433,11 +433,13 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
             off = 0
             while off < len(body):
                 pq_tq = body[off]
-                if pq_tq >> 4:
-                    raise NotImplementedError("16-bit quant tables")
-                q = np.frombuffer(body[off + 1:off + 65], dtype=np.uint8)
+                if pq_tq >> 4:  # Pq=1: 16-bit big-endian table entries
+                    q = np.frombuffer(body[off + 1:off + 129], dtype=">u2")
+                    off += 129
+                else:
+                    q = np.frombuffer(body[off + 1:off + 65], dtype=np.uint8)
+                    off += 65
                 qtabs[pq_tq & 0xF] = q[UNZIGZAG].reshape(8, 8).astype(np.int32)
-                off += 65
         elif marker == 0xC0:
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
@@ -729,11 +731,13 @@ def _decode_progressive(data: bytes) -> np.ndarray:
             off = 0
             while off < len(body):
                 pq_tq = body[off]
-                if pq_tq >> 4:
-                    raise NotImplementedError("16-bit quant tables")
-                q = np.frombuffer(body[off + 1:off + 65], dtype=np.uint8)
+                if pq_tq >> 4:  # Pq=1: 16-bit big-endian table entries
+                    q = np.frombuffer(body[off + 1:off + 129], dtype=">u2")
+                    off += 129
+                else:
+                    q = np.frombuffer(body[off + 1:off + 65], dtype=np.uint8)
+                    off += 65
                 qtabs[pq_tq & 0xF] = q[UNZIGZAG].reshape(8, 8).astype(np.int32)
-                off += 65
         elif marker == 0xC2:
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:

@@ -430,3 +430,43 @@ class TestProgressive:
         dec = decode_jpeg_baseline(bytes(out))
         assert (dec[:, :8] == 128 + 25).all()
         assert (dec[:, 8:] == 128 + 50).all()
+
+
+class TestSixteenBitDQT:
+    """Pq=1 (16-bit, big-endian) quantization tables — emitted by
+    encoders at very low quality / high bit depth; previously raised."""
+
+    def test_16bit_dqt_stream_decodes(self):
+        import struct as st
+        from karta_spark.sources.jpeg import (
+            AC_LUM_BITS, AC_LUM_VALS, DC_LUM_BITS, DC_LUM_VALS, ZIGZAG,
+            _canonical_codes)
+        # gray 8x8 flat image, quant table with one 16-bit entry (300)
+        q = np.ones(64, dtype=np.int32)
+        q[0] = 300
+        dc = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+        ac = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+        out = bytearray(b"\xFF\xD8")
+        zz = q.reshape(-1)[ZIGZAG] if False else q[ZIGZAG]
+        out += b"\xFF\xDB" + st.pack(">HB", 2 + 1 + 128, 0x10) \
+            + b"".join(st.pack(">H", int(v)) for v in zz)
+        sof = st.pack(">BHHB", 8, 8, 8, 1) + st.pack("BBB", 1, 0x11, 0)
+        out += b"\xFF\xC0" + st.pack(">H", 2 + len(sof)) + sof
+        for cls, tid, bits, vals in ((0, 0, DC_LUM_BITS, DC_LUM_VALS),
+                                     (1, 0, AC_LUM_BITS, AC_LUM_VALS)):
+            body = st.pack("B", (cls << 4) | tid) + bytes(bits) + bytes(vals)
+            out += b"\xFF\xC4" + st.pack(">H", 2 + len(body)) + body
+        sos = st.pack("B", 1) + st.pack("BB", 1, 0x00) + b"\x00\x3F\x00"
+        out += b"\xFF\xDA" + st.pack(">H", 2 + len(sos)) + sos
+        # DC coef 2 (-> value 2*300 = 600 -> pixel 128 + 75 = 203), EOB
+        acc, n = 0, 0
+        for code, ln in (dc[2], (2, 2), ac[0x00]):
+            acc = (acc << ln) | code
+            n += ln
+        pad = (8 - n % 8) % 8
+        acc = (acc << pad) | ((1 << pad) - 1)
+        out += acc.to_bytes((n + pad) // 8, "big") + b"\xFF\xD9"
+
+        dec = decode_jpeg_baseline(bytes(out))
+        # DC 2 * q 300 = 600 -> flat 600/8 = 75 over the block
+        assert (dec == 203).all()

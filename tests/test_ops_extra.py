@@ -643,3 +643,65 @@ class TestGeoTiffLazyWindow:
             b = np.asarray(dr[k].block, dtype=np.float64)
             assert np.array_equal(np.isnan(a), np.isnan(b)), k
             assert np.array_equal(a[~np.isnan(a)], b[~np.isnan(b)]), k
+
+
+class TestGeoTiffBigEndian:
+    """Round-4: big-endian (MM) classic TIFF read — common in the wild;
+    hand-built fixture, entirely '>'-packed."""
+
+    def test_handbuilt_bigendian_strip(self, spark, tmp_path):
+        import struct
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        ny, nx = 6, 5
+        rng = np.random.default_rng(31)
+        A = rng.integers(0, 60000, (ny, nx)).astype(np.uint16)
+        data = A.astype(">u2").tobytes()
+
+        entry = lambda tag, ftype, count, value: struct.pack(
+            ">HHI4s", tag, ftype, count, value)
+        vl = lambda v: struct.pack(">I", v)
+        vs = lambda v: struct.pack(">HH", v, 0)
+        n_entries = 12
+        ifd_off = 8
+        ext_off = ifd_off + 2 + n_entries * 12 + 4
+        scale_off = ext_off
+        tie_off = scale_off + 24
+        data_off = tie_off + 48
+        entries = [
+            entry(256, 4, 1, vl(nx)), entry(257, 4, 1, vl(ny)),
+            entry(258, 3, 1, vs(16)),
+            entry(259, 3, 1, vs(1)),
+            entry(262, 3, 1, vs(1)),
+            entry(273, 4, 1, vl(data_off)),
+            entry(277, 3, 1, vs(1)),
+            entry(278, 4, 1, vl(ny)),
+            entry(279, 4, 1, vl(len(data))),
+            entry(339, 3, 1, vs(1)),
+            entry(33550, 12, 3, vl(scale_off)),
+            entry(33922, 12, 6, vl(tie_off)),
+        ]
+        p = str(tmp_path / "be.tif")
+        with open(p, "wb") as fh:
+            fh.write(b"MM\x00*" + struct.pack(">I", ifd_off))
+            fh.write(struct.pack(">H", n_entries) + b"".join(entries)
+                     + struct.pack(">I", 0))
+            fh.write(struct.pack(">3d", 1.5, 0.5, 0.0))
+            fh.write(struct.pack(">6d", 0, 0, 0, 7.0, 1.0 + ny * 0.5, 0))
+            fh.write(data)
+
+        back, t, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=4))
+        assert np.array_equal(back, A[::-1].astype(np.float64))
+        assert t[:4] == (7.0, 1.0, 1.5, 0.5)
+        # windowed read honors endianness too
+        vals, _ = geotiff.read_geotiff_window(p, 1, 1, 3, 2)
+        assert np.array_equal(vals, A[::-1][1:4, 1:3].astype(np.float64))
+
+    def test_garbage_magic_raises(self, tmp_path):
+        from karta_spark.sources.geotiff import TiffMeta
+        p = tmp_path / "x.tif"
+        p.write_bytes(b"XX!!rest")
+        with pytest.raises(ValueError, match="classic TIFF"):
+            with open(p, "rb") as fh:
+                TiffMeta(fh)
