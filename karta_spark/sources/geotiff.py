@@ -196,6 +196,16 @@ def _entry(tag, ftype, count, value):
     return struct.pack("<HHI4s", tag, ftype, count, value)
 
 
+def _box_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Box-average by integer factors, edge-padding to multiples."""
+    h, w = plane.shape
+    ph, pw = (-h) % fy, (-w) % fx
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    H, W = plane.shape
+    return plane.reshape(H // fy, fy, W // fx, fx).mean(axis=(1, 3))
+
+
 def _compress_chunk(raw: bytes, compress: str | None) -> tuple[int, bytes]:
     if compress is None:
         return COMPRESSION_NONE, raw
@@ -208,25 +218,18 @@ def _compress_chunk(raw: bytes, compress: str | None) -> tuple[int, bytes]:
     raise ValueError(f"unknown compress option {compress!r}")
 
 
-def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64,
-                  compress: str | None = None, tiled: int | None = None):
-    """Write a (small) single-band tile table to a GeoTIFF.
-
-    compress: None | "deflate" | "packbits" | "lzw".
-    tiled: tile edge in pixels (multiple of 16, TIFF spec §15) — emits a
-    tile-organized file (tags 322-325, the cloud-optimized layout GDAL
-    writes for large rasters) instead of one strip; each tile is
-    compressed independently (edge tiles zero-padded to full size)."""
-    values, transform, nodata = df_to_grid(tiles)
-    x0, y0, dx, dy, sx, sy = transform
-    if sx != 0 or sy != 0:
-        raise ValueError("GeoTIFF writer supports unskewed grids only")
-    ny, nx = values.shape
-    arr = np.asarray(values, dtype=dtype)[::-1]  # LL-row-first -> top-down
-
+def _build_tiff_section(arr: np.ndarray, x0: float, y_top: float,
+                        dx: float, dy: float, compress: str | None,
+                        tiled: int | None, base_off: int,
+                        next_ifd: int) -> bytes:
+    """One complete IFD section (IFD + external values + chunk data) for
+    a TOP-DOWN array, with absolute offsets starting at *base_off* and
+    the next-IFD pointer set to *next_ifd* (0 terminates the chain)."""
+    ny, nx = arr.shape
     chunks: list[bytes] = []
     if tiled is None:
-        comp_code, data = _compress_chunk(arr.tobytes(), compress)
+        comp_code, data = _compress_chunk(np.ascontiguousarray(arr).tobytes(),
+                                          compress)
         chunks.append(data)
     else:
         if tiled % 16 != 0 or tiled <= 0:
@@ -255,15 +258,13 @@ def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64,
     def val_short(v):
         return struct.pack("<HH", v, 0)
 
-    # layout: header(8) + IFD + external values + chunk data
+    # layout: IFD + external values + chunk data, all offsets absolute
     nchunks = len(chunks)
     n_entries = 12 if tiled is None else 13
-    ifd_off = 8
     ifd_size = 2 + n_entries * 12 + 4
-    ext_off = ifd_off + ifd_size
+    ext_off = base_off + ifd_size
     scale_bytes = struct.pack("<3d", dx, dy, 0.0)
     # tiepoint: raster (0,0) [upper-left corner] -> world (x0, y_top)
-    y_top = y0 + ny * dy
     tie_bytes = struct.pack("<6d", 0.0, 0.0, 0.0, x0, y_top, 0.0)
     scale_off = ext_off
     tie_off = scale_off + len(scale_bytes)
@@ -309,16 +310,62 @@ def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64,
         entries += chunk_arrays(324, 325)                 # Tile offsets/counts
     entries.sort(key=lambda e: struct.unpack_from("<H", e)[0])
     assert len(entries) == n_entries
+    out = bytearray()
+    out += struct.pack("<H", n_entries) + b"".join(entries)
+    out += struct.pack("<I", next_ifd)
+    out += scale_bytes + tie_bytes
+    if nchunks > 1:
+        out += struct.pack(f"<{nchunks}I", *chunk_offsets)
+        out += struct.pack(f"<{nchunks}I", *[len(c) for c in chunks])
+    for c in chunks:
+        out += c
+    return bytes(out)
+
+
+def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64,
+                  compress: str | None = None, tiled: int | None = None,
+                  overviews: list[int] | None = None):
+    """Write a (small) single-band tile table to a GeoTIFF.
+
+    compress: None | "deflate" | "packbits" | "lzw".
+    tiled: tile edge in pixels (multiple of 16, TIFF spec §15) — emits a
+    tile-organized file (tags 322-325, the cloud-optimized layout GDAL
+    writes for large rasters) instead of one strip; each tile is
+    compressed independently (edge tiles zero-padded to full size).
+    overviews: decimation factors (e.g. [2, 4]) — appends one chained
+    IFD per factor holding the box-averaged overview, anchored at the
+    same upper-left tiepoint with scale*factor (the COG overview
+    layout); read them back with ``overview=`` on the readers."""
+    values, transform, nodata = df_to_grid(tiles)
+    x0, y0, dx, dy, sx, sy = transform
+    if sx != 0 or sy != 0:
+        raise ValueError("GeoTIFF writer supports unskewed grids only")
+    ny, nx = values.shape
+    arr = np.asarray(values, dtype=dtype)[::-1]  # LL-row-first -> top-down
+    y_top = y0 + ny * dy
+
+    levels = [(arr, dx, dy)]
+    for fct in overviews or []:
+        if fct < 2:
+            raise ValueError("overview factors must be >= 2")
+        ov = _box_downsample(arr.astype(np.float64), fct, fct)
+        levels.append((ov.astype(dtype), dx * fct, dy * fct))
+
+    sections = []
+    base = 8
+    for li, (lv, ldx, ldy) in enumerate(levels):
+        # next-IFD pointer needs the NEXT section's base — build twice:
+        # sizes are offset-independent, so a dry run sizes the section
+        dry = _build_tiff_section(lv, x0, y_top, ldx, ldy, compress,
+                                  tiled, base, 0)
+        nxt = base + len(dry) if li + 1 < len(levels) else 0
+        sections.append(_build_tiff_section(lv, x0, y_top, ldx, ldy,
+                                            compress, tiled, base, nxt))
+        base += len(dry)
     with open(path, "wb") as f:
-        f.write(b"II*\x00" + struct.pack("<I", ifd_off))
-        f.write(struct.pack("<H", n_entries) + b"".join(entries)
-                + struct.pack("<I", 0))
-        f.write(scale_bytes + tie_bytes)
-        if nchunks > 1:
-            f.write(struct.pack(f"<{nchunks}I", *chunk_offsets))
-            f.write(struct.pack(f"<{nchunks}I", *[len(c) for c in chunks]))
-        for c in chunks:
-            f.write(c)
+        f.write(b"II*\x00" + struct.pack("<I", 8))
+        for s in sections:
+            f.write(s)
 
 
 class TiffMeta:
@@ -329,7 +376,8 @@ class TiffMeta:
     reference's GdalFileBand (_gdal.py:17-57, which reads strips on
     demand through GDAL)."""
 
-    def __init__(self, f):
+    def __init__(self, f, ifd_offset: int | None = None):
+        f.seek(0)
         head = f.read(8)
         if head[:4] == b"II*\x00":
             e = "<"
@@ -338,10 +386,13 @@ class TiffMeta:
         else:
             raise ValueError("not a classic TIFF (II*\\0 / MM\\0*)")
         self.endian = e
-        (ifd_off,) = struct.unpack_from(e + "I", head, 4)
-        f.seek(ifd_off)
+        if ifd_offset is None:
+            (ifd_offset,) = struct.unpack_from(e + "I", head, 4)
+        f.seek(ifd_offset)
         (n,) = struct.unpack(e + "H", f.read(2))
-        body = f.read(n * 12)
+        body = f.read(n * 12 + 4)
+        # IFDs chain (COG overview layout): 0 terminates
+        (self.next_ifd,) = struct.unpack_from(e + "I", body, n * 12)
         tags = {}
         for i in range(n):
             tag, ftype, count, raw = struct.unpack_from(e + "HHI4s", body, i * 12)
@@ -473,25 +524,45 @@ class TiffMeta:
         return out
 
 
-def _read_geotiff_arrays(path: str):
+def tiff_overview_metas(f) -> list:
+    """All chained IFDs of a TIFF as TiffMeta objects — index 0 is the
+    base resolution, the rest are overview levels (the COG layout)."""
+    metas = [TiffMeta(f)]
+    while metas[-1].next_ifd:
+        metas.append(TiffMeta(f, metas[-1].next_ifd))
+    return metas
+
+
+def _overview_meta(f, overview: int) -> "TiffMeta":
+    m = TiffMeta(f)
+    for _ in range(overview):
+        if not m.next_ifd:
+            raise ValueError(f"overview {overview} not present "
+                             "(IFD chain exhausted)")
+        m = TiffMeta(f, m.next_ifd)
+    return m
+
+
+def _read_geotiff_arrays(path: str, overview: int = 0):
     """Parse a GeoTIFF into (bands: list[np.ndarray LL-row-first float64],
     transform). Pure python/numpy."""
     with open(path, "rb") as f:
-        m = TiffMeta(f)
+        m = _overview_meta(f, overview)
         arr = m.read_window(f, 0, m.ny, 0, m.nx)
     bands = [arr[::-1, :, b].astype(np.float64) for b in range(m.spp)]
     return bands, m.transform
 
 
 def read_geotiff_window(path: str, i0: int, j0: int, ny: int, nx: int,
-                        band: int = 0):
+                        band: int = 0, overview: int = 0):
     """Read ONLY the strips/tiles covering a window of a (possibly huge)
     GeoTIFF — the lazy disk-backed band path (reference GdalFileBand,
     _gdal.py:17-57).  Window in the tile-table grid convention: (i0, j0)
     = lower-left corner in LL-row-first pixel coordinates.  Returns
-    (values LL-row-first float64, window transform)."""
+    (values LL-row-first float64, window transform).  ``overview``
+    selects a chained-IFD overview level (0 = base resolution)."""
     with open(path, "rb") as f:
-        m = TiffMeta(f)
+        m = _overview_meta(f, overview)
         r1 = m.ny - i0          # top-down row range covering the window
         r0 = m.ny - (i0 + ny)
         arr = m.read_window(f, r0, r1, j0, j0 + nx)
@@ -502,12 +573,14 @@ def read_geotiff_window(path: str, i0: int, j0: int, ny: int, nx: int,
 
 def read_geotiff(spark: SparkSession, path: str, grid_id: str = "gtiff",
                  tile: int = 256, nodata: float = float("nan"),
-                 ibands: list[int] | None = None) -> DataFrame:
+                 ibands: list[int] | None = None,
+                 overview: int = 0) -> DataFrame:
     """Parse a GeoTIFF into a tile table (one band column value per band,
     mirroring the reference's read_geotiff ibands selection,
     raster/read.py:27-62).  Driver-side decode — fine for reference
-    layers; use :func:`read_geotiff_distributed` for big rasters."""
-    bands, transform = _read_geotiff_arrays(path)
+    layers; use :func:`read_geotiff_distributed` for big rasters.
+    ``overview`` selects a chained-IFD overview level."""
+    bands, transform = _read_geotiff_arrays(path, overview)
     sel = ibands if ibands is not None else range(len(bands))
     out = None
     for b in sel:
@@ -520,7 +593,7 @@ def read_geotiff(spark: SparkSession, path: str, grid_id: str = "gtiff",
 def read_geotiff_distributed(spark: SparkSession, path: str,
                              grid_id: str = "gtiff", tile: int = 256,
                              nodata: float = float("nan"), band: int = 0,
-                             halo: int = 1) -> DataFrame:
+                             halo: int = 1, overview: int = 0) -> DataFrame:
     """Distributed lazy GeoTIFF scan: the DRIVER parses only the IFD (a
     few KB); each Spark task then opens the file and seeks to exactly the
     strip/tile byte ranges its output tiles need (TiffMeta.read_window).
@@ -530,9 +603,11 @@ def read_geotiff_distributed(spark: SparkSession, path: str,
     object store — the standard cluster layout for raster sidecars).
 
     Output is the standard halo'd tile table (TILE_SCHEMA), so stencil /
-    sampling / mask operators run on it unchanged."""
+    sampling / mask operators run on it unchanged.  ``overview``
+    selects a chained-IFD overview level (COG pyramids) — reading a
+    decimated level costs only that level's byte ranges."""
     with open(path, "rb") as f:
-        m = TiffMeta(f)
+        m = _overview_meta(f, overview)
     gny, gnx = m.ny, m.nx
     transform = m.transform
     specs = []
@@ -549,7 +624,7 @@ def read_geotiff_distributed(spark: SparkSession, path: str,
 
     def gen(batches):
         with open(path, "rb") as fh:
-            meta = TiffMeta(fh)
+            meta = _overview_meta(fh, overview)
             for pdf in batches:
                 rows = []
                 for ti, tj, i0, j0, ny, nx in zip(

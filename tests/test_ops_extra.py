@@ -705,3 +705,77 @@ class TestGeoTiffBigEndian:
         with pytest.raises(ValueError, match="classic TIFF"):
             with open(p, "rb") as fh:
                 TiffMeta(fh)
+
+
+class TestGeoTiffOverviews:
+    """Round-4: chained-IFD overview pyramids (the COG layout) — write
+    with overviews=[...], read any level lazily."""
+
+    def _write(self, spark, tmp_path, **kw):
+        import numpy as np
+        from karta_spark.raster.tiles import grid_to_df
+        from karta_spark.sources import geotiff
+        ny, nx = 40, 36
+        yy, xx = np.mgrid[0:ny, 0:nx]
+        Z = (yy * 3.0 + xx * 5.0)
+        tiles = grid_to_df(spark, "g", Z, (2.0, 1.0, 0.5, 0.25, 0.0, 0.0),
+                           tile=32)
+        p = str(tmp_path / "ov.tif")
+        geotiff.write_geotiff(p, tiles, **kw)
+        return Z, p
+
+    @pytest.mark.parametrize("kw", [
+        dict(overviews=[2, 4]),
+        dict(overviews=[2], compress="lzw"),
+        dict(overviews=[2, 4], tiled=16, compress="deflate"),
+    ])
+    def test_overview_chain_roundtrip(self, spark, tmp_path, kw):
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        Z, p = self._write(spark, tmp_path, **kw)
+        # base level identical
+        back, t, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=32))
+        assert np.array_equal(back, Z)
+        # each overview is the box mean at factor f, anchored at the UL
+        # tiepoint with scale*f
+        arr_td = Z[::-1]
+        for lvl, f in enumerate(kw["overviews"], start=1):
+            got, t, _ = df_to_grid(
+                geotiff.read_geotiff(spark, p, tile=32, overview=lvl))
+            H = (arr_td.shape[0] + f - 1) // f
+            W = (arr_td.shape[1] + f - 1) // f
+            pad = np.pad(arr_td, ((0, H * f - arr_td.shape[0]),
+                                  (0, W * f - arr_td.shape[1])), mode="edge")
+            want_td = pad.reshape(H, f, W, f).mean(axis=(1, 3))
+            assert np.allclose(got, want_td[::-1], atol=1e-9), (lvl, f)
+            assert t[2] == 0.5 * f and t[3] == 0.25 * f
+            # UL anchor: y_top identical across levels
+            assert t[1] + got.shape[0] * t[3] == pytest.approx(1.0 + 40 * 0.25)
+
+    def test_overview_window_and_distributed(self, spark, tmp_path):
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        Z, p = self._write(spark, tmp_path, overviews=[2], tiled=16)
+        full, _ = geotiff.read_geotiff_window(p, 0, 0, 20, 18, overview=1)
+        win, t = geotiff.read_geotiff_window(p, 3, 2, 5, 7, overview=1)
+        assert np.array_equal(win, full[3:8, 2:9])
+        dist, tt, _ = df_to_grid(
+            geotiff.read_geotiff_distributed(spark, p, tile=16, overview=1))
+        assert np.array_equal(dist, full)
+
+    def test_missing_overview_raises(self, spark, tmp_path):
+        from karta_spark.sources import geotiff
+        _, p = self._write(spark, tmp_path, overviews=[2])
+        with pytest.raises(ValueError, match="overview 3"):
+            geotiff.read_geotiff_window(p, 0, 0, 1, 1, overview=3)
+
+    def test_overview_metas_chain(self, spark, tmp_path):
+        from karta_spark.sources import geotiff
+        _, p = self._write(spark, tmp_path, overviews=[2, 4])
+        with open(p, "rb") as f:
+            metas = geotiff.tiff_overview_metas(f)
+        assert [m.ny for m in metas] == [40, 20, 10]
+        assert [m.nx for m in metas] == [36, 18, 9]
+        assert metas[-1].next_ifd == 0
