@@ -12,7 +12,12 @@ Supported:
   PlanarConfiguration 284 = 1); uint8/16/32, int16/32, float32/64.
 - write: single-band, optional compress="deflate" | "packbits" | "lzw"
   (the analog of the reference's compression write option,
-  grid.py:1066-1076) and optional tiled=<edge> tile organization.
+  grid.py:1066-1076), optional tiled=<edge> tile organization, optional
+  overviews=[f...] chained-IFD pyramids, GDAL_NODATA tag for non-NaN
+  nodata.
+- lazy: TiffMeta (IFD-only parse), read_geotiff_window,
+  read_geotiff_distributed, overview selection on every reader,
+  big-endian (MM) files.
 
 Follows the reference's convention flip (raster/read.py:27-62, _gdal.py):
 TIFF stores rows top-down with an upper-left tiepoint; the tile table uses
@@ -221,7 +226,7 @@ def _compress_chunk(raw: bytes, compress: str | None) -> tuple[int, bytes]:
 def _build_tiff_section(arr: np.ndarray, x0: float, y_top: float,
                         dx: float, dy: float, compress: str | None,
                         tiled: int | None, base_off: int,
-                        next_ifd: int) -> bytes:
+                        next_ifd: int, nodata: float | None = None) -> bytes:
     """One complete IFD section (IFD + external values + chunk data) for
     a TOP-DOWN array, with absolute offsets starting at *base_off* and
     the next-IFD pointer set to *next_ifd* (0 terminates the chain)."""
@@ -260,7 +265,10 @@ def _build_tiff_section(arr: np.ndarray, x0: float, y_top: float,
 
     # layout: IFD + external values + chunk data, all offsets absolute
     nchunks = len(chunks)
-    n_entries = 12 if tiled is None else 13
+    nodata_bytes = b""
+    if nodata is not None:
+        nodata_bytes = f"{nodata:g}".encode("ascii") + b"\x00"
+    n_entries = (12 if tiled is None else 13) + (1 if nodata_bytes else 0)
     ifd_size = 2 + n_entries * 12 + 4
     ext_off = base_off + ifd_size
     scale_bytes = struct.pack("<3d", dx, dy, 0.0)
@@ -268,7 +276,9 @@ def _build_tiff_section(arr: np.ndarray, x0: float, y_top: float,
     tie_bytes = struct.pack("<6d", 0.0, 0.0, 0.0, x0, y_top, 0.0)
     scale_off = ext_off
     tie_off = scale_off + len(scale_bytes)
-    arrays_off = tie_off + len(tie_bytes)
+    nodata_off = tie_off + len(tie_bytes)
+    arrays_off = nodata_off + (len(nodata_bytes) if len(nodata_bytes) > 4
+                               else 0)
     # offset/count arrays go external when nchunks > 1 (4-byte LONGs)
     if nchunks > 1:
         offsets_off = arrays_off
@@ -301,6 +311,13 @@ def _build_tiff_section(arr: np.ndarray, x0: float, y_top: float,
         _entry(33550, 12, 3, val_long(scale_off)),  # ModelPixelScale
         _entry(33922, 12, 6, val_long(tie_off)),    # ModelTiepoint
     ]
+    if nodata_bytes:  # GDAL_NODATA (tag 42113, ASCII)
+        if len(nodata_bytes) <= 4:
+            entries += [_entry(42113, 2, len(nodata_bytes),
+                               nodata_bytes.ljust(4, b"\x00"))]
+        else:
+            entries += [_entry(42113, 2, len(nodata_bytes),
+                               val_long(nodata_off))]
     if tiled is None:
         entries += [_entry(278, 4, 1, val_long(ny))]  # RowsPerStrip
         entries += chunk_arrays(273, 279)             # Strip offsets/counts
@@ -314,6 +331,8 @@ def _build_tiff_section(arr: np.ndarray, x0: float, y_top: float,
     out += struct.pack("<H", n_entries) + b"".join(entries)
     out += struct.pack("<I", next_ifd)
     out += scale_bytes + tie_bytes
+    if len(nodata_bytes) > 4:
+        out += nodata_bytes
     if nchunks > 1:
         out += struct.pack(f"<{nchunks}I", *chunk_offsets)
         out += struct.pack(f"<{nchunks}I", *[len(c) for c in chunks])
@@ -343,6 +362,7 @@ def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64,
     ny, nx = values.shape
     arr = np.asarray(values, dtype=dtype)[::-1]  # LL-row-first -> top-down
     y_top = y0 + ny * dy
+    nodata_tag = None if (nodata is None or np.isnan(nodata)) else float(nodata)
 
     levels = [(arr, dx, dy)]
     for fct in overviews or []:
@@ -357,10 +377,11 @@ def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64,
         # next-IFD pointer needs the NEXT section's base — build twice:
         # sizes are offset-independent, so a dry run sizes the section
         dry = _build_tiff_section(lv, x0, y_top, ldx, ldy, compress,
-                                  tiled, base, 0)
+                                  tiled, base, 0, nodata_tag)
         nxt = base + len(dry) if li + 1 < len(levels) else 0
         sections.append(_build_tiff_section(lv, x0, y_top, ldx, ldy,
-                                            compress, tiled, base, nxt))
+                                            compress, tiled, base, nxt,
+                                            nodata_tag))
         base += len(dry)
     with open(path, "wb") as f:
         f.write(b"II*\x00" + struct.pack("<I", 8))
@@ -418,6 +439,22 @@ class TiffMeta:
             (off,) = struct.unpack(e + "I", raw)
             f.seek(off)
             return list(struct.unpack(f"{e}{count}d", f.read(count * 8)))
+
+        def tag_ascii(tag):
+            if tag not in tags:
+                return None
+            _, count, raw = tags[tag]
+            if count <= 4:
+                data = raw[:count]
+            else:
+                (off,) = struct.unpack(e + "I", raw)
+                f.seek(off)
+                data = f.read(count)
+            return data.split(b"\x00")[0].decode("ascii", "ignore")
+
+        # GDAL_NODATA (tag 42113, ASCII) — the wild-standard nodata marker
+        nod = tag_ascii(42113)
+        self.nodata = float(nod) if nod not in (None, "") else None
 
         self.nx = tag_ints(256)[0]
         self.ny = tag_ints(257)[0]
@@ -572,14 +609,21 @@ def read_geotiff_window(path: str, i0: int, j0: int, ny: int, nx: int,
 
 
 def read_geotiff(spark: SparkSession, path: str, grid_id: str = "gtiff",
-                 tile: int = 256, nodata: float = float("nan"),
+                 tile: int = 256, nodata: float | None = None,
                  ibands: list[int] | None = None,
                  overview: int = 0) -> DataFrame:
     """Parse a GeoTIFF into a tile table (one band column value per band,
     mirroring the reference's read_geotiff ibands selection,
     raster/read.py:27-62).  Driver-side decode — fine for reference
     layers; use :func:`read_geotiff_distributed` for big rasters.
-    ``overview`` selects a chained-IFD overview level."""
+    ``overview`` selects a chained-IFD overview level.  ``nodata=None``
+    (default) takes the file's GDAL_NODATA tag (42113) when present,
+    NaN otherwise; an explicit value wins."""
+    if nodata is None:
+        with open(path, "rb") as f:
+            nodata = TiffMeta(f).nodata
+        if nodata is None:
+            nodata = float("nan")
     bands, transform = _read_geotiff_arrays(path, overview)
     sel = ibands if ibands is not None else range(len(bands))
     out = None
@@ -592,7 +636,7 @@ def read_geotiff(spark: SparkSession, path: str, grid_id: str = "gtiff",
 
 def read_geotiff_distributed(spark: SparkSession, path: str,
                              grid_id: str = "gtiff", tile: int = 256,
-                             nodata: float = float("nan"), band: int = 0,
+                             nodata: float | None = None, band: int = 0,
                              halo: int = 1, overview: int = 0) -> DataFrame:
     """Distributed lazy GeoTIFF scan: the DRIVER parses only the IFD (a
     few KB); each Spark task then opens the file and seeks to exactly the
@@ -605,9 +649,12 @@ def read_geotiff_distributed(spark: SparkSession, path: str,
     Output is the standard halo'd tile table (TILE_SCHEMA), so stencil /
     sampling / mask operators run on it unchanged.  ``overview``
     selects a chained-IFD overview level (COG pyramids) — reading a
-    decimated level costs only that level's byte ranges."""
+    decimated level costs only that level's byte ranges.  ``nodata=None``
+    takes the file's GDAL_NODATA tag when present, NaN otherwise."""
     with open(path, "rb") as f:
         m = _overview_meta(f, overview)
+    if nodata is None:
+        nodata = m.nodata if m.nodata is not None else float("nan")
     gny, gnx = m.ny, m.nx
     transform = m.transform
     specs = []

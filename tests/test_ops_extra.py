@@ -779,3 +779,60 @@ class TestGeoTiffOverviews:
         assert [m.ny for m in metas] == [40, 20, 10]
         assert [m.nx for m in metas] == [36, 18, 9]
         assert metas[-1].next_ifd == 0
+
+
+class TestGeoTiffNodataTag:
+    """Round-4: GDAL_NODATA (tag 42113) — the wild-standard nodata
+    marker; written when the tile table carries a non-NaN nodata, read
+    back as the default."""
+
+    def test_nodata_roundtrip(self, spark, tmp_path):
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid, grid_to_df
+        from karta_spark.sources import geotiff
+        Z = np.arange(20.0).reshape(4, 5)
+        Z[1, 2] = -9999.0
+        tiles = grid_to_df(spark, "g", Z, (0.0, 0.0, 1.0, 1.0, 0.0, 0.0),
+                           tile=8, nodata=-9999.0)
+        p = str(tmp_path / "nd.tif")
+        geotiff.write_geotiff(p, tiles, dtype=np.float64)
+        with open(p, "rb") as f:
+            assert geotiff.TiffMeta(f).nodata == -9999.0
+        back = geotiff.read_geotiff(spark, p, tile=8)
+        _, _, nod = df_to_grid(back)
+        assert nod == -9999.0
+        dist = geotiff.read_geotiff_distributed(spark, p, tile=8)
+        _, _, nod2 = df_to_grid(dist)
+        assert nod2 == -9999.0
+        # explicit override wins
+        _, _, nod3 = df_to_grid(geotiff.read_geotiff(spark, p, tile=8,
+                                                     nodata=float("nan")))
+        assert np.isnan(nod3)
+
+    def test_no_tag_defaults_nan(self, spark, tmp_path):
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid, grid_to_df
+        from karta_spark.sources import geotiff
+        Z = np.arange(20.0).reshape(4, 5)
+        tiles = grid_to_df(spark, "g", Z, (0.0, 0.0, 1.0, 1.0, 0.0, 0.0),
+                           tile=8)
+        p = str(tmp_path / "nn.tif")
+        geotiff.write_geotiff(p, tiles)
+        with open(p, "rb") as f:
+            assert geotiff.TiffMeta(f).nodata is None
+        _, _, nod = df_to_grid(geotiff.read_geotiff(spark, p, tile=8))
+        assert np.isnan(nod)
+
+    def test_short_inline_nodata(self, spark, tmp_path):
+        # value "0" fits inline (2 bytes incl. NUL) — exercises the
+        # inline-ASCII branch
+        import numpy as np
+        from karta_spark.raster.tiles import grid_to_df
+        from karta_spark.sources import geotiff
+        Z = np.arange(16.0).reshape(4, 4)
+        tiles = grid_to_df(spark, "g", Z, (0.0, 0.0, 1.0, 1.0, 0.0, 0.0),
+                           tile=8, nodata=0.0)
+        p = str(tmp_path / "z.tif")
+        geotiff.write_geotiff(p, tiles)
+        with open(p, "rb") as f:
+            assert geotiff.TiffMeta(f).nodata == 0.0
