@@ -169,3 +169,42 @@ class TestPortableHashProperties:
             [doc_id]).fetchone()[0]
         assert got == (a * (doc_id % P) + b) % P
         assert 0 <= got < P
+
+
+class TestRound4CodecProperties:
+    """Hypothesis coverage for the round-4 codec surface."""
+
+    @given(st.integers(1, 30), st.integers(1, 30),
+           st.sampled_from(["444", "422", "420"]), st.booleans(),
+           st.integers(0, 2 ** 32 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_progressive_equals_baseline_decode(self, h, w, sub, succ, seed):
+        from karta_spark.sources.jpeg import encode_jpeg_progressive
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        prog = encode_jpeg_progressive(a, 90, subsampling=sub, successive=succ)
+        base = encode_jpeg_baseline(a, 90, subsampling=sub)
+        assert np.array_equal(decode_jpeg_baseline(prog),
+                              decode_jpeg_baseline(base))
+
+    @given(st.integers(1, 25), st.integers(1, 25), st.integers(1, 5),
+           st.integers(0, 2 ** 32 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_subsampled_restart_decodes_shape(self, h, w, ri, seed):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        dec = decode_jpeg_baseline(encode_jpeg_baseline(
+            a, 95, subsampling="420", restart_interval=ri))
+        assert dec.shape == a.shape
+
+    @given(st.integers(1, 20), st.integers(1, 20),
+           st.lists(st.integers(0, 4), min_size=1, max_size=5),
+           st.integers(0, 2 ** 32 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_png_any_filter_mix_roundtrips(self, h, w, ftypes, seed):
+        from tests.test_round4_fixes import TestPngAllFilters
+        from karta_spark.sources.images import decode_png
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        enc = TestPngAllFilters._encode_with_filters(a, ftypes)
+        assert np.array_equal(decode_png(enc), a)
