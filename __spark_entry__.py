@@ -2099,6 +2099,40 @@ FROM spans GROUP BY shard
 """
 
 
+def q62_token_budget_mixture(spark, sf_dir):
+    """Dataset-mixture primitive (round 4): per-source 'take documents
+    until the token budget' with deterministic portable-hash priority
+    (text.token_budget_sample — two-pass bucketed plan: whole hash-range
+    buckets below each source's boundary are kept windowless, only the
+    boundary bucket runs the exact running-total window).  Census per
+    source: docs kept + tokens kept.
+
+    Value-oracle-exact: the DuckDB twin is the plain per-source window
+    cumsum over the SAME seeded affine hash order — any bucket-boundary
+    or hash-order bug moves a count."""
+    d = _t(spark, sf_dir, "documents")
+    kept = text.token_budget_sample(
+        d, "source", text.token_count(F.col("text")), budgets=600,
+        id_col="doc_id", seed=13, n_buckets=64)
+    return (kept.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens")))
+
+
+def _q62_sql():
+    from karta_spark.operators.text import token_budget_sample_sql
+    tok = ("CASE WHEN len(trim(text)) = 0 THEN 0 "
+           "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+    inner = token_budget_sample_sql("documents", "source", tok, 600,
+                                    "doc_id", seed=13)
+    return f"""
+WITH kept AS ({inner})
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM kept GROUP BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2162,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_jpeg_modes_census": q59_jpeg_modes_census,
         "q60_geotiff_window_census": q60_geotiff_window_census,
         "q61_sequence_packing": q61_sequence_packing,
+        "q62_token_budget_mixture": q62_token_budget_mixture,
     }
 
 
@@ -2210,6 +2245,7 @@ def oracle_sql() -> dict[str, str]:
         "q59_jpeg_modes_census": Q59_SQL,
         "q60_geotiff_window_census": Q60_SQL,
         "q61_sequence_packing": _q61_sql(),
+        "q62_token_budget_mixture": _q62_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -429,3 +429,139 @@ SELECT {id_col}, shard, tok_end - n_tok AS tok_start, tok_end,
             AS BIGINT) AS n_seqs_spanned
 FROM c
 """
+
+
+def _portable_affine(id_col: str, seed: int):
+    """Seeded engine-portable hash h(id) = (a*(id%P)+b) % P — the same
+    family stratified_sample uses (products < 2^62, no int64 wrap)."""
+    from karta_spark.operators.dedup import _PORTABLE_P
+    import random as _random
+    rng = _random.Random(seed)
+    a, b = rng.randrange(1, _PORTABLE_P), rng.randrange(0, _PORTABLE_P)
+    h = ((F.lit(a) * (F.col(id_col).cast("long") % F.lit(_PORTABLE_P))
+          + F.lit(b)) % F.lit(_PORTABLE_P))
+    return h, a, b, _PORTABLE_P
+
+
+def token_budget_sample(df: DataFrame, source_col: str, token_col,
+                        budgets, id_col: str = "doc_id", seed: int = 13,
+                        n_buckets: int = 4096) -> DataFrame:
+    """Exact deterministic "take documents until the token budget" per
+    source — the dataset-MIXTURE primitive ("50B tokens of web, 10B of
+    code").  Documents are ordered by a seeded portable hash of the id
+    (uniform, reproducible across engines and cluster sizes); a doc is
+    kept iff the running token total BEFORE it is under its source's
+    budget, so the budget is met inclusively by the crossing doc.
+
+    ``budgets``: int (same budget for every source) or {source: budget};
+    sources absent from a dict are dropped (an explicit mixture).
+
+    Scale shape — the naive form is a per-source running-total window,
+    which serializes a 20 TB source into one task.  Instead, two passes:
+    pass 1 aggregates token sums per (source, hash-range bucket) — a
+    <= sources x n_buckets table collected to the driver — and prefix
+    sums locate each source's BOUNDARY bucket; every bucket strictly
+    below the boundary is kept with no window at all, and only the
+    boundary bucket's rows (~1/n_buckets of the source) run the exact
+    running-total window seeded with the buckets-before mass.  Same
+    verified-sliver philosophy as stratified_sample.
+
+    Output: (source, id, n_tokens, cum_before) for kept docs."""
+    from pyspark.sql import Window
+
+    h, a, b, P = _portable_affine(id_col, seed)
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    base = df.select(
+        F.col(source_col).alias("source"), F.col(id_col).alias("id"),
+        tok.cast("long").alias("n_tokens"), h.alias("_h"),
+    ).where(F.col("n_tokens") > 0)
+    base = base.withColumn(
+        "_bkt", (F.col("_h") * n_buckets / F.lit(P)).cast("long"))
+
+    per_bucket = (base.groupBy("source", "_bkt")
+                  .agg(F.sum("n_tokens").alias("_t")).collect())
+    sums: dict = {}
+    for r in per_bucket:
+        sums.setdefault(r.source, {})[r._bkt] = r._t
+
+    def budget_of(src):
+        if isinstance(budgets, dict):
+            return budgets.get(src)
+        return int(budgets)
+
+    full_rows = []    # (source, bkt_below) — keep whole buckets < boundary
+    boundary = []     # (source, boundary_bkt, mass_before)
+    for src, bkts in sums.items():
+        bud = budget_of(src)
+        if bud is None or bud <= 0:
+            continue
+        acc = 0
+        bstar = None
+        for bkt in sorted(bkts):
+            if acc >= bud:
+                break
+            if acc + bkts[bkt] >= bud:
+                bstar = bkt
+                boundary.append((src, bkt, acc))
+                break
+            acc += bkts[bkt]
+        # buckets fully inside the budget
+        full_rows.append((src, bstar if bstar is not None else 1 << 62, acc))
+
+    spark = df.sparkSession
+    if not full_rows:
+        return base.limit(0).select("source", "id", "n_tokens",
+                                    F.lit(0).cast("long").alias("cum_before"))
+    full_df = spark.createDataFrame(
+        full_rows, "source string, _bstar long, _acc long")
+    kept_full = (base.join(F.broadcast(full_df), "source")
+                 .where(F.col("_bkt") < F.col("_bstar")))
+    # exact running total inside each boundary bucket only
+    out_full = kept_full.select("source", "id", "n_tokens",
+                                F.lit(None).cast("long").alias("cum_before"))
+    if boundary:
+        bdf = spark.createDataFrame(
+            boundary, "source string, _bkt long, _before long")
+        w = Window.partitionBy("source").orderBy(F.col("_h").asc(),
+                                                 F.col("id").asc())
+        bb = (base.join(F.broadcast(bdf), ["source", "_bkt"])
+              .withColumn("_cum",
+                          F.col("_before") + F.sum("n_tokens").over(w)
+                          - F.col("n_tokens")))
+        buds = [(s, budget_of(s)) for s in sums if budget_of(s) is not None]
+        bud_df = spark.createDataFrame(buds, "source string, _bud long")
+        out_b = (bb.join(F.broadcast(bud_df), "source")
+                 .where(F.col("_cum") < F.col("_bud"))
+                 .select("source", "id", "n_tokens",
+                         F.col("_cum").alias("cum_before")))
+        out_full = out_full.unionByName(out_b)
+    return out_full
+
+
+def token_budget_sample_sql(table: str, source_col: str, token_expr: str,
+                            budget: int, id_col: str = "doc_id",
+                            seed: int = 13) -> str:
+    """DuckDB twin (uniform budget): plain per-source running-total
+    window over the same portable hash order — the semantics the
+    two-pass plan reproduces exactly (minus the cum_before column for
+    non-boundary rows, which the Spark plan leaves NULL by design; align
+    on (source, id, n_tokens) for value comparison)."""
+    from karta_spark.operators.dedup import _PORTABLE_P
+    import random as _random
+    rng = _random.Random(seed)
+    a, b = rng.randrange(1, _PORTABLE_P), rng.randrange(0, _PORTABLE_P)
+    return f"""
+WITH t AS (
+  SELECT {source_col} AS source, {id_col} AS id,
+         CAST({token_expr} AS BIGINT) AS n_tokens,
+         ({a} * (CAST({id_col} AS BIGINT) % {_PORTABLE_P}) + {b})
+           % {_PORTABLE_P} AS h
+  FROM {table} WHERE {token_expr} > 0
+), c AS (
+  SELECT source, id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM t
+)
+SELECT source, id, n_tokens FROM c WHERE cum_before < {budget}
+"""

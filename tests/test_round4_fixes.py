@@ -412,3 +412,65 @@ class TestPngAllFilters:
         a = rng.integers(0, 256, (7, 11), dtype=np.uint8)
         dec = decode_png(self._encode_with_filters(a, ftypes))
         assert np.array_equal(dec, a), ftypes
+
+
+class TestTokenBudgetSample:
+    """Round-4 mixture primitive: deterministic per-source take-until-
+    token-budget (text.token_budget_sample, two-pass bucketed plan)."""
+
+    def _docs(self, spark, n=120, sources=3):
+        import pandas as pd
+        rng = np.random.default_rng(17)
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": np.arange(n),
+            "source": ["s%d" % (i % sources) for i in range(n)],
+            "n": rng.integers(1, 40, n)}))
+
+    @staticmethod
+    def _naive(spark, docs, budget):
+        """Ground truth: plain per-source running-total window."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        from karta_spark.operators.text import _portable_affine
+        h, *_ = _portable_affine("doc_id", 13)
+        w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+        c = docs.withColumn("_cum", F.sum("n").over(w) - F.col("n"))
+        return {(r.source, r.doc_id) for r in c.where(F.col("_cum") < budget).collect()}
+
+    @pytest.mark.parametrize("budget,n_buckets", [(100, 8), (100, 4096),
+                                                  (5, 16), (10**9, 8)])
+    def test_matches_naive_window(self, spark, budget, n_buckets):
+        from pyspark.sql import functions as F
+        from karta_spark.operators.text import token_budget_sample
+        docs = self._docs(spark)
+        got = {(r.source, r.id) for r in token_budget_sample(
+            docs, "source", F.col("n"), budget, id_col="doc_id",
+            n_buckets=n_buckets).collect()}
+        assert got == self._naive(spark, docs, budget)
+        if budget == 10**9:
+            assert len(got) == 120  # everything fits
+
+    def test_dict_budgets_and_dropped_sources(self, spark):
+        from pyspark.sql import functions as F
+        from karta_spark.operators.text import token_budget_sample
+        docs = self._docs(spark)
+        got = token_budget_sample(
+            docs, "source", F.col("n"), {"s0": 50, "s1": 0},
+            id_col="doc_id").collect()
+        srcs = {r.source for r in got}
+        assert srcs == {"s0"}  # s1 budget<=0 and s2 absent both drop
+        toks = sorted(r.n_tokens for r in got)
+        # inclusive crossing: total >= 50, and removing the largest-kept
+        # crossing doc would go under
+        assert sum(toks) >= 50
+
+    def test_budget_met_inclusively(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.operators.text import token_budget_sample
+        docs = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [1, 2, 3], "source": ["a"] * 3, "n": [10, 10, 10]}))
+        got = token_budget_sample(docs, "source", F.col("n"), 15,
+                                  id_col="doc_id").collect()
+        # cum_before of docs in hash order: 0, 10, 20 -> first two kept
+        assert len(got) == 2 and sum(r.n_tokens for r in got) == 20
