@@ -90,6 +90,19 @@ sections.append(("q51 benchmark decontamination (distinct-gram explode -> "
                  "broadcast LeftSemi on the gram)",
                  plan_of(m.q51_decontaminate(spark, sf), 35)))
 
+# 13. q61 sequence packing: the window cumsum partitions by SHARD — no
+# single-partition global window anywhere in the plan
+sections.append(("q61 sequence packing (shard-partitioned window cumsum — "
+                 "parallelism = shard count, no global window)",
+                 plan_of(m.q61_sequence_packing(spark, sf), 30)))
+
+# 14. q62 token-budget mixture: whole hash-range buckets below the
+# boundary pass with no window; only the boundary bucket's sliver is
+# windowed (broadcast joins against the tiny driver-side boundary table)
+sections.append(("q62 token-budget mixture (bucketed two-pass: windowless "
+                 "bulk + boundary-bucket sliver window)",
+                 plan_of(m.q62_token_budget_mixture(spark, sf), 40)))
+
 with open("/root/repo/PLANS.md", "w") as f:
     f.write("""# PLANS — physical plan review (.explain) of the headline operators
 
