@@ -399,25 +399,53 @@ class TiffMeta:
 
     def __init__(self, f, ifd_offset: int | None = None):
         f.seek(0)
-        head = f.read(8)
-        if head[:4] == b"II*\x00":
+        head = f.read(16)
+        if head[:2] == b"II":
             e = "<"
-        elif head[:4] == b"MM\x00*":
-            e = ">"  # big-endian classic TIFF (round 4) — common in the wild
+        elif head[:2] == b"MM":
+            e = ">"  # big-endian — common in the wild (round 4)
+        else:
+            raise ValueError("not a classic TIFF (II*\\0 / MM\\0*)")
+        (version,) = struct.unpack_from(e + "H", head, 2)
+        if version == 42:
+            big = False
+        elif version == 43:
+            # BigTIFF: 8-byte offsets/counts — rasters beyond 4 GB, the
+            # shape large production sidecars actually take (round 4)
+            big = True
+            bytesize, zero = struct.unpack_from(e + "HH", head, 4)
+            if bytesize != 8 or zero != 0:
+                raise ValueError("malformed BigTIFF header")
         else:
             raise ValueError("not a classic TIFF (II*\\0 / MM\\0*)")
         self.endian = e
+        self.bigtiff = big
+        off_code = "Q" if big else "I"      # value/offset width
+        entry_sz = 20 if big else 12
+        inline = 8 if big else 4
         if ifd_offset is None:
-            (ifd_offset,) = struct.unpack_from(e + "I", head, 4)
+            (ifd_offset,) = struct.unpack_from(
+                e + off_code, head, 8 if big else 4)
         f.seek(ifd_offset)
-        (n,) = struct.unpack(e + "H", f.read(2))
-        body = f.read(n * 12 + 4)
+        if big:
+            (n,) = struct.unpack(e + "Q", f.read(8))
+        else:
+            (n,) = struct.unpack(e + "H", f.read(2))
+        body = f.read(n * entry_sz + inline)
         # IFDs chain (COG overview layout): 0 terminates
-        (self.next_ifd,) = struct.unpack_from(e + "I", body, n * 12)
+        (self.next_ifd,) = struct.unpack_from(e + off_code, body, n * entry_sz)
         tags = {}
         for i in range(n):
-            tag, ftype, count, raw = struct.unpack_from(e + "HHI4s", body, i * 12)
+            tag, ftype = struct.unpack_from(e + "HH", body, i * entry_sz)
+            (count,) = struct.unpack_from(e + off_code, body,
+                                          i * entry_sz + 4)
+            raw = body[i * entry_sz + 4 + (8 if big else 4):
+                       (i + 1) * entry_sz]
             tags[tag] = (ftype, count, raw)
+
+        # LONG8 (16) appears in BigTIFF offset/count arrays
+        _SIZES = {3: 2, 4: 4, 16: 8}
+        _CODES = {3: "H", 4: "I", 16: "Q"}
 
         def tag_ints(tag, default=None):
             if tag not in tags:
@@ -425,18 +453,20 @@ class TiffMeta:
                     return default
                 raise KeyError(f"missing TIFF tag {tag}")
             ftype, count, raw = tags[tag]
-            size = {3: 2, 4: 4}[ftype]
-            code = "H" if ftype == 3 else "I"
-            if count * size <= 4:
+            size = _SIZES[ftype]
+            code = _CODES[ftype]
+            if count * size <= inline:
                 return list(struct.unpack_from(f"{e}{count}{code}", raw))
-            (off,) = struct.unpack(e + "I", raw)
+            (off,) = struct.unpack(e + off_code, raw)
             f.seek(off)
             return list(struct.unpack(f"{e}{count}{code}",
                                       f.read(count * size)))
 
         def tag_doubles(tag):
             _, count, raw = tags[tag]
-            (off,) = struct.unpack(e + "I", raw)
+            if count * 8 <= inline:
+                return list(struct.unpack_from(f"{e}{count}d", raw))
+            (off,) = struct.unpack(e + off_code, raw)
             f.seek(off)
             return list(struct.unpack(f"{e}{count}d", f.read(count * 8)))
 
@@ -444,10 +474,10 @@ class TiffMeta:
             if tag not in tags:
                 return None
             _, count, raw = tags[tag]
-            if count <= 4:
+            if count <= inline:
                 data = raw[:count]
             else:
-                (off,) = struct.unpack(e + "I", raw)
+                (off,) = struct.unpack(e + off_code, raw)
                 f.seek(off)
                 data = f.read(count)
             return data.split(b"\x00")[0].decode("ascii", "ignore")

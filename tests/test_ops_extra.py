@@ -836,3 +836,79 @@ class TestGeoTiffNodataTag:
         geotiff.write_geotiff(p, tiles)
         with open(p, "rb") as f:
             assert geotiff.TiffMeta(f).nodata == 0.0
+
+
+class TestBigTiff:
+    """Round-4: BigTIFF (version 43, 8-byte offsets) read — the layout
+    rasters beyond 4 GB actually ship in; hand-built fixture with
+    LONG8 tile offset arrays."""
+
+    def test_handbuilt_bigtiff_tiled(self, spark, tmp_path):
+        import struct
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        ny, nx, tw = 20, 18, 16
+        rng = np.random.default_rng(41)
+        A = rng.integers(0, 250, (ny, nx)).astype(np.uint8)
+        ntx = (nx + tw - 1) // tw
+        nty = (ny + tw - 1) // tw
+        padded = np.zeros((nty * tw, ntx * tw), dtype=np.uint8)
+        padded[:ny, :nx] = A
+        tiles_raw = [padded[ty * tw:(ty + 1) * tw, tx * tw:(tx + 1) * tw]
+                     .tobytes()
+                     for ty in range(nty) for tx in range(ntx)]
+
+        def entry(tag, ftype, count, value8):
+            return struct.pack("<HHQ", tag, ftype, count) + value8
+
+        vq = lambda v: struct.pack("<Q", v)
+        vs = lambda v: struct.pack("<HHHH", v, 0, 0, 0)
+        n_entries = 13
+        ifd_off = 16
+        ifd_size = 8 + n_entries * 20 + 8
+        ext_off = ifd_off + ifd_size
+        scale_off = ext_off
+        tie_off = scale_off + 24
+        off_off = tie_off + 48
+        cnt_off = off_off + 8 * len(tiles_raw)
+        data_off = cnt_off + 8 * len(tiles_raw)
+        offs, pos = [], data_off
+        for t in tiles_raw:
+            offs.append(pos); pos += len(t)
+        entries = [
+            entry(256, 4, 1, vq(nx)), entry(257, 4, 1, vq(ny)),
+            entry(258, 3, 1, vs(8)),
+            entry(259, 3, 1, vs(1)),
+            entry(262, 3, 1, vs(1)),
+            entry(277, 3, 1, vs(1)),
+            entry(322, 4, 1, vq(tw)), entry(323, 4, 1, vq(tw)),
+            entry(324, 16, len(tiles_raw), vq(off_off)),   # LONG8 array
+            entry(325, 16, len(tiles_raw), vq(cnt_off)),
+            entry(339, 3, 1, vs(1)),
+            entry(33550, 12, 3, vq(scale_off)),
+            entry(33922, 12, 6, vq(tie_off)),
+        ]
+        p = str(tmp_path / "big.tif")
+        with open(p, "wb") as fh:
+            # BigTIFF header: II, 43, bytesize 8, 0, first IFD offset u64
+            fh.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off))
+            fh.write(struct.pack("<Q", n_entries) + b"".join(entries)
+                     + struct.pack("<Q", 0))
+            fh.write(struct.pack("<3d", 1.0, 1.0, 0.0))
+            fh.write(struct.pack("<6d", 0, 0, 0, 3.0, -2.0 + ny * 1.0, 0))
+            fh.write(struct.pack(f"<{len(tiles_raw)}Q", *offs))
+            fh.write(struct.pack(f"<{len(tiles_raw)}Q",
+                                 *[len(t) for t in tiles_raw]))
+            for t in tiles_raw:
+                fh.write(t)
+
+        with open(p, "rb") as fh:
+            m = geotiff.TiffMeta(fh)
+        assert m.bigtiff and m.tiled and (m.ny, m.nx) == (ny, nx)
+        back, t, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=16))
+        assert np.array_equal(back, A[::-1].astype(np.float64))
+        assert t[:4] == (3.0, -2.0, 1.0, 1.0)
+        # windowed read too
+        vals, _ = geotiff.read_geotiff_window(p, 2, 3, 7, 9)
+        assert np.array_equal(vals, A[::-1][2:9, 3:12].astype(np.float64))
