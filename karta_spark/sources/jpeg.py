@@ -440,7 +440,9 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                     q = np.frombuffer(body[off + 1:off + 65], dtype=np.uint8)
                     off += 65
                 qtabs[pq_tq & 0xF] = q[UNZIGZAG].reshape(8, 8).astype(np.int32)
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC1):
+            # SOF1 (extended sequential) uses the identical decode
+            # process as baseline at 8-bit precision
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("non-8-bit precision")
@@ -453,9 +455,10 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                 comps.append((cid, hi, vi, tq))
         elif marker == 0xC2:
             return _decode_progressive(data)
-        elif marker in (0xC1, 0xC3):
+        elif marker == 0xC3:
             raise NotImplementedError(
-                "only baseline (SOF0) and progressive (SOF2)")
+                "lossless JPEG (SOF3) not supported — baseline/extended "
+                "sequential (SOF0/SOF1) and progressive (SOF2) are")
         elif marker == 0xC4:
             off = 0
             while off < len(body):

@@ -470,3 +470,15 @@ class TestSixteenBitDQT:
         dec = decode_jpeg_baseline(bytes(out))
         # DC 2 * q 300 = 600 -> flat 600/8 = 75 over the block
         assert (dec == 203).all()
+
+
+def test_sof1_extended_sequential_decodes_like_sof0():
+    """SOF1 (extended sequential) at 8-bit is the same decode process as
+    baseline — a SOF0 stream relabeled SOF1 must decode identically."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    enc = encode_jpeg_baseline(a, 95, subsampling="420")
+    relabeled = enc.replace(b"\xFF\xC0", b"\xFF\xC1", 1)
+    assert b"\xFF\xC1" in relabeled
+    assert np.array_equal(decode_jpeg_baseline(relabeled),
+                          decode_jpeg_baseline(enc))
