@@ -17,7 +17,9 @@ Supported:
   nodata.
 - lazy: TiffMeta (IFD-only parse), read_geotiff_window,
   read_geotiff_distributed, overview selection on every reader,
-  big-endian (MM) files.
+  big-endian (MM) files, BigTIFF (version 43), new-style JPEG-in-TIFF
+  (compression 7 incl. the shared-JPEGTables abbreviated form; write
+  with compress="jpeg").
 
 Follows the reference's convention flip (raster/read.py:27-62, _gdal.py):
 TIFF stores rows top-down with an upper-left tiepoint; the tile table uses
@@ -44,6 +46,7 @@ _DTYPES = {
 
 COMPRESSION_NONE = 1
 COMPRESSION_LZW = 5
+COMPRESSION_JPEG = 7  # new-style JPEG-in-TIFF (TTN2)
 COMPRESSION_DEFLATE_ADOBE = 8
 COMPRESSION_PACKBITS = 32773
 COMPRESSION_DEFLATE_OLD = 32946
@@ -231,10 +234,18 @@ def _build_tiff_section(arr: np.ndarray, x0: float, y_top: float,
     a TOP-DOWN array, with absolute offsets starting at *base_off* and
     the next-IFD pointer set to *next_ifd* (0 terminates the chain)."""
     ny, nx = arr.shape
+    if compress == "jpeg" and arr.dtype != np.uint8:
+        raise ValueError("compress='jpeg' requires uint8 samples")
+
+    def one_chunk(a: np.ndarray) -> tuple[int, bytes]:
+        if compress == "jpeg":  # new-style JPEG-in-TIFF (compression 7)
+            from karta_spark.sources.jpeg import encode_jpeg_baseline
+            return COMPRESSION_JPEG, encode_jpeg_baseline(a, 95)
+        return _compress_chunk(np.ascontiguousarray(a).tobytes(), compress)
+
     chunks: list[bytes] = []
     if tiled is None:
-        comp_code, data = _compress_chunk(np.ascontiguousarray(arr).tobytes(),
-                                          compress)
+        comp_code, data = one_chunk(arr)
         chunks.append(data)
     else:
         if tiled % 16 != 0 or tiled <= 0:
@@ -248,8 +259,7 @@ def _build_tiff_section(arr: np.ndarray, x0: float, y_top: float,
             for tx in range(ntx):
                 t = padded[ty * tiled:(ty + 1) * tiled,
                            tx * tiled:(tx + 1) * tiled]
-                comp_code, data = _compress_chunk(
-                    np.ascontiguousarray(t).tobytes(), compress)
+                comp_code, data = one_chunk(t)
                 chunks.append(data)
 
     bits = arr.dtype.itemsize * 8
@@ -482,9 +492,23 @@ class TiffMeta:
                 data = f.read(count)
             return data.split(b"\x00")[0].decode("ascii", "ignore")
 
+        def tag_bytes(tag):
+            if tag not in tags:
+                return None
+            _, count, raw = tags[tag]
+            if count <= inline:
+                return raw[:count]
+            (off,) = struct.unpack(e + off_code, raw)
+            f.seek(off)
+            return f.read(count)
+
         # GDAL_NODATA (tag 42113, ASCII) — the wild-standard nodata marker
         nod = tag_ascii(42113)
         self.nodata = float(nod) if nod not in (None, "") else None
+        # JPEGTables (tag 347): shared abbreviated stream for new-style
+        # JPEG-in-TIFF chunks (TTN2)
+        self.jpeg_tables = tag_bytes(347)
+        self.photometric = tag_ints(262, default=[1])[0]
 
         self.nx = tag_ints(256)[0]
         self.ny = tag_ints(257)[0]
@@ -554,11 +578,38 @@ class TiffMeta:
             rows = min(self.rows_per_strip,
                        self.ny - k * self.rows_per_strip)
             cols = self.nx
+        if self.comp == COMPRESSION_JPEG:
+            return self._decode_jpeg_chunk(raw, rows, cols)
         expected = rows * cols * self.spp * self.dtype.itemsize
         data = self._decompress(raw, expected)
         chunk = np.frombuffer(data[:expected],
                               dtype=self.endian + self.dtype.str[1:])
         return self._undo_predictor(chunk.reshape(rows, cols, self.spp))
+
+    def _decode_jpeg_chunk(self, raw: bytes, rows: int, cols: int) -> np.ndarray:
+        """New-style JPEG-in-TIFF chunk (compression 7, TTN2): the chunk
+        is a JPEG stream, optionally 'abbreviated' with its DQT/DHT
+        living in the shared JPEGTables tag (347) — splice tables between
+        the chunk's SOI and its first marker.  Photometric 6 (YCbCr)
+        decodes to RGB (what GDAL surfaces by default); grayscale stays
+        single-band."""
+        from karta_spark.sources.jpeg import decode_jpeg_baseline
+        stream = raw
+        t = self.jpeg_tables
+        if t is not None and len(t) > 4:
+            # tables stream is SOI + segments + EOI; chunk is SOI + data
+            stream = b"\xFF\xD8" + t[2:-2] + raw[2:]
+        pix = decode_jpeg_baseline(stream)
+        if pix.ndim == 2:
+            pix = pix[:, :, None]
+        if pix.shape[2] != self.spp:
+            raise ValueError(
+                f"JPEG chunk has {pix.shape[2]} bands, TIFF says {self.spp}")
+        out = np.zeros((rows, cols, self.spp), dtype=self.dtype)
+        rr = min(rows, pix.shape[0])
+        cc = min(cols, pix.shape[1])
+        out[:rr, :cc] = pix[:rr, :cc]
+        return out
 
     def read_window(self, f, r0: int, r1: int, c0: int, c1: int) -> np.ndarray:
         """(r1-r0, c1-c0, spp) top-down window decoded from ONLY the

@@ -912,3 +912,136 @@ class TestBigTiff:
         # windowed read too
         vals, _ = geotiff.read_geotiff_window(p, 2, 3, 7, 9)
         assert np.array_equal(vals, A[::-1][2:9, 3:12].astype(np.float64))
+
+
+class TestJpegInTiff:
+    """Round-4: new-style JPEG-in-TIFF (compression 7, TTN2) — the
+    standard aerial-imagery layout, incl. the shared-JPEGTables
+    abbreviated-stream form."""
+
+    def _grid(self, spark, ny=48, nx=40):
+        import numpy as np
+        from karta_spark.raster.tiles import grid_to_df
+        yy, xx = np.mgrid[0:ny, 0:nx]
+        Z = np.clip(128 + 80 * np.sin(xx / 7.0) * np.cos(yy / 9.0),
+                    0, 255).round()
+        return Z, grid_to_df(spark, "g", Z, (0.0, 0.0, 1.0, 1.0, 0.0, 0.0),
+                             tile=32)
+
+    @pytest.mark.parametrize("tiled", [None, 16])
+    def test_jpeg_compressed_roundtrip_psnr(self, spark, tmp_path, tiled):
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        from karta_spark.sources.images import psnr
+        Z, tiles = self._grid(spark)
+        p = str(tmp_path / "j.tif")
+        geotiff.write_geotiff(p, tiles, dtype=np.uint8, compress="jpeg",
+                              tiled=tiled)
+        with open(p, "rb") as f:
+            assert geotiff.TiffMeta(f).comp == geotiff.COMPRESSION_JPEG
+        back, t, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=32))
+        assert psnr(back, Z) >= 40.0  # lossy chunk codec
+        assert t[:4] == (0.0, 0.0, 1.0, 1.0)
+        # windowed read decodes only intersecting chunks
+        vals, _ = geotiff.read_geotiff_window(p, 5, 3, 20, 17)
+        assert np.array_equal(vals, back[5:25, 3:20])
+
+    def test_jpeg_requires_uint8(self, spark, tmp_path):
+        from karta_spark.sources import geotiff
+        _, tiles = self._grid(spark)
+        with pytest.raises(ValueError, match="uint8"):
+            geotiff.write_geotiff(str(tmp_path / "x.tif"), tiles,
+                                  compress="jpeg")
+
+    def test_abbreviated_streams_with_jpegtables_tag(self, spark, tmp_path):
+        """Hand-built file: DQT/DHT live ONLY in tag 347; each tile chunk
+        is an abbreviated stream (SOI + SOF0 + SOS + entropy + EOI)."""
+        import struct
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        from karta_spark.sources.images import psnr
+        from karta_spark.sources.jpeg import encode_jpeg_baseline
+
+        def split_stream(full):
+            """(tables_segments, abbreviated_stream) from a full JFIF."""
+            pos = 2
+            tables = b""
+            abbrev = bytearray(b"\xFF\xD8")
+            while pos < len(full):
+                marker = full[pos + 1]
+                if marker == 0xD9:
+                    abbrev += full[pos:pos + 2]
+                    break
+                (seglen,) = struct.unpack(">H", full[pos + 2:pos + 4])
+                seg = full[pos:pos + 2 + seglen]
+                if marker in (0xDB, 0xC4):
+                    tables += seg
+                elif marker == 0xDA:
+                    abbrev += full[pos:]  # SOS + entropy + EOI
+                    break
+                else:
+                    abbrev += seg
+                pos += 2 + seglen
+            return tables, bytes(abbrev)
+
+        ny, nx, tw = 32, 32, 16
+        rng = np.random.default_rng(3)
+        yy, xx = np.mgrid[0:ny, 0:nx]
+        A = np.clip(120 + 70 * np.sin(xx / 5.0) + 20 * np.cos(yy / 4.0),
+                    0, 255).round().astype(np.uint8)
+        chunks, tables = [], None
+        for ty in range(2):
+            for tx in range(2):
+                tile = A[ty * tw:(ty + 1) * tw, tx * tw:(tx + 1) * tw]
+                tb, ab = split_stream(encode_jpeg_baseline(tile, 95))
+                tables = tb
+                chunks.append(ab)
+        jpegtables = b"\xFF\xD8" + tables + b"\xFF\xD9"
+
+        entry = lambda tag, ftype, count, value: struct.pack(
+            "<HHI4s", tag, ftype, count, value)
+        vl = lambda v: struct.pack("<I", v)
+        vs = lambda v: struct.pack("<HH", v, 0)
+        n_entries = 14
+        ifd_off = 8
+        ext_off = ifd_off + 2 + n_entries * 12 + 4
+        scale_off = ext_off
+        tie_off = scale_off + 24
+        jt_off = tie_off + 48
+        off_off = jt_off + len(jpegtables)
+        cnt_off = off_off + 16
+        data_off = cnt_off + 16
+        offs, pos = [], data_off
+        for c in chunks:
+            offs.append(pos); pos += len(c)
+        entries = [
+            entry(256, 4, 1, vl(nx)), entry(257, 4, 1, vl(ny)),
+            entry(258, 3, 1, vs(8)), entry(259, 3, 1, vs(7)),  # JPEG
+            entry(262, 3, 1, vs(1)), entry(277, 3, 1, vs(1)),
+            entry(322, 4, 1, vl(tw)), entry(323, 4, 1, vl(tw)),
+            entry(324, 4, 4, vl(off_off)), entry(325, 4, 4, vl(cnt_off)),
+            entry(339, 3, 1, vs(1)),
+            entry(347, 7, len(jpegtables), vl(jt_off)),  # JPEGTables
+            entry(33550, 12, 3, vl(scale_off)),
+            entry(33922, 12, 6, vl(tie_off)),
+        ]
+        p = str(tmp_path / "abbr.tif")
+        with open(p, "wb") as fh:
+            fh.write(b"II*\x00" + struct.pack("<I", ifd_off))
+            fh.write(struct.pack("<H", n_entries) + b"".join(entries)
+                     + struct.pack("<I", 0))
+            fh.write(struct.pack("<3d", 1.0, 1.0, 0.0))
+            fh.write(struct.pack("<6d", 0, 0, 0, 0.0, float(ny), 0))
+            fh.write(jpegtables)
+            fh.write(struct.pack("<4I", *offs))
+            fh.write(struct.pack("<4I", *[len(c) for c in chunks]))
+            for c in chunks:
+                fh.write(c)
+
+        with open(p, "rb") as fh:
+            m = geotiff.TiffMeta(fh)
+        assert m.jpeg_tables is not None and m.comp == 7
+        back, _, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=16))
+        assert psnr(back, A[::-1].astype(np.float64)) >= 40.0
