@@ -7,8 +7,8 @@ typical tables, grayscale or color with 4:4:4 / 4:2:2 / 4:2:0 chroma
 subsampling (A.2.3 interleaved MCUs), and restart intervals (DRI +
 RST0-7, F.2.1.3.1).  The decoder parses DQT/DHT/SOF0/DRI/SOS from the
 stream (it does not assume the encoder's tables) and handles any
-sampling factors in {1,2} x {1,2} — which covers the real-world-dominant
-4:2:0.  Progressive DCT streams (SOF2, Annex G) decode too: spectral
+sampling factors in {1,2,4} x {1,2,4} — which covers the real-world-
+dominant 4:2:0 plus 4:2:2 / 4:1:1 / 4:4:0.  Progressive DCT streams (SOF2, Annex G) decode too: spectral
 selection, successive approximation (DC/AC refinement, EOB runs,
 in-refinement ZRL) and restarts; encode_jpeg_progressive writes them.
 
@@ -226,6 +226,8 @@ _SUBSAMPLING = {
     "444": ((1, 1), (1, 1), (1, 1)),
     "422": ((2, 1), (1, 1), (1, 1)),
     "420": ((2, 2), (1, 1), (1, 1)),
+    "411": ((4, 1), (1, 1), (1, 1)),  # DV / camera-JPEG shape
+    "440": ((1, 2), (1, 1), (1, 1)),
 }
 
 
@@ -449,9 +451,9 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3:9 + ci * 3]
                 hi, vi = hv >> 4, hv & 0xF
-                if hi not in (1, 2) or vi not in (1, 2):
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                     raise NotImplementedError(
-                        f"sampling factors {hi}x{vi} (only 1..2)")
+                        f"sampling factors {hi}x{vi} (only 1/2/4)")
                 comps.append((cid, hi, vi, tq))
         elif marker == 0xC2:
             return _decode_progressive(data)
@@ -748,9 +750,9 @@ def _decode_progressive(data: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3:9 + ci * 3]
                 hi, vi = hv >> 4, hv & 0xF
-                if hi not in (1, 2) or vi not in (1, 2):
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                     raise NotImplementedError(
-                        f"sampling factors {hi}x{vi} (only 1..2)")
+                        f"sampling factors {hi}x{vi} (only 1/2/4)")
                 comps.append((cid, hi, vi, tq))
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)

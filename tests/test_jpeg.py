@@ -482,3 +482,26 @@ def test_sof1_extended_sequential_decodes_like_sof0():
     assert b"\xFF\xC1" in relabeled
     assert np.array_equal(decode_jpeg_baseline(relabeled),
                           decode_jpeg_baseline(enc))
+
+
+class TestFourOneOne:
+    """4:1:1 / 4:4:0 subsampling (sampling factors up to 4 — the DV /
+    camera-JPEG shapes)."""
+
+    @pytest.mark.parametrize("sub", ["411", "440"])
+    @pytest.mark.parametrize("ri", [0, 2])
+    def test_roundtrip_psnr40(self, sub, ri):
+        a = _photo(33, 65)
+        dec = decode_jpeg_baseline(encode_jpeg_baseline(
+            a, 95, subsampling=sub, restart_interval=ri))
+        assert dec.shape == a.shape
+        assert psnr(a, dec) >= 40.0
+
+    @pytest.mark.parametrize("sub", ["411", "440"])
+    def test_progressive_bit_equal(self, sub):
+        from karta_spark.sources.jpeg import encode_jpeg_progressive
+        a = _photo(40, 52)
+        prog = encode_jpeg_progressive(a, 92, subsampling=sub, successive=True)
+        base = encode_jpeg_baseline(a, 92, subsampling=sub)
+        assert np.array_equal(decode_jpeg_baseline(prog),
+                              decode_jpeg_baseline(base))
