@@ -139,7 +139,7 @@ class TestSubsampling:
 
     def test_unknown_subsampling_raises(self):
         with pytest.raises(ValueError):
-            encode_jpeg_baseline(np.zeros((8, 8, 3), np.uint8), subsampling="411")
+            encode_jpeg_baseline(np.zeros((8, 8, 3), np.uint8), subsampling="410")
 
     def test_missing_rst_marker_raises(self):
         enc = bytearray(encode_jpeg_baseline(_photo(32, 32), 95,
