@@ -1,6 +1,6 @@
 """GeoTIFF read/write — pure python/numpy (the reference delegates to GDAL,
-absent here; this covers baseline little-endian TIFF with the GeoTIFF
-georeferencing tags, enough for raster interchange).
+absent here; this covers classic little/big-endian TIFF plus BigTIFF
+with the GeoTIFF georeferencing tags, enough for raster interchange).
 
 Supported:
 - read: uncompressed, Deflate/zlib (codes 8 and 32946), LZW (5, TIFF
