@@ -2133,6 +2133,46 @@ FROM kept GROUP BY source
 """
 
 
+def q63_jpeg_tiff_census(spark, sf_dir):
+    """JPEG-in-TIFF chain census (round 4): synthesize a smooth
+    closed-form grid, write it as a TILED compression-7 GeoTIFF (each
+    tile an independent JPEG stream from the from-scratch encoder),
+    re-read through the DISTRIBUTED lazy scan (per-task byte-range
+    seeks + per-tile JPEG decode), explode to cells and verify every
+    cell lands within a tolerance of the regenerated reference (16
+    gray levels — far above the q95 smooth-content JPEG error, far
+    below any tile-placement/codec failure).
+
+    Oracle-checked as an INVARIANT: DuckDB states the full census
+    (3072 cells, all within tolerance); any JPEG-chunk, JPEGTables,
+    tile-order or edge-padding bug moves n_ok and fails the gate."""
+    import os
+    import tempfile
+    from karta_spark.raster.tiles import grid_to_df, tile_cells
+    from karta_spark.sources import geotiff
+    ny, nx = 48, 64
+    ii, jj = np.mgrid[0:ny, 0:nx]
+    Z = np.floor(128.0 + 60.0 * np.sin(jj / 7.0) * np.cos(ii / 9.0))
+    path = os.path.join(tempfile.gettempdir(), "karta_q63_jpegtiff.tif")
+    tiles = grid_to_df(spark, "q63", Z, (0.0, 0.0, 1.0, 1.0, 0.0, 0.0),
+                       tile=32)
+    geotiff.write_geotiff(path, tiles, dtype=np.uint8, compress="jpeg",
+                          tiled=16)
+    cells_df = tile_cells(
+        geotiff.read_geotiff_distributed(spark, path, tile=32))
+    want = F.floor(128.0 + 60.0 * F.sin(F.col("cell_j") / 7.0)
+                   * F.cos(F.col("cell_i") / 9.0))
+    ok = F.abs(F.col("value") - want) <= 16
+    return cells_df.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(ok.cast("long")).alias("n_ok"))
+
+
+Q63_SQL = """
+SELECT CAST(48 * 64 AS BIGINT) AS n_cells, CAST(48 * 64 AS BIGINT) AS n_ok
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2197,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_geotiff_window_census": q60_geotiff_window_census,
         "q61_sequence_packing": q61_sequence_packing,
         "q62_token_budget_mixture": q62_token_budget_mixture,
+        "q63_jpeg_tiff_census": q63_jpeg_tiff_census,
     }
 
 
@@ -2246,6 +2287,7 @@ def oracle_sql() -> dict[str, str]:
         "q60_geotiff_window_census": Q60_SQL,
         "q61_sequence_packing": _q61_sql(),
         "q62_token_budget_mixture": _q62_sql(),
+        "q63_jpeg_tiff_census": Q63_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,
