@@ -8,8 +8,9 @@ Supported:
   or TILE organization (tags 322-325, the cloud-optimized layout GDAL
   writes for large rasters — edge-tile padding dropped); horizontal-
   differencing predictor (tag 317 = 2) for integer data;
-  single- or multi-band chunky interleave (SamplesPerPixel tag 277,
-  PlanarConfiguration 284 = 1); uint8/16/32, int16/32, float32/64.
+  single- or multi-band, chunky (PlanarConfiguration 1) or planar
+  (PlanarConfiguration 2, plane-major chunk arrays) interleave;
+  uint8/16/32, int16/32, float32/64.
 - write: single-band, optional compress="deflate" | "packbits" | "lzw"
   (the analog of the reference's compression write option,
   grid.py:1066-1076), optional tiled=<edge> tile organization, optional
@@ -518,9 +519,11 @@ class TiffMeta:
             raise NotImplementedError("per-band BitsPerSample must be uniform")
         self.comp = tag_ints(259, default=[1])[0]
         planar = tag_ints(284, default=[1])[0]
-        if planar != 1:
-            raise NotImplementedError(
-                "PlanarConfiguration=2 (planar) not supported")
+        if planar not in (1, 2):
+            raise NotImplementedError(f"PlanarConfiguration={planar}")
+        # planar=2: each chunk holds ONE band; offset/count arrays are
+        # plane-major (all of band 0's chunks, then band 1's, ...)
+        self.planar = planar
         self.predictor = tag_ints(317, default=[1])[0]
         fmt = tag_ints(339, default=[1])[0]
         self.dtype = np.dtype(_DTYPES[(bits_l[0], fmt)])
@@ -532,13 +535,19 @@ class TiffMeta:
             self.counts = tag_ints(325)
             self.ntx = (self.nx + self.tw - 1) // self.tw
             self.nty = (self.ny + self.th - 1) // self.th
-            if len(self.offsets) != self.ntx * self.nty:
-                raise ValueError("tile count mismatch (planar/multi-IFD "
-                                 "tile layout not supported)")
+            self.chunks_per_plane = self.ntx * self.nty
         else:
             self.offsets = tag_ints(273)
             self.counts = tag_ints(279)
             self.rows_per_strip = tag_ints(278, default=[self.ny])[0]
+            self.chunks_per_plane = ((self.ny + self.rows_per_strip - 1)
+                                     // self.rows_per_strip)
+        want_chunks = self.chunks_per_plane * (self.spp if self.planar == 2
+                                               else 1)
+        if len(self.offsets) != want_chunks:
+            raise ValueError(
+                f"chunk count mismatch: {len(self.offsets)} offsets for "
+                f"{want_chunks} expected (multi-IFD chunk layout?)")
         dxs = tag_doubles(33550)
         tie = tag_doubles(33922)
         self.dx, self.dy = dxs[0], dxs[1]
@@ -567,11 +576,14 @@ class TiffMeta:
             return np.cumsum(chunk, axis=1, dtype=self.dtype)
         return chunk
 
-    def read_chunk(self, f, k) -> np.ndarray:
-        """Decode chunk *k* by seeking to its byte range: (rows, cols, spp)
-        top-down, tiles padded to (th, tw), strips sized to their rows."""
-        f.seek(self.offsets[k])
-        raw = f.read(self.counts[k])
+    def read_chunk(self, f, k, plane: int = 0) -> np.ndarray:
+        """Decode chunk *k* (of *plane*, for PlanarConfiguration=2) by
+        seeking to its byte range: (rows, cols, nch) top-down, tiles
+        padded to (th, tw), strips sized to their rows."""
+        nch = 1 if self.planar == 2 else self.spp
+        idx = plane * self.chunks_per_plane + k if self.planar == 2 else k
+        f.seek(self.offsets[idx])
+        raw = f.read(self.counts[idx])
         if self.tiled:
             rows, cols = self.th, self.tw
         else:
@@ -579,14 +591,15 @@ class TiffMeta:
                        self.ny - k * self.rows_per_strip)
             cols = self.nx
         if self.comp == COMPRESSION_JPEG:
-            return self._decode_jpeg_chunk(raw, rows, cols)
-        expected = rows * cols * self.spp * self.dtype.itemsize
+            return self._decode_jpeg_chunk(raw, rows, cols, nch)
+        expected = rows * cols * nch * self.dtype.itemsize
         data = self._decompress(raw, expected)
         chunk = np.frombuffer(data[:expected],
                               dtype=self.endian + self.dtype.str[1:])
-        return self._undo_predictor(chunk.reshape(rows, cols, self.spp))
+        return self._undo_predictor(chunk.reshape(rows, cols, nch))
 
-    def _decode_jpeg_chunk(self, raw: bytes, rows: int, cols: int) -> np.ndarray:
+    def _decode_jpeg_chunk(self, raw: bytes, rows: int, cols: int,
+                           nch: int | None = None) -> np.ndarray:
         """New-style JPEG-in-TIFF chunk (compression 7, TTN2): the chunk
         is a JPEG stream, optionally 'abbreviated' with its DQT/DHT
         living in the shared JPEGTables tag (347) — splice tables between
@@ -599,13 +612,15 @@ class TiffMeta:
         if t is not None and len(t) > 4:
             # tables stream is SOI + segments + EOI; chunk is SOI + data
             stream = b"\xFF\xD8" + t[2:-2] + raw[2:]
+        if nch is None:
+            nch = self.spp
         pix = decode_jpeg_baseline(stream)
         if pix.ndim == 2:
             pix = pix[:, :, None]
-        if pix.shape[2] != self.spp:
+        if pix.shape[2] != nch:
             raise ValueError(
-                f"JPEG chunk has {pix.shape[2]} bands, TIFF says {self.spp}")
-        out = np.zeros((rows, cols, self.spp), dtype=self.dtype)
+                f"JPEG chunk has {pix.shape[2]} bands, TIFF says {nch}")
+        out = np.zeros((rows, cols, nch), dtype=self.dtype)
         rr = min(rows, pix.shape[0])
         cc = min(cols, pix.shape[1])
         out[:rr, :cc] = pix[:rr, :cc]
@@ -613,15 +628,22 @@ class TiffMeta:
 
     def read_window(self, f, r0: int, r1: int, c0: int, c1: int) -> np.ndarray:
         """(r1-r0, c1-c0, spp) top-down window decoded from ONLY the
-        chunks it intersects."""
+        chunks it intersects (all planes assembled for planar files)."""
         if not (0 <= r0 <= r1 <= self.ny and 0 <= c0 <= c1 <= self.nx):
             raise ValueError("window out of raster bounds")
-        out = np.zeros((r1 - r0, c1 - c0, self.spp), dtype=self.dtype)
+        if self.planar == 2:
+            return np.concatenate(
+                [self._window_plane(f, r0, r1, c0, c1, p, 1)
+                 for p in range(self.spp)], axis=2)
+        return self._window_plane(f, r0, r1, c0, c1, 0, self.spp)
+
+    def _window_plane(self, f, r0, r1, c0, c1, plane, nch) -> np.ndarray:
+        out = np.zeros((r1 - r0, c1 - c0, nch), dtype=self.dtype)
         if self.tiled:
             for ty in range(r0 // self.th, (max(r1, r0 + 1) - 1) // self.th + 1):
                 for tx in range(c0 // self.tw,
                                 (max(c1, c0 + 1) - 1) // self.tw + 1):
-                    chunk = self.read_chunk(f, ty * self.ntx + tx)
+                    chunk = self.read_chunk(f, ty * self.ntx + tx, plane)
                     tr0, tc0 = ty * self.th, tx * self.tw
                     rr0, rr1 = max(r0, tr0), min(r1, tr0 + self.th)
                     cc0, cc1 = max(c0, tc0), min(c1, tc0 + self.tw)
@@ -632,7 +654,7 @@ class TiffMeta:
         else:
             rps = self.rows_per_strip
             for k in range(r0 // rps, (max(r1, r0 + 1) - 1) // rps + 1):
-                chunk = self.read_chunk(f, k)
+                chunk = self.read_chunk(f, k, plane)
                 sr0 = k * rps
                 rr0, rr1 = max(r0, sr0), min(r1, sr0 + chunk.shape[0])
                 if rr0 >= rr1:

@@ -1045,3 +1045,83 @@ class TestJpegInTiff:
         assert m.jpeg_tables is not None and m.comp == 7
         back, _, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=16))
         assert psnr(back, A[::-1].astype(np.float64)) >= 40.0
+
+
+class TestPlanarTiff:
+    """Round-4: PlanarConfiguration=2 read — each chunk holds one band,
+    offset arrays plane-major; hand-built 2-band strip fixture."""
+
+    def test_handbuilt_planar_two_band(self, spark, tmp_path):
+        import struct
+        import zlib as _z
+        import numpy as np
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        ny, nx, spp = 10, 7, 2
+        rng = np.random.default_rng(51)
+        A = rng.integers(0, 250, (ny, nx, spp)).astype(np.uint8)
+        rows_per_strip = 4
+        nstrips = (ny + rows_per_strip - 1) // rows_per_strip
+        strips = []
+        for p in range(spp):           # plane-major chunk order
+            for s0 in range(0, ny, rows_per_strip):
+                strips.append(_z.compress(
+                    np.ascontiguousarray(A[s0:s0 + rows_per_strip, :, p])
+                    .tobytes()))
+
+        entry = lambda tag, ftype, count, value: struct.pack(
+            "<HHI4s", tag, ftype, count, value)
+        vl = lambda v: struct.pack("<I", v)
+        vs = lambda v: struct.pack("<HH", v, 0)
+        n_entries = 14
+        ifd_off = 8
+        ext_off = ifd_off + 2 + n_entries * 12 + 4
+        bits_off = ext_off
+        scale_off = bits_off + 2 * spp
+        tie_off = scale_off + 24
+        off_off = tie_off + 48
+        cnt_off = off_off + 4 * len(strips)
+        data_off = cnt_off + 4 * len(strips)
+        offs, pos = [], data_off
+        for s in strips:
+            offs.append(pos); pos += len(s)
+        entries = [
+            entry(256, 4, 1, vl(nx)), entry(257, 4, 1, vl(ny)),
+            entry(258, 3, spp, struct.pack("<HH", 8, 8)),
+            entry(259, 3, 1, vs(8)),          # deflate
+            entry(262, 3, 1, vs(1)),
+            entry(273, 4, len(strips), vl(off_off)),
+            entry(277, 3, 1, vs(spp)),
+            entry(278, 4, 1, vl(rows_per_strip)),
+            entry(279, 4, len(strips), vl(cnt_off)),
+            entry(284, 3, 1, vs(2)),          # PlanarConfiguration=2
+            entry(339, 3, 1, vs(1)),
+            entry(33550, 12, 3, vl(scale_off)),
+            entry(33922, 12, 6, vl(tie_off)),
+            entry(42113, 2, 2, b"9\x00\x00\x00"),  # nodata "9" inline
+        ]
+        p = str(tmp_path / "planar.tif")
+        with open(p, "wb") as fh:
+            fh.write(b"II*\x00" + struct.pack("<I", ifd_off))
+            fh.write(struct.pack("<H", n_entries) + b"".join(entries)
+                     + struct.pack("<I", 0))
+            fh.write(struct.pack("<2H", 8, 8))
+            fh.write(struct.pack("<3d", 1.0, 1.0, 0.0))
+            fh.write(struct.pack("<6d", 0, 0, 0, 4.0, -1.0 + ny * 1.0, 0))
+            fh.write(struct.pack(f"<{len(strips)}I", *offs))
+            fh.write(struct.pack(f"<{len(strips)}I", *[len(s) for s in strips]))
+            for s in strips:
+                fh.write(s)
+
+        with open(p, "rb") as fh:
+            m = geotiff.TiffMeta(fh)
+        assert m.planar == 2 and m.chunks_per_plane == nstrips
+        df = geotiff.read_geotiff(spark, p, tile=8)
+        for b in range(spp):
+            back, t, _ = df_to_grid(df, band=b)
+            assert np.array_equal(back, A[::-1, :, b].astype(np.float64)), b
+            assert t[:4] == (4.0, -1.0, 1.0, 1.0)
+        # windowed read assembles planes too
+        vals0, _ = geotiff.read_geotiff_window(p, 2, 1, 5, 4, band=1)
+        full1, _, _ = df_to_grid(df, band=1)
+        assert np.array_equal(vals0, full1[2:7, 1:5])
