@@ -2173,6 +2173,67 @@ SELECT CAST(48 * 64 AS BIGINT) AS n_cells, CAST(48 * 64 AS BIGINT) AS n_ok
 """
 
 
+def q64_pii_redaction(spark, sf_dir):
+    """PII scrub census (round 4): plant deterministic emails (docs with
+    doc_id%3==0) and phone numbers (%3==1) into the documents text, run
+    text.redact_pii (portable RE2-safe regex chain, pure Catalyst), and
+    census per plant-class: docs, characters removed, docs fully clean
+    after the scrub.
+
+    Value-oracle-exact: DuckDB constructs the identical strings (concat/
+    lpad) and runs the IDENTICAL patterns through regexp_replace, so any
+    pattern/semantics divergence between the engines moves a count."""
+    d = _t(spark, sf_dir, "documents")
+    i3 = F.pmod(F.col("doc_id"), F.lit(3))
+    planted = (
+        F.when(i3 == 0, F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com")))
+        .when(i3 == 1, F.concat(
+            F.col("text"), F.lit(" call 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0")))
+        .otherwise(F.col("text")))
+    red = text.redact_pii(planted)
+    still = (red.rlike(text.PII_EMAIL) | red.rlike(text.PII_PHONE)
+             | red.rlike(text.PII_IPV4))
+    return (d.select(i3.cast("long").alias("plant"),
+                     (F.length(planted) - F.length(red)).alias("_rm"),
+                     (~still).cast("long").alias("_clean"))
+            .groupBy("plant")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("_rm").cast("long").alias("chars_removed"),
+                 F.sum("_clean").alias("n_clean")))
+
+
+def _q64_sql():
+    from karta_spark.operators.text import (
+        PII_EMAIL, PII_IPV4, PII_PHONE, pii_redact_sql)
+    planted = ("""CASE doc_id % 3
+      WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com'
+      WHEN 1 THEN text || ' call 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      ELSE text END""")
+    red = pii_redact_sql("planted")
+    still = (f"(regexp_matches(red, '{PII_EMAIL}') OR "
+             f"regexp_matches(red, '{PII_PHONE}') OR "
+             f"regexp_matches(red, '{PII_IPV4}'))")
+    return f"""
+WITH p AS (
+  SELECT doc_id % 3 AS plant, {planted} AS planted FROM documents
+), r AS (
+  SELECT plant, planted, {red} AS red FROM p
+)
+SELECT CAST(plant AS BIGINT) AS plant, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(planted) - length(red)) AS BIGINT) AS chars_removed,
+       CAST(sum(CASE WHEN NOT {still} THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM r GROUP BY plant
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2238,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_sequence_packing": q61_sequence_packing,
         "q62_token_budget_mixture": q62_token_budget_mixture,
         "q63_jpeg_tiff_census": q63_jpeg_tiff_census,
+        "q64_pii_redaction": q64_pii_redaction,
     }
 
 
@@ -2288,6 +2350,7 @@ def oracle_sql() -> dict[str, str]:
         "q61_sequence_packing": _q61_sql(),
         "q62_token_budget_mixture": _q62_sql(),
         "q63_jpeg_tiff_census": Q63_SQL,
+        "q64_pii_redaction": _q64_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

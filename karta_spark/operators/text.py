@@ -565,3 +565,49 @@ WITH t AS (
 )
 SELECT source, id, n_tokens FROM c WHERE cum_before < {budget}
 """
+
+
+#: portable PII patterns — RE2-safe (no lookaround/backrefs) so the SAME
+#: pattern runs in Spark (Java regex) and DuckDB (RE2) byte-for-byte
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE = (r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]"
+             r"[0-9]{3}[-. ][0-9]{4}")
+PII_IPV4 = (r"\b(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+            r"(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b")
+
+_PII_PATTERNS = (("email", PII_EMAIL, "<EMAIL>"),
+                 ("phone", PII_PHONE, "<PHONE>"),
+                 ("ip", PII_IPV4, "<IP>"))
+
+
+def redact_pii(col: Column) -> Column:
+    """Redact emails, phone numbers and IPv4 addresses with typed
+    placeholder tokens — the standard pre-training scrub stage.  Pure
+    Catalyst regexp_replace chain; the patterns avoid lookaround and
+    backreferences so the DuckDB twin executes the IDENTICAL regex
+    (Java regex and RE2 agree on this subset)."""
+    out = col
+    for _, pat, token in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_flags(col: Column) -> list[Column]:
+    """One boolean column per PII class (named has_<class>)."""
+    return [col.rlike(pat).alias(f"has_{name}")
+            for name, pat, _ in _PII_PATTERNS]
+
+
+def pii_redact_sql(col_expr: str) -> str:
+    """DuckDB twin of redact_pii (same patterns, 'g' flag for
+    replace-all to match Spark's regexp_replace semantics)."""
+    out = col_expr
+    for _, pat, token in _PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{esc}', '{token}', 'g')"
+    return out
+
+
+def pii_flag_sql(col_expr: str, which: str) -> str:
+    pat = dict((n, p) for n, p, _ in _PII_PATTERNS)[which]
+    return f"regexp_matches({col_expr}, '{pat}')"

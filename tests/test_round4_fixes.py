@@ -474,3 +474,54 @@ class TestTokenBudgetSample:
                                   id_col="doc_id").collect()
         # cum_before of docs in hash order: 0, 10, 20 -> first two kept
         assert len(got) == 2 and sum(r.n_tokens for r in got) == 20
+
+
+class TestPiiRedaction:
+    """Round-4: portable PII scrub (emails/phones/IPv4) — RE2-safe
+    patterns identical across Spark (Java regex) and DuckDB (RE2)."""
+
+    def test_redaction_cases(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.operators import text as T
+        rows = [
+            ("contact john.doe+x@sub.example.co.uk now",
+             "contact <EMAIL> now"),
+            ("call +1 (555) 123-4567 or 555-123-4567",
+             "call <PHONE> or <PHONE>"),
+            ("host 10.0.0.1 bad 999.1.1.1",
+             "host <IP> bad 999.1.1.1"),
+            ("clean text stays clean", "clean text stays clean"),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["t", "want"]))
+        got = df.select(T.redact_pii(F.col("t")).alias("got"), "want").collect()
+        for r in got:
+            assert r.got == r.want, (r.got, r.want)
+
+    def test_flags(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.operators import text as T
+        df = spark.createDataFrame(pd.DataFrame(
+            {"t": ["a@b.io", "555-123-4567", "1.2.3.4", "none"]}))
+        rows = df.select(*T.pii_flags(F.col("t"))).collect()
+        assert [r.has_email for r in rows] == [True, False, False, False]
+        assert [r.has_phone for r in rows] == [False, True, False, False]
+        assert [r.has_ip for r in rows] == [False, False, True, False]
+
+    def test_duckdb_twin_byte_identical(self, spark):
+        import duckdb
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.operators import text as T
+        texts = ["mail x.y-z@q.museum and 212.555.0100? maybe",
+                 "ip 255.255.255.255 edge", "a@b.c not-an-email@",
+                 "+999 (123) 456-7890 and 12-345-6789"]
+        df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+        got_spark = [r[0] for r in
+                     df.select(T.redact_pii(F.col("t"))).collect()]
+        con = duckdb.connect()
+        got_duck = [con.execute(
+            "SELECT " + T.pii_redact_sql("?::VARCHAR"), [t]).fetchone()[0]
+            for t in texts]
+        assert got_spark == got_duck
