@@ -266,3 +266,95 @@ def streaming_reservoir_sample(
     return stream.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
+
+
+def phash_neardup_sink(root: str, id_col: str = "image_id",
+                       phash_col: str = "phash", max_hamming: int = 3):
+    """foreachBatch sink for continuous IMAGE near-dup detection — the
+    streaming twin of dedup.hamming_near_pairs over the input table's
+    64-bit phash column.
+
+    Per micro-batch: pigeonhole band keys (bands = max_hamming + 1, the
+    recall-complete split) of the new images equi-join the ACCUMULATED
+    bucket store under <root>/buckets (O(bands) rows per image ever
+    ingested — columnar state, not executor memory) plus the in-batch
+    self-join; candidates verify with exact popcount hamming.  Unlike
+    the text sink no second store is needed: the signature travels in
+    the bucket rows, so verification is join-free.
+
+    Restart-safe the same way: per-batch subdirectories written with
+    overwrite, replayed batches excluded from the store read."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        src = batch_df.select(F.col(id_col).alias("id"),
+                              F.col(phash_col).alias("_sig"))
+        if not src.take(1):
+            return
+        banded = src.select(
+            "id", "_sig",
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("band"),
+                         F.shiftrightunsigned("_sig", offsets[i])
+                         .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("key"))
+                for i in range(n_bands)
+            ])).alias("bb"),
+        ).select("id", "_sig", "bb.band", "bb.key").localCheckpoint(eager=True)
+
+        from pyspark.errors import AnalysisException
+        try:
+            store = spark.read.parquet(f"{root}/buckets")
+            store = store.where(F.col("batch_id") != batch_id) \
+                         .select("id", "_sig", "band", "key")
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                store = None
+            else:
+                raise
+
+        nb = banded.alias("n")
+        cand = (nb.join(banded.alias("m"),
+                        (F.col("n.band") == F.col("m.band"))
+                        & (F.col("n.key") == F.col("m.key"))
+                        & (F.col("n.id") < F.col("m.id")))
+                .select(F.col("n.id").alias("id_a"), F.col("m.id").alias("id_b"),
+                        F.col("n._sig").alias("sig_a"), F.col("m._sig").alias("sig_b")))
+        if store is not None:
+            old = (nb.join(store.alias("o"),
+                           (F.col("n.band") == F.col("o.band"))
+                           & (F.col("n.key") == F.col("o.key"))
+                           # replayed batches see their own buckets
+                           & (F.col("n.id") != F.col("o.id")))
+                   .select(F.least("n.id", "o.id").alias("id_a"),
+                           F.greatest("n.id", "o.id").alias("id_b"),
+                           F.when(F.col("n.id") < F.col("o.id"), F.col("n._sig"))
+                           .otherwise(F.col("o._sig")).alias("sig_a"),
+                           F.when(F.col("n.id") < F.col("o.id"), F.col("o._sig"))
+                           .otherwise(F.col("n._sig")).alias("sig_b")))
+            cand = cand.unionByName(old)
+        hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        pairs = (cand.distinct()
+                 .withColumn("hamming", hamming)
+                 .where(F.col("hamming") <= max_hamming)
+                 .select("id_a", "id_b", "hamming"))
+        pairs.write.mode("overwrite").parquet(f"{root}/pairs/batch_id={batch_id}")
+        banded.write.mode("overwrite").parquet(f"{root}/buckets/batch_id={batch_id}")
+
+    return sink
+
+
+def streaming_phash_neardup(stream: DataFrame, root: str, checkpoint_dir: str,
+                            id_col: str = "image_id",
+                            phash_col: str = "phash", **kw):
+    """Wire phash_neardup_sink into a writeStream (see the sink for the
+    state/idempotency story)."""
+    return (
+        stream.writeStream
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(phash_neardup_sink(root, id_col, phash_col, **kw))
+        .start()
+    )

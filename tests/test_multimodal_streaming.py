@@ -206,3 +206,81 @@ class TestStreamingNearDup:
         assert again == pairs
         n_buckets = spark.read.parquet(f"{root}/buckets").count()
         assert n_buckets == 16 * 4  # bands x docs, no replay duplication
+
+
+class TestStreamingPhashNearDup:
+    def test_incremental_phash_neardup(self, spark, tmp_path):
+        """The image-axis streaming near-dup: in-batch pairs, cross-batch
+        pairs through the accumulated bucket store, replay idempotency —
+        exact hamming verification over the banded candidates."""
+        root = str(tmp_path / "pnd")
+        sink = stream_ops.phash_neardup_sink(root, max_hamming=3)
+        base = 0x0123456789ABCDEF
+        b1 = spark.createDataFrame(
+            [("imgA", base), ("imgB", base ^ 0b101),      # hamming 2
+             ("imgC", base ^ ((1 << 40) | (1 << 13) | (1 << 7) | (1 << 3)
+                              | (1 << 60)))],             # hamming 5
+            "image_id string, phash long")
+        sink(b1, 0)
+        pairs = {(r.id_a, r.id_b): r.hamming for r in
+                 spark.read.parquet(f"{root}/pairs").collect()}
+        assert pairs == {("imgA", "imgB"): 2}
+        # batch 2: near-dup of A arrives later (hamming 1), plus junk
+        b2 = spark.createDataFrame(
+            [("imgD", base ^ (1 << 33)), ("imgE", ~base)],
+            "image_id string, phash long")
+        sink(b2, 1)
+        pairs = {(r.id_a, r.id_b): r.hamming for r in
+                 spark.read.parquet(f"{root}/pairs").collect()}
+        assert pairs[("imgA", "imgD")] == 1
+        assert pairs[("imgB", "imgD")] == 3
+        assert all("imgE" not in k and "imgC" not in k for k in pairs)
+        # replay batch 2: byte-identical state
+        before = sorted((r.id_a, r.id_b, r.hamming) for r in
+                        spark.read.parquet(f"{root}/pairs").collect())
+        sink(b2, 1)
+        after = sorted((r.id_a, r.id_b, r.hamming) for r in
+                       spark.read.parquet(f"{root}/pairs").collect())
+        assert after == before
+        assert spark.read.parquet(f"{root}/buckets").count() == 4 * 5
+
+    def test_live_stream_with_rate_source(self, spark, tmp_path):
+        """End-to-end through a real writeStream: rate-source rows mapped
+        to phashes where consecutive ids collide within hamming 1."""
+        import time
+        from pyspark.sql import functions as F
+        root = str(tmp_path / "live")
+        ckpt = str(tmp_path / "ckpt")
+        stream = (spark.readStream.format("rate")
+                  .option("rowsPerSecond", 50).load()
+                  .select(F.concat(F.lit("img"),
+                                   (F.col("value") / 2).cast("long")
+                                   .cast("string")).alias("image_id_base"),
+                          F.col("value"))
+                  .select(F.concat(F.col("image_id_base"), F.lit("_"),
+                                   F.pmod(F.col("value"), F.lit(2))
+                                   .cast("string")).alias("image_id"),
+                          (F.xxhash64((F.col("value") / 2).cast("long"))
+                           .bitwiseXOR(F.pmod(F.col("value"), F.lit(2))))
+                          .alias("phash")))  # hash spreads bases far apart;
+                                             # only the low-bit twin is near
+        q = stream_ops.streaming_phash_neardup(stream, root, ckpt,
+                                               max_hamming=2)
+        try:
+            deadline = time.time() + 30
+            found = False
+            while time.time() < deadline and not found:
+                time.sleep(2)
+                try:
+                    n = spark.read.parquet(f"{root}/pairs").count()
+                    found = n > 0
+                except Exception:
+                    pass
+            assert found, "no near-dup pairs surfaced from the live stream"
+            rows = spark.read.parquet(f"{root}/pairs").collect()
+            for r in rows:
+                # pairs are img{k}_0 vs img{k}_1 (same base, low bit flip)
+                assert r.id_a.split("_")[0] == r.id_b.split("_")[0]
+                assert r.hamming == 1
+        finally:
+            q.stop()
