@@ -370,8 +370,8 @@ def pack_token_spans(df: DataFrame, token_col, id_col: str = "doc_id",
     are dropped (they occupy no stream positions).
 
     Scale shape: sharding IS the parallelism — the window cumsum
-    partitions by shard (pmod of the id), so no global single-partition
-    window exists; each shard's stream is an independent training file,
+    partitions by shard (a hash or modulus of the id, see ``shard_by``),
+    so no global single-partition window exists; each shard's stream is an independent training file,
     which is exactly how production corpora are laid out.  Output per
     doc: shard, tok_start/tok_end (offsets in the shard stream),
     seq_first/seq_last (the training sequences the doc lands in),
