@@ -962,12 +962,28 @@ def from_wkt(s: str) -> CrsDef:
         sph = _wkt_children(geogs[0], "DATUM") and \
             _wkt_children(_wkt_children(geogs[0], "DATUM")[0], "SPHEROID")
         inv_f = float(sph[0][1][2]) if sph else 0.0
-        if (inv_f != 0.0 or g("central_meridian") != 0.0 or k0 != 1.0
-                or g("false_easting") != 0.0 or g("false_northing") != 0.0):
-            raise ValueError(
-                "unsupported Mercator_1SP variant (only spherical "
-                "Web Mercator)")
-        return WEB_MERCATOR
+        zero_params = (g("central_meridian") == 0.0 and k0 == 1.0
+                       and g("false_easting") == 0.0
+                       and g("false_northing") == 0.0)
+        # The canonical GDAL/EPSG:3857 WKT writes Mercator_1SP over an
+        # ELLIPSOIDAL WGS84 GEOGCS (inv_f=298.257...) with all-zero
+        # parameters — the sphere-math semantics live in the PROJ4
+        # EXTENSION/authority code, not the SPHEROID.  Accept that shape
+        # (by PROJCS name or by the all-zero-params-over-WGS84 pattern)
+        # as Web Mercator; keep raising for genuinely ellipsoidal
+        # Mercator (nonzero params or a non-WGS84 ellipsoid).
+        name = str(root[1][0]) if root[1] and isinstance(root[1][0], str) \
+            else ""
+        pseudo_name = ("pseudo-mercator" in name.lower()
+                       or "web mercator" in name.lower())
+        # NB: EPSG:3395 (true ellipsoidal Mercator) has the SAME
+        # all-zero-params-over-WGS84 shape — only the name tells them
+        # apart, so the ellipsoidal GEOGCS is accepted only with it.
+        if zero_params and (inv_f == 0.0 or pseudo_name):
+            return WEB_MERCATOR
+        raise ValueError(
+            "unsupported Mercator_1SP variant (only spherical "
+            "Web Mercator / EPSG:3857 Pseudo-Mercator)")
     if proj == "Transverse_Mercator":
         if g("latitude_of_origin") != 0.0:
             raise ValueError("Transverse_Mercator with non-zero "

@@ -69,8 +69,13 @@ def ngram_jaccard_pairs(
     comparison see the same universe).
 
     strategy='auto' (default): pick by corpus size — 'grouped' up to
-    NGRAM_GROUPED_MAX_DOCS rows (one cheap count()), 'two_pass' beyond,
-    so the scale-safe plan is the default where the grouped caveat bites.
+    NGRAM_GROUPED_MAX_DOCS rows, 'two_pass' beyond, so the scale-safe
+    plan is the default where the grouped caveat bites.  NOTE: this runs
+    one extra BOUNDED action, ``df.limit(MAX+1).count()`` — it stops
+    scanning once MAX+1 rows exist, so its cost is capped at ~1M rows of
+    upstream recompute regardless of corpus size, but if df is an
+    expensive uncached pipeline you may prefer to cache df first or pass
+    an explicit strategy to skip the probe entirely.
 
     strategy='grouped': ONE scan of the corpus -> groupBy(gram)
     collects the sorted doc-id list per shingle, df-filter, localCheckpoint
@@ -88,7 +93,10 @@ def ngram_jaccard_pairs(
     intersections -> join set sizes -> Jaccard filter.  Every step is a
     hash agg/join on a content key; nothing materializes a posting list."""
     if strategy == "auto":
-        strategy = ("grouped" if df.count() <= NGRAM_GROUPED_MAX_DOCS
+        # bounded probe, NOT a full count: LocalLimit short-circuits each
+        # partition, so at most MAX+1 rows of the upstream plan recompute
+        probe = df.limit(NGRAM_GROUPED_MAX_DOCS + 1).count()
+        strategy = ("grouped" if probe <= NGRAM_GROUPED_MAX_DOCS
                     else "two_pass")
     if strategy not in ("grouped", "two_pass"):
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -158,10 +166,13 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     pass over the byte array + np.unique, measured 2.2x faster than the
     previous per-gram crc32 loop (and 64-bit, so gram collisions are
     negligible at any corpus size)."""
-    data = text or ""
-    if len(data) < n:
-        data = data + "\x00" * (n - len(data))
-    bs = np.frombuffer(data.encode("utf-8", "ignore"), dtype=np.uint8)
+    raw = (text or "").encode("utf-8", "ignore")
+    # pad AFTER encoding: 'ignore' can shrink the bytes below n even when
+    # the str was long enough (lone surrogates encode to b''), and a
+    # negative L would crash np.zeros below
+    if len(raw) < n:
+        raw = raw + b"\x00" * (n - len(raw))
+    bs = np.frombuffer(raw, dtype=np.uint8)
     L = len(bs) - n + 1
     pows = _SHINGLE_POWS.get(n)
     if pows is None:

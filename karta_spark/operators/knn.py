@@ -211,7 +211,10 @@ def knn_broadcast_kernel(
                     dy = pys[None, :] - cqy
                     d = np.sqrt(dx * dx + dy * dy)
                 if kk < n_p:
-                    part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                    # partition ONE extra element so each row can detect a
+                    # tie group straddling the k-th rank (argpartition's
+                    # pick inside a tied group is arbitrary)
+                    part = np.argpartition(d, kk, axis=1)[:, :kk + 1]
                 else:
                     part = np.broadcast_to(np.arange(n_p), (d.shape[0], n_p))
                 for r in range(d.shape[0]):
@@ -220,7 +223,18 @@ def knn_broadcast_kernel(
                     # indices then a STABLE sort on distance yields the
                     # exact row_number() tie-break of the ring path
                     sel = np.sort(part[r])
-                    o = sel[np.argsort(d[r, sel], kind="stable")][:kk]
+                    dsel = d[r, sel]
+                    order = np.argsort(dsel, kind="stable")
+                    if kk < n_p and dsel[order[kk]] == dsel[order[kk - 1]]:
+                        # the (k+1)-th smallest equals the k-th: points
+                        # outside the partition may tie the boundary, and
+                        # which tied members argpartition kept is
+                        # arbitrary — widen to EVERY point at or under
+                        # the boundary distance so (dist, pid) order
+                        # decides, matching the ring path's row_number
+                        sel = np.nonzero(d[r] <= dsel[order[kk - 1]])[0]
+                        order = np.argsort(d[r, sel], kind="stable")
+                    o = sel[order][:kk]
                     out_q.extend([qida[s0 + r]] * kk)
                     out_p.extend(pids[o].tolist())
                     out_d.extend(d[r, o].tolist())
