@@ -2234,6 +2234,51 @@ FROM r GROUP BY plant
 """
 
 
+def q65_lcc_stateplane(spark, sf_dir):
+    """Lambert conformal conic reprojection (round 5): CONUS customers
+    forward-projected through Snyder's 15.1 test conic (Clarke 1866,
+    lat1=33 lat2=45 lat0=23 lon0=-96 — the State-Plane-era NAD27 setup)
+    plus an inverse roundtrip as a boolean tolerance (q38 lesson: never
+    round an error at its own noise floor).  The reference reaches lcc
+    through arbitrary proj.4 strings (reference crs.py:248-306); here it
+    is native triple-backend column math, so the DuckDB twin runs the
+    textually identical algebra."""
+    from karta_spark.functions import crs as kcrs
+    conic = kcrs.lcc(33, 45, 23, -96, ellps="clrk66")
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    z = c.where((F.col("x") > -125) & (F.col("x") < -66)
+                & (F.col("y") > 24) & (F.col("y") < 49))
+    ex, ny = kcrs.forward_exprs(conic, F.col("x"), F.col("y"))
+    z = z.withColumn("px", ex).withColumn("py", ny)
+    lon2, lat2 = kcrs.inverse_exprs(conic, F.col("px"), F.col("py"))
+    rt_ok = (F.abs(lon2 - F.col("x")) < 1e-7) & \
+        (F.abs(lat2 - F.col("y")) < 1e-7)
+    return z.select(
+        "c_custkey",
+        F.round(F.col("px"), 4).alias("sp_x"),
+        F.round(F.col("py"), 4).alias("sp_y"),
+        rt_ok.alias("rt_ok"))
+
+
+def _q65_sql():
+    from karta_spark.functions import crs as kcrs
+    conic = kcrs.lcc(33, 45, 23, -96, ellps="clrk66")
+    xs, ys = kcrs.forward_sql(conic, "x", "y")
+    lo, la = kcrs.inverse_sql(conic, "px", "py")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+), zone AS (
+  SELECT * FROM pts WHERE x > -125 AND x < -66 AND y > 24 AND y < 49
+), proj AS (
+  SELECT c_custkey, x, y, {xs} AS px, {ys} AS py FROM zone
+)
+SELECT c_custkey, round(px, 4) AS sp_x, round(py, 4) AS sp_y,
+       (abs({lo} - x) < 1e-7 AND abs({la} - y) < 1e-7) AS rt_ok
+FROM proj
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2300,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_token_budget_mixture": q62_token_budget_mixture,
         "q63_jpeg_tiff_census": q63_jpeg_tiff_census,
         "q64_pii_redaction": q64_pii_redaction,
+        "q65_lcc_stateplane": q65_lcc_stateplane,
     }
 
 
@@ -2351,6 +2397,7 @@ def oracle_sql() -> dict[str, str]:
         "q62_token_budget_mixture": _q62_sql(),
         "q63_jpeg_tiff_census": Q63_SQL,
         "q64_pii_redaction": _q64_sql(),
+        "q65_lcc_stateplane": _q65_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -41,6 +41,80 @@ E2_WGS84 = F_WGS84 * (2.0 - F_WGS84)
 E_WGS84 = math.sqrt(E2_WGS84)
 R_WEBMERC = 6378137.0  # +proj=merc +a=6378137 +b=6378137 (crs.py:386)
 
+# ---------------------------------------------------------------------------
+# ellipsoid registry — the standard proj.4 ellipsoid table (public geodetic
+# constants; the reference carries the same table, crs.py:34-77
+# ELLIPSOID_DATA, resolved through its Ellipsoid class crs.py:80-103).
+# Entries are (a, b, rf, display-name); exactly one of b/rf is set.
+# ---------------------------------------------------------------------------
+
+_ELLIPSOID_DATA = {
+    "MERIT": (6378137.0, None, 298.257, "MERIT 1983"),
+    "SGS85": (6378136.0, None, 298.257, "Soviet Geodetic System 85"),
+    "GRS80": (6378137.0, None, 298.257222101, "GRS 1980"),
+    "IAU76": (6378140.0, None, 298.257, "IAU 1976"),
+    "airy": (6377563.396, 6356256.910, None, "Airy 1830"),
+    "APL4.9": (6378137.0, None, 298.25, "Appl. Physics. 1965"),
+    "NWL9D": (6378145.0, None, 298.25, "Naval Weapons Lab., 1965"),
+    "mod_airy": (6377340.189, 6356034.446, None, "Modified Airy"),
+    "andrae": (6377104.43, None, 300.0, "Andrae 1876"),
+    "aust_SA": (6378160.0, None, 298.25, "Australian Natl & S. Amer. 1969"),
+    "GRS67": (6378160.0, None, 298.2471674270, "GRS 67"),
+    "bessel": (6377397.155, None, 299.1528128, "Bessel 1841"),
+    "bess_nam": (6377483.865, None, 299.1528128, "Bessel 1841 (Namibia)"),
+    "clrk66": (6378206.4, 6356583.8, None, "Clarke 1866"),
+    "clrk80": (6378249.145, None, 293.4663, "Clarke 1880 mod."),
+    "clrk80ign": (6378249.2, None, 293.4660212936269, "Clarke 1880 (IGN)"),
+    "CPM": (6375738.7, None, 334.29, "Comm. des Poids et Mesures 1799"),
+    "delmbr": (6376428.0, None, 311.5, "Delambre 1810"),
+    "engelis": (6378136.05, None, 298.2566, "Engelis 1985"),
+    "evrst30": (6377276.345, None, 300.8017, "Everest 1830"),
+    "evrst48": (6377304.063, None, 300.8017, "Everest 1948"),
+    "evrst56": (6377301.243, None, 300.8017, "Everest 1956"),
+    "evrst69": (6377295.664, None, 300.8017, "Everest 1969"),
+    "evrstSS": (6377298.556, None, 300.8017, "Everest (Sabah & Sarawak)"),
+    "fschr60": (6378166.0, None, 298.3, "Fischer (Mercury Datum) 1960"),
+    "fschr60m": (6378155.0, None, 298.3, "Modified Fischer 1960"),
+    "fschr68": (6378150.0, None, 298.3, "Fischer 1968"),
+    "helmert": (6378200.0, None, 298.3, "Helmert 1906"),
+    "hough": (6378270.0, None, 297.0, "Hough"),
+    "intl": (6378388.0, None, 297.0, "International 1909 (Hayford)"),
+    "krass": (6378245.0, None, 298.3, "Krassovsky, 1942"),
+    "kaula": (6378163.0, None, 298.24, "Kaula 1961"),
+    "lerch": (6378139.0, None, 298.257, "Lerch 1979"),
+    "mprts": (6397300.0, None, 191.0, "Maupertius 1738"),
+    "new_intl": (6378157.5, 6356772.2, None, "New International 1967"),
+    "plessis": (6376523.0, 6355863.0, None, "Plessis 1817"),
+    "SEasia": (6378155.0, 6356773.3205, None, "Southeast Asia"),
+    "walbeck": (6376896.0, 6355834.8467, None, "Walbeck"),
+    "WGS60": (6378165.0, None, 298.3, "WGS 60"),
+    "WGS66": (6378145.0, None, 298.25, "WGS 66"),
+    "WGS72": (6378135.0, None, 298.26, "WGS 72"),
+    "WGS84": (6378137.0, None, 298.257223563, "WGS 84"),
+    "sphere": (6370997.0, 6370997.0, None, "Normal Sphere (r=6370997)"),
+}
+
+#: +datum= -> implied ellipsoid (reference crs.py:29-32 DATUM_ELLIPSOIDS)
+_DATUM_ELLIPSOIDS = {
+    "WGS84": "WGS84", "GGRS87": "GRS80", "NAD83": "GRS80",
+    "NAD27": "clrk66", "potsdam": "bessel", "carthage": "clrk80",
+    "hermannskogel": "bessel", "ire65": "mod_airy",
+    "nzgd49": "intl", "OSGB36": "airy",
+}
+
+
+def ellipsoid_params(name: str) -> tuple[float, float]:
+    """(a, f) for a proj.4 ellipsoid id.  WGS84 resolves to the module's
+    exact A_WGS84/F_WGS84 constants (bit-identical fast path)."""
+    if name == "WGS84":
+        return A_WGS84, F_WGS84
+    try:
+        a, b, rf, _ = _ELLIPSOID_DATA[name]
+    except KeyError:
+        raise ValueError(f"unknown ellipsoid {name!r}") from None
+    f = (a - b) / a if rf is None else 1.0 / rf
+    return a, f
+
 
 # ---------------------------------------------------------------------------
 # triple backend: Columns / SQL strings / numpy
@@ -199,41 +273,61 @@ def _asinh(B, v):
 # 3-18 conformal + 3-34 authalic inverse series)
 # ---------------------------------------------------------------------------
 
-_N = F_WGS84 / (2.0 - F_WGS84)
-_A_TM = A_WGS84 / (1.0 + _N) * (1.0 + _N ** 2 / 4.0 + _N ** 4 / 64.0 + _N ** 6 / 256.0)
+from functools import lru_cache
 
-_ALPHA = (
-    _N / 2 - 2 * _N ** 2 / 3 + 5 * _N ** 3 / 16 + 41 * _N ** 4 / 180
-    - 127 * _N ** 5 / 288 + 7891 * _N ** 6 / 37800,
-    13 * _N ** 2 / 48 - 3 * _N ** 3 / 5 + 557 * _N ** 4 / 1440
-    + 281 * _N ** 5 / 630 - 1983433 * _N ** 6 / 1935360,
-    61 * _N ** 3 / 240 - 103 * _N ** 4 / 140 + 15061 * _N ** 5 / 26880
-    + 167603 * _N ** 6 / 181440,
-    49561 * _N ** 4 / 161280 - 179 * _N ** 5 / 168 + 6601661 * _N ** 6 / 7257600,
-    34729 * _N ** 5 / 80640 - 3418889 * _N ** 6 / 1995840,
-    212378941 * _N ** 6 / 319334400,
-)
-_BETA = (
-    _N / 2 - 2 * _N ** 2 / 3 + 37 * _N ** 3 / 96 - _N ** 4 / 360
-    - 81 * _N ** 5 / 512 + 96199 * _N ** 6 / 604800,
-    _N ** 2 / 48 + _N ** 3 / 15 - 437 * _N ** 4 / 1440 + 46 * _N ** 5 / 105
-    - 1118711 * _N ** 6 / 3870720,
-    17 * _N ** 3 / 480 - 37 * _N ** 4 / 840 - 209 * _N ** 5 / 4480
-    + 5569 * _N ** 6 / 90720,
-    4397 * _N ** 4 / 161280 - 11 * _N ** 5 / 504 - 830251 * _N ** 6 / 7257600,
-    4583 * _N ** 5 / 161280 - 108847 * _N ** 6 / 3991680,
-    20648693 * _N ** 6 / 638668800,
-)
 
-# conformal latitude -> geographic (phi = chi + sum c_j sin(2j chi))
+@lru_cache(maxsize=None)
+def _tm_series(a: float, f: float):
+    """Krüger n^6 series constants (A, alpha, beta) for an ellipsoid —
+    cached per (a, f); the WGS84 call reproduces the historical module
+    constants bit-for-bit (same expression sequence)."""
+    _N = f / (2.0 - f)
+    A_TM = a / (1.0 + _N) * (1.0 + _N ** 2 / 4.0 + _N ** 4 / 64.0 + _N ** 6 / 256.0)
+    alpha = (
+        _N / 2 - 2 * _N ** 2 / 3 + 5 * _N ** 3 / 16 + 41 * _N ** 4 / 180
+        - 127 * _N ** 5 / 288 + 7891 * _N ** 6 / 37800,
+        13 * _N ** 2 / 48 - 3 * _N ** 3 / 5 + 557 * _N ** 4 / 1440
+        + 281 * _N ** 5 / 630 - 1983433 * _N ** 6 / 1935360,
+        61 * _N ** 3 / 240 - 103 * _N ** 4 / 140 + 15061 * _N ** 5 / 26880
+        + 167603 * _N ** 6 / 181440,
+        49561 * _N ** 4 / 161280 - 179 * _N ** 5 / 168 + 6601661 * _N ** 6 / 7257600,
+        34729 * _N ** 5 / 80640 - 3418889 * _N ** 6 / 1995840,
+        212378941 * _N ** 6 / 319334400,
+    )
+    beta = (
+        _N / 2 - 2 * _N ** 2 / 3 + 37 * _N ** 3 / 96 - _N ** 4 / 360
+        - 81 * _N ** 5 / 512 + 96199 * _N ** 6 / 604800,
+        _N ** 2 / 48 + _N ** 3 / 15 - 437 * _N ** 4 / 1440 + 46 * _N ** 5 / 105
+        - 1118711 * _N ** 6 / 3870720,
+        17 * _N ** 3 / 480 - 37 * _N ** 4 / 840 - 209 * _N ** 5 / 4480
+        + 5569 * _N ** 6 / 90720,
+        4397 * _N ** 4 / 161280 - 11 * _N ** 5 / 504 - 830251 * _N ** 6 / 7257600,
+        4583 * _N ** 5 / 161280 - 108847 * _N ** 6 / 3991680,
+        20648693 * _N ** 6 / 638668800,
+    )
+    return A_TM, alpha, beta
+
+
+_A_TM, _ALPHA, _BETA = _tm_series(A_WGS84, F_WGS84)
+
+
+@lru_cache(maxsize=None)
+def _conf_inv_coeffs(e2: float):
+    """conformal latitude -> geographic series coefficients
+    (phi = chi + sum c_j sin(2j chi), Snyder 3-5) — cached per e2."""
+    _E2, _E4 = e2, e2 ** 2
+    _E6, _E8 = e2 ** 3, e2 ** 4
+    return (
+        _E2 / 2 + 5 * _E4 / 24 + _E6 / 12 + 13 * _E8 / 360,
+        7 * _E4 / 48 + 29 * _E6 / 240 + 811 * _E8 / 11520,
+        7 * _E6 / 120 + 81 * _E8 / 1120,
+        4279 * _E8 / 161280,
+    )
+
+
+_CONF_INV = _conf_inv_coeffs(E2_WGS84)
 _E2, _E4 = E2_WGS84, E2_WGS84 ** 2
 _E6, _E8 = E2_WGS84 ** 3, E2_WGS84 ** 4
-_CONF_INV = (
-    _E2 / 2 + 5 * _E4 / 24 + _E6 / 12 + 13 * _E8 / 360,
-    7 * _E4 / 48 + 29 * _E6 / 240 + 811 * _E8 / 11520,
-    7 * _E6 / 120 + 81 * _E8 / 1120,
-    4279 * _E8 / 161280,
-)
 # authalic latitude -> geographic (phi = beta + sum c_j sin(2j beta))
 _AUTH_INV = (
     _E2 / 3 + 31 * _E4 / 180 + 517 * _E6 / 5040,
@@ -289,8 +383,17 @@ def utm(zone: int, south: bool = False) -> CrsDef:
                    10000000.0 if south else 0.0))
 
 
-def tmerc(lon0: float, k0: float = 1.0, fe: float = 0.0, fn: float = 0.0) -> CrsDef:
-    return CrsDef(f"tmerc_{lon0}", "tmerc", (lon0, k0, fe, fn))
+def tmerc(lon0: float, k0: float = 1.0, fe: float = 0.0, fn: float = 0.0,
+          ellps: str | tuple[float, float] = "WGS84") -> CrsDef:
+    """Transverse Mercator CRS; ``ellps`` (proj.4 id or (a, f) pair)
+    selects the ellipsoid — WGS84 keeps the historical 4-tuple params so
+    existing named instances compare equal."""
+    a, f = ellps if isinstance(ellps, tuple) else ellipsoid_params(ellps)
+    if (a, f) == (A_WGS84, F_WGS84):
+        return CrsDef(f"tmerc_{lon0}", "tmerc", (lon0, k0, fe, fn))
+    tag = ellps if isinstance(ellps, str) else f"{a:g}"
+    return CrsDef(f"tmerc_{lon0}_{tag}", "tmerc",
+                  (lon0, k0, fe, fn, float(a), float(f)))
 
 
 # ---------------------------------------------------------------------------
@@ -313,87 +416,178 @@ def _webmercator_inv(B, x, y):
     return lon, lat
 
 
-def _conformal_to_geographic(B, chi):
+def _conformal_to_geographic(B, chi, e2: float = E2_WGS84):
     phi = chi
-    for j, c in enumerate(_CONF_INV, start=1):
+    for j, c in enumerate(_conf_inv_coeffs(e2), start=1):
         phi = phi + c * B.sin((2.0 * j) * chi)
     return phi
 
 
-def _tm_fwd(B, lon, lat, lon0, k0, fe, fn):
-    """Krüger-series transverse Mercator forward (Karney 2011 eq. 7-11)."""
+def _tm_fwd(B, lon, lat, lon0, k0, fe, fn, a=A_WGS84, f=F_WGS84):
+    """Krüger-series transverse Mercator forward (Karney 2011 eq. 7-11).
+    Optional trailing (a, f) select the ellipsoid (default WGS84 —
+    bit-identical to the historical fixed-constant path)."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    A_TM, alpha, _ = _tm_series(a, f)
     lam = (lon - lon0) * _D2R
     phi = lat * _D2R
     t = B.tan(phi)
-    sig = _sinh(B, E_WGS84 * _atanh(B, E_WGS84 * t / B.sqrt(1.0 + t * t)))
+    sig = _sinh(B, e * _atanh(B, e * t / B.sqrt(1.0 + t * t)))
     tp = t * B.sqrt(1.0 + sig * sig) - sig * B.sqrt(1.0 + t * t)
     xi = B.atan2(tp, B.cos(lam))
     eta = _asinh(B, B.sin(lam) / B.sqrt(tp * tp + B.cos(lam) * B.cos(lam)))
     xs, ys = eta, xi
-    for j, a in enumerate(_ALPHA, start=1):
-        xs = xs + a * B.cos((2.0 * j) * xi) * _sinh(B, (2.0 * j) * eta)
-        ys = ys + a * B.sin((2.0 * j) * xi) * _cosh(B, (2.0 * j) * eta)
-    return fe + k0 * _A_TM * xs, fn + k0 * _A_TM * ys
+    for j, aj in enumerate(alpha, start=1):
+        xs = xs + aj * B.cos((2.0 * j) * xi) * _sinh(B, (2.0 * j) * eta)
+        ys = ys + aj * B.sin((2.0 * j) * xi) * _cosh(B, (2.0 * j) * eta)
+    return fe + k0 * A_TM * xs, fn + k0 * A_TM * ys
 
 
-def _tm_inv(B, x, y, lon0, k0, fe, fn):
-    xi = (y - fn) / (k0 * _A_TM)
-    eta = (x - fe) / (k0 * _A_TM)
+def _tm_inv(B, x, y, lon0, k0, fe, fn, a=A_WGS84, f=F_WGS84):
+    e2 = f * (2.0 - f)
+    A_TM, _, beta = _tm_series(a, f)
+    xi = (y - fn) / (k0 * A_TM)
+    eta = (x - fe) / (k0 * A_TM)
     xip, etap = xi, eta
-    for j, b in enumerate(_BETA, start=1):
+    for j, b in enumerate(beta, start=1):
         xip = xip - b * B.sin((2.0 * j) * xi) * _cosh(B, (2.0 * j) * eta)
         etap = etap - b * B.cos((2.0 * j) * xi) * _sinh(B, (2.0 * j) * eta)
     she = _sinh(B, etap)
     tp = B.sin(xip) / B.sqrt(she * she + B.cos(xip) * B.cos(xip))
     lam = B.atan2(she, B.cos(xip))
     chi = B.atan(tp)
-    phi = _conformal_to_geographic(B, chi)
+    phi = _conformal_to_geographic(B, chi, e2)
     return lon0 + lam * _R2D, phi * _R2D
 
 
-def _stere_t(B, phi):
-    es = E_WGS84 * B.sin(phi)
+def _stere_t(B, phi, e=E_WGS84):
+    es = e * B.sin(phi)
     return B.tan(math.pi / 4.0 - phi / 2.0) * B.pow(
-        (1.0 + es) / (1.0 - es), E_WGS84 / 2.0)
+        (1.0 + es) / (1.0 - es), e / 2.0)
 
 
-def _stere_consts(lat_ts: float, k0: float):
+def _stere_consts(lat_ts: float, k0: float, e=E_WGS84, e2=E2_WGS84):
     """rho = a * c * t(phi) for the north polar aspect (Snyder 21-33/34)."""
     if lat_ts >= 89.999:
         c = 2.0 * k0 / math.sqrt(
-            (1.0 + E_WGS84) ** (1.0 + E_WGS84) * (1.0 - E_WGS84) ** (1.0 - E_WGS84))
+            (1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
     else:
         ts = lat_ts * _D2R
-        m = math.cos(ts) / math.sqrt(1.0 - E2_WGS84 * math.sin(ts) ** 2)
-        es = E_WGS84 * math.sin(ts)
+        m = math.cos(ts) / math.sqrt(1.0 - e2 * math.sin(ts) ** 2)
+        es = e * math.sin(ts)
         t = math.tan(math.pi / 4.0 - ts / 2.0) * (
-            (1.0 + es) / (1.0 - es)) ** (E_WGS84 / 2.0)
+            (1.0 + es) / (1.0 - es)) ** (e / 2.0)
         c = k0 * m / t
     return c
 
 
-def _stere_fwd(B, lon, lat, sgn, lon0, lat_ts, k0, fe, fn):
+def _stere_fwd(B, lon, lat, sgn, lon0, lat_ts, k0, fe, fn,
+               a=A_WGS84, f=F_WGS84):
     """Polar stereographic (Snyder 1987 pp. 160-161), north (sgn=+1) or
     south (sgn=-1, mirrored)."""
-    c = _stere_consts(lat_ts, k0)
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    c = _stere_consts(lat_ts, k0, e, e2)
     phi = (sgn * lat) * _D2R
     lam = (sgn * (lon - lon0)) * _D2R
-    rho = A_WGS84 * c * _stere_t(B, phi)
+    rho = a * c * _stere_t(B, phi, e)
     x = fe + sgn * (rho * B.sin(lam))
     y = fn - sgn * (rho * B.cos(lam))
     return x, y
 
 
-def _stere_inv(B, x, y, sgn, lon0, lat_ts, k0, fe, fn):
-    c = _stere_consts(lat_ts, k0)
+def _stere_inv(B, x, y, sgn, lon0, lat_ts, k0, fe, fn,
+               a=A_WGS84, f=F_WGS84):
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    c = _stere_consts(lat_ts, k0, e, e2)
     xp = sgn * (x - fe)
     yp = sgn * (y - fn)
     rho = B.sqrt(xp * xp + yp * yp)
-    t = rho / (A_WGS84 * c)
+    t = rho / (a * c)
     chi = math.pi / 2.0 - 2.0 * B.atan(t)
-    phi = _conformal_to_geographic(B, chi)
+    phi = _conformal_to_geographic(B, chi, e2)
     lam = B.atan2(xp, -1.0 * yp)
     return sgn * (lon0 + lam * _R2D), sgn * (phi * _R2D)
+
+
+# ---------------------------------------------------------------------------
+# Lambert conformal conic (Snyder 1987 section 15, ellipsoidal) — the
+# reference reaches lcc through arbitrary proj.4 strings
+# (crs.py:248-306 ProjectedCRS(proj="+proj=lcc ...")); here it is a
+# native CrsDef kind with the triple backend.  params = (lat1, lat2,
+# lat0, lon0, k0, fe, fn, a, f); lat1 == lat2 is the one-standard-
+# parallel form (n = sin(lat1), k0 applies — Snyder 15-11 note).
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _lcc_consts(lat1: float, lat2: float, lat0: float, k0: float,
+                a: float, f: float):
+    """n, a*k0*F, rho0 (Snyder 15-8, 15-9, 15-10, 14-15) — driver-side
+    scalars, cached per definition."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
+
+    def t(phi):
+        es = e * math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) * (
+            (1.0 + es) / (1.0 - es)) ** (e / 2.0)
+
+    p1, p2, p0 = lat1 * _D2R, lat2 * _D2R, lat0 * _D2R
+    t1, t0 = t(p1), t(p0)
+    if abs(lat1 - lat2) < 1e-10:
+        n = math.sin(p1)
+    else:
+        t2 = t(p2)
+        m1, m2 = m(p1), m(p2)
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    if n == 0.0:
+        raise ValueError("lcc standard parallels must not straddle the "
+                         "equator symmetrically (n = 0 degenerates to "
+                         "Mercator — use merc/cea instead)")
+    Fc = m(p1) / (n * t1 ** n)
+    akF = a * k0 * Fc
+    rho0 = akF * t0 ** n
+    return n, akF, rho0
+
+
+def _lcc_fwd(B, lon, lat, lat1, lat2, lat0, lon0, k0, fe, fn, a, f):
+    """Ellipsoidal Lambert conformal conic forward (Snyder 15-1..15-9)."""
+    n, akF, rho0 = _lcc_consts(lat1, lat2, lat0, k0, a, f)
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    phi = lat * _D2R
+    rho = akF * B.pow(_stere_t(B, phi, e), n)
+    # a cone is not periodic in lon: wrap lon-lon0 into [-180, 180)
+    dlon = lon - lon0
+    dlon = dlon - 360.0 * B.floor((dlon + 180.0) * (1.0 / 360.0))
+    theta = n * (dlon * _D2R)
+    x = fe + rho * B.sin(theta)
+    y = fn + rho0 - rho * B.cos(theta)
+    return x, y
+
+
+def _lcc_inv(B, x, y, lat1, lat2, lat0, lon0, k0, fe, fn, a, f):
+    """Ellipsoidal lcc inverse (Snyder 15-10..15-11 with the conformal
+    latitude series 3-5, matching the tmerc/stere inverse path)."""
+    n, akF, rho0 = _lcc_consts(lat1, lat2, lat0, k0, a, f)
+    e2 = f * (2.0 - f)
+    # sign(n) handling (Snyder p.107): southern-parallel cones carry n's
+    # sign on rho and flip both atan2 arguments
+    s = 1.0 if n > 0 else -1.0
+    xp = x - fe
+    yp = rho0 - (y - fn)
+    rho = s * B.sqrt(xp * xp + yp * yp)
+    theta = B.atan2(s * xp, s * yp)
+    t = B.pow(rho / akF, 1.0 / n)
+    chi = math.pi / 2.0 - 2.0 * B.atan(t)
+    phi = _conformal_to_geographic(B, chi, e2)
+    lam = theta / n
+    return lon0 + lam * _R2D, phi * _R2D
 
 
 def _authalic_q(B, phi):
@@ -535,6 +729,27 @@ def albers(lat1: float, lat2: float, lat0: float = 0.0, lon0: float = 0.0,
                   (lat1, lat2, lat0, lon0, fe, fn))
 
 
+def lcc(lat1: float, lat2: float | None = None, lat0: float = 0.0,
+        lon0: float = 0.0, k0: float = 1.0, fe: float = 0.0, fn: float = 0.0,
+        ellps: str | tuple[float, float] = "WGS84") -> CrsDef:
+    """Lambert conformal conic CRS (Snyder 15) — 2-SP when lat2 is given
+    (State Plane, Lambert-93, national grids), 1-SP when omitted
+    (lat2=lat1, k0 applies).  ``ellps`` is a proj.4 ellipsoid id or an
+    (a, f) pair — State Plane NAD27 zones ride Clarke 1866.  The
+    reference reaches these through arbitrary proj.4 strings
+    (reference crs.py:248-306)."""
+    a, f = ellps if isinstance(ellps, tuple) else ellipsoid_params(ellps)
+    lat2 = lat1 if lat2 is None else lat2
+    vals = tuple(float(v) for v in (lat1, lat2, lat0, lon0, k0, fe, fn))
+    if (a, f) == (A_WGS84, F_WGS84):
+        tag = ""
+    else:
+        tag = f"_{ellps}" if isinstance(ellps, str) else f"_{a:g}"
+    return CrsDef(
+        f"lcc_{vals[0]:g}_{vals[1]:g}_{vals[2]:g}_{vals[3]:g}{tag}",
+        "lcc", vals + (float(a), float(f)))
+
+
 # ---------------------------------------------------------------------------
 # geographic datum shift (reference crs.py:355-356: LonLatNAD27/NAD83 carry
 # +datum identifiers that pyproj resolves to geocentric translations).
@@ -594,6 +809,8 @@ def _dispatch_fwd(B, crs: CrsDef, lon, lat):
         return _cea_fwd(B, lon, lat, *crs.params)
     if crs.kind == "aea":
         return _aea_fwd(B, lon, lat, *crs.params)
+    if crs.kind == "lcc":
+        return _lcc_fwd(B, lon, lat, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
 
 
@@ -614,6 +831,8 @@ def _dispatch_inv(B, crs: CrsDef, x, y):
         return _cea_inv(B, x, y, *crs.params)
     if crs.kind == "aea":
         return _aea_inv(B, x, y, *crs.params)
+    if crs.kind == "lcc":
+        return _lcc_inv(B, x, y, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
 
 
@@ -692,6 +911,33 @@ def from_proj4(s: str) -> CrsDef:
         return float(toks.get(key, default))
 
     k0 = float(toks.get("k", toks.get("k_0", 1.0)))
+
+    def ell() -> tuple[float, float]:
+        """(a, f) from +a/+b/+rf/+f, +ellps, or +datum (in proj.4
+        precedence order); defaults to WGS84."""
+        if "a" in toks:
+            a = float(toks["a"])
+            if "b" in toks:
+                return a, (a - float(toks["b"])) / a
+            if "rf" in toks:
+                return a, 1.0 / float(toks["rf"])
+            if "f" in toks:
+                return a, float(toks["f"])
+            return a, 0.0  # +a alone: sphere of radius a
+        if "ellps" in toks:
+            return ellipsoid_params(toks["ellps"])
+        if "datum" in toks:
+            name = _DATUM_ELLIPSOIDS.get(toks["datum"])
+            if name is None:
+                raise ValueError(f"unknown datum {toks['datum']!r}")
+            return ellipsoid_params(name)
+        return A_WGS84, F_WGS84
+
+    def ell_tail() -> tuple:
+        """() for WGS84 (keeps named-instance param equality), else
+        the (a, f) params tail."""
+        a, f = ell()
+        return () if (a, f) == (A_WGS84, F_WGS84) else (a, f)
     if proj in ("longlat", "lonlat", "latlong", "latlon"):
         datum = toks.get("datum", "WGS84")
         if datum == "NAD27":
@@ -714,9 +960,25 @@ def from_proj4(s: str) -> CrsDef:
                 + s)
         return WEB_MERCATOR
     if proj == "utm":
-        return utm(int(toks["zone"]), "south" in flags)
+        tail = ell_tail()
+        if not tail:
+            return utm(int(toks["zone"]), "south" in flags)
+        # non-WGS84 UTM (e.g. NAD27 zones on Clarke 1866): a tmerc def —
+        # NOT utm-named, so to_proj4's utm fast path stays WGS84-only
+        zone = int(toks["zone"])
+        south = "south" in flags
+        return CrsDef(
+            f"tmerc_{6.0 * zone - 183.0}_{toks.get('ellps', tail[0])}",
+            "tmerc", (6.0 * zone - 183.0, 0.9996, 500000.0,
+                      10000000.0 if south else 0.0) + tail)
     if proj == "tmerc":
-        return tmerc(g("lon_0"), k0, g("x_0"), g("y_0"))
+        return tmerc(g("lon_0"), k0, g("x_0"), g("y_0"),
+                     ellps=ell())
+    if proj == "lcc":
+        lat1 = g("lat_1", g("lat_0"))
+        lat2 = float(toks["lat_2"]) if "lat_2" in toks else lat1
+        return lcc(lat1, lat2, g("lat_0"), g("lon_0"), k0,
+                   g("x_0"), g("y_0"), ellps=ell())
     if proj == "stere":
         lat0 = g("lat_0", 90.0)
         if abs(lat0) != 90.0:
@@ -725,12 +987,17 @@ def from_proj4(s: str) -> CrsDef:
                 "(only polar stereographic)")
         sgn = 1.0 if lat0 >= 0 else -1.0
         params = (sgn, g("lon_0"), abs(g("lat_ts", lat0)), k0,
-                  g("x_0"), g("y_0"))
+                  g("x_0"), g("y_0")) + ell_tail()
         for named in (UPS_NORTH, UPS_SOUTH, NSIDC_NORTH, NSIDC_SOUTH):
             if named.params == params:
                 return named
         return CrsDef(f"stere_{params[1]}_{params[2]}_{params[3]}",
                       "stere", params)
+    if proj in ("laea", "cea", "aea") and ell_tail():
+        # these kinds still pin WGS84 constants — reject rather than
+        # silently projecting on the wrong ellipsoid
+        raise ValueError(
+            f"+proj={proj} supports only the WGS84 ellipsoid here: " + s)
     if proj == "laea":
         lon0 = g("lon_0")
         return LAEA_WGS84 if lon0 == 0.0 else CrsDef(f"laea_{lon0}",
@@ -743,6 +1010,27 @@ def from_proj4(s: str) -> CrsDef:
         return albers(g("lat_1"), g("lat_2"), g("lat_0"), g("lon_0"),
                       g("x_0"), g("y_0"))
     raise ValueError(f"unsupported proj.4 projection {proj!r}")
+
+
+def _ellps_name(a: float, f: float) -> str | None:
+    """proj.4 ellipsoid id whose (a, f) matches exactly, else None."""
+    for name in _ELLIPSOID_DATA:
+        if ellipsoid_params(name) == (a, f):
+            return name
+    return None
+
+
+def _proj4_ellps_frag(params: tuple, base_len: int) -> str:
+    """+ellps/+a fragment for a params tuple that may carry an (a, f)
+    tail past base_len; WGS84 (no tail) emits the historical +ellps=WGS84
+    +datum=WGS84 pair."""
+    if len(params) <= base_len:
+        return "+ellps=WGS84 +datum=WGS84"
+    a, f = params[base_len], params[base_len + 1]
+    name = _ellps_name(a, f)
+    if name is not None:
+        return f"+ellps={name}"
+    return f"+a={a:.10g} +rf={1.0 / f:.12g}" if f else f"+a={a:.10g} +b={a:.10g}"
 
 
 def to_proj4(crs: CrsDef | str) -> str:
@@ -758,19 +1046,33 @@ def to_proj4(crs: CrsDef | str) -> str:
         return ("+proj=merc +a=6378137 +b=6378137 +lat_ts=0.0 +lon_0=0.0 "
                 "+x_0=0.0 +y_0=0 +k=1.0 +units=m +nadgrids=@null +no_defs")
     if c.kind == "tmerc":
-        lon0, k0, fe, fn = c.params
+        lon0, k0, fe, fn = c.params[:4]
         if c.name.startswith("utm"):
             zone = int(round((lon0 + 183.0) / 6.0))
             south = " +south" if fn else ""
             return (f"+proj=utm +zone={zone}{south} +ellps=WGS84 "
                     "+datum=WGS84 +units=m +no_defs")
+        frag = _proj4_ellps_frag(c.params, 4)
         return (f"+proj=tmerc +lon_0={lon0} +k={k0} +x_0={fe} +y_0={fn} "
-                "+ellps=WGS84 +datum=WGS84 +units=m +no_defs")
+                f"{frag} +units=m +no_defs")
+    if c.kind == "lcc":
+        lat1, lat2, lat0, lon0, k0, fe, fn, a, f = c.params
+        frag = _proj4_ellps_frag(c.params, 7)
+        # repr, not %g: State-Plane definitions carry full-precision
+        # parallels / survey-foot false eastings / k_0 = 1 - 1/x scale
+        # factors that 6-significant-digit %g silently truncates
+        sp = (f"+lat_1={lat1!r}" if lat1 == lat2
+              else f"+lat_1={lat1!r} +lat_2={lat2!r}")
+        kf = "" if k0 == 1.0 else f" +k_0={k0!r}"
+        return (f"+proj=lcc {sp} +lat_0={lat0!r} +lon_0={lon0!r}{kf} "
+                f"+x_0={fe!r} +y_0={fn!r} {frag} +units=m +no_defs")
     if c.kind == "stere":
-        sgn, lon0, lat_ts, k0, fe, fn = c.params
+        sgn, lon0, lat_ts, k0, fe, fn = c.params[:6]
+        frag = ("+datum=WGS84" if len(c.params) == 6
+                else _proj4_ellps_frag(c.params, 6))
         return (f"+proj=stere +lat_0={int(sgn * 90)} "
                 f"+lat_ts={sgn * lat_ts:g} +lon_0={lon0:g} +k={k0:g} "
-                f"+x_0={fe:g} +y_0={fn:g} +units=m +datum=WGS84 +no_defs")
+                f"+x_0={fe:g} +y_0={fn:g} +units=m {frag} +no_defs")
     if c.kind == "laea":
         return (f"+proj=laea +lat_0=0 +lon_0={c.params[0]:g} +x_0=0 +y_0=0 "
                 "+ellps=WGS84 +datum=WGS84")
@@ -812,6 +1114,24 @@ _WKT_GEOGCS = {
 }
 
 
+def _wkt_geogcs_for(params: tuple, base_len: int) -> str:
+    """GEOGCS string for the (a, f) tail of a params tuple (WGS84 when
+    absent).  Clarke 1866 maps to the NAD27 GEOGCS (the datum every
+    State-Plane-era clrk66 CRS actually rides); other ellipsoids get an
+    unknown-datum GEOGCS carrying the exact SPHEROID."""
+    if len(params) <= base_len:
+        return _WKT_GEOGCS["wgs84"]
+    a, f = params[base_len], params[base_len + 1]
+    if (a, f) == ellipsoid_params("clrk66"):
+        return _WKT_GEOGCS["nad27"]
+    name = _ellps_name(a, f)
+    disp = _ELLIPSOID_DATA[name][3] if name else "unnamed"
+    inv_f = 1.0 / f if f else 0.0
+    return (f'GEOGCS["unknown",DATUM["unknown",'
+            f'SPHEROID["{disp}",{_wkt_num(a)},{_wkt_num(inv_f)}]],'
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]')
+
+
 def _wkt_projcs(name: str, geogcs: str, projection: str,
                 params: list[tuple[str, float]]) -> str:
     body = ",".join(f'PARAMETER["{k}",{_wkt_num(v)}]' for k, v in params)
@@ -834,7 +1154,7 @@ def to_wkt(crs: CrsDef | str) -> str:
             [("central_meridian", 0), ("scale_factor", 1),
              ("false_easting", 0), ("false_northing", 0)])
     if c.kind == "tmerc":
-        lon0, k0, fe, fn = c.params
+        lon0, k0, fe, fn = c.params[:4]
         if c.name.startswith("utm"):
             zone = int(round((lon0 + 183.0) / 6.0))
             hemi = "S" if fn else "N"
@@ -842,14 +1162,30 @@ def to_wkt(crs: CrsDef | str) -> str:
         else:
             title = c.name
         return _wkt_projcs(
-            title, _WKT_GEOGCS["wgs84"], "Transverse_Mercator",
+            title, _wkt_geogcs_for(c.params, 4), "Transverse_Mercator",
             [("latitude_of_origin", 0), ("central_meridian", lon0),
              ("scale_factor", k0), ("false_easting", fe),
              ("false_northing", fn)])
-    if c.kind == "stere":
-        sgn, lon0, lat_ts, k0, fe, fn = c.params
+    if c.kind == "lcc":
+        lat1, lat2, lat0, lon0, k0, fe, fn, a, f = c.params
+        if lat1 == lat2:
+            return _wkt_projcs(
+                c.name, _wkt_geogcs_for(c.params, 7),
+                "Lambert_Conformal_Conic_1SP",
+                [("latitude_of_origin", lat0), ("central_meridian", lon0),
+                 ("scale_factor", k0), ("false_easting", fe),
+                 ("false_northing", fn),
+                 ("standard_parallel_1", lat1)])
         return _wkt_projcs(
-            c.name, _WKT_GEOGCS["wgs84"], "Polar_Stereographic",
+            c.name, _wkt_geogcs_for(c.params, 7),
+            "Lambert_Conformal_Conic_2SP",
+            [("standard_parallel_1", lat1), ("standard_parallel_2", lat2),
+             ("latitude_of_origin", lat0), ("central_meridian", lon0),
+             ("false_easting", fe), ("false_northing", fn)])
+    if c.kind == "stere":
+        sgn, lon0, lat_ts, k0, fe, fn = c.params[:6]
+        return _wkt_projcs(
+            c.name, _wkt_geogcs_for(c.params, 6), "Polar_Stereographic",
             [("latitude_of_origin", sgn * lat_ts),
              ("central_meridian", lon0), ("scale_factor", k0),
              ("false_easting", fe), ("false_northing", fn)])
@@ -931,6 +1267,27 @@ def _wkt_children(node, name):
             if isinstance(it, tuple) and it[0].upper() == name]
 
 
+def _wkt_ellipsoid(root) -> tuple[float, float]:
+    """(a, f) from the PROJCS's GEOGCS SPHEROID, snapped to the registry
+    entry when it matches (so 1/(1/f) ulp drift can't break CrsDef params
+    equality with constructor-built definitions); WGS84 if absent."""
+    geogs = _wkt_children(root, "GEOGCS")
+    if not geogs:
+        return A_WGS84, F_WGS84
+    datums = _wkt_children(geogs[0], "DATUM")
+    sph = _wkt_children(datums[0], "SPHEROID") if datums else []
+    if not sph:
+        return A_WGS84, F_WGS84
+    a = float(sph[0][1][1])
+    inv_f = float(sph[0][1][2])
+    f = 0.0 if inv_f == 0.0 else 1.0 / inv_f
+    for name in _ELLIPSOID_DATA:
+        ra, rf_ = ellipsoid_params(name)
+        if ra == a and (rf_ == f or (f and abs(rf_ / f - 1.0) < 1e-12)):
+            return ra, rf_
+    return a, f
+
+
 def from_wkt(s: str) -> CrsDef:
     """Construct a CrsDef from a WKT1 string (GEOGCS or PROJCS) —
     inverse of :func:`to_wkt`; unsupported projections/datums raise."""
@@ -990,15 +1347,30 @@ def from_wkt(s: str) -> CrsDef:
                              "latitude_of_origin not supported")
         lon0, fe, fn = g("central_meridian"), g("false_easting"), \
             g("false_northing")
-        if (k0 == 0.9996 and fe == 500000.0 and fn in (0.0, 10000000.0)
+        af = _wkt_ellipsoid(root)
+        if (af == (A_WGS84, F_WGS84) and k0 == 0.9996 and fe == 500000.0
+                and fn in (0.0, 10000000.0)
                 and (lon0 + 183.0) % 6.0 == 0.0):
             return utm(int(round((lon0 + 183.0) / 6.0)), fn != 0.0)
-        return tmerc(lon0, k0, fe, fn)
+        return tmerc(lon0, k0, fe, fn, ellps=af)
+    if proj == "Lambert_Conformal_Conic_2SP":
+        return lcc(g("standard_parallel_1"), g("standard_parallel_2"),
+                   g("latitude_of_origin"), g("central_meridian"), 1.0,
+                   g("false_easting"), g("false_northing"),
+                   ellps=_wkt_ellipsoid(root))
+    if proj == "Lambert_Conformal_Conic_1SP":
+        lat0 = g("latitude_of_origin")
+        return lcc(g("standard_parallel_1", lat0), None, lat0,
+                   g("central_meridian"), k0,
+                   g("false_easting"), g("false_northing"),
+                   ellps=_wkt_ellipsoid(root))
     if proj == "Polar_Stereographic":
         lat0 = g("latitude_of_origin", 90.0)
         sgn = 1.0 if lat0 >= 0 else -1.0
+        af = _wkt_ellipsoid(root)
+        tail = () if af == (A_WGS84, F_WGS84) else af
         params = (sgn, g("central_meridian"), abs(lat0), k0,
-                  g("false_easting"), g("false_northing"))
+                  g("false_easting"), g("false_northing")) + tail
         for named in (UPS_NORTH, UPS_SOUTH, NSIDC_NORTH, NSIDC_SOUTH):
             if named.params == params:
                 return named

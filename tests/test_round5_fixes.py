@@ -164,3 +164,167 @@ class TestNgramAutoProbe:
         # GlobalLimit/LocalLimit and short-circuits the read)
         plan = probe._jdf.queryExecution().analyzed().toString()
         assert "GlobalLimit" in plan
+
+
+class TestLambertConformalConic:
+    """VERDICT r4 items 2+4: +proj=lcc (Snyder 15, 1- and 2-SP,
+    ellipsoidal) with the triple backend, and non-WGS84 ellipsoid
+    parameterization for tmerc/stere/lcc (reference crs.py:248-306
+    accepts any projstring via proj.4; ellipsoid table crs.py:34-77)."""
+
+    def test_snyder_lcc_golden(self):
+        """Snyder 1987 Appendix A numerical example (pp. 296-297):
+        Clarke 1866, lat1=33, lat2=45, lat0=23, lon0=-96; (35N, 75W) ->
+        x=1894410.9 y=1564649.5; n=0.6304965 F=1.9523837 rho0=9615955.2."""
+        from karta_spark.functions import crs as C
+        d = C.lcc(33, 45, 23, -96, ellps="clrk66")
+        x, y = C.forward_np(d, np.array([-75.0]), np.array([35.0]))
+        assert x[0] == pytest.approx(1894410.9, abs=0.1)
+        assert y[0] == pytest.approx(1564649.5, abs=0.1)
+        a, f = C.ellipsoid_params("clrk66")
+        n, akF, rho0 = C._lcc_consts(33.0, 45.0, 23.0, 1.0, a, f)
+        assert n == pytest.approx(0.6304965, abs=1e-7)
+        assert akF / a == pytest.approx(1.9523837, abs=1e-7)
+        assert rho0 == pytest.approx(9615955.2, abs=0.1)
+        lo, la = C.inverse_np(d, x, y)
+        assert lo[0] == pytest.approx(-75.0, abs=1e-9)
+        assert la[0] == pytest.approx(35.0, abs=1e-9)
+
+    def test_snyder_tmerc_clrk66_golden(self):
+        """Snyder 1987 tmerc ellipsoid example (pp. 269-270): Clarke
+        1866, lon0=-75, k0=0.9996; (40.5N, 73.5W) -> x=127106.5
+        y=4484124.4."""
+        from karta_spark.functions import crs as C
+        d = C.tmerc(-75.0, 0.9996, ellps="clrk66")
+        x, y = C.forward_np(d, np.array([-73.5]), np.array([40.5]))
+        assert x[0] == pytest.approx(127106.5, abs=0.1)
+        assert y[0] == pytest.approx(4484124.4, abs=0.1)
+        lo, la = C.inverse_np(d, x, y)
+        assert (lo[0], la[0]) == pytest.approx((-73.5, 40.5), abs=1e-9)
+
+    def test_wgs84_series_bit_identity(self):
+        """The cached series generator must reproduce the historical
+        WGS84 module constants bit-for-bit (q37/q38/q55 gate parity)."""
+        from karta_spark.functions import crs as C
+        A, al, be = C._tm_series(C.A_WGS84, C.F_WGS84)
+        assert A == C._A_TM and al == C._ALPHA and be == C._BETA
+        assert C._conf_inv_coeffs(C.E2_WGS84) == C._CONF_INV
+
+    def test_lcc_triple_backend_equality(self, spark):
+        """Catalyst / SQL(DuckDB) / numpy agree on the same points."""
+        import duckdb
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.functions import crs as C
+        d = C.lcc(33, 45, 23, -96, ellps="clrk66")
+        lon = np.array([-75.0, -96.0, -120.5, -70.2])
+        lat = np.array([35.0, 23.0, 41.9, 28.4])
+        nx, ny = C.forward_np(d, lon, lat)
+        sdf = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+        cx, cy = C.forward_exprs(d, F.col("lon"), F.col("lat"))
+        rows = sdf.select(cx.alias("x"), cy.alias("y")).collect()
+        sx, sy = C.forward_sql(d, "lon", "lat")
+        duck = duckdb.sql(
+            f"SELECT {sx} AS x, {sy} AS y FROM (SELECT UNNEST({list(lon)}) "
+            f"AS lon, UNNEST({list(lat)}) AS lat)").fetchall()
+        for i in range(len(lon)):
+            # abs floor: at the central meridian x is exactly 0 in one
+            # backend and ~1e-9 in another (sin of a wrapped tiny theta)
+            assert rows[i]["x"] == pytest.approx(nx[i], rel=1e-12, abs=1e-6)
+            assert rows[i]["y"] == pytest.approx(ny[i], rel=1e-12, abs=1e-6)
+            assert duck[i][0] == pytest.approx(nx[i], rel=1e-12, abs=1e-6)
+            assert duck[i][1] == pytest.approx(ny[i], rel=1e-12, abs=1e-6)
+
+    def test_lcc_1sp_and_southern(self):
+        from karta_spark.functions import crs as C
+        d1 = C.lcc(45, None, 40, 10, k0=0.99987742)
+        lo, la = C.inverse_np(d1, *C.forward_np(
+            d1, np.array([2.35]), np.array([48.85])))
+        assert (lo[0], la[0]) == pytest.approx((2.35, 48.85), abs=1e-9)
+        ds = C.lcc(-18, -36, -32, -60)
+        lon = np.array([-60.0, -70.5, -48.2])
+        lat = np.array([-32.0, -45.3, -20.1])
+        lo, la = C.inverse_np(ds, *C.forward_np(ds, lon, lat))
+        assert np.allclose(lo, lon, atol=1e-9)
+        assert np.allclose(la, lat, atol=1e-9)
+
+    def test_lcc_scale_unity_at_standard_parallels(self):
+        """Conformal-conic property: scale factor k = 1 exactly on both
+        standard parallels (checked via numerical differentiation)."""
+        from karta_spark.functions import crs as C
+        d = C.lcc(33, 45, 23, -96)
+        a, f = C.A_WGS84, C.F_WGS84
+        e2 = f * (2 - f)
+        for latp in (33.0, 45.0):
+            eps = 1e-6
+            (x1, y1) = C.forward_np(d, np.array([-96.0 - eps]), np.array([latp]))
+            (x2, y2) = C.forward_np(d, np.array([-96.0 + eps]), np.array([latp]))
+            dist = np.hypot(x2 - x1, y2 - y1)[0]
+            phi = np.radians(latp)
+            # true parallel arc length for 2*eps degrees of longitude
+            N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            arc = N * np.cos(phi) * np.radians(2 * eps)
+            assert dist / arc == pytest.approx(1.0, abs=1e-7)
+
+    def test_proj4_and_wkt_roundtrips(self):
+        from karta_spark.functions import crs as C
+        defs = [
+            C.lcc(33, 45, 23, -96, ellps="clrk66"),
+            C.lcc(45, None, 40, 10, k0=0.99987742),
+            C.lcc(49, 44, 46.5, 3, fe=700000.0, fn=6600000.0, ellps="GRS80"),
+            C.tmerc(-75.0, 0.9996, ellps="clrk66"),
+        ]
+        for d in defs:
+            assert C.from_proj4(C.to_proj4(d)).params == d.params
+            assert C.from_wkt(C.to_wkt(d)).params == d.params
+
+    def test_from_proj4_lcc_and_clrk66_utm(self):
+        from karta_spark.functions import crs as C
+        d = C.from_proj4("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 "
+                         "+lon_0=-96 +x_0=0 +y_0=0 +ellps=clrk66 +units=m")
+        assert d.kind == "lcc"
+        assert d.params[:4] == (33.0, 45.0, 23.0, -96.0)
+        assert d.params[7:] == C.ellipsoid_params("clrk66")
+        # NAD27 UTM zone (Clarke 1866) must NOT collapse to the WGS84 zone
+        u = C.from_proj4("+proj=utm +zone=10 +ellps=clrk66")
+        assert u.kind == "tmerc" and len(u.params) == 6
+        assert u.params[4:] == C.ellipsoid_params("clrk66")
+        uw = C.from_proj4("+proj=utm +zone=10 +ellps=WGS84")
+        assert uw is not None and len(uw.params) == 4
+        # +datum implies the ellipsoid
+        n = C.from_proj4("+proj=lcc +lat_1=40 +lat_2=43 +lat_0=38 "
+                         "+lon_0=-120 +datum=NAD27")
+        assert n.params[7:] == C.ellipsoid_params("clrk66")
+
+    def test_nonwgs84_rejected_for_unparameterized_kinds(self):
+        from karta_spark.functions import crs as C
+        with pytest.raises(ValueError, match="WGS84"):
+            C.from_proj4("+proj=laea +lat_0=0 +lon_0=0 +ellps=clrk66")
+        with pytest.raises(ValueError, match="WGS84"):
+            C.from_proj4("+proj=aea +lat_1=29.5 +lat_2=45.5 +ellps=intl")
+
+    def test_ellipsoid_registry(self):
+        from karta_spark.functions import crs as C
+        a, f = C.ellipsoid_params("clrk66")
+        assert a == 6378206.4
+        assert 1.0 / f == pytest.approx(294.978698, abs=1e-5)
+        a, f = C.ellipsoid_params("GRS80")
+        assert (a, 1 / f) == (6378137.0, pytest.approx(298.257222101))
+        assert C.ellipsoid_params("WGS84") == (C.A_WGS84, C.F_WGS84)
+        with pytest.raises(ValueError):
+            C.ellipsoid_params("nope")
+
+    def test_reproject_lcc_spark(self, spark):
+        """reproject() through lcc in both directions on the Catalyst
+        backend (the distributed hot path)."""
+        import pandas as pd
+        from karta_spark.functions.crs import reproject, lcc, LONLAT
+        d = lcc(33, 45, 23, -96, ellps="clrk66")
+        pdf = pd.DataFrame({"x": [-75.0, -96.0], "y": [35.0, 23.0]})
+        out = reproject(spark.createDataFrame(pdf), LONLAT, d).collect()
+        assert out[0]["x"] == pytest.approx(1894410.9, abs=0.1)
+        assert out[0]["y"] == pytest.approx(1564649.5, abs=0.1)
+        projected = reproject(spark.createDataFrame(pdf), LONLAT, d)
+        back = reproject(projected, d, LONLAT).collect()
+        assert back[0]["x"] == pytest.approx(-75.0, abs=1e-9)
+        assert back[0]["y"] == pytest.approx(35.0, abs=1e-9)
