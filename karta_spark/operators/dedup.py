@@ -916,7 +916,8 @@ def embedding_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """(id, component) — connected components of the near-dup pair graph,
     component labeled by its minimum member id.
 
@@ -931,13 +932,34 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     groupBy/join (shuffle on node id, map-side combinable min agg).  Each
     round is localCheckpoint-ed: iterative plans MUST truncate lineage or
     the logical tree grows geometrically and the driver OOMs planning
-    round ~30 (persist alone does not cut the plan)."""
-    edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-             .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
-             .distinct().localCheckpoint(eager=True))
-    labels = (edges.select(F.col("a").alias("id"))
-              .distinct().withColumn("comp", F.col("id"))
-              .localCheckpoint(eager=True))
+    round ~30 (persist alone does not cut the plan).
+
+    ``checkpoint_dir``: by default rounds use ``localCheckpoint`` —
+    fastest, but blocks live on executors, so on a REAL cluster an
+    executor loss mid-iteration kills the job (lineage is truncated and
+    the blocks are gone).  Pass a reliable location (HDFS/S3/shared-fs
+    path) to switch every round to ``df.checkpoint()``: blocks persist
+    to storage and survive executor loss — the cluster-scale mode.
+    Setting it calls ``sc.setCheckpointDir`` (context-global); enable
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` to reap
+    per-round files, or clean the directory after the job."""
+    if checkpoint_dir is not None:
+        sc = pairs.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df):
+            return df.checkpoint(eager=True)
+    else:
+        def _ckpt(df):
+            return df.localCheckpoint(eager=True)
+
+    edges = _ckpt(
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct())
+    labels = _ckpt(
+        edges.select(F.col("a").alias("id"))
+        .distinct().withColumn("comp", F.col("id")))
     for _ in range(max_iter):
         # neighborhood min: for each node, min(own, neighbors' labels)
         nbr = (edges.join(labels.withColumnRenamed("id", "b"), "b")
@@ -949,9 +971,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         # pointer jump: comp := label(comp) — halves remaining path length
         lookup = stepped.select(F.col("id").alias("comp"),
                                 F.col("comp").alias("comp2"))
-        new_labels = (stepped.join(lookup, "comp", "left")
-                      .select("id", F.coalesce("comp2", "comp").alias("comp"))
-                      .localCheckpoint(eager=True))
+        new_labels = _ckpt(
+            stepped.join(lookup, "comp", "left")
+            .select("id", F.coalesce("comp2", "comp").alias("comp")))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .where(F.col("n.comp") != F.col("o.comp")).count())
@@ -962,10 +984,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
 
 
 def duplicate_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
-                       id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+                       id_a: str = "id_a", id_b: str = "id_b",
+                       checkpoint_dir: str | None = None) -> DataFrame:
     """(id, canonical_id) for EVERY row of df: members of a near-dup
-    component map to its min id; singletons map to themselves."""
-    comp = connected_components(pairs, id_a, id_b)
+    component map to its min id; singletons map to themselves.
+    ``checkpoint_dir`` passes through to :func:`connected_components`
+    (reliable checkpoints for cluster runs)."""
+    comp = connected_components(pairs, id_a, id_b,
+                                checkpoint_dir=checkpoint_dir)
     return (df.select(F.col(id_col).alias("id"))
             .join(comp, "id", "left")
             .select("id", F.coalesce("comp", "id").alias("canonical_id")))

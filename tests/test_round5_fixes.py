@@ -328,3 +328,39 @@ class TestLambertConformalConic:
         back = reproject(projected, d, LONLAT).collect()
         assert back[0]["x"] == pytest.approx(-75.0, abs=1e-9)
         assert back[0]["y"] == pytest.approx(35.0, abs=1e-9)
+
+
+class TestReliableCheckpointCC:
+    """VERDICT r4 item 3: connected_components must offer a reliable-
+    checkpoint mode (localCheckpoint blocks die with their executor on a
+    real cluster; df.checkpoint() survives)."""
+
+    PAIRS = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22),
+             (5, 6), (6, 7), (7, 8), (8, 9)]
+
+    def test_reliable_mode_identical_clusters(self, spark, tmp_path):
+        from karta_spark.operators.dedup import connected_components
+        pairs = spark.createDataFrame(self.PAIRS, "id_a long, id_b long")
+        local = {(r["id"], r["comp"])
+                 for r in connected_components(pairs).collect()}
+        reliable = {(r["id"], r["comp"]) for r in connected_components(
+            pairs, checkpoint_dir=str(tmp_path / "cc_ckpt")).collect()}
+        assert local == reliable
+        # the path-graph chains collapsed to min labels
+        comp = dict(local)
+        assert comp[4] == 1 and comp[9] == 5 and comp[22] == 20
+        # reliable mode actually wrote checkpoint files
+        import os
+        ckpt_root = tmp_path / "cc_ckpt"
+        assert ckpt_root.exists() and any(os.scandir(ckpt_root))
+
+    def test_duplicate_clusters_passthrough(self, spark, tmp_path):
+        from karta_spark.operators.dedup import duplicate_clusters
+        df = spark.createDataFrame([(i,) for i in range(1, 13)],
+                                   "doc_id long")
+        pairs = spark.createDataFrame(self.PAIRS[:4], "id_a long, id_b long")
+        out = duplicate_clusters(
+            df, pairs, "doc_id",
+            checkpoint_dir=str(tmp_path / "dc_ckpt")).collect()
+        m = {r["id"]: r["canonical_id"] for r in out}
+        assert m[2] == 1 and m[4] == 1 and m[11] == 10 and m[12] == 12
