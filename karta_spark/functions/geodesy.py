@@ -17,9 +17,28 @@ from pyspark.sql import functions as F
 R_SPHERE = 6370997.0  # karta SphericalEarth radius (crs.py:77)
 
 
-def plane_distance(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
-    """sqrt(dx^2 + dy^2) — geodesy.py:80-82."""
-    return F.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+def plane_distance(x1: Column, y1: Column, x2: Column, y2: Column,
+                   z1: Column | None = None,
+                   z2: Column | None = None) -> Column:
+    """sqrt(dx^2 + dy^2) — geodesy.py:80-82.
+
+    With both ``z1``/``z2``: the reference's rank-3 fold (Point.distance,
+    reference geometry.py:311-314) — dist = sqrt(d2d^2 + dz^2), applied
+    exactly as the reference does (fold AFTER the 2-D distance, so the
+    float sequence matches)."""
+    d = F.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+    if z1 is not None and z2 is not None:
+        return distance_with_z(d, z1, z2)
+    return d
+
+
+def distance_with_z(dist: Column, z1: Column, z2: Column) -> Column:
+    """Fold a vertical delta into ANY 2-D distance column —
+    sqrt(dist^2 + dz^2), the reference's Point.distance rank-3 rule
+    (geometry.py:311-314), which applies it to the planar AND geodesic
+    arms alike (compose with sphere_distance / ellipsoid_distance)."""
+    dz = z2 - z1
+    return F.sqrt(dist * dist + dz * dz)
 
 
 def plane_azimuth(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
@@ -151,6 +170,48 @@ def affine_x(x: Column, y: Column, m: list[float]) -> Column:
 
 def affine_y(x: Column, y: Column, m: list[float]) -> Column:
     return F.lit(float(m[3])) * x + F.lit(float(m[4])) * y + F.lit(float(m[5]))
+
+
+def lift_affine(m: list[float]) -> list[float]:
+    """Lift a 2x3 (6-element row-major) affine matrix to the 3x4
+    (12-element) form — the reference's apply_transform lifting
+    (geometry.py:210-217): xy block copied, z row = identity, so a 2-D
+    transform passes z through unchanged.  12-element input returns
+    as-is; anything else raises (reference raises ValueError on bad
+    shapes, geometry.py:216-217)."""
+    if len(m) == 12:
+        return [float(v) for v in m]
+    if len(m) != 6:
+        raise ValueError(f"invalid affine matrix size: {len(m)} "
+                         "(expected 6 = 2x3 or 12 = 3x4)")
+    return [float(m[0]), float(m[1]), 0.0, float(m[2]),
+            float(m[3]), float(m[4]), 0.0, float(m[5]),
+            0.0, 0.0, 1.0, 0.0]
+
+
+def affine3_x(x: Column, y: Column, z: Column, m: list[float]) -> Column:
+    """x' from a 3x4 row-major affine matrix (reference
+    geometry.py:224-230: x' = M00*x + M01*y + M02*z + M03); pass
+    ``F.lit(0.0)`` as z for 2-D vertices (the reference's convention,
+    geometry.py:219-222)."""
+    m = lift_affine(m)
+    return (F.lit(m[0]) * x + F.lit(m[1]) * y + F.lit(m[2]) * z
+            + F.lit(m[3]))
+
+
+def affine3_y(x: Column, y: Column, z: Column, m: list[float]) -> Column:
+    m = lift_affine(m)
+    return (F.lit(m[4]) * x + F.lit(m[5]) * y + F.lit(m[6]) * z
+            + F.lit(m[7]))
+
+
+def affine3_z(x: Column, y: Column, z: Column, m: list[float]) -> Column:
+    """z' = M20*x + M21*y + M22*z + M23 — only meaningful for rank-3
+    vertices (the reference drops the z row for 2-D points,
+    geometry.py:225-230)."""
+    m = lift_affine(m)
+    return (F.lit(m[8]) * x + F.lit(m[9]) * y + F.lit(m[10]) * z
+            + F.lit(m[11]))
 
 
 def rotation_matrix(theta_deg: float, x0: float = 0.0, y0: float = 0.0) -> list[float]:

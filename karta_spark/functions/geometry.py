@@ -45,31 +45,33 @@ def collect_vertices(df: DataFrame, geom_id: str = "geom_id") -> DataFrame:
     )
 
 
-def segments(df: DataFrame, geom_id: str = "geom_id", closed: bool = False) -> DataFrame:
+def segments(df: DataFrame, geom_id: str = "geom_id", closed: bool = False,
+             with_z: bool = False) -> DataFrame:
     """Adjacent-vertex pairing — the lag-window analogue of karta's
     ``segments`` generator (reference geometry.py:668-676; ring wrap-around
     for polygons geometry.py:1079-1091).
 
     Returns (geom_id, seg_idx, x0, y0, x1, y1). With ``closed`` the last
-    vertex pairs back to the first (polygon ring closure).
+    vertex pairs back to the first (polygon ring closure).  ``with_z``
+    also carries z0/z1 from a rank-3 vertex table's ``z`` column.
     """
     w = Window.partitionBy(geom_id).orderBy("idx")
-    seg = (
-        df.select(
-            geom_id, "idx",
-            F.col("x").alias("x0"), F.col("y").alias("y0"),
-            F.lead("x").over(w).alias("x1"), F.lead("y").over(w).alias("y1"),
-        )
-    )
+    cols = [
+        geom_id, "idx",
+        F.col("x").alias("x0"), F.col("y").alias("y0"),
+        F.lead("x").over(w).alias("x1"), F.lead("y").over(w).alias("y1"),
+    ]
+    if with_z:
+        cols += [F.col("z").alias("z0"), F.lead("z").over(w).alias("z1")]
+    seg = df.select(*cols)
     if closed:
-        wcnt = Window.partitionBy(geom_id)
-        first_x = F.first("x0").over(Window.partitionBy(geom_id).orderBy("idx")
-                                     .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        first_y = F.first("y0").over(Window.partitionBy(geom_id).orderBy("idx")
-                                     .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        seg = seg.withColumn("x1", F.coalesce("x1", first_x)).withColumn(
-            "y1", F.coalesce("y1", first_y))
-        _ = wcnt
+        full = Window.partitionBy(geom_id).orderBy("idx").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        seg = seg.withColumn("x1", F.coalesce("x1", F.first("x0").over(full))) \
+                 .withColumn("y1", F.coalesce("y1", F.first("y0").over(full)))
+        if with_z:
+            seg = seg.withColumn(
+                "z1", F.coalesce("z1", F.first("z0").over(full)))
     else:
         seg = seg.where(F.col("x1").isNotNull())
     return seg.withColumnRenamed("idx", "seg_idx")
@@ -83,19 +85,29 @@ def seg_length(spherical: bool = False) -> Column:
 
 
 def length(df: DataFrame, geom_id: str = "geom_id", spherical: bool = False,
-           geodesic: bool = False) -> DataFrame:
+           geodesic: bool = False, with_z: bool = False) -> DataFrame:
     """Total geometry length: sum of segment lengths (geometry.py:647-665).
 
     ``geodesic`` sums WGS84 ellipsoidal (Vincenty) segment distances — the
     reference's Line.length on LonLatWGS84 (its default geographic CRS);
-    ``spherical`` is the SphericalEarth arm; default planar."""
+    ``spherical`` is the SphericalEarth arm; default planar.
+
+    ``with_z`` is an EXTENSION past the reference: its length kernel is
+    2-D even for rank-3 lines (vectorgeo.pyx:178-196 reads only x/y) —
+    here each segment folds dz by the Point.distance rank-3 rule
+    (sqrt(d2d^2 + dz^2), reference geometry.py:311-314)."""
     if geodesic:
         from karta_spark.functions.geodesy import ellipsoid_distance
-        seg = segments(df, geom_id).withColumn(
+        seg = segments(df, geom_id, with_z=with_z).withColumn(
             "_len", ellipsoid_distance(F.col("x0"), F.col("y0"),
                                        F.col("x1"), F.col("y1")))
     else:
-        seg = segments(df, geom_id).withColumn("_len", seg_length(spherical))
+        seg = segments(df, geom_id, with_z=with_z).withColumn(
+            "_len", seg_length(spherical))
+    if with_z:
+        from karta_spark.functions.geodesy import distance_with_z
+        seg = seg.withColumn(
+            "_len", distance_with_z(F.col("_len"), F.col("z0"), F.col("z1")))
     return seg.groupBy(geom_id).agg(F.sum("_len").alias("length"))
 
 

@@ -364,3 +364,119 @@ class TestReliableCheckpointCC:
             checkpoint_dir=str(tmp_path / "dc_ckpt")).collect()
         m = {r["id"]: r["canonical_id"] for r in out}
         assert m[2] == 1 and m[4] == 1 and m[11] == 10 and m[12] == 12
+
+
+class TestRankThreeVertices:
+    """VERDICT r4 item 5: optional z in the expression library — the
+    reference threads z through Point.distance (geometry.py:311-314) and
+    apply_transform (3x4 matrices, geometry.py:180-230)."""
+
+    def test_plane_distance_with_z(self, spark):
+        """3-4-5-13 golden: d2d((0,0),(3,4))=5, dz=12 -> 13 (the
+        reference folds dz AFTER the 2-D distance)."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.functions.geodesy import plane_distance
+        df = spark.createDataFrame(pd.DataFrame(
+            {"x1": [0.0], "y1": [0.0], "z1": [0.0],
+             "x2": [3.0], "y2": [4.0], "z2": [12.0]}))
+        r = df.select(
+            plane_distance(F.col("x1"), F.col("y1"),
+                           F.col("x2"), F.col("y2")).alias("d2"),
+            plane_distance(F.col("x1"), F.col("y1"),
+                           F.col("x2"), F.col("y2"),
+                           F.col("z1"), F.col("z2")).alias("d3")).collect()[0]
+        assert r["d2"] == 5.0
+        assert r["d3"] == 13.0
+
+    def test_distance_with_z_on_geodesic(self, spark):
+        """The rank-3 fold applies to the geodesic arm too (reference
+        geometry.py:305-314: z fold AFTER crs.inverse distance)."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.functions.geodesy import (
+            distance_with_z, sphere_distance)
+        df = spark.createDataFrame(pd.DataFrame(
+            {"lon1": [0.0], "lat1": [0.0], "z1": [0.0],
+             "lon2": [1.0], "lat2": [0.0], "z2": [50000.0]}))
+        d2 = sphere_distance(F.col("lon1"), F.col("lat1"),
+                             F.col("lon2"), F.col("lat2"))
+        r = df.select(d2.alias("d2"),
+                      distance_with_z(d2, F.col("z1"), F.col("z2"))
+                      .alias("d3")).collect()[0]
+        assert r["d3"] == pytest.approx(
+            np.sqrt(r["d2"] ** 2 + 50000.0 ** 2), rel=1e-12)
+        assert r["d3"] > r["d2"]
+
+    def test_translate_point_3d_via_2x3_lift(self, spark):
+        """reference geometry_tests.py:708-714 test_translate_point_3:
+        a 2x3 translate on a 3-D point moves x/y and PRESERVES z (the
+        lifted z row is identity)."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.functions.geodesy import (
+            affine3_x, affine3_y, affine3_z, lift_affine)
+        m = [0.0, 0.0, 1.0, 0.0, 0.0, 2.0]  # [[0,0,1],[0,0,2]]
+        df = spark.createDataFrame(pd.DataFrame(
+            {"x": [0.0], "y": [0.0], "z": [3.0]}))
+        r = df.select(
+            affine3_x(F.col("x"), F.col("y"), F.col("z"), m).alias("nx"),
+            affine3_y(F.col("x"), F.col("y"), F.col("z"), m).alias("ny"),
+            affine3_z(F.col("x"), F.col("y"), F.col("z"), m).alias("nz"),
+        ).collect()[0]
+        assert (r["nx"], r["ny"], r["nz"]) == (1.0, 2.0, 3.0)
+        assert len(lift_affine(m)) == 12
+
+    def test_full_3x4_transform(self, spark):
+        """A genuine rank-3 matrix: scale z by 2 and shear x by z."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.functions.geodesy import (
+            affine3_x, affine3_y, affine3_z)
+        m = [1.0, 0.0, 0.5, 0.0,   # x' = x + 0.5 z
+             0.0, 1.0, 0.0, 7.0,   # y' = y + 7
+             0.0, 0.0, 2.0, 1.0]   # z' = 2z + 1
+        df = spark.createDataFrame(pd.DataFrame(
+            {"x": [2.0], "y": [3.0], "z": [4.0]}))
+        r = df.select(
+            affine3_x(F.col("x"), F.col("y"), F.col("z"), m).alias("nx"),
+            affine3_y(F.col("x"), F.col("y"), F.col("z"), m).alias("ny"),
+            affine3_z(F.col("x"), F.col("y"), F.col("z"), m).alias("nz"),
+        ).collect()[0]
+        assert (r["nx"], r["ny"], r["nz"]) == (4.0, 10.0, 9.0)
+
+    def test_lift_affine_rejects_bad_shapes(self):
+        from karta_spark.functions.geodesy import lift_affine
+        with pytest.raises(ValueError, match="affine matrix size"):
+            lift_affine([1.0] * 8)  # the reference raises on 2x4 too
+
+    def test_length_with_z(self, spark):
+        """3-D polyline: two 3-4-5-12-13 segments -> length 26 with z,
+        10 without (the reference's own length kernel is 2-D —
+        vectorgeo.pyx:178; with_z is the documented extension)."""
+        import pandas as pd
+        from karta_spark.functions.geometry import length
+        df = spark.createDataFrame(pd.DataFrame({
+            "geom_id": [1, 1, 1],
+            "idx": [0, 1, 2],
+            "x": [0.0, 3.0, 6.0],
+            "y": [0.0, 4.0, 8.0],
+            "z": [0.0, 12.0, 0.0]}))
+        flat = length(df, "geom_id").collect()[0]["length"]
+        with_z = length(df, "geom_id", with_z=True).collect()[0]["length"]
+        assert flat == 10.0
+        assert with_z == 26.0
+
+    def test_segments_with_z_ring_closure(self, spark):
+        import pandas as pd
+        from karta_spark.functions.geometry import segments
+        df = spark.createDataFrame(pd.DataFrame({
+            "geom_id": [1, 1, 1],
+            "idx": [0, 1, 2],
+            "x": [0.0, 1.0, 0.0],
+            "y": [0.0, 0.0, 1.0],
+            "z": [5.0, 6.0, 7.0]}))
+        segs = segments(df, "geom_id", closed=True, with_z=True) \
+            .orderBy("seg_idx").collect()
+        assert len(segs) == 3
+        assert segs[2]["z0"] == 7.0 and segs[2]["z1"] == 5.0  # wraps
