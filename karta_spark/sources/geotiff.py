@@ -47,6 +47,7 @@ _DTYPES = {
 
 COMPRESSION_NONE = 1
 COMPRESSION_LZW = 5
+COMPRESSION_OJPEG = 6  # old-style JPEG-in-TIFF (TIFF 6.0 §22, deprecated)
 COMPRESSION_JPEG = 7  # new-style JPEG-in-TIFF (TTN2)
 COMPRESSION_DEFLATE_ADOBE = 8
 COMPRESSION_PACKBITS = 32773
@@ -510,6 +511,19 @@ class TiffMeta:
         # JPEG-in-TIFF chunks (TTN2)
         self.jpeg_tables = tag_bytes(347)
         self.photometric = tag_ints(262, default=[1])[0]
+        # old-style JPEG (compression 6) tags — TIFF 6.0 §22; the
+        # reference reads these archives through GDAL (_gdal.py:114-188)
+        jif = tag_ints(513, default=[])         # JPEGInterchangeFormat
+        jifl = tag_ints(514, default=[])        # ...FormatLength
+        self.jif_offset = jif[0] if jif else None
+        self.jif_length = jifl[0] if jifl else None
+        self.ojpeg_qtables = tag_ints(519, default=[])     # per-comp ptrs
+        self.ojpeg_dctables = tag_ints(520, default=[])
+        self.ojpeg_actables = tag_ints(521, default=[])
+        self.ojpeg_proc = tag_ints(512, default=[1])[0]
+        self.ojpeg_restart = tag_ints(515, default=[0])[0]
+        self.ycbcr_subsampling = tuple(tag_ints(530, default=[2, 2]))
+        self._ojpeg_full = None  # lazily decoded interchange stream
 
         self.nx = tag_ints(256)[0]
         self.ny = tag_ints(257)[0]
@@ -592,6 +606,8 @@ class TiffMeta:
             cols = self.nx
         if self.comp == COMPRESSION_JPEG:
             return self._decode_jpeg_chunk(raw, rows, cols, nch)
+        if self.comp == COMPRESSION_OJPEG:
+            return self._decode_ojpeg_chunk(f, raw, rows, cols, nch, k)
         expected = rows * cols * nch * self.dtype.itemsize
         data = self._decompress(raw, expected)
         chunk = np.frombuffer(data[:expected],
@@ -615,6 +631,10 @@ class TiffMeta:
         if nch is None:
             nch = self.spp
         pix = decode_jpeg_baseline(stream)
+        return self._shape_jpeg_pixels(pix, rows, cols, nch)
+
+    def _shape_jpeg_pixels(self, pix: np.ndarray, rows: int, cols: int,
+                           nch: int) -> np.ndarray:
         if pix.ndim == 2:
             pix = pix[:, :, None]
         if pix.shape[2] != nch:
@@ -625,6 +645,102 @@ class TiffMeta:
         cc = min(cols, pix.shape[1])
         out[:rr, :cc] = pix[:rr, :cc]
         return out
+
+    def _decode_ojpeg_chunk(self, f, raw: bytes, rows: int, cols: int,
+                            nch: int, k: int) -> np.ndarray:
+        """Old-style JPEG-in-TIFF (compression 6, TIFF 6.0 §22 — the
+        deprecated pre-TTN2 form still found in aerial/scanner archives;
+        the reference reads it via GDAL, _gdal.py:114-188).  Three wild
+        layouts, in the order real files exhibit them:
+
+        1. the strip itself is a complete SOI..EOI stream;
+        2. tag 513/514 point at ONE whole-image interchange stream
+           (strips alias into it) — decode once, cache, slice rows;
+        3. strips are bare (entropy data, possibly SOS-prefixed) with
+           tables at the JPEGQTables/DCTables/ACTables pointer tags —
+           synthesize a standard header and feed the normal decoder."""
+        from karta_spark.sources.jpeg import decode_jpeg_baseline
+        if self.ojpeg_proc not in (1,):
+            raise NotImplementedError(
+                f"old-style JPEGProc={self.ojpeg_proc} (baseline only)")
+        if self.jif_offset is not None:
+            # whole-image interchange stream takes precedence: strip
+            # offsets usually alias INTO it, so strip-local probing would
+            # misread them
+            if self._ojpeg_full is None:
+                f.seek(self.jif_offset)
+                self._ojpeg_full = decode_jpeg_baseline(
+                    f.read(self.jif_length))
+            full = self._ojpeg_full
+            if self.tiled:
+                raise NotImplementedError(
+                    "old-style JPEG interchange stream with tiles")
+            rstart = k * self.rows_per_strip
+            pix = full[rstart:rstart + rows]
+        elif raw[:2] == b"\xff\xd8":
+            pix = decode_jpeg_baseline(raw)
+        elif self.ojpeg_qtables:
+            header = self._ojpeg_synth_header(f, rows, cols, nch)
+            body = raw if raw[:2] == b"\xff\xda" else \
+                self._ojpeg_sos_segment(nch) + raw
+            pix = decode_jpeg_baseline(header + body + b"\xff\xd9")
+        else:
+            raise NotImplementedError(
+                "old-style JPEG strip without SOI, interchange stream, "
+                "or table pointers")
+        return self._shape_jpeg_pixels(pix, rows, cols, nch)
+
+    def _ojpeg_synth_header(self, f, rows: int, cols: int,
+                            nch: int) -> bytes:
+        """SOI + DQT + SOF0 + DHT (+DRI) built from the old-style table
+        pointer tags: JPEGQTables entries are 64 raw bytes each,
+        DC/ACTables entries are 16 count bytes + symbol values (DHT
+        payloads without the marker)."""
+        parts = [b"\xff\xd8"]
+        qts = self.ojpeg_qtables
+        for i in range(nch):
+            ptr = qts[min(i, len(qts) - 1)]
+            f.seek(ptr)
+            tbl = f.read(64)
+            parts.append(b"\xff\xdb" + struct.pack(">H", 67)
+                         + bytes([i]) + tbl)
+        # SOF0: luma gets the YCbCrSubSampling factors for 3-channel
+        # photometric-YCbCr data, everything else 1x1
+        sub = self.ycbcr_subsampling if (nch == 3
+                                         and self.photometric == 6) \
+            else (1, 1)
+        comps = []
+        for i in range(nch):
+            hv = (sub[0] << 4) | sub[1] if i == 0 else 0x11
+            comps.append(bytes([i + 1, hv, i]))
+        sof = bytes([8]) + struct.pack(">HH", rows, cols) \
+            + bytes([nch]) + b"".join(comps)
+        parts.append(b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof)
+        for cls, ptrs in ((0, self.ojpeg_dctables),
+                          (1, self.ojpeg_actables)):
+            if not ptrs:
+                raise NotImplementedError(
+                    "old-style JPEG without Huffman table pointers")
+            for i in range(nch):
+                ptr = ptrs[min(i, len(ptrs) - 1)]
+                f.seek(ptr)
+                counts = f.read(16)
+                nvals = sum(counts)
+                vals = f.read(nvals)
+                payload = bytes([(cls << 4) | i]) + counts + vals
+                parts.append(b"\xff\xc4"
+                             + struct.pack(">H", 2 + len(payload))
+                             + payload)
+        if self.ojpeg_restart:
+            parts.append(b"\xff\xdd"
+                         + struct.pack(">HH", 4, self.ojpeg_restart))
+        return b"".join(parts)
+
+    def _ojpeg_sos_segment(self, nch: int) -> bytes:
+        body = bytes([nch]) + b"".join(
+            bytes([i + 1, (i << 4) | i]) for i in range(nch)) \
+            + bytes([0, 63, 0])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
     def read_window(self, f, r0: int, r1: int, c0: int, c1: int) -> np.ndarray:
         """(r1-r0, c1-c0, spp) top-down window decoded from ONLY the

@@ -480,3 +480,236 @@ class TestRankThreeVertices:
             .orderBy("seg_idx").collect()
         assert len(segs) == 3
         assert segs[2]["z0"] == 7.0 and segs[2]["z1"] == 5.0  # wraps
+
+
+class TestOldStyleJpegInTiff:
+    """VERDICT r4 item 6: old-style JPEG-in-TIFF (compression 6, TIFF
+    6.0 §22) — the deprecated pre-TTN2 layout still found in aerial
+    archives; the reference reads it through GDAL (_gdal.py:114-188).
+    Three hand-built fixtures cover the three wild layouts."""
+
+    @staticmethod
+    def _image(ny=32, nx=32):
+        yy, xx = np.mgrid[0:ny, 0:nx]
+        return np.clip(128 + 80 * np.sin(xx / 6.0) * np.cos(yy / 8.0),
+                       0, 255).round().astype(np.uint8)
+
+    @staticmethod
+    def _write_tiff(path, entries_fn, tail_writer):
+        """Minimal little-endian classic TIFF: header + one IFD built by
+        entries_fn(data_start) + tail bytes from tail_writer()."""
+        import struct
+        entries = entries_fn()
+        n = len(entries)
+        with open(path, "wb") as fh:
+            fh.write(b"II*\x00" + struct.pack("<I", 8))
+            fh.write(struct.pack("<H", n) + b"".join(entries)
+                     + struct.pack("<I", 0))
+            tail_writer(fh)
+
+    def _run_case_a(self, spark, tmp_path):
+        """Case A: every strip is a complete SOI..EOI JPEG stream."""
+        import struct
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        from karta_spark.sources.images import psnr
+        from karta_spark.sources.jpeg import encode_jpeg_baseline
+        A = self._image()
+        rps = 16
+        strips = [encode_jpeg_baseline(A[r:r + rps], 95)
+                  for r in range(0, 32, rps)]
+        entry = lambda tag, ftype, count, value: struct.pack(
+            "<HHI4s", tag, ftype, count, value)
+        vl = lambda v: struct.pack("<I", v)
+        vs = lambda v: struct.pack("<HH", v, 0)
+        n_entries = 12
+        ext = 8 + 2 + n_entries * 12 + 4
+        scale_off, tie_off = ext, ext + 24
+        off_off, cnt_off = tie_off + 48, tie_off + 48 + 8
+        data_off = cnt_off + 8
+        offs, pos = [], data_off
+        for s in strips:
+            offs.append(pos); pos += len(s)
+
+        def entries():
+            return [
+                entry(256, 4, 1, vl(32)), entry(257, 4, 1, vl(32)),
+                entry(258, 3, 1, vs(8)), entry(259, 3, 1, vs(6)),  # OJPEG
+                entry(262, 3, 1, vs(1)), entry(273, 4, 2, vl(off_off)),
+                entry(277, 3, 1, vs(1)), entry(278, 4, 1, vl(rps)),
+                entry(279, 4, 2, vl(cnt_off)), entry(339, 3, 1, vs(1)),
+                entry(33550, 12, 3, vl(scale_off)),
+                entry(33922, 12, 6, vl(tie_off)),
+            ]
+
+        def tail(fh):
+            fh.write(struct.pack("<3d", 1.0, 1.0, 0.0))
+            fh.write(struct.pack("<6d", 0, 0, 0, 0.0, 32.0, 0))
+            fh.write(struct.pack("<2I", *offs))
+            fh.write(struct.pack("<2I", *[len(s) for s in strips]))
+            for s in strips:
+                fh.write(s)
+
+        p = str(tmp_path / "ojpeg_a.tif")
+        self._write_tiff(p, entries, tail)
+        with open(p, "rb") as fh:
+            m = geotiff.TiffMeta(fh)
+            assert m.comp == geotiff.COMPRESSION_OJPEG
+        back, t, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=16))
+        assert psnr(back, A[::-1].astype(np.float64)) >= 40.0
+        return p, A, back
+
+    def test_full_stream_strips(self, spark, tmp_path):
+        self._run_case_a(spark, tmp_path)
+
+    def test_lazy_window_parity(self, spark, tmp_path):
+        """read_geotiff_window must agree with the full read (VERDICT
+        done-criterion: lazy-window parity on the OJPEG path)."""
+        from karta_spark.sources import geotiff
+        p, A, back = self._run_case_a(spark, tmp_path)
+        vals, _ = geotiff.read_geotiff_window(p, 5, 3, 20, 17)
+        assert np.array_equal(vals, back[5:25, 3:20])
+
+    def test_interchange_stream(self, spark, tmp_path):
+        """Case B: tags 513/514 hold ONE whole-image JPEG; strip offsets
+        alias into it (decode once, slice rows per strip)."""
+        import struct
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        from karta_spark.sources.images import psnr
+        from karta_spark.sources.jpeg import encode_jpeg_baseline
+        A = self._image()
+        stream = encode_jpeg_baseline(A, 95)
+        entry = lambda tag, ftype, count, value: struct.pack(
+            "<HHI4s", tag, ftype, count, value)
+        vl = lambda v: struct.pack("<I", v)
+        vs = lambda v: struct.pack("<HH", v, 0)
+        n_entries = 14
+        ext = 8 + 2 + n_entries * 12 + 4
+        scale_off, tie_off = ext, ext + 24
+        off_off, cnt_off = tie_off + 48, tie_off + 48 + 8
+        jif_off = cnt_off + 8
+        # strips alias into the stream (NOT at SOI)
+        offs = [jif_off + 2, jif_off + 4]
+
+        def entries():
+            return [
+                entry(256, 4, 1, vl(32)), entry(257, 4, 1, vl(32)),
+                entry(258, 3, 1, vs(8)), entry(259, 3, 1, vs(6)),
+                entry(262, 3, 1, vs(1)), entry(273, 4, 2, vl(off_off)),
+                entry(277, 3, 1, vs(1)), entry(278, 4, 1, vl(16)),
+                entry(279, 4, 2, vl(cnt_off)), entry(339, 3, 1, vs(1)),
+                entry(513, 4, 1, vl(jif_off)),
+                entry(514, 4, 1, vl(len(stream))),
+                entry(33550, 12, 3, vl(scale_off)),
+                entry(33922, 12, 6, vl(tie_off)),
+            ]
+
+        def tail(fh):
+            fh.write(struct.pack("<3d", 1.0, 1.0, 0.0))
+            fh.write(struct.pack("<6d", 0, 0, 0, 0.0, 32.0, 0))
+            fh.write(struct.pack("<2I", *offs))
+            fh.write(struct.pack("<2I", 4, 4))
+            fh.write(stream)
+
+        p = str(tmp_path / "ojpeg_b.tif")
+        self._write_tiff(p, entries, tail)
+        back, _, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=16))
+        assert psnr(back, A[::-1].astype(np.float64)) >= 40.0
+
+    def test_bare_strips_with_table_pointers(self, spark, tmp_path):
+        """Case C: strips carry only SOS+entropy; DQT/DHT data live at
+        the JPEGQTables/DCTables/ACTables pointer tags (the layout the
+        spec actually mandated).  Header is synthesized per strip."""
+        import struct
+        from karta_spark.raster.tiles import df_to_grid
+        from karta_spark.sources import geotiff
+        from karta_spark.sources.images import psnr
+        from karta_spark.sources.jpeg import encode_jpeg_baseline
+        A = self._image()
+        rps = 16
+
+        def split(full):
+            """(qtable64, dc_payload, ac_payload, sos_to_eoi)"""
+            pos, qt, dc, ac = 2, None, None, None
+            while pos < len(full):
+                marker = full[pos + 1]
+                (seglen,) = struct.unpack(">H", full[pos + 2:pos + 4])
+                body = full[pos + 4:pos + 2 + seglen]
+                if marker == 0xDB:
+                    qt = body[1:65]
+                elif marker == 0xC4:
+                    cls = body[0] >> 4
+                    if cls == 0:
+                        dc = body[1:]
+                    else:
+                        ac = body[1:]
+                elif marker == 0xDA:
+                    return qt, dc, ac, full[pos:-2]  # SOS..before EOI
+                pos += 2 + seglen
+            raise AssertionError("no SOS")
+
+        strips, qt = [], None
+        dc = ac = None
+        for r in range(0, 32, rps):
+            q, d, a, body = split(encode_jpeg_baseline(A[r:r + rps], 95))
+            qt, dc, ac = q, d, a
+            strips.append(body)
+
+        entry = lambda tag, ftype, count, value: struct.pack(
+            "<HHI4s", tag, ftype, count, value)
+        vl = lambda v: struct.pack("<I", v)
+        vs = lambda v: struct.pack("<HH", v, 0)
+        p = str(tmp_path / "ojpeg_c.tif")
+        n_entries2 = 16
+        ext2 = 8 + 2 + n_entries2 * 12 + 4
+        scale_off = ext2; tie_off = scale_off + 24
+        off_off = tie_off + 48; cnt_off = off_off + 8
+        qt_off = cnt_off + 8; dc_off = qt_off + 64
+        ac_off = dc_off + len(dc); data_off = ac_off + len(ac)
+        offs, pos = [], data_off
+        for s in strips:
+            offs.append(pos); pos += len(s)
+
+        def entries2():
+            return [
+                entry(256, 4, 1, vl(32)), entry(257, 4, 1, vl(32)),
+                entry(258, 3, 1, vs(8)), entry(259, 3, 1, vs(6)),
+                entry(262, 3, 1, vs(1)), entry(273, 4, 2, vl(off_off)),
+                entry(277, 3, 1, vs(1)), entry(278, 4, 1, vl(rps)),
+                entry(279, 4, 2, vl(cnt_off)), entry(339, 3, 1, vs(1)),
+                entry(512, 3, 1, vs(1)),
+                entry(519, 4, 1, vl(qt_off)),
+                entry(520, 4, 1, vl(dc_off)),
+                entry(521, 4, 1, vl(ac_off)),
+                entry(33550, 12, 3, vl(scale_off)),
+                entry(33922, 12, 6, vl(tie_off)),
+            ]
+
+        def tail2(fh):
+            fh.write(struct.pack("<3d", 1.0, 1.0, 0.0))
+            fh.write(struct.pack("<6d", 0, 0, 0, 0.0, 32.0, 0))
+            fh.write(struct.pack("<2I", *offs))
+            fh.write(struct.pack("<2I", *[len(s) for s in strips]))
+            fh.write(qt)
+            fh.write(dc)
+            fh.write(ac)
+            for s in strips:
+                fh.write(s)
+
+        self._write_tiff(p, entries2, tail2)
+        back, _, _ = df_to_grid(geotiff.read_geotiff(spark, p, tile=16))
+        assert psnr(back, A[::-1].astype(np.float64)) >= 40.0
+
+    def test_unsupported_proc_raises(self, spark, tmp_path):
+        """JPEGProc=14 (lossless) must raise, not mis-decode."""
+        import struct
+        from karta_spark.sources import geotiff
+        p, A, _ = self._run_case_a(spark, tmp_path)
+        # patch the fixture: flip proc by adding tag 512=14 is complex;
+        # instead patch the meta object directly
+        with open(p, "rb") as fh:
+            m = geotiff.TiffMeta(fh)
+            m.ojpeg_proc = 14
+            with pytest.raises(NotImplementedError, match="JPEGProc"):
+                m.read_chunk(fh, 0)
