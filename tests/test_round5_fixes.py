@@ -713,3 +713,41 @@ class TestOldStyleJpegInTiff:
             m.ojpeg_proc = 14
             with pytest.raises(NotImplementedError, match="JPEGProc"):
                 m.read_chunk(fh, 0)
+
+
+class TestReplicaRecord:
+    """VERDICT r4 item 7: the q51+ gates live past the driver's 50-row
+    snapshot, so each round commits a local replica record
+    (CORRECTNESS_local_rNN.json from tools/check_oracle.py --json).
+    Guard: the newest record must cover every queries() entry and be
+    all-green — silent drift (a query added without a recorded run, or a
+    recorded FAIL) breaks the build."""
+
+    def test_record_covers_all_queries_and_is_green(self):
+        import glob
+        import json
+        import os
+        import re
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        recs = sorted(glob.glob(os.path.join(
+            here, "CORRECTNESS_local_r*.json")))
+        assert recs, "no CORRECTNESS_local_rNN.json committed"
+        latest = max(recs, key=lambda p: int(
+            re.search(r"_r(\d+)\.json$", p).group(1)))
+        with open(latest) as fh:
+            rec = json.load(fh)
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "entry_mod5", os.path.join(here, "__spark_entry__.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        qnames = set(mod.queries())
+        assert set(rec["queries"]) == qnames, (
+            f"replica record out of date: missing "
+            f"{sorted(qnames - set(rec['queries']))}, stale "
+            f"{sorted(set(rec['queries']) - qnames)} — re-run "
+            "python tools/check_oracle.py --json CORRECTNESS_local_rNN.json")
+        assert rec["fail"] == 0, f"recorded FAILs in {latest}"
+        bad = [n for n, r in rec["queries"].items()
+               if r.get("status") not in ("ok", "weak")]
+        assert not bad, f"non-green rows: {bad}"

@@ -2,7 +2,11 @@
 on Spark and its oracle_sql() on DuckDB at a given SF, compare row count,
 schema shape, and order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+--json writes a per-query record (status/rows/secs) — used to commit the
+round's replica artifact (CORRECTNESS_local_rNN.json) so the gates past
+the driver's 50-row snapshot leave a recorded trail.
 """
 
 from __future__ import annotations
@@ -65,8 +69,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -83,17 +93,21 @@ def main():
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            records[name] = {"status": "FAIL", "err": f"spark: {e}"}
             fail += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"weak  {name}: rows={len(spark_pdf)} ({dt:.1f}s, no oracle)")
+            records[name] = {"status": "weak", "spark_rows": len(spark_pdf),
+                             "secs": round(dt, 2)}
             weak += 1
             continue
         try:
             oracle_pdf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
+            records[name] = {"status": "FAIL", "err": f"oracle: {e}"}
             fail += 1
             continue
         problems = compare(name, spark_pdf, oracle_pdf)
@@ -101,11 +115,25 @@ def main():
             print(f"FAIL  {name} ({dt:.1f}s):")
             for p in problems:
                 print(f"      {p}")
+            records[name] = {"status": "FAIL", "problems": problems,
+                             "spark_rows": len(spark_pdf),
+                             "oracle_rows": len(oracle_pdf),
+                             "secs": round(dt, 2)}
             fail += 1
         else:
             print(f"ok    {name}: rows={len(spark_pdf)} ({dt:.1f}s)")
+            records[name] = {"status": "ok", "spark_rows": len(spark_pdf),
+                             "oracle_rows": len(oracle_pdf),
+                             "secs": round(dt, 2)}
             ok += 1
     print(f"\n{ok} ok, {weak} weak (rows-only), {fail} FAIL")
+    if json_out:
+        import json
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "total": len(records),
+                       "ok": ok, "weak": weak, "fail": fail,
+                       "queries": records}, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     spark.stop()
     sys.exit(1 if fail else 0)
 
