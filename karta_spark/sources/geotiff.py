@@ -43,6 +43,9 @@ _DTYPES = {
     (8, 1): np.uint8, (16, 1): np.uint16, (32, 1): np.uint32,
     (16, 2): np.int16, (32, 2): np.int32,
     (32, 3): np.float32, (64, 3): np.float64,
+    # 12-bit unsigned (JPEG-compressed aerial/medical TIFFs): samples
+    # decode into the low 12 bits of a uint16
+    (12, 1): np.uint16,
 }
 
 COMPRESSION_NONE = 1
@@ -660,9 +663,10 @@ class TiffMeta:
            tables at the JPEGQTables/DCTables/ACTables pointer tags —
            synthesize a standard header and feed the normal decoder."""
         from karta_spark.sources.jpeg import decode_jpeg_baseline
-        if self.ojpeg_proc not in (1,):
+        if self.ojpeg_proc not in (1, 14):
             raise NotImplementedError(
-                f"old-style JPEGProc={self.ojpeg_proc} (baseline only)")
+                f"old-style JPEGProc={self.ojpeg_proc} "
+                "(1=baseline and 14=lossless supported)")
         if self.jif_offset is not None:
             # whole-image interchange stream takes precedence: strip
             # offsets usually alias INTO it, so strip-local probing would
@@ -680,6 +684,10 @@ class TiffMeta:
         elif raw[:2] == b"\xff\xd8":
             pix = decode_jpeg_baseline(raw)
         elif self.ojpeg_qtables:
+            if self.ojpeg_proc == 14:
+                raise NotImplementedError(
+                    "old-style lossless JPEG with bare table-pointer "
+                    "strips (lossless needs SOF3 in the stream)")
             header = self._ojpeg_synth_header(f, rows, cols, nch)
             body = raw if raw[:2] == b"\xff\xda" else \
                 self._ojpeg_sos_segment(nch) + raw

@@ -375,6 +375,278 @@ def encode_jpeg_baseline(arr: np.ndarray, quality: int = 95,
 
 
 # ---------------------------------------------------------------------------
+# 12-bit extended sequential encoder (T.81 extended precision, SOF1)
+# ---------------------------------------------------------------------------
+
+# 12-bit DC diffs reach category 16 and AC coefficients category 14 —
+# past the Annex-K 8-bit tables.  Uniform-length canonical tables are
+# legal Huffman tables (T.81 C.2) and cover the full symbol alphabets:
+# 17 DC categories at length 6, 226 AC symbols (EOB, ZRL, run 0-15 x
+# size 1-14) at length 8; neither reaches the all-ones code.
+_DC12_BITS = (0, 0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_DC12_VALS = tuple(range(17))
+_AC12_VALS = tuple([0x00, 0xF0] + [(run << 4) | size
+                                   for run in range(16)
+                                   for size in range(1, 15)])
+_AC12_BITS = (0, 0, 0, 0, 0, 0, 0, len(_AC12_VALS), 0, 0, 0, 0, 0, 0, 0, 0)
+_ENC_DC12 = _canonical_codes(_DC12_BITS, _DC12_VALS)
+_ENC_AC12 = _canonical_codes(_AC12_BITS, _AC12_VALS)
+
+
+def encode_jpeg12(arr: np.ndarray, quality: int = 95) -> bytes:
+    """Encode a grayscale uint16 (H,W) array with 12-bit samples
+    (0..4095) as an extended sequential SOF1 stream — the precision
+    medical/aerial archives carry (GDAL reads them via libjpeg-12;
+    reference _gdal.py:114-188).  Same DCT/quant/entropy pipeline as
+    the 8-bit encoder with a 2048 level shift and full-alphabet
+    uniform-length Huffman tables."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2:
+        raise ValueError("encode_jpeg12 is grayscale-only")
+    if arr.max(initial=0) > 4095:
+        raise ValueError("12-bit samples must be 0..4095")
+    h, w = arr.shape
+    mcux = (w + 7) // 8
+    mcuy = (h + 7) // 8
+    q = scaled_quant(QUANT_LUM, quality)
+    plane = _pad_to(arr.astype(np.float64) - 2048.0, mcuy * 8, mcux * 8)
+    blocks = _to_blocks(plane)
+    d = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+    coefs = np.round(d / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) \
+        + bytes(int(v) for v in q.reshape(-1)[ZIGZAG])
+    sof = struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xFF\xC1" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(cls, tid, bits, vals):
+        body = struct.pack("B", (cls << 4) | tid) + bytes(bits) + bytes(vals)
+        return b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _DC12_BITS, _DC12_VALS)
+    out += dht(1, 0, _AC12_BITS, _AC12_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+    wtr = _BitWriter()
+    _encode_blocks(wtr, coefs, _ENC_DC12, _ENC_AC12, 0)
+    wtr.flush()
+    out += wtr.buf
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# lossless JPEG (SOF3, T.81 Annex H) — predictive coding, no DCT.
+# The format old aerial/medical archives carry (and what old-style
+# JPEG-in-TIFF JPEGProc=14 means); the reference reads it via GDAL.
+# ---------------------------------------------------------------------------
+
+def _lossless_predict(out, r, c, ci, pred_sel, default):
+    """H.1.2.1 prediction: Ra=left, Rb=above, Rc=above-left; edges fall
+    back per H.1.2.2 (first sample -> default, first row -> Ra chain,
+    first column -> Rb)."""
+    if r == 0 and c == 0:
+        return default
+    if r == 0:
+        return int(out[0, c - 1, ci])
+    if c == 0:
+        return int(out[r - 1, 0, ci])
+    ra = int(out[r, c - 1, ci])
+    rb = int(out[r - 1, c, ci])
+    rc = int(out[r - 1, c - 1, ci])
+    if pred_sel == 1:
+        return ra
+    if pred_sel == 2:
+        return rb
+    if pred_sel == 3:
+        return rc
+    if pred_sel == 4:
+        return ra + rb - rc
+    if pred_sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if pred_sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if pred_sel == 7:
+        return (ra + rb) >> 1
+    raise NotImplementedError(f"lossless predictor {pred_sel}")
+
+
+def _decode_lossless(data: bytes) -> np.ndarray:
+    """Decode an SOF3 lossless stream: per-sample Huffman category +
+    magnitude bits give a difference from the H.1.2 prediction, modulo
+    2^16.  Components must be 1x1 sampled (the only shape archives
+    carry); restarts reset the prediction state."""
+    pos = 2
+    huff: dict[tuple, tuple] = {}
+    comps = []
+    h = w = 0
+    prec = 8
+    restart_interval = 0
+    scan_comps = []
+    pred_sel = 1
+    pt = 0
+    scan_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        if marker == 0xC3:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            for ci in range(nc):
+                cid, hv, _tq = body[6 + ci * 3:9 + ci * 3]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "lossless JPEG with subsampled components")
+                comps.append(cid)
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = tuple(body[off + 1:off + 17])
+                nv = sum(bits)
+                vals = tuple(body[off + 17:off + 17 + nv])
+                huff[(tc_th >> 4, tc_th & 0xF)] = _decode_lut(bits, vals)
+                off += 17 + nv
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            for ci in range(ns):
+                cid, tabs = body[1 + ci * 2], body[2 + ci * 2]
+                scan_comps.append((cid, tabs >> 4))
+            pred_sel = body[1 + ns * 2]       # Ss = predictor selector
+            pt = body[3 + ns * 2] & 0xF       # Al = point transform
+            scan_start = pos + seglen
+            break
+        pos += seglen
+    if scan_start is None:
+        raise ValueError("no SOS in stream")
+    raw, boundaries, _ = _destuff_scan(data, scan_start)
+    raw = bytes(raw)
+
+    nc = len(comps)
+    tabs = []
+    comp_dc = dict(scan_comps)
+    for cid in comps:
+        tabs.append(huff[(0, comp_dc[cid])])
+    out = np.zeros((h, w, nc), dtype=np.int32)
+    default = 1 << (prec - 1 - pt)
+    dlen = len(raw)
+    pos = 0
+    acc = 0
+    navail = 0
+    seg = 0
+    since_restart = 0
+    mask16 = (1 << 16) - 1
+    fresh = True  # scan start / post-restart: prediction = default (H.2.4)
+    for r in range(h):
+        for c in range(w):
+            if restart_interval and since_restart == restart_interval:
+                if seg >= len(boundaries):
+                    raise ValueError("missing RST in lossless stream")
+                pos = boundaries[seg]
+                seg += 1
+                acc = navail = 0
+                since_restart = 0
+                fresh = True
+            for ci in range(nc):
+                dsym, dln = tabs[ci]
+                while navail < 16 and pos < dlen:
+                    acc = (acc << 8) | raw[pos]
+                    pos += 1
+                    navail += 8
+                if navail < 16:
+                    acc <<= (16 - navail)
+                    navail = 16
+                peek = (acc >> (navail - 16)) & 0xFFFF
+                s = dsym[peek]
+                ln = dln[peek]
+                if ln == 0:
+                    raise ValueError("bad lossless Huffman code")
+                navail -= ln
+                if s == 16:
+                    diff = 32768
+                elif s:
+                    while navail < s and pos < dlen:
+                        acc = (acc << 8) | raw[pos]
+                        pos += 1
+                        navail += 8
+                    if navail < s:
+                        acc <<= (s - navail)
+                        navail = s
+                    v = (acc >> (navail - s)) & ((1 << s) - 1)
+                    navail -= s
+                    diff = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                else:
+                    diff = 0
+                pred = default if fresh else _lossless_predict(
+                    out, r, c, ci, pred_sel, default)
+                out[r, c, ci] = (pred + diff) & mask16
+            fresh = False
+            since_restart += 1
+    out = (out << pt).astype(np.uint16 if prec > 8 else np.uint8)
+    return out[:, :, 0] if nc == 1 else out
+
+
+def encode_jpeg_lossless(arr: np.ndarray, predictor: int = 1,
+                         precision: int | None = None) -> bytes:
+    """Encode a grayscale integer array losslessly (SOF3, Annex H):
+    exact roundtrip, any precision 2..16.  Fixture/archive writer for
+    the lossless decode path (and for old-style JPEGProc=14 files)."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2:
+        raise ValueError("encode_jpeg_lossless is grayscale-only")
+    if precision is None:
+        precision = max(2, int(arr.max(initial=1)).bit_length())
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16")
+    if arr.max(initial=0) >= (1 << precision):
+        raise ValueError("samples exceed the stated precision")
+    h, w = arr.shape
+    a = arr.astype(np.int64)
+    out = bytearray()
+    out += b"\xFF\xD8"
+    sof = struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xFF\xC3" + struct.pack(">H", 2 + len(sof)) + sof
+
+    body = struct.pack("B", 0x00) + bytes(_DC12_BITS) + bytes(_DC12_VALS)
+    out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([1, 1, 0x00, predictor, 0, 0])
+    out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+
+    grid = a[:, :, None]
+    wtr = _BitWriter()
+    default = 1 << (precision - 1)
+    mask16 = (1 << 16) - 1
+    for r in range(h):
+        for c in range(w):
+            pred = _lossless_predict(grid, r, c, 0, predictor, default)
+            diff = (int(a[r, c]) - pred) & mask16
+            if diff >= 32768:
+                diff -= 65536  # signed mod-2^16 representative
+            if diff == -32768 or diff == 32768:
+                code, ln = _ENC_DC12[16]
+                wtr.write(code, ln)
+                continue
+            s, bits = _magnitude(diff)
+            code, ln = _ENC_DC12[s]
+            wtr.write(code, ln)
+            if s:
+                wtr.write(bits, s)
+    wtr.flush()
+    out += wtr.buf
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -419,6 +691,7 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     huff: dict[tuple, tuple] = {}
     comps = []  # (cid, hi, vi, tq)
     h = w = 0
+    prec = 8
     restart_interval = 0
     scan_comps = []
     scan_start = None
@@ -444,10 +717,14 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                 qtabs[pq_tq & 0xF] = q[UNZIGZAG].reshape(8, 8).astype(np.int32)
         elif marker in (0xC0, 0xC1):
             # SOF1 (extended sequential) uses the identical decode
-            # process as baseline at 8-bit precision
+            # process as baseline; precision 12 (T.81 extended) only
+            # changes the level shift / clamp (handled in _reconstruct)
+            # and lets DC categories run to 16 / AC to 14 (the Huffman
+            # LUT path is category-agnostic)
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise NotImplementedError("non-8-bit precision")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"precision {prec} (8 and 12 supported)")
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3:9 + ci * 3]
                 hi, vi = hv >> 4, hv & 0xF
@@ -458,9 +735,7 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         elif marker == 0xC2:
             return _decode_progressive(data)
         elif marker == 0xC3:
-            raise NotImplementedError(
-                "lossless JPEG (SOF3) not supported — baseline/extended "
-                "sequential (SOF0/SOF1) and progressive (SOF2) are")
+            return _decode_lossless(data)
         elif marker == 0xC4:
             off = 0
             while off < len(body):
@@ -597,12 +872,19 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
             coefs[ci][bi] = blk
         since_restart += 1
 
-    return _reconstruct(comps, coefs, qtabs, h, w, mcux, mcuy, hmax, vmax)
+    return _reconstruct(comps, coefs, qtabs, h, w, mcux, mcuy, hmax, vmax,
+                        prec)
 
 
-def _reconstruct(comps, coefs, qtabs, h, w, mcux, mcuy, hmax, vmax):
+def _reconstruct(comps, coefs, qtabs, h, w, mcux, mcuy, hmax, vmax,
+                 prec: int = 8):
     """Zigzag coefficient grids -> dequantize -> IDCT -> upsample ->
-    color-convert.  Shared by the baseline and progressive decoders."""
+    color-convert.  Shared by the baseline and progressive decoders.
+    ``prec`` sets the level shift / clamp / dtype: 8 -> uint8 0..255,
+    12 -> uint16 0..4095 (T.81 extended sequential precision)."""
+    mid = float(1 << (prec - 1))
+    top = (1 << prec) - 1
+    out_dtype = np.uint8 if prec == 8 else np.uint16
     planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):
         dq = coefs[ci][:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64) * qtabs[tq]
@@ -614,15 +896,16 @@ def _reconstruct(comps, coefs, qtabs, h, w, mcux, mcuy, hmax, vmax):
         fy, fx = vmax // vi, hmax // hi
         if fy > 1 or fx > 1:  # sample-replication upsample to full res
             full = np.repeat(np.repeat(full, fy, axis=0), fx, axis=1)
-        planes.append(full[:h, :w] + 128.0)
+        planes.append(full[:h, :w] + mid)
 
     if len(comps) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        return np.clip(np.round(planes[0]), 0, top).astype(out_dtype)
+    y, cb, cr = planes[0], planes[1] - mid, planes[2] - mid
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)),
+                   0, top).astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------

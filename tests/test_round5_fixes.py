@@ -702,17 +702,46 @@ class TestOldStyleJpegInTiff:
         assert psnr(back, A[::-1].astype(np.float64)) >= 40.0
 
     def test_unsupported_proc_raises(self, spark, tmp_path):
-        """JPEGProc=14 (lossless) must raise, not mis-decode."""
-        import struct
+        """Unknown JPEGProc values must raise, not mis-decode (1=baseline
+        and 14=lossless are the supported ones)."""
         from karta_spark.sources import geotiff
         p, A, _ = self._run_case_a(spark, tmp_path)
-        # patch the fixture: flip proc by adding tag 512=14 is complex;
-        # instead patch the meta object directly
+        with open(p, "rb") as fh:
+            m = geotiff.TiffMeta(fh)
+            m.ojpeg_proc = 3
+            with pytest.raises(NotImplementedError, match="JPEGProc"):
+                m.read_chunk(fh, 0)
+
+    def test_lossless_proc14_full_stream_strips(self, spark, tmp_path):
+        """JPEGProc=14 with SOF3 full-stream strips decodes EXACTLY
+        (lossless roundtrip through the OJPEG path)."""
+        from karta_spark.sources import geotiff
+        from karta_spark.sources.jpeg import encode_jpeg_lossless
+        p, A, _ = self._run_case_a(spark, tmp_path)
         with open(p, "rb") as fh:
             m = geotiff.TiffMeta(fh)
             m.ojpeg_proc = 14
-            with pytest.raises(NotImplementedError, match="JPEGProc"):
-                m.read_chunk(fh, 0)
+            # replace the strip decode input by monkeypatching offsets to
+            # lossless streams appended to a scratch file
+        import struct
+        scratch = str(tmp_path / "scratch.bin")
+        streams = [encode_jpeg_lossless(A[r:r + 16], predictor=1)
+                   for r in range(0, 32, 16)]
+        offs = []
+        with open(scratch, "wb") as fh:
+            pos = 0
+            for s in streams:
+                offs.append(pos)
+                fh.write(s)
+                pos += len(s)
+        m.ojpeg_proc = 14
+        m.offsets = offs
+        m.counts = [len(s) for s in streams]
+        with open(scratch, "rb") as fh:
+            top = m.read_chunk(fh, 0)
+            bot = m.read_chunk(fh, 1)
+        back = np.concatenate([top, bot], axis=0)[:, :, 0]
+        assert np.array_equal(back, A)
 
 
 class TestReplicaRecord:
@@ -751,3 +780,97 @@ class TestReplicaRecord:
         bad = [n for n, r in rec["queries"].items()
                if r.get("status") not in ("ok", "weak")]
         assert not bad, f"non-green rows: {bad}"
+
+
+class TestJpeg12Bit:
+    """12-bit extended sequential (SOF1, T.81 extended precision) —
+    VERDICT r4 missing-item 5's first named shape; GDAL reads these via
+    libjpeg-12 (reference _gdal.py:114-188)."""
+
+    @staticmethod
+    def _image12(h=40, w=56, seed=5):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.clip(2048 + 1500 * np.sin(xx / 6.0) * np.cos(yy / 7.0)
+                       + rng.normal(0, 30, (h, w)),
+                       0, 4095).round().astype(np.uint16)
+
+    def test_roundtrip_psnr(self):
+        from karta_spark.sources.jpeg import (
+            decode_jpeg_baseline, encode_jpeg12)
+        A = self._image12()
+        back = decode_jpeg_baseline(encode_jpeg12(A, 95))
+        assert back.dtype == np.uint16
+        assert back.shape == A.shape
+        mse = np.mean((back.astype(float) - A.astype(float)) ** 2)
+        assert 10 * np.log10(4095.0 ** 2 / mse) >= 40.0
+
+    def test_range_exceeds_8bit(self):
+        """Decoded values actually use the 12-bit range (a silently
+        8-bit-clamped decode would fail this)."""
+        from karta_spark.sources.jpeg import (
+            decode_jpeg_baseline, encode_jpeg12)
+        A = self._image12()
+        back = decode_jpeg_baseline(encode_jpeg12(A, 95))
+        assert int(back.max()) > 255
+
+    def test_rejects_out_of_range(self):
+        from karta_spark.sources.jpeg import encode_jpeg12
+        with pytest.raises(ValueError, match="0..4095"):
+            encode_jpeg12(np.full((8, 8), 5000, dtype=np.uint16))
+
+    def test_unsupported_precision_still_raises(self):
+        """A stream claiming precision 10 must raise (only 8/12)."""
+        from karta_spark.sources.jpeg import (
+            decode_jpeg_baseline, encode_jpeg12)
+        s = bytearray(encode_jpeg12(self._image12(16, 16), 90))
+        i = s.index(b"\xff\xc1")
+        s[i + 4] = 10  # patch SOF precision byte
+        with pytest.raises(NotImplementedError, match="precision 10"):
+            decode_jpeg_baseline(bytes(s))
+
+    def test_8bit_paths_unchanged(self):
+        from karta_spark.sources.jpeg import (
+            decode_jpeg_baseline, encode_jpeg_baseline)
+        A = (self._image12() >> 4).astype(np.uint8)
+        back = decode_jpeg_baseline(encode_jpeg_baseline(A, 95))
+        assert back.dtype == np.uint8
+
+
+class TestJpegLossless:
+    """Lossless JPEG (SOF3, T.81 Annex H): predictive coding, exact
+    roundtrip, precisions 2..16 — the JPEGProc=14 format of old-style
+    JPEG-in-TIFF aerial archives (reference reads via GDAL)."""
+
+    @pytest.mark.parametrize("prec,pred", [
+        (8, 1), (8, 2), (8, 3), (8, 4), (8, 5), (8, 6), (8, 7),
+        (12, 1), (12, 4), (16, 7), (10, 6), (2, 1)])
+    def test_exact_roundtrip(self, prec, pred):
+        from karta_spark.sources.jpeg import (
+            decode_jpeg_baseline, encode_jpeg_lossless)
+        rng = np.random.default_rng(prec * 10 + pred)
+        A = rng.integers(0, 1 << prec, (23, 31)).astype(np.uint16)
+        back = decode_jpeg_baseline(
+            encode_jpeg_lossless(A, predictor=pred, precision=prec))
+        assert back.dtype == (np.uint8 if prec <= 8 else np.uint16)
+        assert np.array_equal(back.astype(np.int64), A.astype(np.int64))
+
+    def test_smooth_image_compresses(self):
+        """Predictive coding on smooth content must beat raw size."""
+        from karta_spark.sources.jpeg import encode_jpeg_lossless
+        yy, xx = np.mgrid[0:64, 0:64]
+        A = (100 + xx + yy // 2).astype(np.uint16)
+        s = encode_jpeg_lossless(A, predictor=4, precision=9)
+        assert len(s) < A.size * 2 * 0.5
+
+    def test_gradient_predictors_agree(self):
+        """All 7 predictors reconstruct the same exact image."""
+        from karta_spark.sources.jpeg import (
+            decode_jpeg_baseline, encode_jpeg_lossless)
+        yy, xx = np.mgrid[0:17, 0:19]
+        A = ((xx * 7 + yy * 3) % 251).astype(np.uint16)
+        outs = [decode_jpeg_baseline(
+            encode_jpeg_lossless(A, predictor=p, precision=8))
+            for p in range(1, 8)]
+        for o in outs[1:]:
+            assert np.array_equal(o, outs[0])
