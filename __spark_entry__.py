@@ -2279,6 +2279,23 @@ FROM proj
 """
 
 
+def q66_repeated_spans(spark, sf_dir):
+    """Exact repeated-substring spans (round 5): per document, positions
+    and distinct characters covered by 20-grams that recur in >= 2
+    distinct documents — the substring-level dedup signal (clip/drop
+    duplicated spans in training corpora).  Gram extraction map-side,
+    doc-frequency one hash agg, flag-back an equi-join, coverage a
+    per-doc lag window; the hashed=True variant (xxhash64 keys) is the
+    100 TB plan, the oracle runs the unhashed twin."""
+    d = _t(spark, sf_dir, "documents")
+    return text.repeated_spans(d, "text", "doc_id", L=20, min_docs=2)
+
+
+def _q66_sql():
+    return text.repeated_spans_sql("documents", "text", "doc_id",
+                                   L=20, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2346,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_jpeg_tiff_census": q63_jpeg_tiff_census,
         "q64_pii_redaction": q64_pii_redaction,
         "q65_lcc_stateplane": q65_lcc_stateplane,
+        "q66_repeated_spans": q66_repeated_spans,
     }
 
 
@@ -2398,6 +2416,7 @@ def oracle_sql() -> dict[str, str]:
         "q63_jpeg_tiff_census": Q63_SQL,
         "q64_pii_redaction": _q64_sql(),
         "q65_lcc_stateplane": _q65_sql(),
+        "q66_repeated_spans": _q66_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

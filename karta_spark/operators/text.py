@@ -611,3 +611,80 @@ def pii_redact_sql(col_expr: str) -> str:
 def pii_flag_sql(col_expr: str, which: str) -> str:
     pat = dict((n, p) for n, p, _ in _PII_PATTERNS)[which]
     return f"regexp_matches({col_expr}, '{pat}')"
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-substring spans (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+
+def repeated_spans(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", L: int = 20,
+                   min_docs: int = 2, hashed: bool = False) -> DataFrame:
+    """Per-document coverage of CROSS-DOCUMENT repeated substrings: every
+    character position covered by a length-``L`` gram that also occurs in
+    at least ``min_docs`` distinct documents.  This is the signal behind
+    exact-substring deduplication of training corpora (clip or drop the
+    duplicated spans): boilerplate, licenses, templated pages light up.
+
+    Returns (id, n_flagged, dup_chars): the count of flagged gram
+    positions and the number of distinct characters they cover (interval
+    union computed with a per-doc lag window: each flagged position
+    contributes min(L, pos - prev_pos) — no position-explosion).
+
+    Scale shape: gram extraction is map-side (posexplode of a substring
+    transform); doc-frequency is one hash agg on the gram key; the
+    flag-back is an equi-join on the same key; the window partitions by
+    document (bounded by doc length).  No all-pairs stage.  With
+    ``hashed`` the join key is xxhash64(gram) — 8-byte shuffle keys, the
+    100 TB setting; the default joins raw grams so the DuckDB oracle can
+    run the textually identical plan (engine hash functions differ)."""
+    from pyspark.sql import Window
+
+    n_pos = F.greatest(F.length(F.col(text_col)) - (L - 1), F.lit(0))
+    gram = F.col(text_col).substr(F.col("pos"), F.lit(L))
+    g = (df.select(F.col(id_col).alias("id"),
+                   F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
+                   F.col(text_col))
+         .select("id", "pos", gram.alias("gram")))
+    if hashed:
+        g = g.select("id", "pos", F.xxhash64("gram").alias("gram"))
+    freq = (g.groupBy("gram")
+            .agg(F.count_distinct("id").alias("df"))
+            .where(F.col("df") >= min_docs)
+            .select("gram"))
+    flagged = g.join(freq, "gram").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    step = F.when(prev.isNull(), F.lit(L)).otherwise(
+        F.least(F.lit(L), F.col("pos") - prev))
+    return (flagged.withColumn("_c", step)
+            .groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_flagged"),
+                 F.sum("_c").cast("long").alias("dup_chars")))
+
+
+def repeated_spans_sql(table: str, text_col: str = "text",
+                       id_col: str = "doc_id", L: int = 20,
+                       min_docs: int = 2) -> str:
+    """DuckDB twin of :func:`repeated_spans` (unhashed plan)."""
+    return f"""
+WITH grams AS (
+  SELECT {id_col} AS id, i.i AS pos, substr({text_col}, i.i, {L}) AS gram
+  FROM {table},
+       LATERAL (SELECT UNNEST(generate_series(1,
+                greatest(length({text_col}) - {L - 1}, 0))) AS i) i
+), freq AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING count(DISTINCT id) >= {min_docs}
+), flagged AS (
+  SELECT g.id, g.pos FROM grams g JOIN freq USING (gram)
+), stepped AS (
+  SELECT id, pos,
+         lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+  FROM flagged
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN prev IS NULL THEN {L}
+                     ELSE least({L}, pos - prev) END) AS BIGINT) AS dup_chars
+FROM stepped GROUP BY id
+"""
