@@ -437,6 +437,85 @@ def encode_jpeg12(arr: np.ndarray, quality: int = 95) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_cmyk(arr: np.ndarray, quality: int = 95,
+                     transform: int = 2) -> bytes:
+    """Encode (H,W,4) uint8 CMYK (255 = full ink) as an Adobe
+    4-component JPEG — APP14 marker + ink-inverted samples, the
+    print-origin shape web corpora carry.  ``transform=2`` writes YCCK
+    (YCbCr forward transform over the inverted CMY, K untouched —
+    Photoshop's default); ``transform=0`` writes direct CMYK.  4:4:4
+    only; all components share the luma tables."""
+    arr = np.asarray(arr)
+    if arr.ndim != 3 or arr.shape[2] != 4:
+        raise ValueError("encode_jpeg_cmyk expects (H, W, 4)")
+    h, w = arr.shape[:2]
+    inv = 255.0 - arr.astype(np.float64)  # Adobe ink inversion
+    if transform == 2:
+        c, m, ye, k = (inv[:, :, i] for i in range(4))
+        y = 0.299 * c + 0.587 * m + 0.114 * ye
+        cb = -0.168736 * c - 0.331264 * m + 0.5 * ye + 128.0
+        cr = 0.5 * c - 0.418688 * m - 0.081312 * ye + 128.0
+        planes = [y, cb, cr, k]
+    elif transform == 0:
+        planes = [inv[:, :, i] for i in range(4)]
+    else:
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    mcux = (w + 7) // 8
+    mcuy = (h + 7) // 8
+    q = scaled_quant(QUANT_LUM, quality)
+    comp_coefs = []
+    for p in planes:
+        padded = _pad_to(p - 128.0, mcuy * 8, mcux * 8)
+        d = np.einsum("ij,njk,lk->nil", _DCT, _to_blocks(padded), _DCT)
+        comp_coefs.append(
+            np.round(d / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG])
+
+    out = bytearray()
+    out += b"\xFF\xD8"
+    # 'Adobe' + version(2) + flags0(2) + flags1(2) + transform(1)
+    adobe = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform)
+    out += b"\xFF\xEE" + struct.pack(">H", 2 + len(adobe)) + adobe
+    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) \
+        + bytes(int(v) for v in q.reshape(-1)[ZIGZAG])
+    sof = struct.pack(">BHHB", 8, h, w, 4)
+    for ci in range(4):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(cls, tid, bits, vals):
+        body = struct.pack("B", (cls << 4) | tid) + bytes(bits) + bytes(vals)
+        return b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+    out += dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+    sos = bytes([4]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(4)) \
+        + bytes([0, 63, 0])
+    out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+
+    wtr = _BitWriter()
+    preds = [0] * 4
+    n_mcu = mcux * mcuy
+    for mi in range(n_mcu):
+        for ci in range(4):
+            preds[ci] = _encode_blocks(
+                wtr, comp_coefs[ci][mi:mi + 1],
+                _ENC_DC_LUM, _ENC_AC_LUM, preds[ci])
+    wtr.flush()
+    out += wtr.buf
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def cmyk_to_rgb(cmyk: np.ndarray) -> np.ndarray:
+    """Naive (uncalibrated) CMYK -> RGB: r = (1-c)(1-k) etc. — the
+    no-ICC-profile conversion every non-color-managed reader applies."""
+    f = cmyk.astype(np.float64) / 255.0
+    c, m, y, k = (f[:, :, i] for i in range(4))
+    rgb = np.stack([(1 - c) * (1 - k), (1 - m) * (1 - k),
+                    (1 - y) * (1 - k)], axis=2)
+    return np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # lossless JPEG (SOF3, T.81 Annex H) — predictive coding, no DCT.
 # The format old aerial/medical archives carry (and what old-style
@@ -693,6 +772,7 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     h = w = 0
     prec = 8
     restart_interval = 0
+    adobe_transform = None  # APP14 color-transform flag (None = no APP14)
     scan_comps = []
     scan_start = None
     while pos < len(data):
@@ -747,6 +827,9 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                 off += 17 + nv
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xEE and body[:5] == b"Adobe":
+            # APP14: ...version(2) flags0(2) flags1(2) transform(1)
+            adobe_transform = body[11]
         elif marker == 0xDA:
             ns = body[0]
             for ci in range(ns):
@@ -873,15 +956,19 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         since_restart += 1
 
     return _reconstruct(comps, coefs, qtabs, h, w, mcux, mcuy, hmax, vmax,
-                        prec)
+                        prec, adobe_transform)
 
 
 def _reconstruct(comps, coefs, qtabs, h, w, mcux, mcuy, hmax, vmax,
-                 prec: int = 8):
+                 prec: int = 8, adobe_transform: int | None = None):
     """Zigzag coefficient grids -> dequantize -> IDCT -> upsample ->
     color-convert.  Shared by the baseline and progressive decoders.
     ``prec`` sets the level shift / clamp / dtype: 8 -> uint8 0..255,
-    12 -> uint16 0..4095 (T.81 extended sequential precision)."""
+    12 -> uint16 0..4095 (T.81 extended sequential precision).
+    Four components are Adobe CMYK: ``adobe_transform`` 2 (YCCK)
+    inverse-transforms CMY through the YCbCr algebra, 0/None is direct;
+    Adobe stores ink-inverted values, so the result is un-inverted to
+    (H, W, 4) CMYK with 255 = full ink."""
     mid = float(1 << (prec - 1))
     top = (1 << prec) - 1
     out_dtype = np.uint8 if prec == 8 else np.uint16
@@ -900,6 +987,17 @@ def _reconstruct(comps, coefs, qtabs, h, w, mcux, mcuy, hmax, vmax,
 
     if len(comps) == 1:
         return np.clip(np.round(planes[0]), 0, top).astype(out_dtype)
+    if len(comps) == 4:
+        if adobe_transform == 2:  # YCCK: YCbCr algebra over inverted CMY
+            y, cb, cr = planes[0], planes[1] - mid, planes[2] - mid
+            c = y + 1.402 * cr
+            m = y - 0.344136 * cb - 0.714136 * cr
+            ye = y + 1.772 * cb
+            stacked = np.stack([c, m, ye, planes[3]], axis=2)
+        else:  # transform 0/None: stored directly
+            stacked = np.stack(planes, axis=2)
+        inv = np.clip(np.round(stacked), 0, top)
+        return (top - inv).astype(out_dtype)  # un-invert Adobe ink values
     y, cb, cr = planes[0], planes[1] - mid, planes[2] - mid
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr

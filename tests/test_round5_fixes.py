@@ -956,3 +956,62 @@ class TestRepeatedSpans:
         duck_out = set(map(tuple, con.execute(
             repeated_spans_sql("documents")).fetchall()))
         assert spark_out == duck_out
+
+
+class TestCmykJpeg:
+    """Adobe 4-component CMYK/YCCK JPEG (APP14) — the print-origin shape
+    web corpora carry; GDAL/libjpeg surface it as 4 bands (reference
+    reads via GDAL, _gdal.py:114-188)."""
+
+    @staticmethod
+    def _cmyk(h=40, w=48):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack([
+            np.clip(128 + 90 * np.sin(xx / 7.0), 0, 255),
+            np.clip(128 + 90 * np.cos(yy / 6.0), 0, 255),
+            np.clip(100 + 60 * np.sin((xx + yy) / 9.0), 0, 255),
+            np.clip(40 + 30 * np.cos(xx / 11.0), 0, 255),
+        ], axis=2).round().astype(np.uint8)
+
+    @pytest.mark.parametrize("transform", [0, 2])
+    def test_roundtrip_psnr(self, transform):
+        from karta_spark.sources.jpeg import (
+            decode_jpeg_baseline, encode_jpeg_cmyk)
+        A = self._cmyk()
+        back = decode_jpeg_baseline(
+            encode_jpeg_cmyk(A, 95, transform=transform))
+        assert back.shape == A.shape and back.dtype == np.uint8
+        mse = np.mean((back.astype(float) - A.astype(float)) ** 2)
+        assert 10 * np.log10(255.0 ** 2 / mse) >= 40.0
+
+    def test_constant_image_exact_channels(self):
+        """Constant CMYK decodes to the same constants (catches APP14
+        transform-byte misplacement and channel-order bugs exactly)."""
+        from karta_spark.sources.jpeg import (
+            decode_jpeg_baseline, encode_jpeg_cmyk)
+        A = np.zeros((16, 16, 4), np.uint8)
+        A[:, :] = (200, 100, 50, 30)
+        back = decode_jpeg_baseline(encode_jpeg_cmyk(A, 100, transform=2))
+        assert np.abs(back.astype(int) - A.astype(int)).max() <= 2
+
+    def test_cmyk_to_rgb(self):
+        from karta_spark.sources.jpeg import cmyk_to_rgb
+        pure_cyan = np.zeros((2, 2, 4), np.uint8)
+        pure_cyan[:, :, 0] = 255
+        rgb = cmyk_to_rgb(pure_cyan)
+        assert tuple(rgb[0, 0]) == (0, 255, 255)
+        black = np.zeros((1, 1, 4), np.uint8)
+        black[:, :, 3] = 255
+        assert tuple(cmyk_to_rgb(black)[0, 0]) == (0, 0, 0)
+
+    def test_bad_transform_rejected(self):
+        from karta_spark.sources.jpeg import encode_jpeg_cmyk
+        with pytest.raises(ValueError, match="transform"):
+            encode_jpeg_cmyk(self._cmyk(), transform=1)
+
+    def test_rgb_paths_unaffected(self):
+        from karta_spark.sources.jpeg import (
+            decode_jpeg_baseline, encode_jpeg_baseline)
+        A = self._cmyk()[:, :, :3]
+        back = decode_jpeg_baseline(encode_jpeg_baseline(A, 95))
+        assert back.shape == A.shape
