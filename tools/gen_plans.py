@@ -73,6 +73,19 @@ sections.append(("q21 portable MinHash LSH (zero-Python: explode -> 64 "
 sections.append(("q47 stratified sample (hash-threshold prefilter before "
                  "the per-stratum window)", plan_of(m.q47_stratified_sample(spark, sf), 35)))
 
+# 10b. q65 lcc reprojection: conic forward+inverse entirely in codegen
+sections.append(("q65 Lambert conformal conic forward+inverse (Clarke 1866 "
+                 "ellipsoid constants folded driver-side, per-row math all "
+                 "inside WholeStageCodegen — no Python, no shuffle)",
+                 plan_of(m.q65_lcc_stateplane(spark, sf), 25)))
+
+# 10c. q66 repeated spans: gram posexplode -> df hash agg -> equi-join ->
+# per-doc window; no all-pairs, no position explosion
+sections.append(("q66 repeated-substring spans (map-side gram explode, one "
+                 "doc-frequency hash agg, equi-join flag-back, per-doc lag "
+                 "window for interval union)",
+                 plan_of(m.q66_repeated_spans(spark, sf), 45)))
+
 # 10. q48 geodesic area: closed-form trig fully inside codegen
 sections.append(("q48 spherical geodesic area (canonical-configuration trig "
                  "as one codegen'd expression over the segments window)",
