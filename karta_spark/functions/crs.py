@@ -326,14 +326,24 @@ def _conf_inv_coeffs(e2: float):
 
 
 _CONF_INV = _conf_inv_coeffs(E2_WGS84)
+
+
+@lru_cache(maxsize=None)
+def _auth_inv_coeffs(e2: float):
+    """authalic latitude -> geographic series coefficients
+    (phi = beta + sum c_j sin(2j beta), Snyder 3-18) — cached per e2."""
+    _E2, _E4, _E6 = e2, e2 ** 2, e2 ** 3
+    return (
+        _E2 / 3 + 31 * _E4 / 180 + 517 * _E6 / 5040,
+        23 * _E4 / 360 + 251 * _E6 / 3780,
+        761 * _E6 / 45360,
+    )
+
+
 _E2, _E4 = E2_WGS84, E2_WGS84 ** 2
 _E6, _E8 = E2_WGS84 ** 3, E2_WGS84 ** 4
 # authalic latitude -> geographic (phi = beta + sum c_j sin(2j beta))
-_AUTH_INV = (
-    _E2 / 3 + 31 * _E4 / 180 + 517 * _E6 / 5040,
-    23 * _E4 / 360 + 251 * _E6 / 3780,
-    761 * _E6 / 45360,
-)
+_AUTH_INV = _auth_inv_coeffs(E2_WGS84)
 
 
 # ---------------------------------------------------------------------------
@@ -590,84 +600,105 @@ def _lcc_inv(B, x, y, lat1, lat2, lat0, lon0, k0, fe, fn, a, f):
     return lon0 + lam * _R2D, phi * _R2D
 
 
-def _authalic_q(B, phi):
-    es = E_WGS84 * B.sin(phi)
-    return (1.0 - E2_WGS84) * (
+def _authalic_q(B, phi, e=E_WGS84, e2=E2_WGS84):
+    es = e * B.sin(phi)
+    return (1.0 - e2) * (
         B.sin(phi) / (1.0 - es * es)
-        - (1.0 / (2.0 * E_WGS84)) * B.ln((1.0 - es) / (1.0 + es)))
+        - (1.0 / (2.0 * e)) * B.ln((1.0 - es) / (1.0 + es)))
 
 
-_QP = (1.0 - E2_WGS84) * (
-    1.0 / (1.0 - E2_WGS84)
-    - (1.0 / (2.0 * E_WGS84)) * math.log((1.0 - E_WGS84) / (1.0 + E_WGS84)))
-_RQ = A_WGS84 * math.sqrt(_QP / 2.0)
+@lru_cache(maxsize=None)
+def _qp_rq(a: float, f: float):
+    """(q_polar, authalic radius Rq) per ellipsoid (Snyder 3-12/3-13)."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    qp = (1.0 - e2) * (
+        1.0 / (1.0 - e2)
+        - (1.0 / (2.0 * e)) * math.log((1.0 - e) / (1.0 + e)))
+    return qp, a * math.sqrt(qp / 2.0)
 
 
-def _authalic_to_geographic(B, beta):
+_QP, _RQ = _qp_rq(A_WGS84, F_WGS84)
+
+
+def _authalic_to_geographic(B, beta, e2=E2_WGS84):
     phi = beta
-    for j, cc in enumerate(_AUTH_INV, start=1):
+    for j, cc in enumerate(_auth_inv_coeffs(e2), start=1):
         phi = phi + cc * B.sin((2.0 * j) * beta)
     return phi
 
 
-def _laea_fwd(B, lon, lat, lon0):
+def _laea_fwd(B, lon, lat, lon0, a=A_WGS84, f=F_WGS84):
     """Equatorial-aspect ellipsoidal LAEA (Snyder 24-17..19, lat_0 = 0)."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    qp, rq = _qp_rq(a, f)
     lam = (lon - lon0) * _D2R
     phi = lat * _D2R
-    q = _authalic_q(B, phi)
-    sinb = q / _QP
+    q = _authalic_q(B, phi, e, e2)
+    sinb = q / qp
     cosb = B.sqrt(1.0 - sinb * sinb)
-    D = A_WGS84 / (_RQ * 1.0)  # m1 = 1, cos(beta1) = 1 at lat_0 = 0
+    D = a / (rq * 1.0)  # m1 = 1, cos(beta1) = 1 at lat_0 = 0
     denom = 1.0 + cosb * B.cos(lam)
-    Bc = _RQ * B.sqrt(2.0 / denom)
+    Bc = rq * B.sqrt(2.0 / denom)
     x = Bc * D * (cosb * B.sin(lam))
     y = (Bc / D) * sinb
     return x, y
 
 
-def _laea_inv(B, x, y, lon0):
-    D = A_WGS84 / _RQ
+def _laea_inv(B, x, y, lon0, a=A_WGS84, f=F_WGS84):
+    e2 = f * (2.0 - f)
+    qp, rq = _qp_rq(a, f)
+    D = a / rq
     xd = x / D
     yd = y * D
     rho = B.sqrt(xd * xd + yd * yd)
     # guard the projection center (rho -> 0): sin(ce)/rho -> 1/(2 Rq)
     safe_rho = B.where((rho, "<", 1e-12), 1e-12, rho)
-    ce = 2.0 * B.asin(safe_rho / (2.0 * _RQ))
+    ce = 2.0 * B.asin(safe_rho / (2.0 * rq))
     sinb = B.where((rho, "<", 1e-12), 0.0, yd * B.sin(ce) / safe_rho)
     beta = B.asin(sinb)
-    phi = _authalic_to_geographic(B, beta)
+    phi = _authalic_to_geographic(B, beta, e2)
     lam = B.atan2(x * B.sin(ce), D * safe_rho * B.cos(ce))
     return lon0 + lam * _R2D, phi * _R2D
 
 
-def _cea_fwd(B, lon, lat, lat_ts):
+def _cea_fwd(B, lon, lat, lat_ts, a=A_WGS84, f=F_WGS84):
     """Cylindrical equal-area, ellipsoidal (Snyder 10-1/10-2)."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
     ts = lat_ts * _D2R
-    k0 = math.cos(ts) / math.sqrt(1.0 - E2_WGS84 * math.sin(ts) ** 2)
-    x = A_WGS84 * k0 * (lon * _D2R)
-    y = A_WGS84 * _authalic_q(B, lat * _D2R) / (2.0 * k0)
+    k0 = math.cos(ts) / math.sqrt(1.0 - e2 * math.sin(ts) ** 2)
+    x = a * k0 * (lon * _D2R)
+    y = a * _authalic_q(B, lat * _D2R, e, e2) / (2.0 * k0)
     return x, y
 
 
-def _cea_inv(B, x, y, lat_ts):
+def _cea_inv(B, x, y, lat_ts, a=A_WGS84, f=F_WGS84):
+    e2 = f * (2.0 - f)
     ts = lat_ts * _D2R
-    k0 = math.cos(ts) / math.sqrt(1.0 - E2_WGS84 * math.sin(ts) ** 2)
-    lon = x / (A_WGS84 * k0) * _R2D
-    sinb = 2.0 * y * k0 / (A_WGS84 * _QP)
+    k0 = math.cos(ts) / math.sqrt(1.0 - e2 * math.sin(ts) ** 2)
+    qp, _ = _qp_rq(a, f)
+    lon = x / (a * k0) * _R2D
+    sinb = 2.0 * y * k0 / (a * qp)
     beta = B.asin(sinb)
-    phi = _authalic_to_geographic(B, beta)
+    phi = _authalic_to_geographic(B, beta, e2)
     return lon, phi * _R2D
 
 
-def _aea_consts(lat1: float, lat2: float, lat0: float):
+def _aea_consts(lat1: float, lat2: float, lat0: float,
+                a: float = A_WGS84, f: float = F_WGS84):
     """n, C, rho0 for the ellipsoidal Albers equal-area conic
     (Snyder 1987 eqs. 14-3..14-6, 3-12) — driver-side scalars."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+
     def m(phi):
-        return math.cos(phi) / math.sqrt(1.0 - E2_WGS84 * math.sin(phi) ** 2)
+        return math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
 
     def q(phi):
         # the module's backend-generic authalic q, on the numpy backend
-        return float(_authalic_q(_NpOps, phi))
+        return float(_authalic_q(_NpOps, phi, e, e2))
 
     p1, p2, p0 = lat1 * _D2R, lat2 * _D2R, lat0 * _D2R
     m1, m2 = m(p1), m(p2)
@@ -682,15 +713,17 @@ def _aea_consts(lat1: float, lat2: float, lat0: float):
                          "equator symmetrically (n = 0 degenerates to a "
                          "cylindrical projection — use cea instead)")
     C = m1 * m1 + n * q1
-    rho0 = A_WGS84 * math.sqrt(C - n * q0) / n
+    rho0 = a * math.sqrt(C - n * q0) / n
     return n, C, rho0
 
 
-def _aea_fwd(B, lon, lat, lat1, lat2, lat0, lon0, fe, fn):
+def _aea_fwd(B, lon, lat, lat1, lat2, lat0, lon0, fe, fn,
+             a=A_WGS84, f=F_WGS84):
     """Ellipsoidal Albers equal-area conic forward (Snyder 14-1..14-4)."""
-    n, C, rho0 = _aea_consts(lat1, lat2, lat0)
-    q = _authalic_q(B, lat * _D2R)
-    rho = A_WGS84 * B.sqrt(C - n * q) / n
+    e2 = f * (2.0 - f)
+    n, C, rho0 = _aea_consts(lat1, lat2, lat0, a, f)
+    q = _authalic_q(B, lat * _D2R, math.sqrt(e2), e2)
+    rho = a * B.sqrt(C - n * q) / n
     # a cone is not periodic in lon: wrap lon-lon0 into [-180, 180)
     dlon = lon - lon0
     dlon = dlon - 360.0 * B.floor((dlon + 180.0) * (1.0 / 360.0))
@@ -700,10 +733,12 @@ def _aea_fwd(B, lon, lat, lat1, lat2, lat0, lon0, fe, fn):
     return x, y
 
 
-def _aea_inv(B, x, y, lat1, lat2, lat0, lon0, fe, fn):
+def _aea_inv(B, x, y, lat1, lat2, lat0, lon0, fe, fn,
+             a=A_WGS84, f=F_WGS84):
     """Ellipsoidal Albers inverse (Snyder 14-8..14-11 via the authalic
     latitude series — same fixed-term expansion the laea/cea paths use)."""
-    n, C, rho0 = _aea_consts(lat1, lat2, lat0)
+    e2 = f * (2.0 - f)
+    n, C, rho0 = _aea_consts(lat1, lat2, lat0, a, f)
     xp = x - fe
     yp = rho0 - (y - fn)
     # sign(n) handling (Snyder p.102): for southern standard parallels
@@ -711,22 +746,30 @@ def _aea_inv(B, x, y, lat1, lat2, lat0, lon0, fe, fn):
     s = 1.0 if n > 0 else -1.0
     rho = s * B.sqrt(xp * xp + yp * yp)
     theta = B.atan2(s * xp, s * yp)
-    q = (C - (rho * rho * n * n) / (A_WGS84 * A_WGS84)) / n
-    beta = B.asin(q / _QP)
-    phi = _authalic_to_geographic(B, beta)
+    q = (C - (rho * rho * n * n) / (a * a)) / n
+    qp, _ = _qp_rq(a, f)
+    beta = B.asin(q / qp)
+    phi = _authalic_to_geographic(B, beta, e2)
     lam = theta / n
     return lon0 + lam * _R2D, phi * _R2D
 
 
 def albers(lat1: float, lat2: float, lat0: float = 0.0, lon0: float = 0.0,
-           fe: float = 0.0, fn: float = 0.0) -> CrsDef:
+           fe: float = 0.0, fn: float = 0.0,
+           ellps: str | tuple[float, float] = "WGS84") -> CrsDef:
     """Albers equal-area conic CRS (e.g. AlaskaAlbers = albers(55, 65, 50,
     -154)) — the reference reaches these through arbitrary proj4 strings
-    (crs.py:219-243); here each conic is a named CrsDef."""
+    (crs.py:219-243); here each conic is a named CrsDef.  ``ellps``
+    selects the ellipsoid (proj.4 id or (a, f)); WGS84 keeps the
+    historical 6-tuple params."""
+    a, f = ellps if isinstance(ellps, tuple) else ellipsoid_params(ellps)
     lat1, lat2, lat0, lon0, fe, fn = (
         float(lat1), float(lat2), float(lat0), float(lon0), float(fe), float(fn))
-    return CrsDef(f"aea_{lat1:g}_{lat2:g}_{lat0:g}_{lon0:g}", "aea",
-                  (lat1, lat2, lat0, lon0, fe, fn))
+    tail = () if (a, f) == (A_WGS84, F_WGS84) else (float(a), float(f))
+    tag = "" if not tail else (f"_{ellps}" if isinstance(ellps, str)
+                               else f"_{a:g}")
+    return CrsDef(f"aea_{lat1:g}_{lat2:g}_{lat0:g}_{lon0:g}{tag}", "aea",
+                  (lat1, lat2, lat0, lon0, fe, fn) + tail)
 
 
 def lcc(lat1: float, lat2: float | None = None, lat0: float = 0.0,
@@ -993,22 +1036,21 @@ def from_proj4(s: str) -> CrsDef:
                 return named
         return CrsDef(f"stere_{params[1]}_{params[2]}_{params[3]}",
                       "stere", params)
-    if proj in ("laea", "cea", "aea") and ell_tail():
-        # these kinds still pin WGS84 constants — reject rather than
-        # silently projecting on the wrong ellipsoid
-        raise ValueError(
-            f"+proj={proj} supports only the WGS84 ellipsoid here: " + s)
     if proj == "laea":
         lon0 = g("lon_0")
-        return LAEA_WGS84 if lon0 == 0.0 else CrsDef(f"laea_{lon0}",
-                                                     "laea", (lon0,))
+        tail = ell_tail()
+        if not tail and lon0 == 0.0:
+            return LAEA_WGS84
+        return CrsDef(f"laea_{lon0}", "laea", (lon0,) + tail)
     if proj == "cea":
         lat_ts = g("lat_ts")
-        return GALL_PETERS if lat_ts == 45.0 else CrsDef(f"cea_{lat_ts}",
-                                                         "cea", (lat_ts,))
+        tail = ell_tail()
+        if not tail and lat_ts == 45.0:
+            return GALL_PETERS
+        return CrsDef(f"cea_{lat_ts}", "cea", (lat_ts,) + tail)
     if proj == "aea":
         return albers(g("lat_1"), g("lat_2"), g("lat_0"), g("lon_0"),
-                      g("x_0"), g("y_0"))
+                      g("x_0"), g("y_0"), ellps=ell())
     raise ValueError(f"unsupported proj.4 projection {proj!r}")
 
 
@@ -1074,16 +1116,22 @@ def to_proj4(crs: CrsDef | str) -> str:
                 f"+lat_ts={sgn * lat_ts:g} +lon_0={lon0:g} +k={k0:g} "
                 f"+x_0={fe:g} +y_0={fn:g} +units=m {frag} +no_defs")
     if c.kind == "laea":
+        frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 1
+                else _proj4_ellps_frag(c.params, 1))
         return (f"+proj=laea +lat_0=0 +lon_0={c.params[0]:g} +x_0=0 +y_0=0 "
-                "+ellps=WGS84 +datum=WGS84")
+                f"{frag}")
     if c.kind == "cea":
+        frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 1
+                else _proj4_ellps_frag(c.params, 1))
         return (f"+proj=cea +lon_0=0 +lat_ts={c.params[0]:g} +x_0=0 +y_0=0 "
-                "+ellps=WGS84 +datum=WGS84 +units=m +no_defs")
+                f"{frag} +units=m +no_defs")
     if c.kind == "aea":
-        lat1, lat2, lat0, lon0, fe, fn = c.params
-        return (f"+proj=aea +lat_1={lat1:g} +lat_2={lat2:g} +lat_0={lat0:g} "
-                f"+lon_0={lon0:g} +x_0={fe:g} +y_0={fn:g} "
-                "+ellps=WGS84 +datum=WGS84 +units=m +no_defs")
+        lat1, lat2, lat0, lon0, fe, fn = c.params[:6]
+        frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 6
+                else _proj4_ellps_frag(c.params, 6))
+        return (f"+proj=aea +lat_1={lat1!r} +lat_2={lat2!r} +lat_0={lat0!r} "
+                f"+lon_0={lon0!r} +x_0={fe!r} +y_0={fn!r} "
+                f"{frag} +units=m +no_defs")
     raise ValueError(f"no proj.4 form for kind {c.kind!r}")
 
 
@@ -1191,18 +1239,19 @@ def to_wkt(crs: CrsDef | str) -> str:
              ("false_easting", fe), ("false_northing", fn)])
     if c.kind == "laea":
         return _wkt_projcs(
-            c.name, _WKT_GEOGCS["wgs84"], "Lambert_Azimuthal_Equal_Area",
+            c.name, _wkt_geogcs_for(c.params, 1),
+            "Lambert_Azimuthal_Equal_Area",
             [("latitude_of_center", 0), ("longitude_of_center", c.params[0]),
              ("false_easting", 0), ("false_northing", 0)])
     if c.kind == "cea":
         return _wkt_projcs(
-            c.name, _WKT_GEOGCS["wgs84"], "Cylindrical_Equal_Area",
+            c.name, _wkt_geogcs_for(c.params, 1), "Cylindrical_Equal_Area",
             [("standard_parallel_1", c.params[0]), ("central_meridian", 0),
              ("false_easting", 0), ("false_northing", 0)])
     if c.kind == "aea":
-        lat1, lat2, lat0, lon0, fe, fn = c.params
+        lat1, lat2, lat0, lon0, fe, fn = c.params[:6]
         return _wkt_projcs(
-            c.name, _WKT_GEOGCS["wgs84"], "Albers_Conic_Equal_Area",
+            c.name, _wkt_geogcs_for(c.params, 6), "Albers_Conic_Equal_Area",
             [("standard_parallel_1", lat1), ("standard_parallel_2", lat2),
              ("latitude_of_center", lat0), ("longitude_of_center", lon0),
              ("false_easting", fe), ("false_northing", fn)])
@@ -1380,16 +1429,23 @@ def from_wkt(s: str) -> CrsDef:
         if g("latitude_of_center") != 0.0:
             raise ValueError("oblique LAEA not supported (equatorial only)")
         lon0 = g("longitude_of_center")
-        return LAEA_WGS84 if lon0 == 0.0 else CrsDef(f"laea_{lon0}",
-                                                     "laea", (lon0,))
+        af = _wkt_ellipsoid(root)
+        tail = () if af == (A_WGS84, F_WGS84) else af
+        if not tail and lon0 == 0.0:
+            return LAEA_WGS84
+        return CrsDef(f"laea_{lon0}", "laea", (lon0,) + tail)
     if proj == "Cylindrical_Equal_Area":
         lat_ts = g("standard_parallel_1")
-        return GALL_PETERS if lat_ts == 45.0 else CrsDef(f"cea_{lat_ts}",
-                                                         "cea", (lat_ts,))
+        af = _wkt_ellipsoid(root)
+        tail = () if af == (A_WGS84, F_WGS84) else af
+        if not tail and lat_ts == 45.0:
+            return GALL_PETERS
+        return CrsDef(f"cea_{lat_ts}", "cea", (lat_ts,) + tail)
     if proj == "Albers_Conic_Equal_Area":
         return albers(g("standard_parallel_1"), g("standard_parallel_2"),
                       g("latitude_of_center"), g("longitude_of_center"),
-                      g("false_easting"), g("false_northing"))
+                      g("false_easting"), g("false_northing"),
+                      ellps=_wkt_ellipsoid(root))
     raise ValueError(f"unsupported WKT projection {proj!r}")
 
 

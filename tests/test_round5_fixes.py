@@ -1015,3 +1015,44 @@ class TestCmykJpeg:
         A = self._cmyk()[:, :, :3]
         back = decode_jpeg_baseline(encode_jpeg_baseline(A, 95))
         assert back.shape == A.shape
+
+
+class TestEqualAreaEllipsoids:
+    """Round-5 follow-on: aea/laea/cea parameterized by ellipsoid (the
+    last WGS84-only kinds) — NAD27 Albers is the headline user."""
+
+    def test_snyder_albers_clrk66_golden(self):
+        """Snyder 1987 Albers appendix example: Clarke 1866,
+        lat1=29.5 lat2=45.5 lat0=23 lon0=-96, (35N, 75W) ->
+        x=1885472.7 y=1535925.0."""
+        from karta_spark.functions import crs as C
+        d = C.albers(29.5, 45.5, 23.0, -96.0, ellps="clrk66")
+        x, y = C.forward_np(d, np.array([-75.0]), np.array([35.0]))
+        assert x[0] == pytest.approx(1885472.7, abs=0.1)
+        assert y[0] == pytest.approx(1535925.0, abs=0.1)
+        lo, la = C.inverse_np(d, x, y)
+        assert (lo[0], la[0]) == pytest.approx((-75.0, 35.0), abs=1e-7)
+
+    def test_roundtrips_and_interchange(self):
+        from karta_spark.functions import crs as C
+        defs = [
+            C.albers(29.5, 45.5, 23.0, -96.0, ellps="clrk66"),
+            C.from_proj4("+proj=laea +lat_0=0 +lon_0=10 +ellps=intl"),
+            C.from_proj4("+proj=cea +lat_ts=30 +ellps=clrk66"),
+        ]
+        for d in defs:
+            lo, la = C.inverse_np(d, *C.forward_np(
+                d, np.array([12.0]), np.array([47.0])))
+            assert (lo[0], la[0]) == pytest.approx((12.0, 47.0), abs=1e-7)
+            assert C.from_proj4(C.to_proj4(d)).params == d.params
+            assert C.from_wkt(C.to_wkt(d)).params == d.params
+
+    def test_wgs84_named_instances_unchanged(self):
+        """GALL_PETERS / LAEA_WGS84 / WGS84 albers keep their historical
+        params (no tail) and resolve back to the named instances."""
+        from karta_spark.functions import crs as C
+        assert len(C.GALL_PETERS.params) == 1
+        assert len(C.LAEA_WGS84.params) == 1
+        assert len(C.albers(55, 65, 50, -154).params) == 6
+        assert C.from_proj4(C.to_proj4(C.GALL_PETERS)) is C.GALL_PETERS
+        assert C.from_proj4(C.to_proj4(C.LAEA_WGS84)) is C.LAEA_WGS84
