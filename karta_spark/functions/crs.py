@@ -372,6 +372,10 @@ NSIDC_NORTH = CrsDef("nsidc_north", "stere", (1.0, -45.0, 70.0, 1.0, 0.0, 0.0))
 NSIDC_SOUTH = CrsDef("nsidc_south", "stere", (-1.0, 0.0, 70.0, 1.0, 0.0, 0.0))
 # equatorial Lambert azimuthal equal-area (crs.py:378-381)
 LAEA_WGS84 = CrsDef("laea", "laea", (0.0,))
+# EASE-Grid 2.0 polar aspects (+proj=laea +lat_0=+-90 +lon_0=0, WGS84 —
+# the modern NSIDC sea-ice grids; reference reaches them via proj.4)
+EASE2_NORTH = CrsDef("ease2_north", "laea_polar", (1.0, 0.0, 0.0, 0.0))
+EASE2_SOUTH = CrsDef("ease2_south", "laea_polar", (-1.0, 0.0, 0.0, 0.0))
 # datum-shifted geographic CRSes (crs.py:354-356).  NAD27 rides Clarke 1866
 # + the CONUS Molodensky translation; NAD83 (GRS80) coincides with the
 # WGS84 pivot at the cm level, far below this transform's ~5 m fidelity.
@@ -663,6 +667,44 @@ def _laea_inv(B, x, y, lon0, a=A_WGS84, f=F_WGS84):
     return lon0 + lam * _R2D, phi * _R2D
 
 
+def _laea_polar_fwd(B, lon, lat, sgn, lon0, fe=0.0, fn=0.0,
+                    a=A_WGS84, f=F_WGS84):
+    """Polar-aspect ellipsoidal LAEA (Snyder 24-23/24-24) — the
+    EASE-Grid 2.0 family (sea-ice grids; the reference reaches them via
+    proj.4 '+proj=laea +lat_0=+-90').  South is the mirrored north
+    aspect, same sgn trick as the polar stereographic arm."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    qp, _ = _qp_rq(a, f)
+    phi = (sgn * lat) * _D2R
+    lam = (sgn * (lon - lon0)) * _D2R
+    q = _authalic_q(B, phi, e, e2)
+    # qp - q >= 0 analytically; float noise at the pole can dip a hair
+    # negative under sqrt
+    dq = qp - q
+    rho = a * B.sqrt(B.where((dq, "<", 0.0), 0.0, dq))
+    x = fe + sgn * (rho * B.sin(lam))
+    y = fn - sgn * (rho * B.cos(lam))
+    return x, y
+
+
+def _laea_polar_inv(B, x, y, sgn, lon0, fe=0.0, fn=0.0,
+                    a=A_WGS84, f=F_WGS84):
+    e2 = f * (2.0 - f)
+    qp, _ = _qp_rq(a, f)
+    xp = sgn * (x - fe)
+    yp = sgn * (y - fn)
+    rho = B.sqrt(xp * xp + yp * yp)
+    q = qp - (rho / a) * (rho / a)
+    ratio = q / qp
+    ratio = B.where((ratio, ">", 1.0), 1.0, ratio)
+    ratio = B.where((ratio, "<", -1.0), -1.0, ratio)
+    beta = B.asin(ratio)
+    phi = _authalic_to_geographic(B, beta, e2)
+    lam = B.atan2(xp, -1.0 * yp)
+    return sgn * (lon0 + lam * _R2D), sgn * (phi * _R2D)
+
+
 def _cea_fwd(B, lon, lat, lat_ts, a=A_WGS84, f=F_WGS84):
     """Cylindrical equal-area, ellipsoidal (Snyder 10-1/10-2)."""
     e2 = f * (2.0 - f)
@@ -848,6 +890,8 @@ def _dispatch_fwd(B, crs: CrsDef, lon, lat):
         return _stere_fwd(B, lon, lat, *crs.params)
     if crs.kind == "laea":
         return _laea_fwd(B, lon, lat, *crs.params)
+    if crs.kind == "laea_polar":
+        return _laea_polar_fwd(B, lon, lat, *crs.params)
     if crs.kind == "cea":
         return _cea_fwd(B, lon, lat, *crs.params)
     if crs.kind == "aea":
@@ -870,6 +914,8 @@ def _dispatch_inv(B, crs: CrsDef, x, y):
         return _stere_inv(B, x, y, *crs.params)
     if crs.kind == "laea":
         return _laea_inv(B, x, y, *crs.params)
+    if crs.kind == "laea_polar":
+        return _laea_polar_inv(B, x, y, *crs.params)
     if crs.kind == "cea":
         return _cea_inv(B, x, y, *crs.params)
     if crs.kind == "aea":
@@ -1037,8 +1083,21 @@ def from_proj4(s: str) -> CrsDef:
         return CrsDef(f"stere_{params[1]}_{params[2]}_{params[3]}",
                       "stere", params)
     if proj == "laea":
+        lat0 = g("lat_0")
         lon0 = g("lon_0")
         tail = ell_tail()
+        if abs(lat0) == 90.0:
+            sgn = 1.0 if lat0 > 0 else -1.0
+            params = (sgn, lon0, g("x_0"), g("y_0")) + tail
+            for named in (EASE2_NORTH, EASE2_SOUTH):
+                if named.params == params:
+                    return named
+            return CrsDef(f"laea_polar_{lat0:g}_{lon0:g}", "laea_polar",
+                          params)
+        if lat0 != 0.0:
+            raise ValueError(
+                f"oblique laea (lat_0={lat0}) not supported "
+                "(equatorial and polar aspects are)")
         if not tail and lon0 == 0.0:
             return LAEA_WGS84
         return CrsDef(f"laea_{lon0}", "laea", (lon0,) + tail)
@@ -1120,6 +1179,12 @@ def to_proj4(crs: CrsDef | str) -> str:
                 else _proj4_ellps_frag(c.params, 1))
         return (f"+proj=laea +lat_0=0 +lon_0={c.params[0]:g} +x_0=0 +y_0=0 "
                 f"{frag}")
+    if c.kind == "laea_polar":
+        sgn, lon0, fe, fn = c.params[:4]
+        frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 4
+                else _proj4_ellps_frag(c.params, 4))
+        return (f"+proj=laea +lat_0={int(sgn * 90)} +lon_0={lon0:g} "
+                f"+x_0={fe:g} +y_0={fn:g} {frag} +units=m +no_defs")
     if c.kind == "cea":
         frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 1
                 else _proj4_ellps_frag(c.params, 1))
@@ -1243,6 +1308,13 @@ def to_wkt(crs: CrsDef | str) -> str:
             "Lambert_Azimuthal_Equal_Area",
             [("latitude_of_center", 0), ("longitude_of_center", c.params[0]),
              ("false_easting", 0), ("false_northing", 0)])
+    if c.kind == "laea_polar":
+        sgn, lon0, fe, fn = c.params[:4]
+        return _wkt_projcs(
+            c.name, _wkt_geogcs_for(c.params, 4),
+            "Lambert_Azimuthal_Equal_Area",
+            [("latitude_of_center", sgn * 90), ("longitude_of_center", lon0),
+             ("false_easting", fe), ("false_northing", fn)])
     if c.kind == "cea":
         return _wkt_projcs(
             c.name, _wkt_geogcs_for(c.params, 1), "Cylindrical_Equal_Area",
@@ -1426,11 +1498,22 @@ def from_wkt(s: str) -> CrsDef:
         return CrsDef(f"stere_{params[1]}_{params[2]}_{params[3]}",
                       "stere", params)
     if proj == "Lambert_Azimuthal_Equal_Area":
-        if g("latitude_of_center") != 0.0:
-            raise ValueError("oblique LAEA not supported (equatorial only)")
+        lat0 = g("latitude_of_center")
         lon0 = g("longitude_of_center")
         af = _wkt_ellipsoid(root)
         tail = () if af == (A_WGS84, F_WGS84) else af
+        if abs(lat0) == 90.0:
+            sgn = 1.0 if lat0 > 0 else -1.0
+            params = (sgn, lon0, g("false_easting"),
+                      g("false_northing")) + tail
+            for named in (EASE2_NORTH, EASE2_SOUTH):
+                if named.params == params:
+                    return named
+            return CrsDef(f"laea_polar_{lat0:g}_{lon0:g}", "laea_polar",
+                          params)
+        if lat0 != 0.0:
+            raise ValueError("oblique LAEA not supported "
+                             "(equatorial and polar aspects are)")
         if not tail and lon0 == 0.0:
             return LAEA_WGS84
         return CrsDef(f"laea_{lon0}", "laea", (lon0,) + tail)

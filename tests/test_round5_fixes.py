@@ -1056,3 +1056,76 @@ class TestEqualAreaEllipsoids:
         assert len(C.albers(55, 65, 50, -154).params) == 6
         assert C.from_proj4(C.to_proj4(C.GALL_PETERS)) is C.GALL_PETERS
         assert C.from_proj4(C.to_proj4(C.LAEA_WGS84)) is C.LAEA_WGS84
+
+
+class TestPolarLaea:
+    """EASE-Grid 2.0 polar LAEA (+proj=laea +lat_0=+-90) — previously
+    parsed SILENTLY as the equatorial aspect (wrong projection); now a
+    first-class laea_polar kind, oblique raises."""
+
+    def test_known_points(self):
+        from karta_spark.functions import crs as C
+        x, y = C.forward_np(C.EASE2_NORTH, np.array([0.0, 0.0]),
+                            np.array([90.0, 0.0]))
+        assert (x[0], y[0]) == (0.0, 0.0)  # pole -> origin
+        # published EASE-Grid 2.0 constant: map radius to the equator
+        assert y[1] == pytest.approx(-9009964.76, abs=0.1)
+
+    def test_equal_area_property(self):
+        """det(Jacobian) equals the ellipsoid area element M*N*cos(phi)
+        everywhere — the defining property, checked numerically."""
+        from karta_spark.functions import crs as C
+        a, f = C.A_WGS84, C.F_WGS84
+        e2 = f * (2 - f)
+        for lon0, lat0 in [(30.0, 60.0), (-120.0, 40.0), (10.0, 85.0)]:
+            eps = 1e-6
+            xs, ys = C.forward_np(
+                C.EASE2_NORTH,
+                np.array([lon0, lon0 + eps, lon0]),
+                np.array([lat0, lat0, lat0 + eps]))
+            J = abs((xs[1] - xs[0]) * (ys[2] - ys[0])
+                    - (xs[2] - xs[0]) * (ys[1] - ys[0])) / np.radians(eps) ** 2
+            phi = np.radians(lat0)
+            M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+            N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            assert J / (M * N * np.cos(phi)) == pytest.approx(1.0, abs=1e-6)
+
+    def test_roundtrip_both_poles(self):
+        from karta_spark.functions import crs as C
+        lon = np.array([0.0, 90.0, -135.0, 17.3])
+        lat = np.array([80.0, 70.0, 45.0, 62.1])
+        for d, sl in ((C.EASE2_NORTH, 1.0), (C.EASE2_SOUTH, -1.0)):
+            lo, la = C.inverse_np(d, *C.forward_np(d, lon, sl * lat))
+            assert np.allclose(lo, lon, atol=1e-7)
+            assert np.allclose(la, sl * lat, atol=1e-7)
+
+    def test_proj4_wkt_and_named_resolution(self):
+        from karta_spark.functions import crs as C
+        assert C.from_proj4(
+            "+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84"
+        ) is C.EASE2_NORTH
+        assert C.from_proj4(C.to_proj4(C.EASE2_SOUTH)) is C.EASE2_SOUTH
+        assert C.from_wkt(C.to_wkt(C.EASE2_NORTH)) is C.EASE2_NORTH
+        off = C.from_proj4("+proj=laea +lat_0=-90 +lon_0=100 +x_0=1 +y_0=2")
+        assert off.kind == "laea_polar"
+        assert C.from_proj4(C.to_proj4(off)).params == off.params
+
+    def test_oblique_raises_not_silently_equatorial(self):
+        from karta_spark.functions import crs as C
+        with pytest.raises(ValueError, match="oblique"):
+            C.from_proj4("+proj=laea +lat_0=45 +lon_0=0")
+
+    def test_spark_backend(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.functions import crs as C
+        df = spark.createDataFrame(pd.DataFrame(
+            {"lon": [0.0, 90.0], "lat": [90.0, 70.0]}))
+        ex, ny = C.forward_exprs(C.EASE2_NORTH, F.col("lon"), F.col("lat"))
+        rows = df.select(ex.alias("x"), ny.alias("y")).collect()
+        nx_np, ny_np = C.forward_np(C.EASE2_NORTH,
+                                    np.array([0.0, 90.0]),
+                                    np.array([90.0, 70.0]))
+        for i, r in enumerate(rows):
+            assert r["x"] == pytest.approx(nx_np[i], abs=1e-6)
+            assert r["y"] == pytest.approx(ny_np[i], abs=1e-6)
