@@ -632,7 +632,8 @@ def _authalic_to_geographic(B, beta, e2=E2_WGS84):
     return phi
 
 
-def _laea_fwd(B, lon, lat, lon0, a=A_WGS84, f=F_WGS84):
+def _laea_fwd(B, lon, lat, lon0, a=A_WGS84, f=F_WGS84,
+              fe=0.0, fn=0.0):
     """Equatorial-aspect ellipsoidal LAEA (Snyder 24-17..19, lat_0 = 0)."""
     e2 = f * (2.0 - f)
     e = math.sqrt(e2)
@@ -645,15 +646,18 @@ def _laea_fwd(B, lon, lat, lon0, a=A_WGS84, f=F_WGS84):
     D = a / (rq * 1.0)  # m1 = 1, cos(beta1) = 1 at lat_0 = 0
     denom = 1.0 + cosb * B.cos(lam)
     Bc = rq * B.sqrt(2.0 / denom)
-    x = Bc * D * (cosb * B.sin(lam))
-    y = (Bc / D) * sinb
+    x = fe + Bc * D * (cosb * B.sin(lam))
+    y = fn + (Bc / D) * sinb
     return x, y
 
 
-def _laea_inv(B, x, y, lon0, a=A_WGS84, f=F_WGS84):
+def _laea_inv(B, x, y, lon0, a=A_WGS84, f=F_WGS84,
+              fe=0.0, fn=0.0):
     e2 = f * (2.0 - f)
     qp, rq = _qp_rq(a, f)
     D = a / rq
+    x = x - fe
+    y = y - fn
     xd = x / D
     yd = y * D
     rho = B.sqrt(xd * xd + yd * yd)
@@ -705,24 +709,28 @@ def _laea_polar_inv(B, x, y, sgn, lon0, fe=0.0, fn=0.0,
     return sgn * (lon0 + lam * _R2D), sgn * (phi * _R2D)
 
 
-def _cea_fwd(B, lon, lat, lat_ts, a=A_WGS84, f=F_WGS84):
+def _cea_fwd(B, lon, lat, lat_ts, a=A_WGS84, f=F_WGS84,
+             lon0=0.0, fe=0.0, fn=0.0):
     """Cylindrical equal-area, ellipsoidal (Snyder 10-1/10-2)."""
     e2 = f * (2.0 - f)
     e = math.sqrt(e2)
     ts = lat_ts * _D2R
     k0 = math.cos(ts) / math.sqrt(1.0 - e2 * math.sin(ts) ** 2)
-    x = a * k0 * (lon * _D2R)
-    y = a * _authalic_q(B, lat * _D2R, e, e2) / (2.0 * k0)
+    dlon = lon - lon0
+    dlon = dlon - 360.0 * B.floor((dlon + 180.0) * (1.0 / 360.0))
+    x = fe + a * k0 * (dlon * _D2R)
+    y = fn + a * _authalic_q(B, lat * _D2R, e, e2) / (2.0 * k0)
     return x, y
 
 
-def _cea_inv(B, x, y, lat_ts, a=A_WGS84, f=F_WGS84):
+def _cea_inv(B, x, y, lat_ts, a=A_WGS84, f=F_WGS84,
+             lon0=0.0, fe=0.0, fn=0.0):
     e2 = f * (2.0 - f)
     ts = lat_ts * _D2R
     k0 = math.cos(ts) / math.sqrt(1.0 - e2 * math.sin(ts) ** 2)
     qp, _ = _qp_rq(a, f)
-    lon = x / (a * k0) * _R2D
-    sinb = 2.0 * y * k0 / (a * qp)
+    lon = lon0 + (x - fe) / (a * k0) * _R2D
+    sinb = 2.0 * (y - fn) * k0 / (a * qp)
     beta = B.asin(sinb)
     phi = _authalic_to_geographic(B, beta, e2)
     return lon, phi * _R2D
@@ -1061,7 +1069,17 @@ def from_proj4(s: str) -> CrsDef:
             "tmerc", (6.0 * zone - 183.0, 0.9996, 500000.0,
                       10000000.0 if south else 0.0) + tail)
     if proj == "tmerc":
-        return tmerc(g("lon_0"), k0, g("x_0"), g("y_0"),
+        fn = g("y_0")
+        lat0 = g("lat_0")
+        if lat0 != 0.0:
+            # proj semantics: northing is measured from lat_0 — fold the
+            # meridian arc at lat_0 into the false northing (y_0 - k0*X)
+            af = ell()
+            _, y0 = _tm_fwd(_NpOps, np.float64(g("lon_0")),
+                            np.float64(lat0), g("lon_0"), k0, 0.0, 0.0,
+                            af[0], af[1])
+            fn = fn - float(y0)
+        return tmerc(g("lon_0"), k0, g("x_0"), fn,
                      ellps=ell())
     if proj == "lcc":
         lat1 = g("lat_1", g("lat_0"))
@@ -1098,12 +1116,24 @@ def from_proj4(s: str) -> CrsDef:
             raise ValueError(
                 f"oblique laea (lat_0={lat0}) not supported "
                 "(equatorial and polar aspects are)")
+        fe, fn = g("x_0"), g("y_0")
+        if fe or fn:
+            # fe/fn ride a full 5-tuple so the params length stays
+            # unambiguous (1 = legacy, 3 = +ellipsoid, 5 = +offsets)
+            a_, f_ = ell()
+            return CrsDef(f"laea_{lon0}_{fe:g}_{fn:g}", "laea",
+                          (lon0, a_, f_, fe, fn))
         if not tail and lon0 == 0.0:
             return LAEA_WGS84
         return CrsDef(f"laea_{lon0}", "laea", (lon0,) + tail)
     if proj == "cea":
         lat_ts = g("lat_ts")
         tail = ell_tail()
+        lon0, fe, fn = g("lon_0"), g("x_0"), g("y_0")
+        if lon0 or fe or fn:
+            a_, f_ = ell()
+            return CrsDef(f"cea_{lat_ts}_{lon0:g}", "cea",
+                          (lat_ts, a_, f_, lon0, fe, fn))
         if not tail and lat_ts == 45.0:
             return GALL_PETERS
         return CrsDef(f"cea_{lat_ts}", "cea", (lat_ts,) + tail)
@@ -1175,10 +1205,12 @@ def to_proj4(crs: CrsDef | str) -> str:
                 f"+lat_ts={sgn * lat_ts:g} +lon_0={lon0:g} +k={k0:g} "
                 f"+x_0={fe:g} +y_0={fn:g} +units=m {frag} +no_defs")
     if c.kind == "laea":
+        fe, fn = (c.params[3], c.params[4]) if len(c.params) == 5 \
+            else (0.0, 0.0)
         frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 1
                 else _proj4_ellps_frag(c.params, 1))
-        return (f"+proj=laea +lat_0=0 +lon_0={c.params[0]:g} +x_0=0 +y_0=0 "
-                f"{frag}")
+        return (f"+proj=laea +lat_0=0 +lon_0={c.params[0]:g} "
+                f"+x_0={fe:g} +y_0={fn:g} {frag}")
     if c.kind == "laea_polar":
         sgn, lon0, fe, fn = c.params[:4]
         frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 4
@@ -1186,10 +1218,12 @@ def to_proj4(crs: CrsDef | str) -> str:
         return (f"+proj=laea +lat_0={int(sgn * 90)} +lon_0={lon0:g} "
                 f"+x_0={fe:g} +y_0={fn:g} {frag} +units=m +no_defs")
     if c.kind == "cea":
+        lon0, fe, fn = (c.params[3], c.params[4], c.params[5]) \
+            if len(c.params) == 6 else (0.0, 0.0, 0.0)
         frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 1
                 else _proj4_ellps_frag(c.params, 1))
-        return (f"+proj=cea +lon_0=0 +lat_ts={c.params[0]:g} +x_0=0 +y_0=0 "
-                f"{frag} +units=m +no_defs")
+        return (f"+proj=cea +lon_0={lon0:g} +lat_ts={c.params[0]:g} "
+                f"+x_0={fe:g} +y_0={fn:g} {frag} +units=m +no_defs")
     if c.kind == "aea":
         lat1, lat2, lat0, lon0, fe, fn = c.params[:6]
         frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 6
@@ -1463,12 +1497,16 @@ def from_wkt(s: str) -> CrsDef:
             "unsupported Mercator_1SP variant (only spherical "
             "Web Mercator / EPSG:3857 Pseudo-Mercator)")
     if proj == "Transverse_Mercator":
-        if g("latitude_of_origin") != 0.0:
-            raise ValueError("Transverse_Mercator with non-zero "
-                             "latitude_of_origin not supported")
         lon0, fe, fn = g("central_meridian"), g("false_easting"), \
             g("false_northing")
         af = _wkt_ellipsoid(root)
+        lat0 = g("latitude_of_origin")
+        if lat0 != 0.0:
+            # fold the meridian arc at lat_0 into the false northing
+            # (same semantics as the proj.4 parser arm)
+            _, y0 = _tm_fwd(_NpOps, np.float64(lon0), np.float64(lat0),
+                            lon0, k0, 0.0, 0.0, af[0], af[1])
+            fn = fn - float(y0)
         if (af == (A_WGS84, F_WGS84) and k0 == 0.9996 and fe == 500000.0
                 and fn in (0.0, 10000000.0)
                 and (lon0 + 183.0) % 6.0 == 0.0):

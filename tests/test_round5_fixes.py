@@ -1129,3 +1129,72 @@ class TestPolarLaea:
         for i, r in enumerate(rows):
             assert r["x"] == pytest.approx(nx_np[i], abs=1e-6)
             assert r["y"] == pytest.approx(ny_np[i], abs=1e-6)
+
+
+class TestSilentlyIgnoredProjParams:
+    """Round-5 audit: proj.4 parameters that parsed but were silently
+    DROPPED (wrong projection, no error) — cea lon_0/x_0/y_0, equatorial
+    laea x_0/y_0, tmerc lat_0 — now all honored."""
+
+    def test_osgb_national_grid_worked_example(self):
+        """THE published OSGB36 test vector (OS 'A guide to coordinate
+        systems in Great Britain'): tmerc on Airy 1830 with lat_0=49
+        folded into the false northing.  lon 1d43'4.5177\"E,
+        lat 52d39'27.2531\"N -> E 651409.903 N 313177.270 (mm-exact)."""
+        from karta_spark.functions import crs as C
+        d = C.from_proj4("+proj=tmerc +lat_0=49 +lon_0=-2 "
+                         "+k=0.9996012717 +x_0=400000 +y_0=-100000 "
+                         "+ellps=airy")
+        lon = 1 + 43 / 60 + 4.5177 / 3600
+        lat = 52 + 39 / 60 + 27.2531 / 3600
+        x, y = C.forward_np(d, np.array([lon]), np.array([lat]))
+        assert x[0] == pytest.approx(651409.903, abs=1e-3)
+        assert y[0] == pytest.approx(313177.270, abs=1e-3)
+        lo, la = C.inverse_np(d, x, y)
+        assert (lo[0], la[0]) == pytest.approx((lon, lat), abs=1e-9)
+        # the grid origin carries exactly (x_0, y_0)
+        x0, y0 = C.forward_np(d, np.array([-2.0]), np.array([49.0]))
+        assert (x0[0], y0[0]) == pytest.approx((400000.0, -100000.0),
+                                               abs=1e-6)
+
+    def test_laea_offsets_etrs89_shape(self):
+        from karta_spark.functions import crs as C
+        d = C.from_proj4("+proj=laea +lat_0=0 +lon_0=10 +x_0=4321000 "
+                         "+y_0=3210000 +ellps=GRS80")
+        x, y = C.forward_np(d, np.array([10.0]), np.array([0.0]))
+        assert (x[0], y[0]) == (4321000.0, 3210000.0)
+        assert C.from_proj4(C.to_proj4(d)).params == d.params
+
+    def test_cea_lon0_and_offsets(self):
+        from karta_spark.functions import crs as C
+        d = C.from_proj4("+proj=cea +lat_ts=30 +lon_0=-75 +x_0=100 +y_0=-50")
+        lo, la = C.inverse_np(d, *C.forward_np(
+            d, np.array([-74.0]), np.array([40.7])))
+        assert (lo[0], la[0]) == pytest.approx((-74.0, 40.7), abs=1e-7)
+        assert C.from_proj4(C.to_proj4(d)).params == d.params
+        # origin maps to exactly the offsets
+        x, y = C.forward_np(d, np.array([-75.0]), np.array([0.0]))
+        assert (x[0], y[0]) == pytest.approx((100.0, -50.0), abs=1e-9)
+
+    def test_wkt_tmerc_lat0_folds_identically(self):
+        from karta_spark.functions import crs as C
+        p4 = C.from_proj4("+proj=tmerc +lat_0=49 +lon_0=-2 "
+                          "+k=0.9996012717 +x_0=400000 +y_0=-100000 "
+                          "+ellps=airy")
+        wkt = ('PROJCS["OSGB-ish",GEOGCS["unknown",DATUM["unknown",'
+               'SPHEROID["Airy 1830",6377563.396,299.3249646]],'
+               'PRIMEM["Greenwich",0],'
+               'UNIT["degree",0.0174532925199433]],'
+               'PROJECTION["Transverse_Mercator"],'
+               'PARAMETER["latitude_of_origin",49],'
+               'PARAMETER["central_meridian",-2],'
+               'PARAMETER["scale_factor",0.9996012717],'
+               'PARAMETER["false_easting",400000],'
+               'PARAMETER["false_northing",-100000],UNIT["metre",1]]')
+        w = C.from_wkt(wkt)
+        assert w.params == pytest.approx(p4.params)
+
+    def test_legacy_short_tuples_still_work(self):
+        from karta_spark.functions import crs as C
+        assert C.from_proj4("+proj=laea +lat_0=0 +lon_0=0") is C.LAEA_WGS84
+        assert C.from_proj4("+proj=cea +lat_ts=45") is C.GALL_PETERS
