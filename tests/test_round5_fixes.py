@@ -296,12 +296,16 @@ class TestLambertConformalConic:
                          "+lon_0=-120 +datum=NAD27")
         assert n.params[7:] == C.ellipsoid_params("clrk66")
 
-    def test_nonwgs84_rejected_for_unparameterized_kinds(self):
+    def test_nonwgs84_now_supported_everywhere(self):
+        """Later in round 5 aea/laea/cea gained ellipsoid params too —
+        every projected kind now accepts any registry ellipsoid."""
         from karta_spark.functions import crs as C
-        with pytest.raises(ValueError, match="WGS84"):
-            C.from_proj4("+proj=laea +lat_0=0 +lon_0=0 +ellps=clrk66")
-        with pytest.raises(ValueError, match="WGS84"):
-            C.from_proj4("+proj=aea +lat_1=29.5 +lat_2=45.5 +ellps=intl")
+        d1 = C.from_proj4("+proj=laea +lat_0=0 +lon_0=0 +ellps=clrk66")
+        assert d1.kind == "laea"
+        assert d1.params[1:3] == C.ellipsoid_params("clrk66")
+        d2 = C.from_proj4("+proj=aea +lat_1=29.5 +lat_2=45.5 +ellps=intl")
+        assert d2.kind == "aea"
+        assert d2.params[6:8] == C.ellipsoid_params("intl")
 
     def test_ellipsoid_registry(self):
         from karta_spark.functions import crs as C
