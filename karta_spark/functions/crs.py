@@ -376,6 +376,11 @@ LAEA_WGS84 = CrsDef("laea", "laea", (0.0,))
 # the modern NSIDC sea-ice grids; reference reaches them via proj.4)
 EASE2_NORTH = CrsDef("ease2_north", "laea_polar", (1.0, 0.0, 0.0, 0.0))
 EASE2_SOUTH = CrsDef("ease2_south", "laea_polar", (-1.0, 0.0, 0.0, 0.0))
+# MODIS sinusoidal grid sphere (+proj=sinu +R=6371007.181 +lon_0=0)
+MODIS_SINU = CrsDef("modis_sinu", "sinu",
+                    (0.0, 0.0, 0.0, 6371007.181, 0.0))
+# WGS 84 / World Equidistant Cylindrical (EPSG:4087, method 1028)
+PLATE_CARREE = CrsDef("plate_carree", "eqc", (0.0, 0.0, 0.0, 0.0))
 # datum-shifted geographic CRSes (crs.py:354-356).  NAD27 rides Clarke 1866
 # + the CONUS Molodensky translation; NAD83 (GRS80) coincides with the
 # WGS84 pivot at the cm level, far below this transform's ~5 m fidelity.
@@ -524,6 +529,96 @@ def _stere_inv(B, x, y, sgn, lon0, lat_ts, k0, fe, fn,
     phi = _conformal_to_geographic(B, chi, e2)
     lam = B.atan2(xp, -1.0 * yp)
     return sgn * (lon0 + lam * _R2D), sgn * (phi * _R2D)
+
+
+# ---------------------------------------------------------------------------
+# meridian arc (Snyder 3-21) and its inverse via the rectifying
+# latitude (Snyder 3-26 / 7-19) — shared by eqc and sinu
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _marc_coeffs(e2: float):
+    e4, e6 = e2 ** 2, e2 ** 3
+    c0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+    c2 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+    c4 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+    c6 = 35.0 * e6 / 3072.0
+    # inverse (phi from rectifying latitude mu), Snyder 3-26
+    se = math.sqrt(1.0 - e2)
+    e1 = (1.0 - se) / (1.0 + se)
+    d2 = 3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0
+    d4 = 21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0
+    d6 = 151.0 * e1 ** 3 / 96.0
+    d8 = 1097.0 * e1 ** 4 / 512.0
+    return (c0, c2, c4, c6), (d2, d4, d6, d8), c0
+
+
+def _meridian_arc(B, phi, a: float, e2: float):
+    """M(phi): distance along the meridian from the equator (Snyder
+    3-21); exact a*phi for a sphere (e2=0)."""
+    (c0, c2, c4, c6), _, _ = _marc_coeffs(e2)
+    return a * (c0 * phi - c2 * B.sin(2.0 * phi)
+                + c4 * B.sin(4.0 * phi) - c6 * B.sin(6.0 * phi))
+
+
+def _inv_meridian_arc(B, M, a: float, e2: float):
+    (_, (d2, d4, d6, d8), c0) = _marc_coeffs(e2)
+    mu = M / (a * c0)
+    return (mu + d2 * B.sin(2.0 * mu) + d4 * B.sin(4.0 * mu)
+            + d6 * B.sin(6.0 * mu) + d8 * B.sin(8.0 * mu))
+
+
+def _wrap_dlon(B, lon, lon0):
+    dlon = lon - lon0
+    return dlon - 360.0 * B.floor((dlon + 180.0) * (1.0 / 360.0))
+
+
+def _eqc_fwd(B, lon, lat, lat_ts, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
+    """Equidistant cylindrical (EPSG method 1028, Snyder 12 generalized
+    to the ellipsoid): true-scale parallels at +-lat_ts, y = meridian
+    arc — exact plate carree (a*phi) on a sphere.  NB: proj.4's eqc
+    applies the SPHERICAL formula even for ellipsoidal +ellps; this is
+    the exact EPSG-1028 form (sub-0.1% difference at WGS84)."""
+    e2 = f * (2.0 - f)
+    ts = lat_ts * _D2R
+    nu_ts = math.cos(ts) / math.sqrt(1.0 - e2 * math.sin(ts) ** 2)
+    x = fe + a * nu_ts * (_wrap_dlon(B, lon, lon0) * _D2R)
+    y = fn + _meridian_arc(B, lat * _D2R, a, e2)
+    return x, y
+
+
+def _eqc_inv(B, x, y, lat_ts, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
+    e2 = f * (2.0 - f)
+    ts = lat_ts * _D2R
+    nu_ts = math.cos(ts) / math.sqrt(1.0 - e2 * math.sin(ts) ** 2)
+    lon = lon0 + (x - fe) / (a * nu_ts) * _R2D
+    phi = _inv_meridian_arc(B, y - fn, a, e2)
+    return lon, phi * _R2D
+
+
+def _sinu_fwd(B, lon, lat, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
+    """Sinusoidal (Sanson-Flamsteed, Snyder 30-8/30-9 ellipsoidal) —
+    equal-area; the MODIS land grid is this projection on the sphere
+    R=6371007.181 (+proj=sinu +R=6371007.181)."""
+    e2 = f * (2.0 - f)
+    phi = lat * _D2R
+    sp = B.sin(phi)
+    x = fe + a * B.cos(phi) * (_wrap_dlon(B, lon, lon0) * _D2R) \
+        / B.sqrt(1.0 - e2 * sp * sp)
+    y = fn + _meridian_arc(B, phi, a, e2)
+    return x, y
+
+
+def _sinu_inv(B, x, y, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
+    e2 = f * (2.0 - f)
+    phi = _inv_meridian_arc(B, y - fn, a, e2)
+    sp = B.sin(phi)
+    cp = B.cos(phi)
+    # pole guard: cos(phi) -> 0 makes lon indeterminate; pin it to lon0
+    safe_cp = B.where((cp, "<", 1e-12), 1e-12, cp)
+    dlon = (x - fe) * B.sqrt(1.0 - e2 * sp * sp) / (a * safe_cp)
+    dlon = B.where((cp, "<", 1e-12), 0.0, dlon)
+    return lon0 + dlon * _R2D, phi * _R2D
 
 
 # ---------------------------------------------------------------------------
@@ -906,6 +1001,10 @@ def _dispatch_fwd(B, crs: CrsDef, lon, lat):
         return _aea_fwd(B, lon, lat, *crs.params)
     if crs.kind == "lcc":
         return _lcc_fwd(B, lon, lat, *crs.params)
+    if crs.kind == "eqc":
+        return _eqc_fwd(B, lon, lat, *crs.params)
+    if crs.kind == "sinu":
+        return _sinu_fwd(B, lon, lat, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
 
 
@@ -930,6 +1029,10 @@ def _dispatch_inv(B, crs: CrsDef, x, y):
         return _aea_inv(B, x, y, *crs.params)
     if crs.kind == "lcc":
         return _lcc_inv(B, x, y, *crs.params)
+    if crs.kind == "eqc":
+        return _eqc_inv(B, x, y, *crs.params)
+    if crs.kind == "sinu":
+        return _sinu_inv(B, x, y, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
 
 
@@ -1010,8 +1113,10 @@ def from_proj4(s: str) -> CrsDef:
     k0 = float(toks.get("k", toks.get("k_0", 1.0)))
 
     def ell() -> tuple[float, float]:
-        """(a, f) from +a/+b/+rf/+f, +ellps, or +datum (in proj.4
+        """(a, f) from +R, +a/+b/+rf/+f, +ellps, or +datum (in proj.4
         precedence order); defaults to WGS84."""
+        if "R" in toks:  # sphere of radius R (the MODIS-sinu form)
+            return float(toks["R"]), 0.0
         if "a" in toks:
             a = float(toks["a"])
             if "b" in toks:
@@ -1140,6 +1245,18 @@ def from_proj4(s: str) -> CrsDef:
     if proj == "aea":
         return albers(g("lat_1"), g("lat_2"), g("lat_0"), g("lon_0"),
                       g("x_0"), g("y_0"), ellps=ell())
+    if proj in ("eqc", "eqdc"):
+        if proj == "eqdc":
+            raise ValueError("equidistant CONIC (eqdc) not supported")
+        params = (g("lat_ts"), g("lon_0"), g("x_0"), g("y_0")) + ell_tail()
+        if params == PLATE_CARREE.params:
+            return PLATE_CARREE
+        return CrsDef(f"eqc_{params[0]:g}_{params[1]:g}", "eqc", params)
+    if proj == "sinu":
+        params = (g("lon_0"), g("x_0"), g("y_0")) + ell_tail()
+        if params == MODIS_SINU.params:
+            return MODIS_SINU
+        return CrsDef(f"sinu_{params[0]:g}", "sinu", params)
     raise ValueError(f"unsupported proj.4 projection {proj!r}")
 
 
@@ -1230,6 +1347,18 @@ def to_proj4(crs: CrsDef | str) -> str:
                 else _proj4_ellps_frag(c.params, 6))
         return (f"+proj=aea +lat_1={lat1!r} +lat_2={lat2!r} +lat_0={lat0!r} "
                 f"+lon_0={lon0!r} +x_0={fe!r} +y_0={fn!r} "
+                f"{frag} +units=m +no_defs")
+    if c.kind == "eqc":
+        lat_ts, lon0, fe, fn = c.params[:4]
+        frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 4
+                else _proj4_ellps_frag(c.params, 4))
+        return (f"+proj=eqc +lat_ts={lat_ts:g} +lon_0={lon0:g} "
+                f"+x_0={fe:g} +y_0={fn:g} {frag} +units=m +no_defs")
+    if c.kind == "sinu":
+        lon0, fe, fn = c.params[:3]
+        frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 3
+                else _proj4_ellps_frag(c.params, 3))
+        return (f"+proj=sinu +lon_0={lon0:g} +x_0={fe:g} +y_0={fn:g} "
                 f"{frag} +units=m +no_defs")
     raise ValueError(f"no proj.4 form for kind {c.kind!r}")
 
@@ -1360,6 +1489,18 @@ def to_wkt(crs: CrsDef | str) -> str:
             c.name, _wkt_geogcs_for(c.params, 6), "Albers_Conic_Equal_Area",
             [("standard_parallel_1", lat1), ("standard_parallel_2", lat2),
              ("latitude_of_center", lat0), ("longitude_of_center", lon0),
+             ("false_easting", fe), ("false_northing", fn)])
+    if c.kind == "eqc":
+        lat_ts, lon0, fe, fn = c.params[:4]
+        return _wkt_projcs(
+            c.name, _wkt_geogcs_for(c.params, 4), "Equirectangular",
+            [("standard_parallel_1", lat_ts), ("central_meridian", lon0),
+             ("false_easting", fe), ("false_northing", fn)])
+    if c.kind == "sinu":
+        lon0, fe, fn = c.params[:3]
+        return _wkt_projcs(
+            c.name, _wkt_geogcs_for(c.params, 3), "Sinusoidal",
+            [("longitude_of_center", lon0),
              ("false_easting", fe), ("false_northing", fn)])
     raise ValueError(f"no WKT form for kind {c.kind!r}")
 
@@ -1567,6 +1708,22 @@ def from_wkt(s: str) -> CrsDef:
                       g("latitude_of_center"), g("longitude_of_center"),
                       g("false_easting"), g("false_northing"),
                       ellps=_wkt_ellipsoid(root))
+    if proj == "Equirectangular":
+        af = _wkt_ellipsoid(root)
+        tail = () if af == (A_WGS84, F_WGS84) else af
+        params = (g("standard_parallel_1"), g("central_meridian"),
+                  g("false_easting"), g("false_northing")) + tail
+        if params == PLATE_CARREE.params:
+            return PLATE_CARREE
+        return CrsDef(f"eqc_{params[0]:g}_{params[1]:g}", "eqc", params)
+    if proj == "Sinusoidal":
+        af = _wkt_ellipsoid(root)
+        tail = () if af == (A_WGS84, F_WGS84) else af
+        params = (g("longitude_of_center", g("central_meridian")),
+                  g("false_easting"), g("false_northing")) + tail
+        if params == MODIS_SINU.params:
+            return MODIS_SINU
+        return CrsDef(f"sinu_{params[0]:g}", "sinu", params)
     raise ValueError(f"unsupported WKT projection {proj!r}")
 
 

@@ -1202,3 +1202,89 @@ class TestSilentlyIgnoredProjParams:
         from karta_spark.functions import crs as C
         assert C.from_proj4("+proj=laea +lat_0=0 +lon_0=0") is C.LAEA_WGS84
         assert C.from_proj4("+proj=cea +lat_ts=45") is C.GALL_PETERS
+
+
+class TestEqcAndSinusoidal:
+    """Equidistant cylindrical (EPSG method 1028 — exact plate carree)
+    and sinusoidal (the MODIS land grid) with triple backend."""
+
+    def test_modis_grid_constants(self):
+        """The MODIS sinusoidal grid's published western edge:
+        x(lon=-180, lat=0) = -20015109.354 m (R=6371007.181)."""
+        from karta_spark.functions import crs as C
+        x, y = C.forward_np(C.MODIS_SINU, np.array([-180.0]),
+                            np.array([0.0]))
+        assert x[0] == pytest.approx(-20015109.354, abs=0.01)
+        assert y[0] == 0.0
+        assert C.from_proj4(
+            "+proj=sinu +R=6371007.181 +lon_0=0") is C.MODIS_SINU
+
+    def test_sinu_equal_area_on_ellipsoid(self):
+        from karta_spark.functions import crs as C
+        d = C.from_proj4("+proj=sinu +lon_0=0 +ellps=WGS84")
+        a, f = C.A_WGS84, C.F_WGS84
+        e2 = f * (2 - f)
+        for lat0 in (10.0, 45.0, 75.0):
+            eps = 1e-6
+            xs, ys = C.forward_np(
+                d, np.array([20.0, 20.0 + eps, 20.0]),
+                np.array([lat0, lat0, lat0 + eps]))
+            J = abs((xs[1] - xs[0]) * (ys[2] - ys[0])
+                    - (xs[2] - xs[0]) * (ys[1] - ys[0])) \
+                / np.radians(eps) ** 2
+            phi = np.radians(lat0)
+            M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+            N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            assert J / (M * N * np.cos(phi)) == pytest.approx(1.0,
+                                                              abs=1e-6)
+
+    def test_quarter_meridian(self):
+        """Plate carree pole northing = the WGS84 quarter meridian
+        (10001965.729 m — the historical metre definition check)."""
+        from karta_spark.functions import crs as C
+        x, y = C.forward_np(C.PLATE_CARREE, np.array([0.0]),
+                            np.array([90.0]))
+        assert y[0] == pytest.approx(10001965.729, abs=0.01)
+
+    def test_roundtrips_and_interchange(self):
+        from karta_spark.functions import crs as C
+        defs = [
+            C.MODIS_SINU, C.PLATE_CARREE,
+            C.from_proj4("+proj=eqc +lat_ts=30 +lon_0=10 +x_0=5 "
+                         "+y_0=-5 +ellps=clrk66"),
+            C.from_proj4("+proj=sinu +lon_0=-100 +ellps=WGS84"),
+        ]
+        lon = np.array([12.3, -77.0, 170.0])
+        lat = np.array([45.6, -33.0, 80.0])
+        for d in defs:
+            lo, la = C.inverse_np(d, *C.forward_np(d, lon, lat))
+            # longitudes compare modulo 360: the forward wrap puts
+            # far-from-lon0 points on the adjacent branch (same
+            # convention as the cea arm)
+            dl = (lo - lon + 180.0) % 360.0 - 180.0
+            assert np.allclose(dl, 0.0, atol=1e-7)
+            assert np.allclose(la, lat, atol=1e-7)
+            assert C.from_proj4(C.to_proj4(d)).params == d.params
+            assert C.from_wkt(C.to_wkt(d)).params == d.params
+
+    def test_spark_sql_backends_agree(self, spark):
+        import duckdb
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.functions import crs as C
+        d = C.MODIS_SINU
+        lon = np.array([12.3, -77.0, 170.0])
+        lat = np.array([45.6, -33.0, 80.0])
+        nx, ny = C.forward_np(d, lon, lat)
+        sdf = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+        cx, cy = C.forward_exprs(d, F.col("lon"), F.col("lat"))
+        rows = sdf.select(cx.alias("x"), cy.alias("y")).collect()
+        sx, sy = C.forward_sql(d, "lon", "lat")
+        duck = duckdb.sql(
+            f"SELECT {sx} AS x, {sy} AS y FROM (SELECT UNNEST({list(lon)})"
+            f" AS lon, UNNEST({list(lat)}) AS lat)").fetchall()
+        for i in range(3):
+            assert rows[i]["x"] == pytest.approx(nx[i], rel=1e-12, abs=1e-6)
+            assert duck[i][0] == pytest.approx(nx[i], rel=1e-12, abs=1e-6)
+            assert rows[i]["y"] == pytest.approx(ny[i], rel=1e-12, abs=1e-6)
+            assert duck[i][1] == pytest.approx(ny[i], rel=1e-12, abs=1e-6)
