@@ -2296,6 +2296,34 @@ def _q66_sql():
                                    L=20, min_docs=2)
 
 
+def q67_modis_tiles(spark, sf_dir):
+    """MODIS sinusoidal land-grid tile assignment (round 5): customers
+    binned into the 36x18 hNNvNN grid through the sinusoidal forward on
+    the published grid sphere (R=6371007.181) — the same
+    project-then-integer-grid family as the flagship's Web-Mercator tile
+    assign, on the second real-world tiling.  Pure Catalyst; the DuckDB
+    twin runs the textually identical sinusoidal algebra."""
+    from karta_spark.functions.cells import modis_tile
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    h, v = modis_tile(F.col("x"), F.col("y"))
+    return (c.select(h.alias("h"), v.alias("v"))
+            .groupBy("h", "v")
+            .agg(F.count("*").cast("long").alias("n_customers"))
+            .where(F.col("n_customers") > 0))
+
+
+def _q67_sql():
+    from karta_spark.functions.cells import modis_tile_sql
+    hs, vs = modis_tile_sql("x", "y")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+)
+SELECT {hs} AS h, {vs} AS v, CAST(count(*) AS BIGINT) AS n_customers
+FROM pts GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2364,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_pii_redaction": q64_pii_redaction,
         "q65_lcc_stateplane": q65_lcc_stateplane,
         "q66_repeated_spans": q66_repeated_spans,
+        "q67_modis_tiles": q67_modis_tiles,
     }
 
 
@@ -2417,6 +2446,7 @@ def oracle_sql() -> dict[str, str]:
         "q64_pii_redaction": _q64_sql(),
         "q65_lcc_stateplane": _q65_sql(),
         "q66_repeated_spans": _q66_sql(),
+        "q67_modis_tiles": _q67_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -188,3 +188,42 @@ def tile_x_sql(lon_expr: str, zoom: int) -> str:
 def tile_y_sql(lat_expr: str, zoom: int) -> str:
     c = repr(128.0 / math.pi * float(2 ** zoom))
     return f"CAST(floor(({c} * (pi() - ln(tan(pi()/4.0 + radians({lat_expr})/2.0)))) / 256.0) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# MODIS sinusoidal land-grid tiles (the 36 x 18 "hNNvNN" tiling every
+# MODIS land product ships in).  The grid lives on the sinusoidal sphere
+# R = 6371007.181; each tile spans 1111950.5196666666 m (= 10 deg of
+# meridian arc).  The reference reaches this CRS via a proj.4 string; the
+# tiling itself is the standard published grid math.
+# ---------------------------------------------------------------------------
+
+MODIS_TILE_SIZE = 1111950.5196666666  # 2 * pi * R / 36
+MODIS_X_MIN = -18.0 * MODIS_TILE_SIZE  # = -20015109.354 (western edge)
+MODIS_Y_MAX = 9.0 * MODIS_TILE_SIZE    # = +10007554.677 (northern edge)
+
+
+def modis_tile(lon: Column, lat: Column):
+    """(h, v) MODIS sinusoidal tile indices for lonlat columns — pure
+    Catalyst: sinusoidal forward on the grid sphere, then integer grid
+    math.  h in 0..35 west->east, v in 0..17 north->south (the standard
+    hNNvNN naming)."""
+    from karta_spark.functions import crs as kcrs
+    x, y = kcrs.forward_exprs(kcrs.MODIS_SINU, lon, lat)
+    h = F.floor((x - F.lit(MODIS_X_MIN)) / F.lit(MODIS_TILE_SIZE))
+    v = F.floor((F.lit(MODIS_Y_MAX) - y) / F.lit(MODIS_TILE_SIZE))
+    # clamp the exact-edge cases (lon=180, the poles) into the grid
+    h = F.least(F.greatest(h, F.lit(0)), F.lit(35)).cast("int")
+    v = F.least(F.greatest(v, F.lit(0)), F.lit(17)).cast("int")
+    return h, v
+
+
+def modis_tile_sql(lon_expr: str, lat_expr: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`modis_tile` (identical algebra)."""
+    from karta_spark.functions import crs as kcrs
+    x, y = kcrs.forward_sql(kcrs.MODIS_SINU, lon_expr, lat_expr)
+    h = (f"CAST(least(greatest(floor(({x} - ({MODIS_X_MIN!r})) "
+         f"/ {MODIS_TILE_SIZE!r}), 0), 35) AS INTEGER)")
+    v = (f"CAST(least(greatest(floor(({MODIS_Y_MAX!r} - ({y})) "
+         f"/ {MODIS_TILE_SIZE!r}), 0), 17) AS INTEGER)")
+    return h, v

@@ -1288,3 +1288,43 @@ class TestEqcAndSinusoidal:
             assert duck[i][0] == pytest.approx(nx[i], rel=1e-12, abs=1e-6)
             assert rows[i]["y"] == pytest.approx(ny[i], rel=1e-12, abs=1e-6)
             assert duck[i][1] == pytest.approx(ny[i], rel=1e-12, abs=1e-6)
+
+
+class TestModisTiles:
+    """MODIS hNNvNN tile assignment on the sinusoidal grid sphere."""
+
+    def test_known_locations(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.functions.cells import modis_tile
+        df = spark.createDataFrame(pd.DataFrame({
+            "lon": [0.5, -0.5, 0.5, 179.9, -179.9, 0.0],
+            "lat": [0.5, 0.5, -0.5, 0.0, 0.0, 89.99]}))
+        h, v = modis_tile(F.col("lon"), F.col("lat"))
+        rows = df.select(h.alias("h"), v.alias("v")).collect()
+        got = [(r["h"], r["v"]) for r in rows]
+        # equator origin quadrants: h18/h17 x v8/v9; date line edges at
+        # h35/h0; near-pole clamps to v0
+        assert got[0] == (18, 8)
+        assert got[1] == (17, 8)
+        assert got[2] == (18, 9)
+        assert got[3][0] == 35 and got[4][0] == 0
+        assert got[5] == (18, 0)
+
+    def test_duckdb_twin(self, spark):
+        import duckdb
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.functions.cells import modis_tile, modis_tile_sql
+        rng = np.random.default_rng(3)
+        pdf = pd.DataFrame({"lon": rng.uniform(-180, 180, 200),
+                            "lat": rng.uniform(-89, 89, 200)})
+        h, v = modis_tile(F.col("lon"), F.col("lat"))
+        srows = spark.createDataFrame(pdf).select(
+            h.alias("h"), v.alias("v")).collect()
+        hs, vs = modis_tile_sql("lon", "lat")
+        con = duckdb.connect()
+        con.register("t", pdf)
+        drows = con.execute(f"SELECT {hs} AS h, {vs} AS v FROM t").fetchall()
+        assert [(r["h"], r["v"]) for r in srows] == \
+            [(a, b) for a, b in drows]
