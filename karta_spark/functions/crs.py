@@ -621,6 +621,97 @@ def _sinu_inv(B, x, y, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
     return lon0 + dlon * _R2D, phi * _R2D
 
 
+#: odd-polynomial initial guess for the Mollweide parametric angle:
+#: t ~ u * poly(u^2) with u = sin(phi), least-squares fit over
+#: |P| <= 3 (20k samples, max error 6e-4 — two Newton steps then land
+#: 1e-12); past |P| = 3 the cube-root pole asymptotic takes over.
+_MOLL_COEFFS = (0.7846951058603117, 0.19744353452875252,
+                -0.444772201176943, 3.390365255720244,
+                -10.813923602867561, 18.848754462318087,
+                -16.633081462566334, 5.972020429443762)
+
+
+def _moll_fwd(B, lon, lat, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
+    """Mollweide (Snyder 31-1..31-5): equal-area pseudocylindrical.
+    The parametric angle solves 2t + sin 2t = pi sin(phi).  Iterating
+    from t = phi (the textbook scheme) fails twice here: Newton
+    diverges near the poles (f' -> 0), and unrolled steps grow the
+    Catalyst/SQL expression tree 3^steps (eight steps choke codegen).
+    Instead: a fitted odd-polynomial guess (pole branch = the cube-root
+    asymptotic with its tau^2/15 series correction) + TWO Newton steps
+    = 1.1e-12 rad worst-case over 400k audited latitudes, with a tree
+    small enough for whole-stage codegen.
+
+    Ellipsoids map through the authalic sphere (radius Rq), keeping the
+    projection exactly equal-area — and sin(authalic lat) is q/qp
+    DIRECTLY, so no asin/sin pair inflates the tree.  proj.4's moll
+    ignores the ellipsoid instead (documented divergence)."""
+    e2 = f * (2.0 - f)
+    if e2:
+        qp, rq = _qp_rq(a, f)
+        sphi = _authalic_q(B, lat * _D2R, math.sqrt(e2), e2) / qp
+        # snap, don't just clamp: the pole's q/qp can land an ulp SHY of
+        # +-1, and the cube-root asymptotic amplifies that 3e-16 into
+        # ~1e-5 rad of parametric angle (170 m of x at the pole)
+        sphi = B.where((sphi, ">", 1.0 - 1e-15), 1.0, sphi)
+        sphi = B.where((sphi, "<", -(1.0 - 1e-15)), -1.0, sphi)
+        R = rq
+    else:
+        sphi = B.sin(lat * _D2R)
+        R = a
+    target = math.pi * sphi
+    w = sphi * sphi
+    poly = _MOLL_COEFFS[-1]
+    for ck in _MOLL_COEFFS[-2::-1]:
+        poly = ck + w * poly
+    t_mid = sphi * poly
+    gap = math.pi - B.abs(target)
+    gap = B.where((gap, "<", 0.0), 0.0, gap)
+    tau0 = B.pow(0.75 * gap, 1.0 / 3.0)
+    tau = tau0 * (1.0 + tau0 * tau0 * (1.0 / 15.0)
+                  + 0.00254 * tau0 * tau0 * tau0 * tau0)
+    t_pole = math.pi / 2.0 - tau
+    t_pole = B.where((target, "<", 0.0), -1.0 * t_pole, t_pole)
+    t = B.where((B.abs(target), ">", 3.0), t_pole, t_mid)
+    for _ in range(2):
+        denom = 2.0 + 2.0 * B.cos(2.0 * t)
+        # the 1e-3 floor only engages within ~0.07 deg of a pole, where
+        # the asymptotic guess is already exact past float precision —
+        # it keeps the sin(pi)=1.2e-16 residual from kicking the exact
+        # pole off by 1e-7 rad
+        denom = B.where((denom, "<", 1e-3), 1e-3, denom)
+        t = t - (2.0 * t + B.sin(2.0 * t) - target) / denom
+    lam = _wrap_dlon(B, lon, lon0) * _D2R
+    x = fe + (2.0 * math.sqrt(2.0) / math.pi) * R * lam * B.cos(t)
+    y = fn + math.sqrt(2.0) * R * B.sin(t)
+    return x, y
+
+
+def _moll_inv(B, x, y, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
+    e2 = f * (2.0 - f)
+    if e2:
+        qp, rq = _qp_rq(a, f)
+        R = rq
+    else:
+        R = a
+    st = (y - fn) / (math.sqrt(2.0) * R)
+    st = B.where((st, ">", 1.0), 1.0, st)
+    st = B.where((st, "<", -1.0), -1.0, st)
+    t = B.asin(st)
+    sphi = (2.0 * t + B.sin(2.0 * t)) / math.pi
+    sphi = B.where((sphi, ">", 1.0), 1.0, sphi)
+    sphi = B.where((sphi, "<", -1.0), -1.0, sphi)
+    phi = B.asin(sphi)
+    if e2:
+        # authalic -> geographic
+        phi = _authalic_to_geographic(B, phi, e2)
+    ct = B.cos(t)
+    safe_ct = B.where((ct, "<", 1e-12), 1e-12, ct)
+    lam = (x - fe) * math.pi / (2.0 * math.sqrt(2.0) * R * safe_ct)
+    lam = B.where((ct, "<", 1e-12), 0.0, lam)
+    return lon0 + lam * _R2D, phi * _R2D
+
+
 # ---------------------------------------------------------------------------
 # Lambert conformal conic (Snyder 1987 section 15, ellipsoidal) — the
 # reference reaches lcc through arbitrary proj.4 strings
@@ -1005,6 +1096,8 @@ def _dispatch_fwd(B, crs: CrsDef, lon, lat):
         return _eqc_fwd(B, lon, lat, *crs.params)
     if crs.kind == "sinu":
         return _sinu_fwd(B, lon, lat, *crs.params)
+    if crs.kind == "moll":
+        return _moll_fwd(B, lon, lat, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
 
 
@@ -1033,6 +1126,8 @@ def _dispatch_inv(B, crs: CrsDef, x, y):
         return _eqc_inv(B, x, y, *crs.params)
     if crs.kind == "sinu":
         return _sinu_inv(B, x, y, *crs.params)
+    if crs.kind == "moll":
+        return _moll_inv(B, x, y, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
 
 
@@ -1257,6 +1352,9 @@ def from_proj4(s: str) -> CrsDef:
         if params == MODIS_SINU.params:
             return MODIS_SINU
         return CrsDef(f"sinu_{params[0]:g}", "sinu", params)
+    if proj == "moll":
+        params = (g("lon_0"), g("x_0"), g("y_0")) + ell_tail()
+        return CrsDef(f"moll_{params[0]:g}", "moll", params)
     raise ValueError(f"unsupported proj.4 projection {proj!r}")
 
 
@@ -1359,6 +1457,12 @@ def to_proj4(crs: CrsDef | str) -> str:
         frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 3
                 else _proj4_ellps_frag(c.params, 3))
         return (f"+proj=sinu +lon_0={lon0:g} +x_0={fe:g} +y_0={fn:g} "
+                f"{frag} +units=m +no_defs")
+    if c.kind == "moll":
+        lon0, fe, fn = c.params[:3]
+        frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 3
+                else _proj4_ellps_frag(c.params, 3))
+        return (f"+proj=moll +lon_0={lon0:g} +x_0={fe:g} +y_0={fn:g} "
                 f"{frag} +units=m +no_defs")
     raise ValueError(f"no proj.4 form for kind {c.kind!r}")
 
@@ -1501,6 +1605,12 @@ def to_wkt(crs: CrsDef | str) -> str:
         return _wkt_projcs(
             c.name, _wkt_geogcs_for(c.params, 3), "Sinusoidal",
             [("longitude_of_center", lon0),
+             ("false_easting", fe), ("false_northing", fn)])
+    if c.kind == "moll":
+        lon0, fe, fn = c.params[:3]
+        return _wkt_projcs(
+            c.name, _wkt_geogcs_for(c.params, 3), "Mollweide",
+            [("central_meridian", lon0),
              ("false_easting", fe), ("false_northing", fn)])
     raise ValueError(f"no WKT form for kind {c.kind!r}")
 
@@ -1724,6 +1834,12 @@ def from_wkt(s: str) -> CrsDef:
         if params == MODIS_SINU.params:
             return MODIS_SINU
         return CrsDef(f"sinu_{params[0]:g}", "sinu", params)
+    if proj == "Mollweide":
+        af = _wkt_ellipsoid(root)
+        tail = () if af == (A_WGS84, F_WGS84) else af
+        params = (g("central_meridian"),
+                  g("false_easting"), g("false_northing")) + tail
+        return CrsDef(f"moll_{params[0]:g}", "moll", params)
     raise ValueError(f"unsupported WKT projection {proj!r}")
 
 

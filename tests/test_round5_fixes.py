@@ -1328,3 +1328,74 @@ class TestModisTiles:
         drows = con.execute(f"SELECT {hs} AS h, {vs} AS v FROM t").fetchall()
         assert [(r["h"], r["v"]) for r in srows] == \
             [(a, b) for a, b in drows]
+
+
+class TestMollweide:
+    """Mollweide (Snyder 31): unrolled-Newton parametric angle as pure
+    backend expressions; ellipsoids via the authalic sphere (exactly
+    equal-area — proj.4 ignores the ellipsoid here, documented)."""
+
+    def test_snyder_spherical_golden(self):
+        """Snyder 1987 Mollweide numerical example: R=1, lon0=-90,
+        (50N, 75W) -> x=0.1788845 y=0.9208758."""
+        from karta_spark.functions import crs as C
+        d = C.from_proj4("+proj=moll +lon_0=-90 +R=1")
+        x, y = C.forward_np(d, np.array([-75.0]), np.array([50.0]))
+        assert x[0] == pytest.approx(0.1788845, abs=1e-7)
+        assert y[0] == pytest.approx(0.9208758, abs=1e-7)
+        lo, la = C.inverse_np(d, x, y)
+        assert (lo[0], la[0]) == pytest.approx((-75.0, 50.0), abs=1e-7)
+
+    def test_equal_area_on_ellipsoid(self):
+        from karta_spark.functions import crs as C
+        d = C.from_proj4("+proj=moll +lon_0=0 +ellps=WGS84")
+        a, f = C.A_WGS84, C.F_WGS84
+        e2 = f * (2 - f)
+        for lat0 in (0.0, 40.0, 80.0):
+            eps = 1e-6
+            xs, ys = C.forward_np(
+                d, np.array([30.0, 30.0 + eps, 30.0]),
+                np.array([lat0, lat0, lat0 + eps]))
+            J = abs((xs[1] - xs[0]) * (ys[2] - ys[0])
+                    - (xs[2] - xs[0]) * (ys[1] - ys[0])) \
+                / np.radians(eps) ** 2
+            phi = np.radians(lat0)
+            M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+            N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            assert J / (M * N * np.cos(phi)) == pytest.approx(1.0,
+                                                              abs=1e-6)
+
+    def test_poles_pinned(self):
+        from karta_spark.functions import crs as C
+        d = C.from_proj4("+proj=moll +lon_0=0 +ellps=WGS84")
+        x, y = C.forward_np(d, np.array([15.0, -170.0]),
+                            np.array([90.0, -90.0]))
+        assert np.abs(x).max() < 1e-6  # poles collapse to x=0 exactly
+
+    def test_roundtrip_and_interchange(self):
+        from karta_spark.functions import crs as C
+        d = C.from_proj4("+proj=moll +lon_0=20 +x_0=3 +y_0=-7 "
+                         "+ellps=clrk66")
+        lon = np.array([12.3, -77.0, 170.0])
+        lat = np.array([45.6, -33.0, 80.0])
+        lo, la = C.inverse_np(d, *C.forward_np(d, lon, lat))
+        dl = (lo - lon + 180.0) % 360.0 - 180.0
+        assert np.allclose(dl, 0.0, atol=1e-7)
+        assert np.allclose(la, lat, atol=1e-7)
+        assert C.from_proj4(C.to_proj4(d)).params == d.params
+        assert C.from_wkt(C.to_wkt(d)).params == d.params
+
+    def test_spark_backend_matches_numpy(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.functions import crs as C
+        d = C.from_proj4("+proj=moll +lon_0=0 +ellps=WGS84")
+        lon = np.array([12.3, -77.0, 0.0])
+        lat = np.array([45.6, -33.0, 90.0])
+        nx, ny = C.forward_np(d, lon, lat)
+        sdf = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+        cx, cy = C.forward_exprs(d, F.col("lon"), F.col("lat"))
+        rows = sdf.select(cx.alias("x"), cy.alias("y")).collect()
+        for i, r in enumerate(rows):
+            assert r["x"] == pytest.approx(nx[i], rel=1e-12, abs=1e-6)
+            assert r["y"] == pytest.approx(ny[i], rel=1e-12, abs=1e-6)
