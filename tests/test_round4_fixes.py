@@ -203,9 +203,11 @@ class TestWkt:
         s = ('PROJCS["x",GEOGCS["WGS 84",DATUM["WGS_1984",'
              'SPHEROID["WGS 84",6378137,298.257223563]],'
              'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
-             'PROJECTION["Sinusoidal"],PARAMETER["central_meridian",0],'
+             'PROJECTION["Robinson"],PARAMETER["central_meridian",0],'
              'UNIT["metre",1]]')
-        with pytest.raises(ValueError, match="Sinusoidal"):
+        # round 5 made Sinusoidal (the old probe) a supported kind;
+        # Robinson (table-interpolated) stays genuinely unsupported
+        with pytest.raises(ValueError, match="Robinson"):
             crs.from_wkt(s)
 
     def test_ellipsoidal_mercator_wkt_raises(self):
