@@ -381,6 +381,16 @@ MODIS_SINU = CrsDef("modis_sinu", "sinu",
                     (0.0, 0.0, 0.0, 6371007.181, 0.0))
 # WGS 84 / World Equidistant Cylindrical (EPSG:4087, method 1028)
 PLATE_CARREE = CrsDef("plate_carree", "eqc", (0.0, 0.0, 0.0, 0.0))
+# CH1903 / LV03 (EPSG:21781) and CH1903+ / LV95 (EPSG:2056): Swiss
+# oblique Mercator on Bessel 1841, Bern origin
+_CH_LAT0 = 46.952405555555565   # 46 deg 57' 08.66"
+_CH_LON0 = 7.439583333333333    # 7 deg 26' 22.50"
+CH1903_LV03 = CrsDef("ch1903_lv03", "somerc",
+                     (_CH_LAT0, _CH_LON0, 1.0, 600000.0, 200000.0)
+                     + ellipsoid_params("bessel"))
+CH1903_LV95 = CrsDef("ch1903_lv95", "somerc",
+                     (_CH_LAT0, _CH_LON0, 1.0, 2600000.0, 1200000.0)
+                     + ellipsoid_params("bessel"))
 # datum-shifted geographic CRSes (crs.py:354-356).  NAD27 rides Clarke 1866
 # + the CONUS Molodensky translation; NAD83 (GRS80) coincides with the
 # WGS84 pivot at the cm level, far below this transform's ~5 m fidelity.
@@ -710,6 +720,73 @@ def _moll_inv(B, x, y, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
     lam = (x - fe) * math.pi / (2.0 * math.sqrt(2.0) * R * safe_ct)
     lam = B.where((ct, "<", 1e-12), 0.0, lam)
     return lon0 + lam * _R2D, phi * _R2D
+
+
+# ---------------------------------------------------------------------------
+# Swiss oblique Mercator (EPSG method 9814, the Rosenmund double
+# projection behind CH1903/LV03 and LV95) — ellipsoid -> conformal
+# sphere -> pole rotation -> equatorial Mercator.  The reference reaches
+# it through proj.4 "+proj=somerc" (crs.py:248-306).
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _somerc_consts(lat0: float, k0: float, a: float, f: float):
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    p0 = lat0 * _D2R
+    sp0 = math.sin(p0)
+    cp0 = math.cos(p0)
+    c = math.sqrt(1.0 + e2 * cp0 ** 4 / (1.0 - e2))
+    R = k0 * a * math.sqrt(1.0 - e2) / (1.0 - e2 * sp0 * sp0)
+    b0 = math.asin(sp0 / c)
+    K = (math.log(math.tan(math.pi / 4.0 + b0 / 2.0))
+         - c * math.log(math.tan(math.pi / 4.0 + p0 / 2.0)
+                        * ((1.0 - e * sp0) / (1.0 + e * sp0)) ** (e / 2.0)))
+    return e, c, R, b0, K
+
+
+def _somerc_fwd(B, lon, lat, lat0, lon0, k0, fe, fn,
+                a=A_WGS84, f=F_WGS84):
+    e, c, R, b0, K = _somerc_consts(lat0, k0, a, f)
+    phi = lat * _D2R
+    es = e * B.sin(phi)
+    # conformal-sphere latitude b and longitude l
+    S = c * B.ln(B.tan(math.pi / 4.0 + phi / 2.0)
+                 * B.pow((1.0 - es) / (1.0 + es), e / 2.0)) + K
+    b = 2.0 * (B.atan(B.exp(S)) - math.pi / 4.0)
+    lam = c * (_wrap_dlon(B, lon, lon0) * _D2R)
+    # rotate the pole so the center parallel becomes the equator
+    sb, cb = B.sin(b), B.cos(b)
+    sbb = math.cos(b0) * sb - math.sin(b0) * cb * B.cos(lam)
+    sbb = B.where((sbb, ">", 1.0), 1.0, sbb)
+    sbb = B.where((sbb, "<", -1.0), -1.0, sbb)
+    bbar = B.asin(sbb)
+    lbar = B.atan2(cb * B.sin(lam),
+                   math.cos(b0) * cb * B.cos(lam) + math.sin(b0) * sb)
+    x = fe + R * lbar
+    y = fn + R * _atanh(B, B.sin(bbar))  # ln tan(pi/4 + b/2) = atanh(sin b)
+    return x, y
+
+
+def _somerc_inv(B, x, y, lat0, lon0, k0, fe, fn, a=A_WGS84, f=F_WGS84):
+    e, c, R, b0, K = _somerc_consts(lat0, k0, a, f)
+    lbar = (x - fe) / R
+    bbar = 2.0 * (B.atan(B.exp((y - fn) / R)) - math.pi / 4.0)
+    sb = math.cos(b0) * B.sin(bbar) \
+        + math.sin(b0) * B.cos(bbar) * B.cos(lbar)
+    sb = B.where((sb, ">", 1.0), 1.0, sb)
+    sb = B.where((sb, "<", -1.0), -1.0, sb)
+    b = B.asin(sb)
+    lam = B.atan2(B.cos(bbar) * B.sin(lbar),
+                  math.cos(b0) * B.cos(bbar) * B.cos(lbar)
+                  - math.sin(b0) * B.sin(bbar))
+    # conformal sphere -> ellipsoid: invert S through the conformal
+    # latitude series (chi = b is the conformal latitude of the sphere
+    # of the DOUBLE projection, so undo via fixed-point on phi)
+    S = (_atanh(B, B.sin(b)) - K) / c
+    chi = 2.0 * B.atan(B.exp(S)) - math.pi / 2.0
+    phi = _conformal_to_geographic(B, chi, e * e)
+    return lon0 + (lam / c) * _R2D, phi * _R2D
 
 
 # ---------------------------------------------------------------------------
@@ -1098,6 +1175,8 @@ def _dispatch_fwd(B, crs: CrsDef, lon, lat):
         return _sinu_fwd(B, lon, lat, *crs.params)
     if crs.kind == "moll":
         return _moll_fwd(B, lon, lat, *crs.params)
+    if crs.kind == "somerc":
+        return _somerc_fwd(B, lon, lat, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
 
 
@@ -1128,6 +1207,8 @@ def _dispatch_inv(B, crs: CrsDef, x, y):
         return _sinu_inv(B, x, y, *crs.params)
     if crs.kind == "moll":
         return _moll_inv(B, x, y, *crs.params)
+    if crs.kind == "somerc":
+        return _somerc_inv(B, x, y, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
 
 
@@ -1355,6 +1436,14 @@ def from_proj4(s: str) -> CrsDef:
     if proj == "moll":
         params = (g("lon_0"), g("x_0"), g("y_0")) + ell_tail()
         return CrsDef(f"moll_{params[0]:g}", "moll", params)
+    if proj == "somerc":
+        a_, f_ = ell()
+        params = (g("lat_0"), g("lon_0"), k0, g("x_0"), g("y_0"), a_, f_)
+        for named in (CH1903_LV03, CH1903_LV95):
+            if named.params == params:
+                return named
+        return CrsDef(f"somerc_{params[0]:g}_{params[1]:g}", "somerc",
+                      params)
     raise ValueError(f"unsupported proj.4 projection {proj!r}")
 
 
@@ -1464,6 +1553,12 @@ def to_proj4(crs: CrsDef | str) -> str:
                 else _proj4_ellps_frag(c.params, 3))
         return (f"+proj=moll +lon_0={lon0:g} +x_0={fe:g} +y_0={fn:g} "
                 f"{frag} +units=m +no_defs")
+    if c.kind == "somerc":
+        lat0, lon0, k0, fe, fn = c.params[:5]
+        frag = _proj4_ellps_frag(c.params, 5)
+        return (f"+proj=somerc +lat_0={lat0!r} +lon_0={lon0!r} "
+                f"+k_0={k0!r} +x_0={fe!r} +y_0={fn!r} {frag} "
+                "+units=m +no_defs")
     raise ValueError(f"no proj.4 form for kind {c.kind!r}")
 
 
@@ -1611,6 +1706,14 @@ def to_wkt(crs: CrsDef | str) -> str:
         return _wkt_projcs(
             c.name, _wkt_geogcs_for(c.params, 3), "Mollweide",
             [("central_meridian", lon0),
+             ("false_easting", fe), ("false_northing", fn)])
+    if c.kind == "somerc":
+        lat0, lon0, k0, fe, fn = c.params[:5]
+        return _wkt_projcs(
+            c.name, _wkt_geogcs_for(c.params, 5),
+            "Swiss_Oblique_Cylindrical",
+            [("latitude_of_center", lat0), ("longitude_of_center", lon0),
+             ("scale_factor", k0),
              ("false_easting", fe), ("false_northing", fn)])
     raise ValueError(f"no WKT form for kind {c.kind!r}")
 
@@ -1840,6 +1943,23 @@ def from_wkt(s: str) -> CrsDef:
         params = (g("central_meridian"),
                   g("false_easting"), g("false_northing")) + tail
         return CrsDef(f"moll_{params[0]:g}", "moll", params)
+    if proj in ("Swiss_Oblique_Cylindrical", "Hotine_Oblique_Mercator_"
+                "Azimuth_Center"):
+        if proj.startswith("Hotine") and (
+                g("azimuth", 90.0) != 90.0
+                or g("rectified_grid_angle", 90.0) != 90.0):
+            raise ValueError(
+                "Hotine oblique Mercator supported only in the "
+                "azimuth=90 (Swiss somerc) shape")
+        af = _wkt_ellipsoid(root)
+        params = (g("latitude_of_center"), g("longitude_of_center"),
+                  g("scale_factor", 1.0),
+                  g("false_easting"), g("false_northing")) + af
+        for named in (CH1903_LV03, CH1903_LV95):
+            if named.params == params:
+                return named
+        return CrsDef(f"somerc_{params[0]:g}_{params[1]:g}", "somerc",
+                      params)
     raise ValueError(f"unsupported WKT projection {proj!r}")
 
 

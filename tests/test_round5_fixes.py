@@ -1399,3 +1399,91 @@ class TestMollweide:
         for i, r in enumerate(rows):
             assert r["x"] == pytest.approx(nx[i], rel=1e-12, abs=1e-6)
             assert r["y"] == pytest.approx(ny[i], rel=1e-12, abs=1e-6)
+
+
+class TestSwissObliqueMercator:
+    """CH1903/LV03 + LV95 (EPSG 9814 Rosenmund double projection) —
+    ellipsoid -> conformal sphere -> pole rotation -> Mercator."""
+
+    def test_bern_origin_exact(self):
+        from karta_spark.functions import crs as C
+        x, y = C.forward_np(C.CH1903_LV03, np.array([C._CH_LON0]),
+                            np.array([C._CH_LAT0]))
+        assert x[0] == pytest.approx(600000.0, abs=1e-6)
+        assert y[0] == pytest.approx(200000.0, abs=1e-6)
+        x, y = C.forward_np(C.CH1903_LV95, np.array([C._CH_LON0]),
+                            np.array([C._CH_LAT0]))
+        assert (x[0], y[0]) == pytest.approx((2600000.0, 1200000.0),
+                                             abs=1e-6)
+
+    def test_swisstopo_rigi_golden(self):
+        """The official swisstopo reference point (Rigi):
+        47d03'28.95649\" N, 8d29'11.11127\" E -> E 679520.05
+        N 212273.44 (centimeter-exact)."""
+        from karta_spark.functions import crs as C
+        lat = 47 + 3 / 60 + 28.95649 / 3600
+        lon = 8 + 29 / 60 + 11.11127 / 3600
+        x, y = C.forward_np(C.CH1903_LV03, np.array([lon]),
+                            np.array([lat]))
+        assert x[0] == pytest.approx(679520.05, abs=0.01)
+        assert y[0] == pytest.approx(212273.44, abs=0.01)
+        lo, la = C.inverse_np(C.CH1903_LV03, x, y)
+        assert (lo[0], la[0]) == pytest.approx((lon, lat), abs=1e-9)
+
+    def test_conformality_isotropy(self):
+        """Conformal projections scale isotropically: the lon- and
+        lat-direction scale factors agree everywhere (numeric check)."""
+        from karta_spark.functions import crs as C
+        a, f = C.ellipsoid_params("bessel")
+        e2 = f * (2 - f)
+        for L, P in [(7.44, 46.95), (8.5, 47.3), (6.5, 46.3)]:
+            eps = 1e-7
+            x0, y0 = C.forward_np(C.CH1903_LV03, np.array([L]),
+                                  np.array([P]))
+            x1, y1 = C.forward_np(C.CH1903_LV03, np.array([L + eps]),
+                                  np.array([P]))
+            x2, y2 = C.forward_np(C.CH1903_LV03, np.array([L]),
+                                  np.array([P + eps]))
+            phi = np.radians(P)
+            N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+            k_lon = np.hypot(x1 - x0, y1 - y0)[0] / (
+                np.radians(eps) * N * np.cos(phi))
+            k_lat = np.hypot(x2 - x0, y2 - y0)[0] / (np.radians(eps) * M)
+            assert k_lon / k_lat == pytest.approx(1.0, abs=1e-5)
+
+    def test_proj4_and_wkt_interchange(self):
+        from karta_spark.functions import crs as C
+        assert C.from_proj4(C.to_proj4(C.CH1903_LV03)) is C.CH1903_LV03
+        assert C.from_wkt(C.to_wkt(C.CH1903_LV95)) is C.CH1903_LV95
+        d = C.from_proj4("+proj=somerc +lat_0=46.952405555555565 "
+                         "+lon_0=7.439583333333333 +k_0=1 +x_0=600000 "
+                         "+y_0=200000 +ellps=bessel")
+        assert d is C.CH1903_LV03
+
+    def test_hotine_azimuth90_wkt_accepted_others_raise(self):
+        from karta_spark.functions import crs as C
+        wkt = C.to_wkt(C.CH1903_LV03).replace(
+            "Swiss_Oblique_Cylindrical",
+            "Hotine_Oblique_Mercator_Azimuth_Center")
+        assert C.from_wkt(wkt).params == C.CH1903_LV03.params
+        bad = wkt.replace('PROJECTION["Hotine_Oblique_Mercator_'
+                          'Azimuth_Center"]',
+                          'PROJECTION["Hotine_Oblique_Mercator_'
+                          'Azimuth_Center"],PARAMETER["azimuth",39.0]')
+        with pytest.raises(ValueError, match="azimuth"):
+            C.from_wkt(bad)
+
+    def test_spark_backend(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.functions import crs as C
+        lat = 47 + 3 / 60 + 28.95649 / 3600
+        lon = 8 + 29 / 60 + 11.11127 / 3600
+        df = spark.createDataFrame(pd.DataFrame(
+            {"lon": [lon], "lat": [lat]}))
+        ex, ny = C.forward_exprs(C.CH1903_LV03, F.col("lon"),
+                                 F.col("lat"))
+        r = df.select(ex.alias("x"), ny.alias("y")).collect()[0]
+        assert r["x"] == pytest.approx(679520.05, abs=0.01)
+        assert r["y"] == pytest.approx(212273.44, abs=0.01)
