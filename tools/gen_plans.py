@@ -86,6 +86,12 @@ sections.append(("q66 repeated-substring spans (map-side gram explode, one "
                  "window for interval union)",
                  plan_of(m.q66_repeated_spans(spark, sf), 45)))
 
+# 10d. q67 MODIS tiles: sinusoidal forward + integer grid math, one
+# partial+final hash aggregate
+sections.append(("q67 MODIS hNNvNN tile census (sinusoidal forward fully "
+                 "inside codegen, map-side partial aggregation)",
+                 plan_of(m.q67_modis_tiles(spark, sf), 25)))
+
 # 10. q48 geodesic area: closed-form trig fully inside codegen
 sections.append(("q48 spherical geodesic area (canonical-configuration trig "
                  "as one codegen'd expression over the segments window)",
