@@ -2324,6 +2324,51 @@ FROM pts GROUP BY 1, 2
 """
 
 
+def q68_world_mercator(spark, sf_dir):
+    """TRUE ellipsoidal Mercator reprojection (round 6): customers
+    forward-projected to WGS 84 / World Mercator (EPSG:3395, method
+    9804 — Snyder 7-7 via atanh, conformal-latitude series inverse),
+    with an inverse roundtrip as a boolean tolerance.  Distinct from
+    q37's spherical Web Mercator (EPSG:3857) — the two diverge by up to
+    ~0.7% in northing.  The reference reaches EPSG:3395 through
+    arbitrary proj.4 strings (reference crs.py:248-306); here it is
+    native triple-backend column math, so the DuckDB twin runs the
+    textually identical algebra."""
+    from karta_spark.functions import crs as kcrs
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    z = c.where((F.col("y") > -80) & (F.col("y") < 84))
+    ex, ny = kcrs.forward_exprs(kcrs.WORLD_MERCATOR,
+                                F.col("x"), F.col("y"))
+    z = z.withColumn("px", ex).withColumn("py", ny)
+    lon2, lat2 = kcrs.inverse_exprs(kcrs.WORLD_MERCATOR,
+                                    F.col("px"), F.col("py"))
+    rt_ok = (F.abs(lon2 - F.col("x")) < 1e-7) & \
+        (F.abs(lat2 - F.col("y")) < 1e-7)
+    return z.select(
+        "c_custkey",
+        F.round(F.col("px"), 4).alias("wm_x"),
+        F.round(F.col("py"), 4).alias("wm_y"),
+        rt_ok.alias("rt_ok"))
+
+
+def _q68_sql():
+    from karta_spark.functions import crs as kcrs
+    xs, ys = kcrs.forward_sql(kcrs.WORLD_MERCATOR, "x", "y")
+    lo, la = kcrs.inverse_sql(kcrs.WORLD_MERCATOR, "px", "py")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+), zone AS (
+  SELECT * FROM pts WHERE y > -80 AND y < 84
+), proj AS (
+  SELECT c_custkey, x, y, {xs} AS px, {ys} AS py FROM zone
+)
+SELECT c_custkey, round(px, 4) AS wm_x, round(py, 4) AS wm_y,
+       (abs({lo} - x) < 1e-7 AND abs({la} - y) < 1e-7) AS rt_ok
+FROM proj
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2393,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_lcc_stateplane": q65_lcc_stateplane,
         "q66_repeated_spans": q66_repeated_spans,
         "q67_modis_tiles": q67_modis_tiles,
+        "q68_world_mercator": q68_world_mercator,
     }
 
 
@@ -2447,6 +2493,7 @@ def oracle_sql() -> dict[str, str]:
         "q65_lcc_stateplane": _q65_sql(),
         "q66_repeated_spans": _q66_sql(),
         "q67_modis_tiles": _q67_sql(),
+        "q68_world_mercator": _q68_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -381,6 +381,10 @@ MODIS_SINU = CrsDef("modis_sinu", "sinu",
                     (0.0, 0.0, 0.0, 6371007.181, 0.0))
 # WGS 84 / World Equidistant Cylindrical (EPSG:4087, method 1028)
 PLATE_CARREE = CrsDef("plate_carree", "eqc", (0.0, 0.0, 0.0, 0.0))
+# WGS 84 / World Mercator (EPSG:3395): TRUE ellipsoidal Mercator 1SP —
+# NOT the spherical Web Mercator (EPSG:3857).  params are
+# (lat_ts, lon_0, k_0, fe, fn[, a, f]); WGS84 when the tail is absent.
+WORLD_MERCATOR = CrsDef("world_mercator", "merc", (0.0, 0.0, 1.0, 0.0, 0.0))
 # CH1903 / LV03 (EPSG:21781) and CH1903+ / LV95 (EPSG:2056): Swiss
 # oblique Mercator on Bessel 1841, Bern origin
 _CH_LAT0 = 46.952405555555565   # 46 deg 57' 08.66"
@@ -443,6 +447,41 @@ def _webmercator_inv(B, x, y):
     lon = x * (_R2D / R_WEBMERC)
     lat = (2.0 * B.atan(B.exp(y * (1.0 / R_WEBMERC))) - math.pi / 2.0) * _R2D
     return lon, lat
+
+
+def _merc_k(lat_ts: float, k0: float, e2: float) -> float:
+    """Effective equatorial scale: a true-scale parallel (+lat_ts,
+    EPSG method 9805 Mercator 2SP) overrides +k_0 (9804 Mercator 1SP),
+    matching proj.4's precedence."""
+    if lat_ts == 0.0:
+        return k0
+    ts = abs(lat_ts) * _D2R
+    return math.cos(ts) / math.sqrt(1.0 - e2 * math.sin(ts) ** 2)
+
+
+def _merc_fwd(B, lon, lat, lat_ts, lon0, k0, fe, fn, a=A_WGS84, f=F_WGS84):
+    """TRUE (ellipsoidal) Mercator — EPSG methods 9804/9805, the
+    EPSG:3395 World Mercator family.  Snyder 1987 eq. 7-7 via inverse
+    hyperbolics: psi = atanh(sin phi) - e*atanh(e sin phi).  Distinct
+    from the spherical Web Mercator fast path (the reference's only
+    native mercator, crs.py:354-368; it reaches EPSG:3395-style CRSes
+    through proj.4 projstrings, crs.py:248-306)."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    ak = a * _merc_k(lat_ts, k0, e2)
+    s = B.sin(lat * _D2R)
+    psi = _atanh(B, s)
+    if e:
+        psi = psi - e * _atanh(B, e * s)
+    return fe + ak * (_wrap_dlon(B, lon, lon0) * _D2R), fn + ak * psi
+
+
+def _merc_inv(B, x, y, lat_ts, lon0, k0, fe, fn, a=A_WGS84, f=F_WGS84):
+    e2 = f * (2.0 - f)
+    ak = a * _merc_k(lat_ts, k0, e2)
+    chi = 2.0 * B.atan(B.exp((y - fn) * (1.0 / ak))) - math.pi / 2.0
+    phi = chi if e2 == 0.0 else _conformal_to_geographic(B, chi, e2)
+    return lon0 + (x - fe) * (_R2D / ak), phi * _R2D
 
 
 def _conformal_to_geographic(B, chi, e2: float = E2_WGS84):
@@ -1155,6 +1194,8 @@ def _dispatch_fwd(B, crs: CrsDef, lon, lat):
         return _datum_fwd(B, lon, lat, *crs.params)
     if crs.kind == "webmercator":
         return _webmercator_fwd(B, lon, lat)
+    if crs.kind == "merc":
+        return _merc_fwd(B, lon, lat, *crs.params)
     if crs.kind == "tmerc":
         return _tm_fwd(B, lon, lat, *crs.params)
     if crs.kind == "stere":
@@ -1187,6 +1228,8 @@ def _dispatch_inv(B, crs: CrsDef, x, y):
         return _datum_inv(B, x, y, *crs.params)
     if crs.kind == "webmercator":
         return _webmercator_inv(B, x, y)
+    if crs.kind == "merc":
+        return _merc_inv(B, x, y, *crs.params)
     if crs.kind == "tmerc":
         return _tm_inv(B, x, y, *crs.params)
     if crs.kind == "stere":
@@ -1250,8 +1293,9 @@ def inverse_np(crs: CrsDef, x, y):
 
 
 _REGISTRY = {c.name: c for c in (
-    LONLAT, WEB_MERCATOR, UPS_NORTH, UPS_SOUTH, NSIDC_NORTH, NSIDC_SOUTH,
-    LAEA_WGS84, GALL_PETERS, LONLAT_NAD27, LONLAT_NAD83)}
+    LONLAT, WEB_MERCATOR, WORLD_MERCATOR, UPS_NORTH, UPS_SOUTH,
+    NSIDC_NORTH, NSIDC_SOUTH, LAEA_WGS84, GALL_PETERS, LONLAT_NAD27,
+    LONLAT_NAD83)}
 
 
 def lookup(crs: CrsDef | str) -> CrsDef:
@@ -1324,19 +1368,28 @@ def from_proj4(s: str) -> CrsDef:
             return LONLAT_NAD83
         return LONLAT
     if proj == "merc":
-        # the reference's only mercator is the spherical Web Mercator
-        # (crs.py:354-368 SphericalMercator) — reject ellipsoidal/offset
-        # variants instead of silently coercing them
-        a = toks.get("a"); b = toks.get("b")
-        if (g("lat_ts") != 0.0 or g("lon_0") != 0.0 or g("x_0") != 0.0
-                or g("y_0") != 0.0 or k0 != 1.0
-                or (a is not None and b is not None and float(a) != float(b))
-                or (a is not None and float(a) != 6378137.0)
-                or toks.get("ellps") not in (None, "sphere")):
-            raise ValueError(
-                "unsupported merc variant (only spherical Web Mercator): "
-                + s)
-        return WEB_MERCATOR
+        a_, f_ = ell()
+        lat_ts = g("lat_ts")
+        # +lat_ts overrides +k_0 (proj.4 / EPSG 9805); canonicalize so
+        # params roundtrip through to_proj4
+        base = (lat_ts, g("lon_0"), 1.0 if lat_ts else k0,
+                g("x_0"), g("y_0"))
+        bare = not ({"R", "a", "b", "rf", "f", "ellps", "datum"}
+                    & toks.keys())
+        if base == (0.0, 0.0, 1.0, 0.0, 0.0) and (
+                bare or toks.get("ellps") == "sphere"
+                or (f_ == 0.0 and a_ == 6378137.0)):
+            # the reference's native mercator is the spherical Web
+            # Mercator (crs.py:354-368): the bare, +ellps=sphere and
+            # +a=+b=6378137 all-default shapes keep mapping to it
+            return WEB_MERCATOR
+        # anything else is the TRUE (ellipsoidal) Mercator, EPSG
+        # 9804/9805 — the EPSG:3395 family (reference reaches these via
+        # proj.4 projstrings, crs.py:248-306)
+        params = base + (() if bare else ell_tail())
+        if params == WORLD_MERCATOR.params:
+            return WORLD_MERCATOR
+        return CrsDef(f"merc_{base[0]:g}_{base[1]:g}", "merc", params)
     if proj == "utm":
         tail = ell_tail()
         if not tail:
@@ -1480,6 +1533,13 @@ def to_proj4(crs: CrsDef | str) -> str:
     if c.kind == "webmercator":
         return ("+proj=merc +a=6378137 +b=6378137 +lat_ts=0.0 +lon_0=0.0 "
                 "+x_0=0.0 +y_0=0 +k=1.0 +units=m +nadgrids=@null +no_defs")
+    if c.kind == "merc":
+        lat_ts, lon0, k0, fe, fn = c.params[:5]
+        frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 5
+                else _proj4_ellps_frag(c.params, 5))
+        sc = f"+lat_ts={lat_ts!r}" if lat_ts else f"+k={k0!r}"
+        return (f"+proj=merc {sc} +lon_0={lon0!r} +x_0={fe!r} +y_0={fn!r} "
+                f"{frag} +units=m +no_defs")
     if c.kind == "tmerc":
         lon0, k0, fe, fn = c.params[:4]
         if c.name.startswith("utm"):
@@ -1628,6 +1688,19 @@ def to_wkt(crs: CrsDef | str) -> str:
             "WGS 84 / Pseudo-Mercator", _WKT_GEOGCS["sphere"], "Mercator_1SP",
             [("central_meridian", 0), ("scale_factor", 1),
              ("false_easting", 0), ("false_northing", 0)])
+    if c.kind == "merc":
+        lat_ts, lon0, k0, fe, fn = c.params[:5]
+        title = ("WGS 84 / World Mercator" if c.name == "world_mercator"
+                 else c.name)
+        if lat_ts:
+            return _wkt_projcs(
+                title, _wkt_geogcs_for(c.params, 5), "Mercator_2SP",
+                [("standard_parallel_1", lat_ts), ("central_meridian", lon0),
+                 ("false_easting", fe), ("false_northing", fn)])
+        return _wkt_projcs(
+            title, _wkt_geogcs_for(c.params, 5), "Mercator_1SP",
+            [("central_meridian", lon0), ("scale_factor", k0),
+             ("false_easting", fe), ("false_northing", fn)])
     if c.kind == "tmerc":
         lon0, k0, fe, fn = c.params[:4]
         if c.name.startswith("utm"):
@@ -1844,12 +1917,23 @@ def from_wkt(s: str) -> CrsDef:
                        or "web mercator" in name.lower())
         # NB: EPSG:3395 (true ellipsoidal Mercator) has the SAME
         # all-zero-params-over-WGS84 shape — only the name tells them
-        # apart, so the ellipsoidal GEOGCS is accepted only with it.
+        # apart, so the ellipsoidal GEOGCS maps to Web Mercator only
+        # with the Pseudo-Mercator name.
         if zero_params and (inv_f == 0.0 or pseudo_name):
             return WEB_MERCATOR
-        raise ValueError(
-            "unsupported Mercator_1SP variant (only spherical "
-            "Web Mercator / EPSG:3857 Pseudo-Mercator)")
+        af = _wkt_ellipsoid(root)
+        params = (0.0, g("central_meridian"), k0,
+                  g("false_easting"), g("false_northing")) \
+            + (() if af == (A_WGS84, F_WGS84) else af)
+        if params == WORLD_MERCATOR.params:
+            return WORLD_MERCATOR
+        return CrsDef(f"merc_0_{params[1]:g}", "merc", params)
+    if proj in ("Mercator_2SP", "Mercator"):
+        af = _wkt_ellipsoid(root)
+        params = (g("standard_parallel_1"), g("central_meridian"), 1.0,
+                  g("false_easting"), g("false_northing")) \
+            + (() if af == (A_WGS84, F_WGS84) else af)
+        return CrsDef(f"merc_{params[0]:g}_{params[1]:g}", "merc", params)
     if proj == "Transverse_Mercator":
         lon0, fe, fn = g("central_meridian"), g("false_easting"), \
             g("false_northing")

@@ -640,11 +640,16 @@ def repeated_spans(df: DataFrame, text_col: str = "text",
     run the textually identical plan (engine hash functions differ)."""
     from pyspark.sql import Window
 
-    n_pos = F.greatest(F.length(F.col(text_col)) - (L - 1), F.lit(0))
+    n_pos = F.length(F.col(text_col)) - (L - 1)
     gram = F.col(text_col).substr(F.col("pos"), F.lit(L))
-    g = (df.select(F.col(id_col).alias("id"),
-                   F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
-                   F.col(text_col))
+    # Docs shorter than L have no length-L gram.  The filter is load-
+    # bearing: Spark's sequence(1, 0) counts DOWN ([1, 0]), so without it
+    # every short doc would emit two spurious gram rows (and diverge from
+    # the SQL twin, whose generate_series is empty for stop < start).
+    g = (df.where(F.length(F.col(text_col)) >= L)
+         .select(F.col(id_col).alias("id"),
+                 F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
+                 F.col(text_col))
          .select("id", "pos", gram.alias("gram")))
     if hashed:
         g = g.select("id", "pos", F.xxhash64("gram").alias("gram"))

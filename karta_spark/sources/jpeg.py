@@ -178,7 +178,8 @@ def _encode_blocks(w: _BitWriter, coefs: np.ndarray, dc_tab, ac_tab, pred: int) 
         pred = dc
         c, ln = dc_tab[s]
         w.write(c, ln)
-        if s:
+        if s and s < 16:
+            # category 16 (DIFF=32768, 12-bit only) has NO appended bits
             w.write(bits, s)
         run = 0
         nz = np.nonzero(blk[1:])[0]
@@ -913,7 +914,11 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
             p = (acc >> (navail - 16)) & 0xFFFF
             s = dsym[p]
             navail -= dln[p]
-            if s:
+            if s == 16:
+                # T.81 F.1.2.1.1: in 12-bit streams DC category 16 means
+                # DIFF = 32768 with NO appended magnitude bits.
+                preds[ci] += 32768
+            elif s:
                 while navail < s:
                     acc = (acc << 8) | (data[pos] if pos < dlen else 0)
                     pos += 1
@@ -996,8 +1001,12 @@ def _reconstruct(comps, coefs, qtabs, h, w, mcux, mcuy, hmax, vmax,
             stacked = np.stack([c, m, ye, planes[3]], axis=2)
         else:  # transform 0/None: stored directly
             stacked = np.stack(planes, axis=2)
-        inv = np.clip(np.round(stacked), 0, top)
-        return (top - inv).astype(out_dtype)  # un-invert Adobe ink values
+        vals = np.clip(np.round(stacked), 0, top)
+        if adobe_transform is None:
+            # libjpeg convention: only Adobe-marked (APP14) 4-component
+            # JPEGs carry inverted ink values; pass others through.
+            return vals.astype(out_dtype)
+        return (top - vals).astype(out_dtype)  # un-invert Adobe ink values
     y, cb, cr = planes[0], planes[1] - mid, planes[2] - mid
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr

@@ -29,15 +29,18 @@ class TestFromProj4Strictness:
         with pytest.raises(ValueError, match="non-polar"):
             crs.from_proj4("+proj=stere +lat_0=45 +lon_0=0 +k=1")
 
-    def test_ellipsoidal_merc_raises(self):
+    def test_ellipsoidal_merc_resolves_to_true_mercator(self):
+        # r4 rejected these rather than silently coercing to Web
+        # Mercator; since r6 they resolve to the TRUE ellipsoidal
+        # Mercator kind (EPSG 9804) — still never coerced to spherical.
         from karta_spark.functions import crs
-        with pytest.raises(ValueError, match="merc"):
-            crs.from_proj4("+proj=merc +a=6378137 +b=6356752.3142 +lon_0=0")
+        c = crs.from_proj4("+proj=merc +a=6378137 +b=6356752.3142 +lon_0=0")
+        assert c.kind == "merc" and c is not crs.WEB_MERCATOR
 
-    def test_offset_merc_raises(self):
+    def test_offset_merc_resolves_to_true_mercator(self):
         from karta_spark.functions import crs
-        with pytest.raises(ValueError, match="merc"):
-            crs.from_proj4("+proj=merc +lon_0=110 +k=1")
+        c = crs.from_proj4("+proj=merc +lon_0=110 +k=1")
+        assert c.kind == "merc" and c.params == (0.0, 110.0, 1.0, 0.0, 0.0)
 
     def test_webmercator_roundtrip_still_accepted(self):
         from karta_spark.functions import crs
@@ -210,15 +213,19 @@ class TestWkt:
         with pytest.raises(ValueError, match="Robinson"):
             crs.from_wkt(s)
 
-    def test_ellipsoidal_mercator_wkt_raises(self):
+    def test_ellipsoidal_mercator_wkt_resolves(self):
+        # r4/r5 raised here (no ellipsoidal-mercator math existed);
+        # round 6 added the TRUE Mercator kind, so this WKT — no
+        # Pseudo-Mercator name, ellipsoidal WGS84 — now resolves to it
+        # (still never silently coerced to spherical Web Mercator).
         from karta_spark.functions import crs
         s = ('PROJCS["x",GEOGCS["WGS 84",DATUM["WGS_1984",'
              'SPHEROID["WGS 84",6378137,298.257223563]],'
              'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
              'PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],'
              'PARAMETER["scale_factor",1],UNIT["metre",1]]')
-        with pytest.raises(ValueError, match="Mercator"):
-            crs.from_wkt(s)
+        c = crs.from_wkt(s)
+        assert c is crs.WORLD_MERCATOR
 
 
 class TestKnnBroadcastKernel:

@@ -125,17 +125,20 @@ class TestPseudoMercatorWkt:
         from karta_spark.functions import crs
         assert crs.from_wkt(crs.to_wkt(crs.WEB_MERCATOR)) is crs.WEB_MERCATOR
 
-    def test_world_mercator_3395_still_raises(self):
+    def test_world_mercator_3395_resolves_ellipsoidal(self):
+        # r5 raised here; since r6 the identical-shape/different-name
+        # EPSG:3395 WKT resolves to the TRUE ellipsoidal Mercator —
+        # and must NOT be coerced to the spherical Web Mercator.
         from karta_spark.functions import crs
-        with pytest.raises(ValueError, match="Mercator_1SP"):
-            crs.from_wkt(self.EPSG_3395)
+        c = crs.from_wkt(self.EPSG_3395)
+        assert c is crs.WORLD_MERCATOR and c.kind == "merc"
 
-    def test_offset_mercator_still_raises(self):
+    def test_offset_mercator_resolves_ellipsoidal(self):
         from karta_spark.functions import crs
         wkt = self.EPSG_3857.replace('PARAMETER["central_meridian",0]',
                                      'PARAMETER["central_meridian",110]')
-        with pytest.raises(ValueError, match="Mercator_1SP"):
-            crs.from_wkt(wkt)
+        c = crs.from_wkt(wkt)
+        assert c.kind == "merc" and c.params[1] == 110.0
 
 
 class TestNgramAutoProbe:

@@ -1,0 +1,262 @@
+"""Round-6 regression tests for the ADVICE r5 findings.
+
+1. repeated_spans: docs shorter than L must emit nothing (Spark's
+   sequence(1, 0) counts DOWN, so the unfiltered plan produced two
+   spurious gram rows per short doc and diverged from the DuckDB twin).
+2. 12-bit SOF1 DC category 16: T.81 F.1.2.1.1 defines it as
+   DIFF = 32768 with NO appended magnitude bits — both encoder and
+   decoder, each pinned independently (not just a roundtrip, which a
+   symmetric bug would pass).
+3. 4-component JPEG without an Adobe APP14 marker decodes without ink
+   inversion (libjpeg convention: only Adobe-marked streams are
+   inverted).
+"""
+import struct as st
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from karta_spark.sources import jpeg as J
+
+
+class TestRepeatedSpansShortDocs:
+    def test_short_dup_docs_emit_nothing(self, spark):
+        from karta_spark.operators.text import repeated_spans
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2], "text": ["tiny dup", "tiny dup"]}))
+        assert repeated_spans(df, L=20).count() == 0
+        assert repeated_spans(df, L=20, hashed=True).count() == 0
+
+    def test_empty_and_boundary_docs(self, spark):
+        from karta_spark.operators.text import repeated_spans
+        # empty, L-1 (no gram), exactly L (one gram each -> flagged)
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": ["", "", "a" * 19, "a" * 19, "b" * 20, "b" * 20]}))
+        out = {r["id"]: (r["n_flagged"], r["dup_chars"])
+               for r in repeated_spans(df, L=20).collect()}
+        assert out == {5: (1, 20), 6: (1, 20)}
+
+    def test_mixed_corpus_dup_chars_bounded(self, spark):
+        """Short dup docs must not appear at all, and no doc's dup_chars
+        may exceed its own length (the r5 bug produced 21 > 8)."""
+        from karta_spark.operators.text import repeated_spans
+        texts = ["tiny dup", "tiny dup",
+                 "long shared boilerplate sentence here A",
+                 "long shared boilerplate sentence here B"]
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3, 4], "text": texts}))
+        out = {r["id"]: r["dup_chars"]
+               for r in repeated_spans(df, L=20).collect()}
+        assert set(out) == {3, 4}
+        for i, d in out.items():
+            assert d <= len(texts[i - 1])
+
+
+def _build_cat16_stream():
+    """Hand-build a 12-bit SOF1 grayscale 8x16 stream whose second block
+    arrives via DC category 16 (no appended bits): block DCs -16384 then
+    +16384 (diff exactly 32768), quant all-ones (quality 100)."""
+    q = J.scaled_quant(J.QUANT_LUM, 100)
+    assert (q == 1).all()
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xDB" + st.pack(">HB", 67, 0) \
+        + bytes(int(v) for v in q.reshape(-1)[J.ZIGZAG])
+    sof = st.pack(">BHHB", 12, 8, 16, 1) + bytes([1, 0x11, 0])
+    out += b"\xFF\xC1" + st.pack(">H", 2 + len(sof)) + sof
+    for cls, tid, bits, vals in ((0, 0, J._DC12_BITS, J._DC12_VALS),
+                                 (1, 0, J._AC12_BITS, J._AC12_VALS)):
+        body = st.pack("B", (cls << 4) | tid) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + st.pack(">H", 2 + len(body)) + body
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xFF\xDA" + st.pack(">H", 2 + len(sos)) + sos
+    return out
+
+
+def _independent_entropy_cat16():
+    """Write the two-block entropy segment with an independent bit
+    writer: DC(-16384) = category 15 + 15 bits, EOB, then DC code for
+    category 16 with NO appended bits, EOB."""
+    state = {"acc": 0, "n": 0, "buf": bytearray()}
+
+    def put(code, ln):
+        state["acc"] = (state["acc"] << ln) | code
+        state["n"] += ln
+        while state["n"] >= 8:
+            state["n"] -= 8
+            b = (state["acc"] >> state["n"]) & 0xFF
+            state["buf"].append(b)
+            if b == 0xFF:
+                state["buf"].append(0x00)
+        state["acc"] &= (1 << state["n"]) - 1
+
+    eob = J._ENC_AC12[0x00]
+    # block 1: diff -16384 -> category 15, appended = diff + 2^15 - 1
+    c, ln = J._ENC_DC12[15]
+    put(c, ln)
+    put(-16384 + (1 << 15) - 1, 15)
+    put(*eob)
+    # block 2: diff +32768 -> category 16, NO appended bits
+    c, ln = J._ENC_DC12[16]
+    put(c, ln)
+    put(*eob)
+    if state["n"]:
+        pad = 8 - state["n"]
+        put((1 << pad) - 1, pad)
+    return bytes(state["buf"])
+
+
+class TestJpeg12DCCategory16:
+    def test_decoder_reads_no_appended_bits(self):
+        """Decoder pinned against an independently written stream: if it
+        consumed 16 phantom bits it would swallow the second EOB."""
+        data = _build_cat16_stream() + _independent_entropy_cat16() \
+            + b"\xFF\xD9"
+        dec = J.decode_jpeg_baseline(bytes(data))
+        assert dec.shape == (8, 16) and dec.dtype == np.uint16
+        # DC -16384 -> flat 2048 - 2048 = 0; +16384 -> 4096 clipped 4095
+        assert (dec[:, :8] == 0).all()
+        assert (dec[:, 8:] == 4095).all()
+
+    def test_encoder_emits_no_appended_bits(self):
+        """_encode_blocks output must be byte-identical to the
+        independent writer for the same category-16 block pair."""
+        coefs = np.zeros((2, 64), np.int64)
+        coefs[0, 0] = -16384
+        coefs[1, 0] = 16384
+        w = J._BitWriter()
+        J._encode_blocks(w, coefs, J._ENC_DC12, J._ENC_AC12, 0)
+        w.flush()
+        assert bytes(w.buf) == _independent_entropy_cat16()
+
+
+class TestCmykNoAdobePassthrough:
+    def test_no_app14_decodes_uninverted(self):
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+        enc = J.encode_jpeg_cmyk(a, 98, transform=0)
+        i = enc.find(b"\xFF\xEE")
+        assert i > 0
+        (seglen,) = st.unpack(">H", enc[i + 2:i + 4])
+        stripped = enc[:i] + enc[i + 2 + seglen:]
+        dec_adobe = J.decode_jpeg_baseline(enc)
+        dec_plain = J.decode_jpeg_baseline(stripped)
+        # same stored samples: Adobe path un-inverts, plain passes through
+        assert np.array_equal(dec_plain, 255 - dec_adobe)
+
+
+class TestTrueMercator:
+    """Ellipsoidal Mercator (kind 'merc', EPSG 9804/9805 — EPSG:3395
+    World Mercator family), round 6.  Goldens: EPSG Guidance Note 7-2
+    worked examples (Mercator 1SP: Makassar / NEIEZ EPSG:3002; Mercator
+    2SP: Pulkovo 1942 / Caspian Sea EPSG:3388), plus an independent
+    numeric integration of the isometric-latitude integral."""
+
+    def test_epsg_gn7_1sp_golden(self):
+        from karta_spark.functions import crs
+        c = crs.from_proj4("+proj=merc +lon_0=110 +k_0=0.997 "
+                           "+x_0=3900000 +y_0=900000 +ellps=bessel")
+        assert c.kind == "merc"
+        x, y = crs.forward_np(c, [120.0], [-3.0])
+        assert abs(x[0] - 5009726.58) < 0.01
+        assert abs(y[0] - 569150.82) < 0.01
+        lon, lat = crs.inverse_np(c, x, y)
+        assert abs(lon[0] - 120.0) < 2e-8 and abs(lat[0] + 3.0) < 2e-8
+
+    def test_epsg_gn7_2sp_golden(self):
+        from karta_spark.functions import crs
+        c = crs.from_proj4("+proj=merc +lat_ts=42 +lon_0=51 +ellps=krass")
+        assert c.params[:3] == (42.0, 51.0, 1.0)  # lat_ts canonicalizes k
+        x, y = crs.forward_np(c, [53.0], [53.0])
+        assert abs(x[0] - 165704.29) < 0.01
+        assert abs(y[0] - 5171848.07) < 0.01
+
+    def test_3395_matches_numeric_integral(self):
+        import numpy as np
+        from karta_spark.functions import crs
+        _, y = crs.forward_np(crs.WORLD_MERCATOR, [0.0], [55.0])
+        e2 = crs.E2_WGS84
+        phi = np.linspace(1e-12, np.radians(55.0), 2_000_001)
+        integrand = (1 - e2) / ((1 - e2 * np.sin(phi) ** 2) * np.cos(phi))
+        y_int = crs.A_WGS84 * np.trapz(integrand, phi)
+        assert abs(y[0] - y_int) < 1e-4
+
+    def test_roundtrip_grid(self):
+        import numpy as np
+        from karta_spark.functions import crs
+        rng = np.random.default_rng(6)
+        lon = rng.uniform(-179, 179, 400)
+        lat = rng.uniform(-84, 84, 400)
+        x, y = crs.forward_np(crs.WORLD_MERCATOR, lon, lat)
+        lo, la = crs.inverse_np(crs.WORLD_MERCATOR, x, y)
+        assert np.abs(lo - lon).max() < 2e-8
+        assert np.abs(la - lat).max() < 2e-8
+
+    def test_sql_backend_matches_numpy(self):
+        import duckdb
+        import numpy as np
+        from karta_spark.functions import crs
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-170, 170, 48)
+        lat = rng.uniform(-80, 80, 48)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE pts AS SELECT i, CAST(lon AS DOUBLE) AS lon, "
+            "CAST(lat AS DOUBLE) AS lat FROM (VALUES "
+            + ",".join(f"({i}, {lon[i]!r}, {lat[i]!r})" for i in range(48))
+            + ") t(i, lon, lat)")
+        xs, ys = crs.forward_sql(crs.WORLD_MERCATOR, "lon", "lat")
+        rows = con.execute(
+            f"SELECT i, {xs} AS x, {ys} AS y FROM pts ORDER BY i").fetchall()
+        X, Y = crs.forward_np(crs.WORLD_MERCATOR, lon, lat)
+        for i, x, y in rows:
+            assert abs(x - X[i]) < 1e-6 and abs(y - Y[i]) < 1e-6
+
+    def test_column_backend_matches_numpy(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+        from karta_spark.functions import crs
+        rng = np.random.default_rng(8)
+        lon = rng.uniform(-170, 170, 64)
+        lat = rng.uniform(-80, 80, 64)
+        df = spark.createDataFrame(
+            [(i, float(lon[i]), float(lat[i])) for i in range(64)],
+            "i long, lon double, lat double")
+        fx, fy = crs.forward_exprs(crs.WORLD_MERCATOR,
+                                   F.col("lon"), F.col("lat"))
+        ix, iy = crs.inverse_exprs(crs.WORLD_MERCATOR,
+                                   F.col("lon"), F.col("lat"))
+        rows = df.select("i", fx.alias("x"), fy.alias("y")).orderBy(
+            "i").collect()
+        X, Y = crs.forward_np(crs.WORLD_MERCATOR, lon, lat)
+        for k, r in enumerate(rows):
+            assert abs(r["x"] - X[k]) < 1e-6 and abs(r["y"] - Y[k]) < 1e-6
+
+    def test_interchange_roundtrips(self):
+        from karta_spark.functions import crs
+        cases = [
+            crs.WORLD_MERCATOR,
+            crs.from_proj4("+proj=merc +lat_ts=42 +lon_0=51 +ellps=krass"),
+            crs.from_proj4("+proj=merc +lon_0=110 +k_0=0.997 "
+                           "+x_0=3900000 +y_0=900000 +ellps=bessel"),
+        ]
+        for c in cases:
+            for rt in (crs.from_proj4(crs.to_proj4(c)),
+                       crs.from_wkt(crs.to_wkt(c))):
+                assert rt.kind == c.kind and rt.params == c.params, c.name
+        # 3395 WKT (name-disambiguated from 3857) resolves to the named
+        # instance; legacy web-mercator shapes are untouched
+        assert crs.from_wkt(crs.to_wkt(crs.WORLD_MERCATOR)) \
+            is crs.WORLD_MERCATOR
+        assert crs.from_proj4("+proj=merc") is crs.WEB_MERCATOR
+        assert crs.from_proj4(crs.to_proj4(crs.WEB_MERCATOR)) \
+            is crs.WEB_MERCATOR
+
+    def test_webmerc_and_3395_differ(self):
+        import numpy as np
+        from karta_spark.functions import crs
+        _, y_sph = crs.forward_np(crs.WEB_MERCATOR, [0.0], [45.0])
+        _, y_ell = crs.forward_np(crs.WORLD_MERCATOR, [0.0], [45.0])
+        # ~0.7% northing difference at 45N — the 3857/3395 gap
+        assert 20000 < abs(y_sph[0] - y_ell[0]) < 50000
