@@ -2288,7 +2288,11 @@ def q66_repeated_spans(spark, sf_dir):
     per-doc lag window; the hashed=True variant (xxhash64 keys) is the
     100 TB plan, the oracle runs the unhashed twin."""
     d = _t(spark, sf_dir, "documents")
-    return text.repeated_spans(d, "text", "doc_id", L=20, min_docs=2)
+    # hashed=False: the library default (xxhash64 keys, the 100 TB
+    # plan) gives identical results, but the gate runs the raw-gram
+    # plan so the DuckDB twin is textually identical
+    return text.repeated_spans(d, "text", "doc_id", L=20, min_docs=2,
+                               hashed=False)
 
 
 def _q66_sql():
@@ -2369,6 +2373,25 @@ FROM proj
 """
 
 
+def q69_clip_repeated_spans(spark, sf_dir):
+    """Exact-substring dedup CLIP output (round 6): every document with
+    its cross-document repeated 20-gram spans physically removed —
+    (id, clean_text, removed_chars), clean docs byte-identical.  The
+    Spark plan merges flagged positions into [start, end] intervals
+    (per-doc lag window + running group sum) and cuts them with one
+    Catalyst aggregate fold; the DuckDB twin is an INDEPENDENT
+    per-character covered-set anti-join + ordered string_agg, so the
+    value hash crosses two different formulations."""
+    d = _t(spark, sf_dir, "documents")
+    return text.clip_repeated_spans(d, "text", "doc_id", L=20,
+                                    min_docs=2, hashed=False)
+
+
+def _q69_sql():
+    return text.clip_repeated_spans_sql("documents", "text", "doc_id",
+                                        L=20, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2439,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_repeated_spans": q66_repeated_spans,
         "q67_modis_tiles": q67_modis_tiles,
         "q68_world_mercator": q68_world_mercator,
+        "q69_clip_repeated_spans": q69_clip_repeated_spans,
     }
 
 
@@ -2494,6 +2518,7 @@ def oracle_sql() -> dict[str, str]:
         "q66_repeated_spans": _q66_sql(),
         "q67_modis_tiles": _q67_sql(),
         "q68_world_mercator": _q68_sql(),
+        "q69_clip_repeated_spans": _q69_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

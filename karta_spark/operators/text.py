@@ -617,29 +617,12 @@ def pii_flag_sql(col_expr: str, which: str) -> str:
 # exact repeated-substring spans (substring-level dedup signal)
 # ---------------------------------------------------------------------------
 
-def repeated_spans(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id", L: int = 20,
-                   min_docs: int = 2, hashed: bool = False) -> DataFrame:
-    """Per-document coverage of CROSS-DOCUMENT repeated substrings: every
-    character position covered by a length-``L`` gram that also occurs in
-    at least ``min_docs`` distinct documents.  This is the signal behind
-    exact-substring deduplication of training corpora (clip or drop the
-    duplicated spans): boilerplate, licenses, templated pages light up.
-
-    Returns (id, n_flagged, dup_chars): the count of flagged gram
-    positions and the number of distinct characters they cover (interval
-    union computed with a per-doc lag window: each flagged position
-    contributes min(L, pos - prev_pos) — no position-explosion).
-
-    Scale shape: gram extraction is map-side (posexplode of a substring
-    transform); doc-frequency is one hash agg on the gram key; the
-    flag-back is an equi-join on the same key; the window partitions by
-    document (bounded by doc length).  No all-pairs stage.  With
-    ``hashed`` the join key is xxhash64(gram) — 8-byte shuffle keys, the
-    100 TB setting; the default joins raw grams so the DuckDB oracle can
-    run the textually identical plan (engine hash functions differ)."""
-    from pyspark.sql import Window
-
+def _flagged_positions(df: DataFrame, text_col: str, id_col: str,
+                       L: int, min_docs: int, hashed: bool) -> DataFrame:
+    """(id, pos) of every length-``L`` gram start whose gram occurs in
+    >= ``min_docs`` distinct documents.  Shared engine of
+    :func:`repeated_spans` / :func:`clip_repeated_spans`: map-side gram
+    explode, ONE doc-frequency hash agg, equi-join flag-back."""
     n_pos = F.length(F.col(text_col)) - (L - 1)
     gram = F.col(text_col).substr(F.col("pos"), F.lit(L))
     # Docs shorter than L have no length-L gram.  The filter is load-
@@ -657,7 +640,35 @@ def repeated_spans(df: DataFrame, text_col: str = "text",
             .agg(F.count_distinct("id").alias("df"))
             .where(F.col("df") >= min_docs)
             .select("gram"))
-    flagged = g.join(freq, "gram").select("id", "pos")
+    return g.join(freq, "gram").select("id", "pos")
+
+
+def repeated_spans(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", L: int = 20,
+                   min_docs: int = 2, hashed: bool = True) -> DataFrame:
+    """Per-document coverage of CROSS-DOCUMENT repeated substrings: every
+    character position covered by a length-``L`` gram that also occurs in
+    at least ``min_docs`` distinct documents.  This is the signal behind
+    exact-substring deduplication of training corpora (clip or drop the
+    duplicated spans): boilerplate, licenses, templated pages light up.
+
+    Returns (id, n_flagged, dup_chars): the count of flagged gram
+    positions and the number of distinct characters they cover (interval
+    union computed with a per-doc lag window: each flagged position
+    contributes min(L, pos - prev_pos) — no position-explosion).
+
+    Scale shape: gram extraction is map-side (posexplode of a substring
+    transform); doc-frequency is one hash agg on the gram key; the
+    flag-back is an equi-join on the same key; the window partitions by
+    document (bounded by doc length).  No all-pairs stage.  With
+    ``hashed`` (the default — the 100 TB setting) the join key is
+    xxhash64(gram), 8-byte shuffle keys; pass ``hashed=False`` to join
+    raw grams so a DuckDB oracle can run the textually identical plan
+    (engine hash functions differ; results are identical either way
+    modulo 64-bit hash collisions)."""
+    from pyspark.sql import Window
+
+    flagged = _flagged_positions(df, text_col, id_col, L, min_docs, hashed)
     w = Window.partitionBy("id").orderBy("pos")
     prev = F.lag("pos").over(w)
     step = F.when(prev.isNull(), F.lit(L)).otherwise(
@@ -692,4 +703,110 @@ SELECT id, CAST(count(*) AS BIGINT) AS n_flagged,
        CAST(sum(CASE WHEN prev IS NULL THEN {L}
                      ELSE least({L}, pos - prev) END) AS BIGINT) AS dup_chars
 FROM stepped GROUP BY id
+"""
+
+
+def clip_repeated_spans(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", L: int = 20,
+                        min_docs: int = 2,
+                        hashed: bool = True) -> DataFrame:
+    """Exact-substring deduplication output: each document with every
+    cross-document repeated span REMOVED — the clip step of
+    exact-substring dedup for training corpora (boilerplate, licenses,
+    templated pages cut out of the text itself, not just flagged).
+
+    Returns (id, clean_text, removed_chars) for EVERY input document
+    (clean docs pass through byte-identical, removed_chars = 0).
+
+    Scale shape: the flagged-position stage is shared with
+    :func:`repeated_spans` (map-side gram explode, one doc-frequency
+    hash agg, equi-join flag-back).  Flagged positions collapse to
+    merged [start, end] intervals with a per-doc lag window + running
+    group sum (no position re-explosion); each doc then carries its
+    interval list (bounded by doc length / L entries) through a single
+    equi-join back to the text, and the cut is one Catalyst
+    ``aggregate`` fold over the sorted intervals — no Python, no
+    quadratic stage.  At the 100 TB setting keep ``hashed=True``
+    (8-byte shuffle keys) and run per-corpus-shard jobs; the DuckDB twin
+    (:func:`clip_repeated_spans_sql`) verifies via an independent
+    per-character plan."""
+    from pyspark.sql import Window
+
+    flagged = _flagged_positions(df, text_col, id_col, L, min_docs, hashed)
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    # new interval when the gap to the previous flagged start exceeds L
+    # (spans [pos, pos+L-1] overlap or touch iff pos - prev <= L)
+    newgrp = F.when(prev.isNull() | (F.col("pos") - prev > L), 1) \
+        .otherwise(0)
+    grp = F.sum(newgrp).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ivs = (flagged.withColumn("_g", grp)
+           .groupBy("id", "_g")
+           .agg(F.min("pos").alias("start"),
+                (F.max("pos") + (L - 1)).alias("end"))
+           .groupBy("id")
+           .agg(F.sort_array(
+               F.collect_list(F.struct("start", "end"))).alias("ivs")))
+    text = F.col(text_col)
+    init = F.struct(F.lit("").alias("acc"), F.lit(0).alias("last"))
+    clean = F.aggregate(
+        F.col("ivs"), init,
+        lambda s, iv: F.struct(
+            F.concat(s["acc"],
+                     text.substr(s["last"] + F.lit(1),
+                                 iv["start"] - s["last"] - F.lit(1))
+                     ).alias("acc"),
+            iv["end"].alias("last")),
+        lambda s: F.concat(
+            s["acc"], text.substr(s["last"] + F.lit(1),
+                                  F.length(text) - s["last"])))
+    out = (df.join(ivs, F.col(id_col) == ivs["id"], "left")
+           .select(F.col(id_col).alias("id"),
+                   F.when(F.col("ivs").isNull(), text)
+                   .otherwise(clean).alias("clean_text"),
+                   text.alias("_orig")))
+    return out.select(
+        "id", "clean_text",
+        (F.length("_orig") - F.length("clean_text"))
+        .cast("long").alias("removed_chars"))
+
+
+def clip_repeated_spans_sql(table: str, text_col: str = "text",
+                            id_col: str = "doc_id", L: int = 20,
+                            min_docs: int = 2) -> str:
+    """DuckDB twin of :func:`clip_repeated_spans` — deliberately a
+    DIFFERENT plan (per-character covered-set anti-join + ordered
+    string_agg) so the interval-merge fold is verified against an
+    independent formulation, not a transliteration."""
+    return f"""
+WITH grams AS (
+  SELECT {id_col} AS id, i.i AS pos, substr({text_col}, i.i, {L}) AS gram
+  FROM {table},
+       LATERAL (SELECT UNNEST(generate_series(1,
+                greatest(length({text_col}) - {L - 1}, 0))) AS i) i
+), freq AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING count(DISTINCT id) >= {min_docs}
+), flagged AS (
+  SELECT g.id, g.pos FROM grams g JOIN freq USING (gram)
+), covered AS (
+  SELECT DISTINCT id, pos + d.d AS cpos
+  FROM flagged, LATERAL (SELECT UNNEST(generate_series(0, {L - 1})) AS d) d
+), chars AS (
+  SELECT {id_col} AS id, i.i AS i, substr({text_col}, i.i, 1) AS ch
+  FROM {table},
+       LATERAL (SELECT UNNEST(generate_series(1, length({text_col}))) AS i) i
+), cleaned AS (
+  SELECT c.id,
+         coalesce(string_agg(CASE WHEN v.cpos IS NULL THEN c.ch END, ''
+                             ORDER BY c.i), '') AS clean_text,
+         CAST(count(v.cpos) AS BIGINT) AS removed_chars
+  FROM chars c LEFT JOIN covered v ON v.id = c.id AND v.cpos = c.i
+  GROUP BY c.id
+)
+SELECT d.{id_col} AS id,
+       coalesce(cl.clean_text, d.{text_col}) AS clean_text,
+       coalesce(cl.removed_chars, 0) AS removed_chars
+FROM {table} d LEFT JOIN cleaned cl ON cl.id = d.{id_col}
 """

@@ -260,3 +260,79 @@ class TestTrueMercator:
         _, y_ell = crs.forward_np(crs.WORLD_MERCATOR, [0.0], [45.0])
         # ~0.7% northing difference at 45N — the 3857/3395 gap
         assert 20000 < abs(y_sph[0] - y_ell[0]) < 50000
+
+
+class TestClipRepeatedSpans:
+    """clip_repeated_spans (round 6): documents with cross-document
+    repeated spans physically removed — the clip step of exact-substring
+    dedup.  Interval-merge + Catalyst aggregate fold; verified against
+    hand-computed expectations."""
+
+    def test_planted_boilerplate_removed(self, spark):
+        from karta_spark.operators.text import clip_repeated_spans
+        boiler = "COPYRIGHT 2024 ALL RIGHTS RESERVED."  # 35 chars
+        texts = {
+            1: "unique alpha content. " + boiler,
+            2: boiler + " unique beta content here.",
+            3: "totally clean document with original words only",
+        }
+        df = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}))
+        out = {r["id"]: (r["clean_text"], r["removed_chars"])
+               for r in clip_repeated_spans(df, L=20).collect()}
+        assert set(out) == {1, 2, 3}
+        # every 20-gram inside the planted span is cross-doc repeated,
+        # so the whole boilerplate run is cut; unique text survives
+        assert boiler not in out[1][0] and boiler not in out[2][0]
+        assert out[1][0].startswith("unique alpha content.")
+        assert out[2][0].endswith("unique beta content here.")
+        assert out[3] == (texts[3], 0)  # clean doc byte-identical
+        for i in (1, 2):
+            assert out[i][1] == len(texts[i]) - len(out[i][0])
+
+    def test_full_doc_duplicate_clips_to_empty(self, spark):
+        from karta_spark.operators.text import clip_repeated_spans
+        dup = "this entire document is duplicated verbatim elsewhere"
+        df = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [1, 2], "text": [dup, dup]}))
+        out = {r["id"]: (r["clean_text"], r["removed_chars"])
+               for r in clip_repeated_spans(df, L=20).collect()}
+        assert out[1] == ("", len(dup)) and out[2] == ("", len(dup))
+
+    def test_two_disjoint_spans_in_one_doc(self, spark):
+        from karta_spark.operators.text import clip_repeated_spans
+        s1 = "SHARED-HEADER-BLOCK-AAAA"          # 24 chars
+        s2 = "SHARED-FOOTER-BLOCK-ZZZZ"          # 24 chars
+        # middles must diverge at BOTH boundary chars: any character
+        # shared at the same offset from the common block extends the
+        # repeated 20-grams into the middle (exact-substring semantics)
+        mid1 = "Xoriginal-middle-oneY"
+        mid2 = "Qother-middle-entireZ"
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": [s1 + mid1 + s2, s1 + mid2 + s2]}))
+        out = {r["id"]: r["clean_text"]
+               for r in clip_repeated_spans(df, L=20).collect()}
+        assert out[1] == mid1
+        assert out[2] == mid2
+
+    def test_short_and_empty_docs_pass_through(self, spark):
+        from karta_spark.operators.text import clip_repeated_spans
+        df = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["tiny dup", "tiny dup", ""]}))
+        out = {r["id"]: (r["clean_text"], r["removed_chars"])
+               for r in clip_repeated_spans(df, L=20).collect()}
+        assert out == {1: ("tiny dup", 0), 2: ("tiny dup", 0), 3: ("", 0)}
+
+    def test_hashed_matches_unhashed(self, spark):
+        from karta_spark.operators.text import clip_repeated_spans
+        texts = ["alpha REPEATED-SPAN-CONTENT-HERE omega",
+                 "beta REPEATED-SPAN-CONTENT-HERE psi",
+                 "gamma lone content without repeats anywhere"]
+        df = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": texts}))
+        a = {(r["id"], r["clean_text"], r["removed_chars"])
+             for r in clip_repeated_spans(df, L=20, hashed=False).collect()}
+        b = {(r["id"], r["clean_text"], r["removed_chars"])
+             for r in clip_repeated_spans(df, L=20, hashed=True).collect()}
+        assert a == b
