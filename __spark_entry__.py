@@ -2392,6 +2392,61 @@ def _q69_sql():
                                         L=20, min_docs=2)
 
 
+def q70_aeqd_range_rings(spark, sf_dir):
+    """Azimuthal equidistant range-ring analysis (round 6): customers
+    within the Guam grid's regional window projected through the EPSG
+    9832 Modified Azimuthal Equidistant (aeqd on the WGS84 ellipsoid,
+    origin 13.5N 144.75E), bucketed into 50 km range rings — the
+    canonical aeqd workload (distance-true from the center), plus an
+    inverse roundtrip as a boolean tolerance.  The reference reaches
+    aeqd through arbitrary proj.4 strings (reference crs.py:248-306);
+    here it is native triple-backend column math, so the DuckDB twin
+    runs the textually identical algebra.  The rt tolerance is 1e-4 deg
+    (~11 m): the truncated 9832 inverse is consistent with the forward
+    series to that level at the window's ~1650 km corner (mm inside the
+    actual Guam grid)."""
+    from karta_spark.functions import crs as kcrs
+    grid = kcrs.aeqd(13.5, 144.75)
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    z = c.where((F.col("x") > 129.75) & (F.col("x") < 159.75)
+                & (F.col("y") > -1.5) & (F.col("y") < 28.5))
+    ex, ny = kcrs.forward_exprs(grid, F.col("x"), F.col("y"))
+    z = z.withColumn("px", ex).withColumn("py", ny)
+    lon2, lat2 = kcrs.inverse_exprs(grid, F.col("px"), F.col("py"))
+    rt_ok = (F.abs(lon2 - F.col("x")) < 1e-4) & \
+        (F.abs(lat2 - F.col("y")) < 1e-4)
+    ring = F.floor(F.sqrt(F.col("px") * F.col("px")
+                          + F.col("py") * F.col("py")) / 50000.0)
+    return z.select(
+        "c_custkey",
+        F.round(F.col("px"), 4).alias("ae_x"),
+        F.round(F.col("py"), 4).alias("ae_y"),
+        ring.cast("long").alias("ring_50km"),
+        rt_ok.alias("rt_ok"))
+
+
+def _q70_sql():
+    from karta_spark.functions import crs as kcrs
+    grid = kcrs.aeqd(13.5, 144.75)
+    xs, ys = kcrs.forward_sql(grid, "x", "y")
+    lo, la = kcrs.inverse_sql(grid, "px", "py")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+), zone AS (
+  SELECT * FROM pts
+  WHERE x > 129.75 AND x < 159.75 AND y > -1.5 AND y < 28.5
+), proj AS (
+  SELECT c_custkey, x, y, {xs} AS px, {ys} AS py FROM zone
+)
+SELECT c_custkey, round(px, 4) AS ae_x, round(py, 4) AS ae_y,
+       CAST(floor(sqrt(px * px + py * py) / 50000.0) AS BIGINT)
+         AS ring_50km,
+       (abs({lo} - x) < 1e-4 AND abs({la} - y) < 1e-4) AS rt_ok
+FROM proj
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2463,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_modis_tiles": q67_modis_tiles,
         "q68_world_mercator": q68_world_mercator,
         "q69_clip_repeated_spans": q69_clip_repeated_spans,
+        "q70_aeqd_range_rings": q70_aeqd_range_rings,
     }
 
 
@@ -2519,6 +2575,7 @@ def oracle_sql() -> dict[str, str]:
         "q67_modis_tiles": _q67_sql(),
         "q68_world_mercator": _q68_sql(),
         "q69_clip_repeated_spans": _q69_sql(),
+        "q70_aeqd_range_rings": _q70_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -260,6 +260,17 @@ def _cosh(B, v):
     return 0.5 * (B.exp(v) + B.exp(-v))
 
 
+def _acos(B, v):
+    return math.pi / 2.0 - B.asin(v)
+
+
+def _asin_c(B, v):
+    """asin with the argument clamped to [-1, 1]: ulp noise past 1.0
+    otherwise NaNs (asin amplifies error by 1/sqrt near the ends)."""
+    return B.asin(B.where((v, ">", 1.0), 1.0,
+                          B.where((v, "<", -1.0), -1.0, v)))
+
+
 def _atanh(B, v):
     return 0.5 * B.ln((1.0 + v) / (1.0 - v))
 
@@ -620,6 +631,127 @@ def _inv_meridian_arc(B, M, a: float, e2: float):
 def _wrap_dlon(B, lon, lon0):
     dlon = lon - lon0
     return dlon - 360.0 * B.floor((dlon + 180.0) * (1.0 / 360.0))
+
+
+def _aeqd_fwd(B, lon, lat, lat0, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
+    """Azimuthal equidistant forward — three closed-form regimes, all
+    triple-backend (no iteration):
+
+    - sphere (f=0): Snyder 1987 eq. 25-1..25-4 (exact at any distance);
+    - ellipsoidal polar (|lat_0|=90): rho = meridian arc from the pole
+      (Snyder 25-16, exact);
+    - ellipsoidal oblique: EPSG method 9832 "Modified Azimuthal
+      Equidistant" (GN7-2, the Guam/Micronesia grids) — the published
+      closed-form series, accurate to <1 mm within ~800 km of the
+      origin.  NB: proj.4's oblique ellipsoidal aeqd solves TRUE
+      geodesics; the two diverge as distance grows (same documented
+      stance as eqc/moll vs proj's spherical shortcuts).
+
+    The reference reaches aeqd via arbitrary proj.4 strings
+    (reference crs.py:248-306)."""
+    e2 = f * (2.0 - f)
+    dlam = _wrap_dlon(B, lon, lon0) * _D2R
+    phi = lat * _D2R
+    if f == 0.0:  # sphere — Snyder 25-1..25-4
+        p0 = lat0 * _D2R
+        cosc = (math.sin(p0) * B.sin(phi)
+                + math.cos(p0) * B.cos(phi) * B.cos(dlam))
+        cosc = B.where((cosc, ">", 1.0), 1.0,
+                       B.where((cosc, "<", -1.0), -1.0, cosc))
+        sin2 = 1.0 - cosc * cosc
+        sinc = B.sqrt(B.where((sin2, "<", 0.0), 0.0, sin2))
+        sinc_safe = B.where((sinc, "<", 1e-14), 1.0, sinc)
+        # k' = c / sin c (limit 1 at the origin; antipode undefined)
+        kp = B.where((sinc, "<", 1e-14), 1.0, _acos(B, cosc) / sinc_safe)
+        x = fe + a * kp * B.cos(phi) * B.sin(dlam)
+        y = fn + a * kp * (math.cos(p0) * B.sin(phi)
+                           - math.sin(p0) * B.cos(phi) * B.cos(dlam))
+        return x, y
+    if abs(lat0) >= 89.999:  # ellipsoidal polar: meridian-arc radius
+        sgn = 1.0 if lat0 > 0 else -1.0
+        (c0, _, _, _), _, _ = _marc_coeffs(e2)
+        mp = a * c0 * math.pi / 2.0  # arc to the pole (sin terms vanish)
+        rho = mp - sgn * _meridian_arc(B, phi, a, e2)
+        lamp = sgn * dlam
+        return fe + sgn * (rho * B.sin(lamp)), \
+            fn - sgn * (rho * B.cos(lamp))
+    # ellipsoidal oblique — EPSG 9832 Modified Azimuthal Equidistant
+    e = math.sqrt(e2)
+    p0 = lat0 * _D2R
+    nu0 = a / math.sqrt(1.0 - e2 * math.sin(p0) ** 2)
+    nu = a / B.sqrt(1.0 - e2 * B.pow(B.sin(phi), 2))
+    psi = B.atan((1.0 - e2) * B.tan(phi)
+                 + e2 * nu0 * math.sin(p0) / (nu * B.cos(phi)))
+    alpha = B.atan2(B.sin(dlam),
+                    math.cos(p0) * B.tan(psi) - math.sin(p0) * B.cos(dlam))
+    G = e * math.sin(p0) / math.sqrt(1.0 - e2)
+    H = e * math.cos(p0) * B.cos(alpha) / math.sqrt(1.0 - e2)
+    sa = B.sin(alpha)
+    sa_safe = B.where((B.abs(sa), "<", 1e-12), 1.0, sa)
+    sgn_cosa = B.where((B.cos(alpha), "<", 0.0), -1.0, 1.0)
+    s = B.where(
+        (B.abs(sa), "<", 1e-12),
+        _asin_c(B, math.cos(p0) * B.sin(psi)
+                - math.sin(p0) * B.cos(psi)) * sgn_cosa,
+        _asin_c(B, B.sin(dlam) * B.cos(psi) / sa_safe))
+    H2 = H * H
+    c = nu0 * s * (1.0
+                   - (s * s) * H2 * (1.0 - H2) / 6.0
+                   + B.pow(s, 3) / 8.0 * G * H * (1.0 - 2.0 * H2)
+                   + B.pow(s, 4) / 120.0 * (H2 * (4.0 - 7.0 * H2)
+                                            - 3.0 * G * G * (1.0 - 7.0 * H2))
+                   - B.pow(s, 5) / 48.0 * G * H)
+    return fe + c * B.sin(alpha), fn + c * B.cos(alpha)
+
+
+def _aeqd_inv(B, x, y, lat0, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
+    e2 = f * (2.0 - f)
+    xp = x - fe
+    yp = y - fn
+    if f == 0.0:  # sphere — Snyder 25-15
+        p0 = lat0 * _D2R
+        rho = B.sqrt(xp * xp + yp * yp)
+        c = rho / a
+        rho_safe = B.where((rho, "<", 1e-9), 1.0, rho)
+        sinc, cosc = B.sin(c), B.cos(c)
+        phi = _asin_c(B, cosc * math.sin(p0)
+                      + yp * sinc * math.cos(p0) / rho_safe)
+        lam = B.atan2(xp * sinc,
+                      rho * cosc * math.cos(p0) - yp * sinc * math.sin(p0))
+        phi = B.where((rho, "<", 1e-9), p0, phi)
+        lam = B.where((rho, "<", 1e-9), 0.0, lam)
+        return lon0 + lam * _R2D, phi * _R2D
+    if abs(lat0) >= 89.999:  # ellipsoidal polar
+        sgn = 1.0 if lat0 > 0 else -1.0
+        (c0, _, _, _), _, _ = _marc_coeffs(e2)
+        mp = a * c0 * math.pi / 2.0
+        xq, yq = sgn * xp, sgn * yp
+        rho = B.sqrt(xq * xq + yq * yq)
+        # M(phi) = sgn * (mp - rho): north rho = mp - M, south rho = mp + M
+        phi = _inv_meridian_arc(B, sgn * (mp - rho), a, e2)
+        lam = B.atan2(xq, -1.0 * yq)
+        return lon0 + sgn * lam * _R2D, phi * _R2D
+    # ellipsoidal oblique — EPSG 9832 inverse (singularity-free phi form)
+    p0 = lat0 * _D2R
+    nu0 = a / math.sqrt(1.0 - e2 * math.sin(p0) ** 2)
+    cp = B.sqrt(xp * xp + yp * yp)
+    alpha = B.atan2(xp, yp)
+    ca = B.cos(alpha)
+    A = -e2 * math.cos(p0) ** 2 * ca * ca / (1.0 - e2)
+    Bq = 3.0 * e2 * (1.0 - A) * math.sin(p0) * math.cos(p0) * ca \
+        / (1.0 - e2)
+    D = cp / nu0
+    J = D - A * (1.0 + A) * B.pow(D, 3) / 6.0 \
+        - Bq * (1.0 + 3.0 * A) * B.pow(D, 4) / 24.0
+    K = 1.0 - A * J * J / 2.0 - Bq * B.pow(J, 3) / 6.0
+    psi = _asin_c(B, math.sin(p0) * B.cos(J)
+                  + math.cos(p0) * B.sin(J) * ca)
+    lam = _asin_c(B, B.sin(alpha) * B.sin(J) / B.cos(psi))
+    # GN7: phi = atan((1 - e2 K sin(p0)/sin(psi)) tan(psi)/(1-e2));
+    # multiplied through to avoid the 0/0 at psi = 0:
+    phi = B.atan((B.tan(psi) - e2 * K * math.sin(p0) / B.cos(psi))
+                 / (1.0 - e2))
+    return lon0 + lam * _R2D, phi * _R2D
 
 
 def _eqc_fwd(B, lon, lat, lat_ts, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
@@ -1145,6 +1277,25 @@ def lcc(lat1: float, lat2: float | None = None, lat0: float = 0.0,
         "lcc", vals + (float(a), float(f)))
 
 
+def aeqd(lat0: float, lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0,
+         ellps: str | tuple[float, float] = "WGS84") -> CrsDef:
+    """Azimuthal equidistant CRS centered at (lat0, lon0) — range-ring
+    analysis, polar supplements, Pacific-island grids.  Spherical when
+    the ellipsoid is a sphere (Snyder 25, exact); ellipsoidal polar via
+    the meridian arc (Snyder 25-16, exact); ellipsoidal oblique via the
+    EPSG 9832 Modified Azimuthal Equidistant series (Guam/Micronesia
+    grids, mm-accurate near the origin).  The reference reaches aeqd
+    through arbitrary proj.4 strings (reference crs.py:248-306)."""
+    a, f = ellps if isinstance(ellps, tuple) else ellipsoid_params(ellps)
+    vals = tuple(float(v) for v in (lat0, lon0, fe, fn))
+    if (a, f) == (A_WGS84, F_WGS84):
+        tag, tail = "", ()
+    else:
+        tag = f"_{ellps}" if isinstance(ellps, str) else f"_{a:g}"
+        tail = (float(a), float(f))
+    return CrsDef(f"aeqd_{vals[0]:g}_{vals[1]:g}{tag}", "aeqd", vals + tail)
+
+
 # ---------------------------------------------------------------------------
 # geographic datum shift (reference crs.py:355-356: LonLatNAD27/NAD83 carry
 # +datum identifiers that pyproj resolves to geocentric translations).
@@ -1210,6 +1361,8 @@ def _dispatch_fwd(B, crs: CrsDef, lon, lat):
         return _aea_fwd(B, lon, lat, *crs.params)
     if crs.kind == "lcc":
         return _lcc_fwd(B, lon, lat, *crs.params)
+    if crs.kind == "aeqd":
+        return _aeqd_fwd(B, lon, lat, *crs.params)
     if crs.kind == "eqc":
         return _eqc_fwd(B, lon, lat, *crs.params)
     if crs.kind == "sinu":
@@ -1244,6 +1397,8 @@ def _dispatch_inv(B, crs: CrsDef, x, y):
         return _aea_inv(B, x, y, *crs.params)
     if crs.kind == "lcc":
         return _lcc_inv(B, x, y, *crs.params)
+    if crs.kind == "aeqd":
+        return _aeqd_inv(B, x, y, *crs.params)
     if crs.kind == "eqc":
         return _eqc_inv(B, x, y, *crs.params)
     if crs.kind == "sinu":
@@ -1474,6 +1629,11 @@ def from_proj4(s: str) -> CrsDef:
     if proj == "aea":
         return albers(g("lat_1"), g("lat_2"), g("lat_0"), g("lon_0"),
                       g("x_0"), g("y_0"), ellps=ell())
+    if proj == "aeqd":
+        if "guam" in flags:
+            raise ValueError("aeqd +guam variant not supported")
+        params = (g("lat_0"), g("lon_0"), g("x_0"), g("y_0")) + ell_tail()
+        return CrsDef(f"aeqd_{params[0]:g}_{params[1]:g}", "aeqd", params)
     if proj in ("eqc", "eqdc"):
         if proj == "eqdc":
             raise ValueError("equidistant CONIC (eqdc) not supported")
@@ -1601,6 +1761,12 @@ def to_proj4(crs: CrsDef | str) -> str:
                 else _proj4_ellps_frag(c.params, 4))
         return (f"+proj=eqc +lat_ts={lat_ts:g} +lon_0={lon0:g} "
                 f"+x_0={fe:g} +y_0={fn:g} {frag} +units=m +no_defs")
+    if c.kind == "aeqd":
+        lat0, lon0, fe, fn = c.params[:4]
+        frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 4
+                else _proj4_ellps_frag(c.params, 4))
+        return (f"+proj=aeqd +lat_0={lat0!r} +lon_0={lon0!r} "
+                f"+x_0={fe!r} +y_0={fn!r} {frag} +units=m +no_defs")
     if c.kind == "sinu":
         lon0, fe, fn = c.params[:3]
         frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 3
@@ -1767,6 +1933,12 @@ def to_wkt(crs: CrsDef | str) -> str:
         return _wkt_projcs(
             c.name, _wkt_geogcs_for(c.params, 4), "Equirectangular",
             [("standard_parallel_1", lat_ts), ("central_meridian", lon0),
+             ("false_easting", fe), ("false_northing", fn)])
+    if c.kind == "aeqd":
+        lat0, lon0, fe, fn = c.params[:4]
+        return _wkt_projcs(
+            c.name, _wkt_geogcs_for(c.params, 4), "Azimuthal_Equidistant",
+            [("latitude_of_center", lat0), ("longitude_of_center", lon0),
              ("false_easting", fe), ("false_northing", fn)])
     if c.kind == "sinu":
         lon0, fe, fn = c.params[:3]
@@ -2013,6 +2185,12 @@ def from_wkt(s: str) -> CrsDef:
         if params == PLATE_CARREE.params:
             return PLATE_CARREE
         return CrsDef(f"eqc_{params[0]:g}_{params[1]:g}", "eqc", params)
+    if proj == "Azimuthal_Equidistant":
+        af = _wkt_ellipsoid(root)
+        tail = () if af == (A_WGS84, F_WGS84) else af
+        params = (g("latitude_of_center"), g("longitude_of_center"),
+                  g("false_easting"), g("false_northing")) + tail
+        return CrsDef(f"aeqd_{params[0]:g}_{params[1]:g}", "aeqd", params)
     if proj == "Sinusoidal":
         af = _wkt_ellipsoid(root)
         tail = () if af == (A_WGS84, F_WGS84) else af

@@ -262,6 +262,186 @@ class TestTrueMercator:
         assert 20000 < abs(y_sph[0] - y_ell[0]) < 50000
 
 
+class TestAzimuthalEquidistant:
+    """Azimuthal equidistant (kind 'aeqd', round 6).  Three regimes:
+    sphere (Snyder 25, exact any distance), ellipsoidal polar (meridian
+    arc, Snyder 25-16, exact), ellipsoidal oblique (EPSG method 9832
+    Modified Azimuthal Equidistant — the Guam/Micronesia grids).
+    Cross-validated against the repo's independent geodesic kernels:
+    by definition aeqd maps a point to (s*sin(az), s*cos(az)) of the
+    geodesic from the origin."""
+
+    def test_sphere_matches_independent_haversine(self):
+        import numpy as np
+        from karta_spark.functions import crs
+        c = crs.from_proj4("+proj=aeqd +lat_0=40 +lon_0=-100 +R=6371000")
+        lon = np.array([100.0, -80.0, -100.0, 30.0])
+        lat = np.array([-20.0, 45.0, 40.0, -60.0])
+        x, y = crs.forward_np(c, lon, lat)
+        # independent formulas: haversine angular distance + the
+        # standard initial-azimuth formula (different algebra from the
+        # cos-c / k-prime implementation path)
+        p0, l0 = np.radians(40.0), np.radians(-100.0)
+        p, dl = np.radians(lat), np.radians(lon) - l0
+        hav = (np.sin((p - p0) / 2) ** 2
+               + np.cos(p0) * np.cos(p) * np.sin(dl / 2) ** 2)
+        cang = 2 * np.arcsin(np.sqrt(hav))
+        az = np.arctan2(np.sin(dl) * np.cos(p),
+                        np.cos(p0) * np.sin(p)
+                        - np.sin(p0) * np.cos(p) * np.cos(dl))
+        np.testing.assert_allclose(x, 6371000 * cang * np.sin(az),
+                                   atol=1e-6)
+        np.testing.assert_allclose(y, 6371000 * cang * np.cos(az),
+                                   atol=1e-6)
+
+    def test_sphere_snyder_worked_example(self):
+        """Snyder 1987 appendix numeric example: R=3, lat_1=40N,
+        lon_0=100W, point (20S, 100E) -> x=-5.8311398, y=5.5444634."""
+        from karta_spark.functions import crs
+        c = crs.from_proj4("+proj=aeqd +lat_0=40 +lon_0=-100 +R=3")
+        x, y = crs.forward_np(c, [100.0], [-20.0])
+        assert abs(x[0] - (-5.8311398)) < 1e-6
+        assert abs(y[0] - 5.5444634) < 1e-6
+
+    def test_polar_quarter_meridian(self):
+        """North-polar ellipsoidal aeqd: rho at the equator equals the
+        WGS84 quarter meridian 10001965.7293 m (public constant); at
+        lon=0 the point lands due south (x=0, y=-rho)."""
+        from karta_spark.functions import crs
+        c = crs.from_proj4("+proj=aeqd +lat_0=90 +lon_0=0")
+        x, y = crs.forward_np(c, [0.0, 90.0], [0.0, 0.0])
+        assert abs(x[0]) < 1e-6
+        assert abs(y[0] + 10001965.7293) < 1e-3
+        assert abs(x[1] - 10001965.7293) < 1e-3 and abs(y[1]) < 1e-6
+
+    def test_polar_rho_is_meridian_arc_integral(self):
+        import numpy as np
+        from karta_spark.functions import crs
+        c = crs.from_proj4("+proj=aeqd +lat_0=90 +lon_0=0")
+        x, y = crs.forward_np(c, [0.0], [80.0])
+        e2 = crs.E2_WGS84
+        phi = np.linspace(np.radians(80.0), np.pi / 2, 1_000_001)
+        integrand = (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        rho_int = crs.A_WGS84 * np.trapz(integrand, phi)
+        assert abs(np.hypot(x[0], y[0]) - rho_int) < 1e-3
+
+    def test_oblique_matches_karney_geodesic(self):
+        """EPSG 9832 series vs the repo's independent Karney-2013
+        inverse: (E, N) must equal (s*sin(az), s*cos(az)) to mm at
+        Guam-grid distances."""
+        import math
+        from karta_spark.functions import crs
+        from karta_spark.functions.kernels import karney_inverse_scalar
+        c = crs.aeqd(13.5, 144.75)
+        for lon, lat in [(144.9, 13.3), (145.5, 14.1), (143.9, 12.8),
+                         (144.75, 13.5), (146.0, 13.5)]:
+            x, y = crs.forward_np(c, [lon], [lat])
+            az, _, s = karney_inverse_scalar(144.75, 13.5, lon, lat)
+            if (lon, lat) == (144.75, 13.5):
+                assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+                continue
+            # series truncation grows with distance: mm inside the
+            # ~50 km Guam grid, ~1 cm at 100 km, a few cm by 150 km
+            tol = 2e-3 if s < 6e4 else 0.06
+            assert abs(x[0] - s * math.sin(math.radians(az))) < tol
+            assert abs(y[0] - s * math.cos(math.radians(az))) < tol
+
+    def test_guam_1963_yap_golden(self):
+        """EPSG GN7-2 worked example, method 9832 (Guam 1963 / Yap
+        Islands, Clarke 1866): phi=9d35'47.493"N lam=138d11'34.908"E
+        -> E=42665.90 N=65509.82 (FE=40000, FN=60000, origin
+        9d32'48.15"N 138d10'07.48"E)."""
+        from karta_spark.functions import crs
+        c = crs.aeqd(9 + 32 / 60 + 48.15 / 3600,
+                     138 + 10 / 60 + 7.48 / 3600,
+                     40000.0, 60000.0, ellps="clrk66")
+        x, y = crs.forward_np(c, [138 + 11 / 60 + 34.908 / 3600],
+                              [9 + 35 / 60 + 47.493 / 3600])
+        assert abs(x[0] - 42665.90) < 0.05
+        assert abs(y[0] - 65509.82) < 0.05
+        lon, lat = crs.inverse_np(c, x, y)
+        assert abs(lon[0] - (138 + 11 / 60 + 34.908 / 3600)) < 1e-8
+        assert abs(lat[0] - (9 + 35 / 60 + 47.493 / 3600)) < 1e-8
+
+    @pytest.mark.parametrize("proj4", [
+        "+proj=aeqd +lat_0=40 +lon_0=-100 +R=6371000",   # sphere
+        "+proj=aeqd +lat_0=90 +lon_0=-45",               # polar N
+        "+proj=aeqd +lat_0=-90 +lon_0=10",               # polar S
+        "+proj=aeqd +lat_0=13.5 +lon_0=144.75",          # oblique WGS84
+        "+proj=aeqd +lat_0=9.5 +lon_0=138.2 +x_0=40000 "
+        "+y_0=60000 +ellps=clrk66",                      # oblique clrk66
+    ])
+    def test_roundtrip(self, proj4):
+        import numpy as np
+        from karta_spark.functions import crs
+        c = crs.from_proj4(proj4)
+        rng = np.random.default_rng(hash(proj4) % 2**31)
+        lat0 = c.params[0]
+        lon0 = c.params[1]
+        if abs(lat0) >= 89.0:  # polar: stay within ~25 deg of the pole
+            lat = (np.sign(lat0) or 1) * rng.uniform(65, 89.5, 300)
+            lon = rng.uniform(-180, 180, 300)
+        elif len(c.params) > 4 and c.params[5] == 0.0:  # sphere: global
+            lon = lon0 + rng.uniform(-150, 150, 300)
+            lat = rng.uniform(-85, 85, 300)
+        else:  # oblique series: regional validity (~800 km)
+            lon = lon0 + rng.uniform(-4, 4, 300)
+            lat = lat0 + rng.uniform(-4, 4, 300)
+        x, y = crs.forward_np(c, lon, lat)
+        lo, la = crs.inverse_np(c, x, y)
+        dlon = (lo - lon + 180.0) % 360.0 - 180.0
+        assert np.abs(dlon * np.cos(np.radians(lat))).max() < 1e-7
+        assert np.abs(la - lat).max() < 1e-7
+
+    def test_sql_and_column_backends_match_numpy(self, spark):
+        import duckdb
+        import numpy as np
+        from pyspark.sql import functions as F
+        from karta_spark.functions import crs
+        c = crs.aeqd(13.5, 144.75)
+        rng = np.random.default_rng(9)
+        lon = 144.75 + rng.uniform(-3, 3, 48)
+        lat = 13.5 + rng.uniform(-3, 3, 48)
+        X, Y = crs.forward_np(c, lon, lat)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE pts AS SELECT i, CAST(lon AS DOUBLE) AS lon, "
+            "CAST(lat AS DOUBLE) AS lat FROM (VALUES "
+            + ",".join(f"({i}, {lon[i]!r}, {lat[i]!r})" for i in range(48))
+            + ") t(i, lon, lat)")
+        xs, ys = crs.forward_sql(c, "lon", "lat")
+        for i, x, y in con.execute(
+                f"SELECT i, {xs} AS x, {ys} AS y FROM pts "
+                "ORDER BY i").fetchall():
+            assert abs(x - X[i]) < 1e-6 and abs(y - Y[i]) < 1e-6
+        df = spark.createDataFrame(
+            [(i, float(lon[i]), float(lat[i])) for i in range(48)],
+            "i long, lon double, lat double")
+        fx, fy = crs.forward_exprs(c, F.col("lon"), F.col("lat"))
+        for k, r in enumerate(
+                df.select("i", fx.alias("x"), fy.alias("y"))
+                .orderBy("i").collect()):
+            assert abs(r["x"] - X[k]) < 1e-6 and abs(r["y"] - Y[k]) < 1e-6
+
+    def test_interchange_roundtrips(self):
+        from karta_spark.functions import crs
+        cases = [
+            crs.aeqd(13.5, 144.75),
+            crs.aeqd(9.5, 138.2, 40000.0, 60000.0, ellps="clrk66"),
+            crs.from_proj4("+proj=aeqd +lat_0=90 +lon_0=-45"),
+            crs.from_proj4("+proj=aeqd +lat_0=40 +lon_0=-100 +R=6371000"),
+        ]
+        for c in cases:
+            for rt in (crs.from_proj4(crs.to_proj4(c)),
+                       crs.from_wkt(crs.to_wkt(c))):
+                assert rt.kind == "aeqd" and rt.params == c.params, c.name
+
+    def test_guam_variant_rejected(self):
+        from karta_spark.functions import crs
+        with pytest.raises(ValueError, match="guam"):
+            crs.from_proj4("+proj=aeqd +lat_0=13.5 +lon_0=144.75 +guam")
+
+
 class TestClipRepeatedSpans:
     """clip_repeated_spans (round 6): documents with cross-document
     repeated spans physically removed — the clip step of exact-substring
