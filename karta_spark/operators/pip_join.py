@@ -575,9 +575,10 @@ def contains_flags(
         return points.withColumn(flag, refine(F.col(lon), F.col(lat)))
 
     # hard-filter the bbox slice before the Arrow kernel: Spark evaluates a
-    # pandas UDF inside F.when() on EVERY row regardless of the branch, so
-    # the when() form would defeat the bbox gate entirely (CLAUDE.md rule);
-    # union the complement back with a constant False flag instead
+    # pandas UDF inside F.when() on EVERY row regardless of the branch
+    # (conditional evaluation is not short-circuited for Python UDFs), so
+    # the when() form would defeat the bbox gate entirely; union the
+    # complement back with a constant False flag instead
     inside = points.where(in_bbox).withColumn(
         flag, refine(F.col(lon), F.col(lat)))
     outside = points.where(~in_bbox).withColumn(flag, F.lit(False))

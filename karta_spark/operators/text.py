@@ -665,7 +665,13 @@ def repeated_spans(df: DataFrame, text_col: str = "text",
     xxhash64(gram), 8-byte shuffle keys; pass ``hashed=False`` to join
     raw grams so a DuckDB oracle can run the textually identical plan
     (engine hash functions differ; results are identical either way
-    modulo 64-bit hash collisions)."""
+    modulo 64-bit hash collisions).
+
+    100 TB note: gram extraction emits O(text length) rows per document —
+    inherent to exact-substring dedup in the gram formulation (map-side,
+    never all-pairs).  At corpus scale run with ``hashed=True`` (default)
+    and feed a length-capped corpus slice per job rather than the whole
+    corpus in one application."""
     from pyspark.sql import Window
 
     flagged = _flagged_positions(df, text_col, id_col, L, min_docs, hashed)

@@ -65,8 +65,13 @@ def grid_to_df(
 
 
 def df_to_grid(df: DataFrame, grid_id: str | None = None, band: int = 0):
-    """Collect a (small) tile table back to (values, transform, nodata) —
-    test/driver utility, not a scale path."""
+    """Collect a (small) tile table back to (values, transform, nodata).
+
+    WARNING: driver-side, small grids only — this materializes the FULL
+    grid on the driver via toPandas.  It is a test/driver utility for
+    grids that fit in driver memory; never route a continental mosaic or
+    anything tile-parallel through it.  The scale paths are the tile-table
+    operators (stencils, algebra, mask, sampling), which stay distributed."""
     sel = df.where(F.col("band") == band)
     if grid_id is not None:
         sel = sel.where(F.col("grid_id") == grid_id)
@@ -263,6 +268,22 @@ def resize(df: DataFrame, bboxnew, grid_id: str = "resized",
                         "value"))
     return tiles_from_cells(cells_df, t_new, (nynew, nxnew),
                             grid_id=grid_id, tile=tile)
+
+
+def get_nodata_default(T) -> float:
+    """Default NODATA sentinel for a numeric dtype (reference
+    grid.py:1233-1257 `get_nodata` semantics): unsigned integer types get
+    their largest representable value, signed integer types their most
+    negative, float and complex types NaN; anything else raises
+    ValueError."""
+    dt = np.dtype(T)
+    if dt.kind == "u":
+        return int(np.iinfo(dt).max)
+    if dt.kind == "i":
+        return int(np.iinfo(dt).min)
+    if dt.kind in ("f", "c"):
+        return float("nan")
+    raise ValueError(f"No default NODATA value for type {T}")
 
 
 def set_nodata_value(df: DataFrame, val: float) -> DataFrame:

@@ -46,9 +46,24 @@ _DTYPES = {
     # 12-bit unsigned (JPEG-compressed aerial/medical TIFFs): samples
     # decode into the low 12 bits of a uint16
     (12, 1): np.uint16,
+    # 64-bit integers (GDAL >= 3.5 Int64/UInt64 rasters)
+    (64, 1): np.uint64, (64, 2): np.int64,
+    # complex rasters (SAR interferometry).  SampleFormat 5 is complex
+    # INT (CInt16/CInt32 int pairs) — surfaced as complex64, matching the
+    # reference's GDAL dtype map (reference _gdal.py:75-76 maps CInt16
+    # and CInt32 both to complex64); SampleFormat 6 is complex IEEE
+    # float (CFloat32 -> complex64; CFloat64 -> complex128, wider than
+    # the reference's complex64 narrowing at _gdal.py:78).
+    (32, 5): np.complex64, (64, 5): np.complex64,
+    (64, 6): np.complex64, (128, 6): np.complex128,
+    # bilevel (scanned documents, CCITT fax compressions 2/3/4)
+    (1, 1): np.uint8,
 }
 
 COMPRESSION_NONE = 1
+COMPRESSION_CCITT_RLE = 2   # T.4 1D Modified Huffman, byte-aligned rows
+COMPRESSION_CCITT_G3 = 3    # Group 3 (T.4), EOL-delimited rows
+COMPRESSION_CCITT_G4 = 4    # Group 4 (T.6), pure 2D
 COMPRESSION_LZW = 5
 COMPRESSION_OJPEG = 6  # old-style JPEG-in-TIFF (TIFF 6.0 §22, deprecated)
 COMPRESSION_JPEG = 7  # new-style JPEG-in-TIFF (TTN2)
@@ -269,8 +284,12 @@ def _build_tiff_section(arr: np.ndarray, x0: float, y_top: float,
 
     bits = arr.dtype.itemsize * 8
     fmt = {np.dtype(np.uint8): 1, np.dtype(np.uint16): 1, np.dtype(np.uint32): 1,
-           np.dtype(np.int16): 2, np.dtype(np.int32): 2,
-           np.dtype(np.float32): 3, np.dtype(np.float64): 3}[arr.dtype]
+           np.dtype(np.uint64): 1,
+           np.dtype(np.int16): 2, np.dtype(np.int32): 2, np.dtype(np.int64): 2,
+           np.dtype(np.float32): 3, np.dtype(np.float64): 3,
+           # complex written as IEEE pairs (SampleFormat 6), the form
+           # GDAL emits for CFloat32/CFloat64
+           np.dtype(np.complex64): 6, np.dtype(np.complex128): 6}[arr.dtype]
 
     def val_long(v):
         return struct.pack("<I", v)
@@ -378,13 +397,28 @@ def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64,
     arr = np.asarray(values, dtype=dtype)[::-1]  # LL-row-first -> top-down
     y_top = y0 + ny * dy
     nodata_tag = None if (nodata is None or np.isnan(nodata)) else float(nodata)
+    write_geotiff_array(path, arr, x0, y_top, dx, dy, compress=compress,
+                        tiled=tiled, overviews=overviews, nodata=nodata_tag)
 
+
+def write_geotiff_array(path: str, arr: np.ndarray, x0: float, y_top: float,
+                        dx: float, dy: float, compress: str | None = None,
+                        tiled: int | None = None,
+                        overviews: list[int] | None = None,
+                        nodata: float | None = None):
+    """Array-level GeoTIFF writer: *arr* is TOP-DOWN, any dtype in the
+    codec map — including int64/uint64 and complex64/complex128 (written
+    as SampleFormat 6 IEEE pairs), which the float64 tile-table path
+    cannot carry.  ``write_geotiff`` delegates here after assembling the
+    grid from its tile table."""
+    nodata_tag = nodata
+    acc = np.complex128 if np.iscomplexobj(arr) else np.float64
     levels = [(arr, dx, dy)]
     for fct in overviews or []:
         if fct < 2:
             raise ValueError("overview factors must be >= 2")
-        ov = _box_downsample(arr.astype(np.float64), fct, fct)
-        levels.append((ov.astype(dtype), dx * fct, dy * fct))
+        ov = _box_downsample(arr.astype(acc), fct, fct)
+        levels.append((ov.astype(arr.dtype), dx * fct, dy * fct))
 
     sections = []
     base = 8
@@ -402,6 +436,96 @@ def write_geotiff(path: str, tiles: DataFrame, dtype=np.float64,
         f.write(b"II*\x00" + struct.pack("<I", 8))
         for s in sections:
             f.write(s)
+
+
+def write_bilevel_geotiff(path: str, bitmap: np.ndarray, x0: float,
+                          y_top: float, dx: float, dy: float,
+                          compress: str = "g4",
+                          rows_per_strip: int | None = None,
+                          photometric: int = 0):
+    """Write a 1-bit scanned-document-style GeoTIFF.  *bitmap* is a
+    TOP-DOWN uint8/bool is-black array (1 = black ink).  ``compress``:
+    'g4' (CCITT T.6, compression 4 — the archive standard), 'rle'
+    (compression 2), or None (packed bits).  *photometric* 0 stores
+    black as 1 (WhiteIsZero, the fax convention every scanner emits);
+    1 flips it.  Strip-organized so the lazy-window reader can skip
+    strips."""
+    from karta_spark.sources import ccitt
+    bm = (np.asarray(bitmap) != 0).astype(np.uint8)
+    ny, nx = bm.shape
+    rps = rows_per_strip or ny
+    chunks = []
+    for r0 in range(0, ny, rps):
+        rows = bm[r0:r0 + rps]
+        if compress == "g4":
+            comp_code, data = COMPRESSION_CCITT_G4, ccitt.encode_g4(rows)
+        elif compress == "rle":
+            comp_code, data = COMPRESSION_CCITT_RLE, ccitt.encode_mh_rle(rows)
+        elif compress is None:
+            comp_code = COMPRESSION_NONE
+            data = np.packbits(rows, axis=1).tobytes()
+        else:
+            raise ValueError(f"bilevel compress must be g4/rle/None, "
+                             f"got {compress!r}")
+        # stored bits follow photometric: 0 -> black=1 (as encoded)
+        if compress is None and photometric == 1:
+            data = np.packbits(1 - rows, axis=1).tobytes()
+        chunks.append(data)
+
+    def val_long(v):
+        return struct.pack("<I", v)
+
+    def val_short(v):
+        return struct.pack("<HH", v, 0)
+
+    nchunks = len(chunks)
+    n_entries = 12  # 10 fixed tags + strip offsets/counts
+    ifd_size = 2 + n_entries * 12 + 4
+    ext_off = 8 + ifd_size
+    scale_bytes = struct.pack("<3d", dx, dy, 0.0)
+    tie_bytes = struct.pack("<6d", 0.0, 0.0, 0.0, x0, y_top, 0.0)
+    scale_off, tie_off = ext_off, ext_off + len(scale_bytes)
+    arrays_off = tie_off + len(tie_bytes)
+    if nchunks > 1:
+        offsets_off = arrays_off
+        counts_off = offsets_off + 4 * nchunks
+        data_off = counts_off + 4 * nchunks
+    else:
+        offsets_off = counts_off = 0
+        data_off = arrays_off
+    chunk_offsets, pos = [], data_off
+    for c in chunks:
+        chunk_offsets.append(pos)
+        pos += len(c)
+    if nchunks == 1:
+        chunk_entries = [_entry(273, 4, 1, val_long(chunk_offsets[0])),
+                         _entry(279, 4, 1, val_long(len(chunks[0])))]
+    else:
+        chunk_entries = [_entry(273, 4, nchunks, val_long(offsets_off)),
+                         _entry(279, 4, nchunks, val_long(counts_off))]
+    entries = sorted([
+        _entry(256, 4, 1, val_long(nx)),
+        _entry(257, 4, 1, val_long(ny)),
+        _entry(258, 3, 1, val_short(1)),              # BitsPerSample = 1
+        _entry(259, 3, 1, val_short(comp_code)),
+        _entry(262, 3, 1, val_short(photometric)),
+        _entry(277, 3, 1, val_short(1)),
+        _entry(278, 4, 1, val_long(rps)),
+        _entry(339, 3, 1, val_short(1)),
+        _entry(33550, 12, 3, val_long(scale_off)),
+        _entry(33922, 12, 6, val_long(tie_off)),
+    ] + chunk_entries, key=lambda e: struct.unpack_from("<H", e)[0])
+    assert len(entries) == n_entries
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", 8))
+        f.write(struct.pack("<H", n_entries) + b"".join(entries))
+        f.write(struct.pack("<I", 0))
+        f.write(scale_bytes + tie_bytes)
+        if nchunks > 1:
+            f.write(struct.pack(f"<{nchunks}I", *chunk_offsets))
+            f.write(struct.pack(f"<{nchunks}I", *[len(c) for c in chunks]))
+        for c in chunks:
+            f.write(c)
 
 
 class TiffMeta:
@@ -531,7 +655,7 @@ class TiffMeta:
         self.nx = tag_ints(256)[0]
         self.ny = tag_ints(257)[0]
         self.spp = tag_ints(277, default=[1])[0]
-        bits_l = tag_ints(258)
+        bits_l = tag_ints(258, default=[1])  # TIFF default: bilevel
         if len(set(bits_l)) != 1:
             raise NotImplementedError("per-band BitsPerSample must be uniform")
         self.comp = tag_ints(259, default=[1])[0]
@@ -543,7 +667,14 @@ class TiffMeta:
         self.planar = planar
         self.predictor = tag_ints(317, default=[1])[0]
         fmt = tag_ints(339, default=[1])[0]
+        self.bits = bits_l[0]
+        # T4Options (tag 292) bit 0 selects 2D coding for compression 3
+        self.t4_options = tag_ints(292, default=[0])[0]
         self.dtype = np.dtype(_DTYPES[(bits_l[0], fmt)])
+        # SampleFormat 5 (complex int): file bytes are (re, im) int16 or
+        # int32 pairs; surfaced as complex64 per the reference dtype map
+        self._cint = (np.dtype(np.int16 if bits_l[0] == 32 else np.int32)
+                      if fmt == 5 else None)
         self.tiled = 322 in tags
         if self.tiled:  # tile-organized (TIFF §15: tags 322-325)
             self.tw = tag_ints(322)[0]
@@ -565,8 +696,15 @@ class TiffMeta:
             raise ValueError(
                 f"chunk count mismatch: {len(self.offsets)} offsets for "
                 f"{want_chunks} expected (multi-IFD chunk layout?)")
-        dxs = tag_doubles(33550)
-        tie = tag_doubles(33922)
+        # plain (non-geo) TIFFs — e.g. scanned documents — carry no
+        # ModelPixelScale/Tiepoint: default to a unit pixel grid with
+        # the top-left corner at (0, ny) so y0 lands at 0
+        if 33550 in tags:
+            dxs = tag_doubles(33550)
+            tie = tag_doubles(33922)
+        else:
+            dxs = [1.0, 1.0]
+            tie = [0.0, 0.0, 0.0, 0.0, float(self.ny), 0.0]
         self.dx, self.dy = dxs[0], dxs[1]
         self.x0 = tie[3]
         y_top = tie[4]
@@ -585,6 +723,34 @@ class TiffMeta:
             return lzw_decode(raw, expected)
         raise NotImplementedError(f"TIFF compression {comp} not supported "
                                   "(none/deflate/lzw/packbits are)")
+
+    def _decode_bilevel_chunk(self, raw, rows, cols, nch):
+        """Bilevel (1-bit) chunk: CCITT fax compressions 2/3/4 (scanned-
+        document archives; the reference reads them via GDAL/libtiff,
+        _gdal.py:114-188) or packed rows under any byte codec.  CCITT
+        decodes to is-black bits (T.4 colour convention) which map to
+        sample values via PhotometricInterpretation: photometric 0
+        (WhiteIsZero) stores black as 1, photometric 1 (BlackIsZero)
+        as 0.  Packed-bit rows are surfaced as stored."""
+        from karta_spark.sources import ccitt
+        if nch != 1:
+            raise NotImplementedError("bilevel TIFF needs SamplesPerPixel=1")
+        if self.comp == COMPRESSION_CCITT_G4:
+            black = ccitt.decode_g4(raw, cols, rows)
+        elif self.comp == COMPRESSION_CCITT_G3:
+            black = ccitt.decode_g3(raw, cols, rows,
+                                    two_d=bool(self.t4_options & 1))
+        elif self.comp == COMPRESSION_CCITT_RLE:
+            black = ccitt.decode_mh_rle(raw, cols, rows)
+        else:
+            rb = (cols + 7) // 8  # packed MSB-first, rows byte-aligned
+            data = self._decompress(raw, rows * rb)
+            bits = np.unpackbits(
+                np.frombuffer(data[:rows * rb], dtype=np.uint8)
+                .reshape(rows, rb), axis=1)[:, :cols]
+            return bits.reshape(rows, cols, 1)
+        sample = black if self.photometric == 0 else (1 ^ black)
+        return sample.reshape(rows, cols, 1)
 
     def _undo_predictor(self, chunk):
         if self.predictor == 2:
@@ -611,6 +777,15 @@ class TiffMeta:
             return self._decode_jpeg_chunk(raw, rows, cols, nch)
         if self.comp == COMPRESSION_OJPEG:
             return self._decode_ojpeg_chunk(f, raw, rows, cols, nch, k)
+        if self.bits == 1:
+            return self._decode_bilevel_chunk(raw, rows, cols, nch)
+        if self._cint is not None:  # complex-int pairs (SampleFormat 5)
+            expected = rows * cols * nch * 2 * self._cint.itemsize
+            data = self._decompress(raw, expected)
+            pairs = np.frombuffer(data[:expected],
+                                  dtype=self.endian + self._cint.str[1:])
+            pairs = pairs.reshape(rows, cols, nch, 2).astype(np.float32)
+            return (pairs[..., 0] + 1j * pairs[..., 1]).astype(self.dtype)
         expected = rows * cols * nch * self.dtype.itemsize
         data = self._decompress(raw, expected)
         chunk = np.frombuffer(data[:expected],
