@@ -2447,6 +2447,118 @@ FROM proj
 """
 
 
+def q72_etrs89_laea_grid(spark, sf_dir):
+    """ETRS89-LAEA Europe (EPSG:3035) INSPIRE-grid assignment (round 6):
+    customers inside the European window projected through the oblique-
+    aspect ellipsoidal LAEA (EPSG method 9820, lat_0=52 lon_0=10 on
+    GRS80 — the EU statistical grid CRS the registry rejected until
+    this round), assigned to their 100 km INSPIRE grid cell, plus an
+    inverse roundtrip as a boolean tolerance.  The reference reaches
+    oblique laea through arbitrary proj.4 strings (reference
+    crs.py:248-306); here it is native triple-backend column math, so
+    the DuckDB twin runs the textually identical algebra.  Validated
+    externally against the EPSG Guidance Note 7-2 worked example
+    (tests/test_round6_fixes.py::TestObliqueLaea)."""
+    from karta_spark.functions import crs as kcrs
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    z = c.where((F.col("x") > -10.0) & (F.col("x") < 40.0)
+                & (F.col("y") > 35.0) & (F.col("y") < 70.0))
+    ex, ny = kcrs.forward_exprs(kcrs.ETRS89_LAEA, F.col("x"), F.col("y"))
+    z = z.withColumn("px", ex).withColumn("py", ny)
+    lon2, lat2 = kcrs.inverse_exprs(kcrs.ETRS89_LAEA,
+                                    F.col("px"), F.col("py"))
+    rt_ok = (F.abs(lon2 - F.col("x")) < 1e-6) & \
+        (F.abs(lat2 - F.col("y")) < 1e-6)
+    return z.select(
+        "c_custkey",
+        F.round(F.col("px"), 2).alias("e3035"),
+        F.round(F.col("py"), 2).alias("n3035"),
+        F.floor(F.col("px") / 100000.0).cast("long").alias("cell_e"),
+        F.floor(F.col("py") / 100000.0).cast("long").alias("cell_n"),
+        rt_ok.alias("rt_ok"))
+
+
+def _q72_sql():
+    from karta_spark.functions import crs as kcrs
+    xs, ys = kcrs.forward_sql(kcrs.ETRS89_LAEA, "x", "y")
+    lo, la = kcrs.inverse_sql(kcrs.ETRS89_LAEA, "px", "py")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y
+  FROM customer
+), zone AS (
+  SELECT * FROM pts
+  WHERE x > -10.0 AND x < 40.0 AND y > 35.0 AND y < 70.0
+), proj AS (
+  SELECT c_custkey, x, y, {xs} AS px, {ys} AS py FROM zone
+)
+SELECT c_custkey, round(px, 2) AS e3035, round(py, 2) AS n3035,
+       CAST(floor(px / 100000.0) AS BIGINT) AS cell_e,
+       CAST(floor(py / 100000.0) AS BIGINT) AS cell_n,
+       (abs({lo} - x) < 1e-6 AND abs({la} - y) < 1e-6) AS rt_ok
+FROM proj
+"""
+
+
+def q71_g4_document_census(spark, sf_dir):
+    """CCITT Group 4 scanned-document census (round 6): synthesize a
+    closed-form bilevel "page" (integer texture stressing pass /
+    vertical / horizontal T.6 modes), write it as a strip-organized
+    compression-4 GeoTIFF with the from-scratch T.6 encoder
+    (sources/ccitt.py), re-read it through the DISTRIBUTED lazy scan
+    (driver parses only the IFD; executors seek per-strip byte ranges
+    and run the T.6 decoder — the path scanned-document archives take
+    at corpus scale; the reference reads them via GDAL/libtiff,
+    _gdal.py:114-188), then census ink per 16-row band, verifying
+    EVERY pixel against the regenerated formula.
+
+    Value-oracle-exact: G4 is lossless and the content is an integer
+    closed form, so DuckDB regenerates each cell; any T.6 table/mode
+    bug, strip-seek slip, or photometric inversion moves n_black or
+    n_match and fails the hash gate.  The codec is additionally pinned
+    bit-exact against JDK-ImageIO-encoded fixtures
+    (tests/test_ccitt.py::TestJdkOracle)."""
+    import os
+    import tempfile
+    from karta_spark.raster.tiles import tile_cells
+    from karta_spark.sources import geotiff
+    ny, nx = 160, 200
+    ii, jj = np.mgrid[0:ny, 0:nx]
+    ill = ny - 1 - ii  # bitmap is top-down; cell_i is the LL row index
+    black = ((((ill // 7) + (jj // 13)) % 2 == 0)
+             & ((31 * ill + 17 * jj) % 5 != 0)).astype(np.uint8)
+    path = os.path.join(tempfile.gettempdir(), "karta_q71_g4.tif")
+    geotiff.write_bilevel_geotiff(path, black, 0.0, float(ny), 1.0, 1.0,
+                                  compress="g4", rows_per_strip=16)
+    cells = tile_cells(
+        geotiff.read_geotiff_distributed(spark, path, tile=64))
+    i, j = F.col("cell_i"), F.col("cell_j")
+    want = (((F.floor(i / 7) + F.floor(j / 13)) % 2 == 0)
+            & ((i * 31 + j * 17) % 5 != 0)).cast("long")
+    v = F.col("value").cast("long")
+    return (cells
+            .groupBy(F.floor(i / 16).cast("long").alias("band16"))
+            .agg(F.count("*").cast("long").alias("n_cells"),
+                 F.sum(v).alias("n_black"),
+                 F.sum((v == want).cast("long")).alias("n_match")))
+
+
+Q71_SQL = """
+WITH g AS (
+  SELECT i, j,
+         CASE WHEN ((i // 7 + j // 13) % 2 = 0)
+                   AND ((31 * i + 17 * j) % 5 <> 0)
+              THEN 1 ELSE 0 END AS v
+  FROM range(160) t(i), range(200) s(j)
+)
+SELECT CAST(i // 16 AS BIGINT) AS band16,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(v) AS BIGINT) AS n_black,
+       CAST(count(*) AS BIGINT) AS n_match
+FROM g GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2519,6 +2631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_world_mercator": q68_world_mercator,
         "q69_clip_repeated_spans": q69_clip_repeated_spans,
         "q70_aeqd_range_rings": q70_aeqd_range_rings,
+        "q71_g4_document_census": q71_g4_document_census,
+        "q72_etrs89_laea_grid": q72_etrs89_laea_grid,
     }
 
 
@@ -2576,6 +2690,8 @@ def oracle_sql() -> dict[str, str]:
         "q68_world_mercator": _q68_sql(),
         "q69_clip_repeated_spans": _q69_sql(),
         "q70_aeqd_range_rings": _q70_sql(),
+        "q71_g4_document_census": Q71_SQL,
+        "q72_etrs89_laea_grid": _q72_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -387,6 +387,12 @@ LAEA_WGS84 = CrsDef("laea", "laea", (0.0,))
 # the modern NSIDC sea-ice grids; reference reaches them via proj.4)
 EASE2_NORTH = CrsDef("ease2_north", "laea_polar", (1.0, 0.0, 0.0, 0.0))
 EASE2_SOUTH = CrsDef("ease2_south", "laea_polar", (-1.0, 0.0, 0.0, 0.0))
+# ETRS89-extended / LAEA Europe (EPSG:3035, method 9820): the EU
+# INSPIRE statistical grid — oblique aspect (lat_0=52, lon_0=10) on
+# GRS80, FE=4321000 FN=3210000
+ETRS89_LAEA = CrsDef("etrs89_laea", "laea_oblique",
+                     (52.0, 10.0, 4321000.0, 3210000.0,
+                      6378137.0, 1.0 / 298.257222101))
 # MODIS sinusoidal grid sphere (+proj=sinu +R=6371007.181 +lon_0=0)
 MODIS_SINU = CrsDef("modis_sinu", "sinu",
                     (0.0, 0.0, 0.0, 6371007.181, 0.0))
@@ -1143,6 +1149,70 @@ def _laea_polar_inv(B, x, y, sgn, lon0, fe=0.0, fn=0.0,
     return sgn * (lon0 + lam * _R2D), sgn * (phi * _R2D)
 
 
+def _laea_obl_consts(lat0, a, f):
+    """Driver-side constants for the oblique LAEA aspect (EPSG 9820):
+    authalic latitude of the origin and the D shape factor."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    qp, rq = _qp_rq(a, f)
+    phi0 = lat0 * _D2R
+    s0 = math.sin(phi0)
+    q0 = (1.0 - e2) * (s0 / (1.0 - e2 * s0 * s0)
+                       - (1.0 / (2.0 * e))
+                       * math.log((1.0 - e * s0) / (1.0 + e * s0)))
+    beta0 = math.asin(min(max(q0 / qp, -1.0), 1.0))
+    m0 = math.cos(phi0) / math.sqrt(1.0 - e2 * s0 * s0)
+    D = a * m0 / (rq * math.cos(beta0))
+    return e, e2, qp, rq, math.sin(beta0), math.cos(beta0), D
+
+
+def _laea_obl_fwd(B, lon, lat, lat0, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
+    """General oblique-aspect ellipsoidal LAEA (EPSG method 9820 /
+    Snyder 24-15..24-21) — the aspect behind ETRS89-LAEA Europe
+    (EPSG:3035, lat_0=52) and the continental equal-area grids.  The
+    equatorial arm keeps its specialized closed form and this one
+    reduces to it bit-exactly at lat_0 = 0 (pinned by tests).  Within
+    ~1e-4 deg of the poles the oblique form is numerically degenerate
+    (1 - q0/qp falls below double epsilon, destroying cos(beta0)) —
+    which is why |lat_0| = 90 routes to the dedicated polar arm in
+    from_proj4/from_wkt.  The reference reaches oblique laea through
+    arbitrary proj.4 strings (reference crs.py:248-306)."""
+    e, e2, qp, rq, sinb0, cosb0, D = _laea_obl_consts(lat0, a, f)
+    lam = (lon - lon0) * _D2R
+    phi = lat * _D2R
+    q = _authalic_q(B, phi, e, e2)
+    sinb = q / qp
+    cosb = B.sqrt(1.0 - sinb * sinb)
+    cosl = B.cos(lam)
+    denom = 1.0 + sinb0 * sinb + cosb0 * (cosb * cosl)
+    Bc = rq * B.sqrt(2.0 / denom)
+    x = fe + (Bc * D) * (cosb * B.sin(lam))
+    y = fn + (Bc / D) * (cosb0 * sinb - sinb0 * (cosb * cosl))
+    return x, y
+
+
+def _laea_obl_inv(B, x, y, lat0, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
+    _, e2, qp, rq, sinb0, cosb0, D = _laea_obl_consts(lat0, a, f)
+    xd = (x - fe) / D
+    yd = (y - fn) * D
+    rho = B.sqrt(xd * xd + yd * yd)
+    safe_rho = B.where((rho, "<", 1e-12), 1e-12, rho)
+    ratio = safe_rho / (2.0 * rq)
+    ratio = B.where((ratio, ">", 1.0), 1.0, ratio)
+    ce = 2.0 * B.asin(ratio)
+    sin_ce = B.sin(ce)
+    cos_ce = B.cos(ce)
+    sinb = B.where((rho, "<", 1e-12), sinb0,
+                   cos_ce * sinb0 + (yd * sin_ce * cosb0) / safe_rho)
+    sinb = B.where((sinb, ">", 1.0), 1.0, sinb)
+    sinb = B.where((sinb, "<", -1.0), -1.0, sinb)
+    beta = B.asin(sinb)
+    phi = _authalic_to_geographic(B, beta, e2)
+    lam = B.atan2(xd * sin_ce,
+                  safe_rho * cosb0 * cos_ce - yd * sinb0 * sin_ce)
+    return lon0 + lam * _R2D, phi * _R2D
+
+
 def _cea_fwd(B, lon, lat, lat_ts, a=A_WGS84, f=F_WGS84,
              lon0=0.0, fe=0.0, fn=0.0):
     """Cylindrical equal-area, ellipsoidal (Snyder 10-1/10-2)."""
@@ -1296,6 +1366,29 @@ def aeqd(lat0: float, lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0,
     return CrsDef(f"aeqd_{vals[0]:g}_{vals[1]:g}{tag}", "aeqd", vals + tail)
 
 
+def laea_oblique(lat0: float, lon0: float = 0.0, fe: float = 0.0,
+                 fn: float = 0.0,
+                 ellps: str | tuple[float, float] = "WGS84") -> CrsDef:
+    """Oblique-aspect ellipsoidal Lambert azimuthal equal-area centered
+    at (lat0, lon0) — EPSG method 9820; ETRS89-LAEA Europe (EPSG:3035)
+    is the canonical instance (use the ETRS89_LAEA named CRS).  The
+    equatorial (lat0=0) and polar (lat0=+-90) aspects have specialized
+    kinds; this factory covers any origin latitude.  The reference
+    reaches oblique laea via proj.4 (reference crs.py:248-306)."""
+    a, f = ellps if isinstance(ellps, tuple) else ellipsoid_params(ellps)
+    vals = tuple(float(v) for v in (lat0, lon0, fe, fn))
+    if (a, f) == (A_WGS84, F_WGS84):
+        tag, tail = "", ()
+    else:
+        tag = f"_{ellps}" if isinstance(ellps, str) else f"_{a:g}"
+        tail = (float(a), float(f))
+    params = vals + tail
+    if params == ETRS89_LAEA.params:
+        return ETRS89_LAEA
+    return CrsDef(f"laea_obl_{vals[0]:g}_{vals[1]:g}{tag}",
+                  "laea_oblique", params)
+
+
 # ---------------------------------------------------------------------------
 # geographic datum shift (reference crs.py:355-356: LonLatNAD27/NAD83 carry
 # +datum identifiers that pyproj resolves to geocentric translations).
@@ -1355,6 +1448,8 @@ def _dispatch_fwd(B, crs: CrsDef, lon, lat):
         return _laea_fwd(B, lon, lat, *crs.params)
     if crs.kind == "laea_polar":
         return _laea_polar_fwd(B, lon, lat, *crs.params)
+    if crs.kind == "laea_oblique":
+        return _laea_obl_fwd(B, lon, lat, *crs.params)
     if crs.kind == "cea":
         return _cea_fwd(B, lon, lat, *crs.params)
     if crs.kind == "aea":
@@ -1391,6 +1486,8 @@ def _dispatch_inv(B, crs: CrsDef, x, y):
         return _laea_inv(B, x, y, *crs.params)
     if crs.kind == "laea_polar":
         return _laea_polar_inv(B, x, y, *crs.params)
+    if crs.kind == "laea_oblique":
+        return _laea_obl_inv(B, x, y, *crs.params)
     if crs.kind == "cea":
         return _cea_inv(B, x, y, *crs.params)
     if crs.kind == "aea":
@@ -1602,9 +1699,11 @@ def from_proj4(s: str) -> CrsDef:
             return CrsDef(f"laea_polar_{lat0:g}_{lon0:g}", "laea_polar",
                           params)
         if lat0 != 0.0:
-            raise ValueError(
-                f"oblique laea (lat_0={lat0}) not supported "
-                "(equatorial and polar aspects are)")
+            params = (lat0, lon0, g("x_0"), g("y_0")) + tail
+            if params == ETRS89_LAEA.params:
+                return ETRS89_LAEA
+            return CrsDef(f"laea_obl_{lat0:g}_{lon0:g}", "laea_oblique",
+                          params)
         fe, fn = g("x_0"), g("y_0")
         if fe or fn:
             # fe/fn ride a full 5-tuple so the params length stays
@@ -1741,6 +1840,12 @@ def to_proj4(crs: CrsDef | str) -> str:
                 else _proj4_ellps_frag(c.params, 4))
         return (f"+proj=laea +lat_0={int(sgn * 90)} +lon_0={lon0:g} "
                 f"+x_0={fe:g} +y_0={fn:g} {frag} +units=m +no_defs")
+    if c.kind == "laea_oblique":
+        lat0, lon0, fe, fn = c.params[:4]
+        frag = ("+ellps=WGS84 +datum=WGS84" if len(c.params) == 4
+                else _proj4_ellps_frag(c.params, 4))
+        return (f"+proj=laea +lat_0={lat0!r} +lon_0={lon0!r} "
+                f"+x_0={fe!r} +y_0={fn!r} {frag} +units=m +no_defs")
     if c.kind == "cea":
         lon0, fe, fn = (c.params[3], c.params[4], c.params[5]) \
             if len(c.params) == 6 else (0.0, 0.0, 0.0)
@@ -1915,6 +2020,13 @@ def to_wkt(crs: CrsDef | str) -> str:
             c.name, _wkt_geogcs_for(c.params, 4),
             "Lambert_Azimuthal_Equal_Area",
             [("latitude_of_center", sgn * 90), ("longitude_of_center", lon0),
+             ("false_easting", fe), ("false_northing", fn)])
+    if c.kind == "laea_oblique":
+        lat0, lon0, fe, fn = c.params[:4]
+        return _wkt_projcs(
+            c.name, _wkt_geogcs_for(c.params, 4),
+            "Lambert_Azimuthal_Equal_Area",
+            [("latitude_of_center", lat0), ("longitude_of_center", lon0),
              ("false_easting", fe), ("false_northing", fn)])
     if c.kind == "cea":
         return _wkt_projcs(
@@ -2160,8 +2272,12 @@ def from_wkt(s: str) -> CrsDef:
             return CrsDef(f"laea_polar_{lat0:g}_{lon0:g}", "laea_polar",
                           params)
         if lat0 != 0.0:
-            raise ValueError("oblique LAEA not supported "
-                             "(equatorial and polar aspects are)")
+            params = (lat0, lon0, g("false_easting"),
+                      g("false_northing")) + tail
+            if params == ETRS89_LAEA.params:
+                return ETRS89_LAEA
+            return CrsDef(f"laea_obl_{lat0:g}_{lon0:g}", "laea_oblique",
+                          params)
         if not tail and lon0 == 0.0:
             return LAEA_WGS84
         return CrsDef(f"laea_{lon0}", "laea", (lon0,) + tail)

@@ -1117,10 +1117,14 @@ class TestPolarLaea:
         assert off.kind == "laea_polar"
         assert C.from_proj4(C.to_proj4(off)).params == off.params
 
-    def test_oblique_raises_not_silently_equatorial(self):
+    def test_oblique_is_not_silently_equatorial(self):
+        # round 5 made this raise; round 6 implements the oblique aspect
+        # (EPSG 9820) as its own kind — it must never silently parse as
+        # the equatorial form
         from karta_spark.functions import crs as C
-        with pytest.raises(ValueError, match="oblique"):
-            C.from_proj4("+proj=laea +lat_0=45 +lon_0=0")
+        d = C.from_proj4("+proj=laea +lat_0=45 +lon_0=0")
+        assert d.kind == "laea_oblique"
+        assert d.params[0] == 45.0
 
     def test_spark_backend(self, spark):
         import pandas as pd

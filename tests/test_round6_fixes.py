@@ -516,3 +516,235 @@ class TestClipRepeatedSpans:
         b = {(r["id"], r["clean_text"], r["removed_chars"])
              for r in clip_repeated_spans(df, L=20, hashed=True).collect()}
         assert a == b
+
+
+class TestScaleWarningDocstrings:
+    """Lint-style guard (VERDICT r5 task 8): the driver-side utilities
+    must carry their scale warnings so nobody routes cluster-scale data
+    through them, and repeated_spans must document its 100 TB setting."""
+
+    def test_df_to_grid_warns_driver_side(self):
+        from karta_spark.raster.tiles import df_to_grid
+        doc = df_to_grid.__doc__
+        assert "driver-side" in doc and "small grids only" in doc
+        assert "toPandas" in doc
+
+    def test_repeated_spans_100tb_note(self):
+        from karta_spark.operators.text import repeated_spans
+        doc = repeated_spans.__doc__
+        assert "100 TB" in doc and "hashed" in doc
+        assert "slice" in doc  # per-job corpus slice guidance
+
+    def test_hashed_is_default(self):
+        import inspect
+        from karta_spark.operators.text import (repeated_spans,
+                                                clip_repeated_spans)
+        for fn in (repeated_spans, clip_repeated_spans):
+            assert inspect.signature(fn).parameters["hashed"].default is True
+
+
+class TestTypedRasterDtypes:
+    """Complex and 64-bit integer raster pass-through (round 6): the
+    reference's GDAL dtype map includes CInt16/CInt32/CFloat32/CFloat64
+    (all surfaced as complex, reference _gdal.py:68-79) which the TIFF
+    codec previously rejected; 64-bit ints are the GDAL >= 3.5 additions."""
+
+    def _roundtrip(self, tmp_path, arr, **kw):
+        import struct
+        from karta_spark.sources import geotiff
+        p = str(tmp_path / "t.tif")
+        geotiff.write_geotiff_array(p, arr, 10.0, 20.0, 0.5, 0.5, **kw)
+        with open(p, "rb") as f:
+            m = geotiff.TiffMeta(f)
+            out = m.read_window(f, 0, m.ny, 0, m.nx)
+        return m, out[:, :, 0]
+
+    def test_complex64_strip_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(7)
+        arr = (rng.normal(size=(9, 7)) + 1j * rng.normal(size=(9, 7))
+               ).astype(np.complex64)
+        m, out = self._roundtrip(tmp_path, arr)
+        assert m.dtype == np.complex64
+        np.testing.assert_array_equal(out, arr)
+
+    def test_complex128_deflate_tiled_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(8)
+        arr = (rng.normal(size=(20, 33)) + 1j * rng.normal(size=(20, 33)))
+        m, out = self._roundtrip(tmp_path, arr.astype(np.complex128),
+                                 compress="deflate", tiled=16)
+        assert m.dtype == np.complex128
+        np.testing.assert_array_equal(out, arr)
+
+    def test_complex_overview_keeps_imag(self, tmp_path):
+        from karta_spark.sources import geotiff
+        arr = (np.arange(64, dtype=np.float32).reshape(8, 8)
+               + 1j * np.ones((8, 8), dtype=np.float32)).astype(np.complex64)
+        p = str(tmp_path / "ov.tif")
+        geotiff.write_geotiff_array(p, arr, 0.0, 8.0, 1.0, 1.0,
+                                    overviews=[2])
+        with open(p, "rb") as f:
+            metas = geotiff.tiff_overview_metas(f)
+            ov = metas[1].read_window(f, 0, 4, 0, 4)[:, :, 0]
+        assert ov.dtype == np.complex64
+        np.testing.assert_allclose(ov.imag, 1.0, rtol=1e-6)
+
+    @pytest.mark.parametrize("dt", [np.int64, np.uint64])
+    def test_int64_roundtrip(self, tmp_path, dt):
+        rng = np.random.default_rng(9)
+        lo, hi = ((-2**62, 2**62) if dt is np.int64 else (0, 2**63))
+        arr = rng.integers(lo, hi, size=(6, 5), dtype=dt)
+        m, out = self._roundtrip(tmp_path, arr, compress="lzw")
+        assert m.dtype == np.dtype(dt)
+        np.testing.assert_array_equal(out, arr)
+
+    def test_cint16_sampleformat5_decode(self, tmp_path):
+        """Hand-built CInt16 (SampleFormat 5, 32 bits/sample = int16
+        re/im pairs) strip TIFF — the SAR product layout; surfaced as
+        complex64 per the reference map (_gdal.py:75)."""
+        import struct
+        from karta_spark.sources import geotiff
+        re = np.array([[1, -2, 3], [4, 5, -6]], dtype=np.int16)
+        im = np.array([[7, 8, -9], [-10, 11, 12]], dtype=np.int16)
+        pix = np.empty((2, 3, 2), dtype=np.int16)
+        pix[:, :, 0], pix[:, :, 1] = re, im
+        data = pix.tobytes()
+        # minimal little-endian TIFF: header + 9-entry IFD + strip
+        def entry(tag, ftype, count, val):
+            return struct.pack("<HHI4s", tag, ftype, count, val)
+        ifd_off = 8
+        n = 9
+        strip_off = ifd_off + 2 + n * 12 + 4
+        entries = [
+            entry(256, 3, 1, struct.pack("<HH", 3, 0)),    # width
+            entry(257, 3, 1, struct.pack("<HH", 2, 0)),    # height
+            entry(258, 3, 1, struct.pack("<HH", 32, 0)),   # bits/sample
+            entry(259, 3, 1, struct.pack("<HH", 1, 0)),    # no compress
+            entry(262, 3, 1, struct.pack("<HH", 1, 0)),    # photometric
+            entry(273, 4, 1, struct.pack("<I", strip_off)),  # strip offset
+            entry(277, 3, 1, struct.pack("<HH", 1, 0)),    # spp
+            entry(279, 4, 1, struct.pack("<I", len(data))),  # strip bytes
+            entry(339, 3, 1, struct.pack("<HH", 5, 0)),    # fmt 5 = cint
+        ]
+        buf = (b"II*\x00" + struct.pack("<I", ifd_off)
+               + struct.pack("<H", n) + b"".join(entries)
+               + struct.pack("<I", 0) + data)
+        p = tmp_path / "cint16.tif"
+        p.write_bytes(buf)
+        with open(p, "rb") as f:
+            m = geotiff.TiffMeta(f)
+            out = m.read_window(f, 0, 2, 0, 3)[:, :, 0]
+        assert m.dtype == np.complex64
+        np.testing.assert_array_equal(out, re.astype(np.float32)
+                                      + 1j * im.astype(np.float32))
+
+    def test_get_nodata_default_reference_semantics(self):
+        """reference grid.py:1233-1257: unsigned -> max, signed -> min,
+        float/complex -> NaN, otherwise ValueError."""
+        from karta_spark.raster.tiles import get_nodata_default
+        assert get_nodata_default(np.uint8) == 255
+        assert get_nodata_default(np.uint16) == 65535
+        assert get_nodata_default(np.uint64) == 2**64 - 1
+        assert get_nodata_default(np.int16) == -32768
+        assert get_nodata_default(np.int64) == -2**63
+        assert np.isnan(get_nodata_default(np.float32))
+        assert np.isnan(get_nodata_default(np.complex64))
+        with pytest.raises(ValueError):
+            get_nodata_default(np.bool_)
+
+
+class TestObliqueLaea:
+    """Oblique-aspect ellipsoidal LAEA (EPSG method 9820) — VERDICT r5
+    breadth: ETRS89-LAEA Europe (EPSG:3035) is the highest-traffic CRS
+    the registry still rejected.  Goldens: the published EPSG Guidance
+    Note 7-2 worked example; internal pins: bit-exact reduction to the
+    equatorial kind at lat_0=0 and the equal-area Jacobian property."""
+
+    def test_epsg_worked_example(self):
+        """EPSG GN 7-2 method 9820 example (ETRS89-LAEA): lat 50N,
+        lon 5E -> E 3962799.45, N 2999718.85 (values published to cm)."""
+        from karta_spark.functions import crs as C
+        x, y = C.forward_np(C.ETRS89_LAEA, 5.0, 50.0)
+        assert x == pytest.approx(3962799.45, abs=0.01)
+        assert y == pytest.approx(2999718.85, abs=0.01)
+        lon, lat = C.inverse_np(C.ETRS89_LAEA, x, y)
+        assert lon == pytest.approx(5.0, abs=1e-8)
+        assert lat == pytest.approx(50.0, abs=1e-8)
+
+    def test_equatorial_reduction_bit_exact(self):
+        from karta_spark.functions import crs as C
+        ob = C.laea_oblique(0.0, 13.0)
+        eq = C.from_proj4("+proj=laea +lat_0=0 +lon_0=13 +datum=WGS84")
+        lon = np.array([15.0, -20.0, 13.0, 100.0])
+        lat = np.array([47.0, -33.0, 0.0, -71.0])
+        xo, yo = C.forward_np(ob, lon, lat)
+        xe, ye = C.forward_np(eq, lon, lat)
+        np.testing.assert_array_equal(xo, xe)
+        np.testing.assert_array_equal(yo, ye)
+
+    def test_equal_area_jacobian(self):
+        """det(J) == M*N*cos(phi) everywhere (the defining property),
+        same numeric check the polar EASE-Grid suite uses."""
+        from karta_spark.functions import crs as C
+        a, f = C.A_WGS84, C.F_WGS84
+        e2 = f * (2 - f)
+        d = C.laea_oblique(52.0, 10.0)
+        for lon0, lat0 in [(10.0, 52.0), (-8.0, 37.0), (31.0, 69.0),
+                           (25.0, -20.0)]:
+            eps = 1e-6
+            xs, ys = C.forward_np(
+                d, np.array([lon0, lon0 + eps, lon0]),
+                np.array([lat0, lat0, lat0 + eps]))
+            J = abs((xs[1] - xs[0]) * (ys[2] - ys[0])
+                    - (xs[2] - xs[0]) * (ys[1] - ys[0])) / np.radians(eps) ** 2
+            phi = np.radians(lat0)
+            M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+            N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            assert J / (M * N * np.cos(phi)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_roundtrip_grid(self):
+        from karta_spark.functions import crs as C
+        rng = np.random.default_rng(35)
+        lon = rng.uniform(-30, 50, 200)
+        lat = rng.uniform(20, 75, 200)
+        lo, la = C.inverse_np(C.ETRS89_LAEA,
+                              *C.forward_np(C.ETRS89_LAEA, lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=2e-8)
+        np.testing.assert_allclose(la, lat, atol=2e-8)
+
+    def test_proj4_wkt_roundtrips_and_named(self):
+        from karta_spark.functions import crs as C
+        p4 = ("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+              "+ellps=GRS80 +units=m +no_defs")
+        d = C.from_proj4(p4)
+        assert d is C.ETRS89_LAEA
+        assert C.from_proj4(C.to_proj4(d)) is C.ETRS89_LAEA
+        assert C.from_wkt(C.to_wkt(d)) is C.ETRS89_LAEA
+        g = C.from_proj4("+proj=laea +lat_0=45 +lon_0=-100 +x_0=8e6 "
+                         "+y_0=8e6 +ellps=GRS80")  # US NLCD-style grid
+        assert g.kind == "laea_oblique"
+        assert C.from_proj4(C.to_proj4(g)).params == g.params
+        assert C.from_wkt(C.to_wkt(g)).params == g.params
+
+    def test_sql_backend_matches_numpy(self):
+        import duckdb
+        from karta_spark.functions import crs as C
+        xs, ys = C.forward_sql(C.ETRS89_LAEA, "lon", "lat")
+        rows = duckdb.sql(
+            f"SELECT {xs} AS x, {ys} AS y FROM (SELECT CAST(5.0 AS DOUBLE)"
+            f" AS lon, CAST(50.0 AS DOUBLE) AS lat)").fetchone()
+        x, y = C.forward_np(C.ETRS89_LAEA, 5.0, 50.0)
+        assert rows[0] == pytest.approx(x, abs=1e-6)
+        assert rows[1] == pytest.approx(y, abs=1e-6)
+
+    def test_spark_backend_matches_numpy(self, spark):
+        from pyspark.sql import functions as F
+        from karta_spark.functions import crs as C
+        df = spark.createDataFrame(pd.DataFrame(
+            {"lon": [5.0, 24.0, -9.1], "lat": [50.0, 61.5, 38.7]}))
+        ex, ey = C.forward_exprs(C.ETRS89_LAEA, F.col("lon"), F.col("lat"))
+        got = df.select(ex.alias("x"), ey.alias("y")).toPandas()
+        x, y = C.forward_np(C.ETRS89_LAEA,
+                            np.array([5.0, 24.0, -9.1]),
+                            np.array([50.0, 61.5, 38.7]))
+        np.testing.assert_allclose(got["x"], x, atol=1e-6)
+        np.testing.assert_allclose(got["y"], y, atol=1e-6)
