@@ -2500,6 +2500,118 @@ FROM proj
 """
 
 
+def q73_rso_borneo(spark, sf_dir):
+    """Rectified Skew Orthomorphic grid assignment (round 6): customers
+    in the southeast-Asia window projected through the general Hotine oblique
+    Mercator (EPSG method 9815 variant B — Timbalai 1948 / RSO Borneo,
+    azimuth 53.3158 deg on Everest 1830), the rectified-skew grid
+    family (Malaysia, Alaska zone 1) the registry rejected until this
+    round; 50 km skew-grid cells plus an inverse-roundtrip boolean.
+    The reference reaches omerc via arbitrary proj.4 strings
+    (reference crs.py:248-306); here the forward+inverse are native
+    triple-backend column math, so the DuckDB twin runs the textually
+    identical algebra.  Externally pinned by the EPSG GN 7-2 Timbalai
+    worked example and mm-agreement with the swisstopo-pinned somerc
+    arm (tests/test_round6_fixes.py::TestHotineObliqueMercator)."""
+    from karta_spark.functions import crs as kcrs
+    grid = kcrs.from_proj4(
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+        "+gamma=53.130102361111114 +k_0=0.99984 +x_0=590476.87 "
+        "+y_0=442857.65 +a=6377298.556 +rf=300.8017")
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    z = c.where((F.col("x") > 95.0) & (F.col("x") < 135.0)
+                & (F.col("y") > -12.0) & (F.col("y") < 18.0))
+    ex, ny = kcrs.forward_exprs(grid, F.col("x"), F.col("y"))
+    z = z.withColumn("px", ex).withColumn("py", ny)
+    lon2, lat2 = kcrs.inverse_exprs(grid, F.col("px"), F.col("py"))
+    rt_ok = (F.abs(lon2 - F.col("x")) < 1e-6) & \
+        (F.abs(lat2 - F.col("y")) < 1e-6)
+    return z.select(
+        "c_custkey",
+        F.round(F.col("px"), 2).alias("rso_e"),
+        F.round(F.col("py"), 2).alias("rso_n"),
+        F.floor(F.col("px") / 50000.0).cast("long").alias("cell_e"),
+        F.floor(F.col("py") / 50000.0).cast("long").alias("cell_n"),
+        rt_ok.alias("rt_ok"))
+
+
+def _q73_sql():
+    from karta_spark.functions import crs as kcrs
+    grid = kcrs.from_proj4(
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+        "+gamma=53.130102361111114 +k_0=0.99984 +x_0=590476.87 "
+        "+y_0=442857.65 +a=6377298.556 +rf=300.8017")
+    xs, ys = kcrs.forward_sql(grid, "x", "y")
+    lo, la = kcrs.inverse_sql(grid, "px", "py")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y
+  FROM customer
+), zone AS (
+  SELECT * FROM pts
+  WHERE x > 95.0 AND x < 135.0 AND y > -12.0 AND y < 18.0
+), proj AS (
+  SELECT c_custkey, x, y, {xs} AS px, {ys} AS py FROM zone
+)
+SELECT c_custkey, round(px, 2) AS rso_e, round(py, 2) AS rso_n,
+       CAST(floor(px / 50000.0) AS BIGINT) AS cell_e,
+       CAST(floor(py / 50000.0) AS BIGINT) AS cell_n,
+       (abs({lo} - x) < 1e-6 AND abs({la} - y) < 1e-6) AS rt_ok
+FROM proj
+"""
+
+
+def q74_rd_new_grid(spark, sf_dir):
+    """Amersfoort / RD New (EPSG:28992) grid assignment (round 6):
+    customers in the northwest-Europe window projected through the oblique
+    stereographic double projection (EPSG method 9809, +proj=sterea on
+    Bessel 1841 — the Dutch national grid the registry rejected until
+    this round), assigned to 10 km RD cells, plus an inverse-roundtrip
+    boolean.  The reference reaches sterea via arbitrary proj.4 strings
+    (reference crs.py:248-306); here forward+inverse are native
+    triple-backend column math, so the DuckDB twin runs the textually
+    identical algebra.  Externally pinned by the EPSG GN 7-2 worked
+    example (tests/test_round6_fixes.py::TestObliqueStereographic)."""
+    from karta_spark.functions import crs as kcrs
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    z = c.where((F.col("x") > -10.0) & (F.col("x") < 20.0)
+                & (F.col("y") > 40.0) & (F.col("y") < 62.0))
+    ex, ny = kcrs.forward_exprs(kcrs.RD_NEW, F.col("x"), F.col("y"))
+    z = z.withColumn("px", ex).withColumn("py", ny)
+    lon2, lat2 = kcrs.inverse_exprs(kcrs.RD_NEW, F.col("px"), F.col("py"))
+    rt_ok = (F.abs(lon2 - F.col("x")) < 1e-6) & \
+        (F.abs(lat2 - F.col("y")) < 1e-6)
+    return z.select(
+        "c_custkey",
+        F.round(F.col("px"), 2).alias("rd_e"),
+        F.round(F.col("py"), 2).alias("rd_n"),
+        F.floor(F.col("px") / 10000.0).cast("long").alias("cell_e"),
+        F.floor(F.col("py") / 10000.0).cast("long").alias("cell_n"),
+        rt_ok.alias("rt_ok"))
+
+
+def _q74_sql():
+    from karta_spark.functions import crs as kcrs
+    xs, ys = kcrs.forward_sql(kcrs.RD_NEW, "x", "y")
+    lo, la = kcrs.inverse_sql(kcrs.RD_NEW, "px", "py")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y
+  FROM customer
+), zone AS (
+  SELECT * FROM pts
+  WHERE x > -10.0 AND x < 20.0 AND y > 40.0 AND y < 62.0
+), proj AS (
+  SELECT c_custkey, x, y, {xs} AS px, {ys} AS py FROM zone
+)
+SELECT c_custkey, round(px, 2) AS rd_e, round(py, 2) AS rd_n,
+       CAST(floor(px / 10000.0) AS BIGINT) AS cell_e,
+       CAST(floor(py / 10000.0) AS BIGINT) AS cell_n,
+       (abs({lo} - x) < 1e-6 AND abs({la} - y) < 1e-6) AS rt_ok
+FROM proj
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -2633,6 +2745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_aeqd_range_rings": q70_aeqd_range_rings,
         "q71_g4_document_census": q71_g4_document_census,
         "q72_etrs89_laea_grid": q72_etrs89_laea_grid,
+        "q73_rso_borneo": q73_rso_borneo,
+        "q74_rd_new_grid": q74_rd_new_grid,
     }
 
 
@@ -2692,6 +2806,8 @@ def oracle_sql() -> dict[str, str]:
         "q70_aeqd_range_rings": _q70_sql(),
         "q71_g4_document_census": Q71_SQL,
         "q72_etrs89_laea_grid": _q72_sql(),
+        "q73_rso_borneo": _q73_sql(),
+        "q74_rd_new_grid": _q74_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

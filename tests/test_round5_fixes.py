@@ -1468,18 +1468,22 @@ class TestSwissObliqueMercator:
                          "+y_0=200000 +ellps=bessel")
         assert d is C.CH1903_LV03
 
-    def test_hotine_azimuth90_wkt_accepted_others_raise(self):
+    def test_hotine_azimuth90_wkt_is_swiss_others_are_omerc(self):
+        # r5 made non-90 azimuths raise; r6 implements general Hotine:
+        # the ESRI azimuth-90 shape still routes to the Swiss double
+        # projection, every other azimuth gets the true omerc kind
         from karta_spark.functions import crs as C
         wkt = C.to_wkt(C.CH1903_LV03).replace(
             "Swiss_Oblique_Cylindrical",
             "Hotine_Oblique_Mercator_Azimuth_Center")
         assert C.from_wkt(wkt).params == C.CH1903_LV03.params
-        bad = wkt.replace('PROJECTION["Hotine_Oblique_Mercator_'
-                          'Azimuth_Center"]',
-                          'PROJECTION["Hotine_Oblique_Mercator_'
-                          'Azimuth_Center"],PARAMETER["azimuth",39.0]')
-        with pytest.raises(ValueError, match="azimuth"):
-            C.from_wkt(bad)
+        other = wkt.replace('PROJECTION["Hotine_Oblique_Mercator_'
+                            'Azimuth_Center"]',
+                            'PROJECTION["Hotine_Oblique_Mercator_'
+                            'Azimuth_Center"],PARAMETER["azimuth",39.0]')
+        d = C.from_wkt(other)
+        assert d.kind == "omerc"
+        assert d.params[2] == 39.0
 
     def test_spark_backend(self, spark):
         import pandas as pd

@@ -748,3 +748,266 @@ class TestObliqueLaea:
                             np.array([50.0, 61.5, 38.7]))
         np.testing.assert_allclose(got["x"], x, atol=1e-6)
         np.testing.assert_allclose(got["y"], y, atol=1e-6)
+
+
+class TestHotineObliqueMercator:
+    """General Hotine oblique Mercator (EPSG 9812 variant A / 9815
+    variant B) — round-6 breadth: Malaysia RSO, Alaska zone 1, the
+    rectified-skew grids.  External pins: the published EPSG Guidance
+    Note 7-2 Timbalai/RSO-Borneo worked example, and the swisstopo-
+    pinned somerc arm (alpha=90 Hotine agrees with the Rosenmund double
+    projection to mm over the Swiss window)."""
+
+    TIMBALAI = ("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+                "+gamma=53.130102361111114 +k_0=0.99984 +x_0=590476.87 "
+                "+y_0=442857.65 +a=6377298.556 +rf=300.8017")
+
+    def test_epsg_timbalai_worked_example(self):
+        """EPSG GN 7-2 method 9815: lat 5deg23'14.1129\"N,
+        lon 115deg48'19.8196\"E -> E 679245.73, N 596562.78 (to cm)."""
+        from karta_spark.functions import crs as C
+        d = C.from_proj4(self.TIMBALAI)
+        lon = 115 + 48 / 60 + 19.8196 / 3600
+        lat = 5 + 23 / 60 + 14.1129 / 3600
+        x, y = C.forward_np(d, lon, lat)
+        assert x == pytest.approx(679245.73, abs=0.01)
+        assert y == pytest.approx(596562.78, abs=0.01)
+        lo, la = C.inverse_np(d, x, y)
+        assert lo == pytest.approx(lon, abs=1e-9)
+        assert la == pytest.approx(lat, abs=1e-9)
+
+    def test_center_maps_to_false_origin_variant_b(self):
+        from karta_spark.functions import crs as C
+        d = C.from_proj4(self.TIMBALAI)
+        x, y = C.forward_np(d, 115.0, 4.0)
+        assert x == pytest.approx(590476.87, abs=1e-6)
+        assert y == pytest.approx(442857.65, abs=1e-6)
+
+    def test_alpha90_matches_swiss_somerc_to_mm(self):
+        """Hotine with alpha=gamma=90 at the CH1903 origin vs the
+        Rosenmund double projection (somerc, pinned cm-exact against
+        swisstopo): different constructions of the same conformal
+        cylinder — must agree to mm over the Swiss window."""
+        from karta_spark.functions import crs as C
+        om = C.from_proj4(
+            "+proj=omerc +lat_0=46.95240555555556 "
+            "+lonc=7.43958333333333 +alpha=90 +gamma=90 +k_0=1 "
+            "+x_0=600000 +y_0=200000 +ellps=bessel")
+        som = C.from_proj4(
+            "+proj=somerc +lat_0=46.95240555555556 "
+            "+lon_0=7.43958333333333 +k_0=1 +x_0=600000 +y_0=200000 "
+            "+ellps=bessel")
+        lon = np.array([7.439583333333333, 8.0, 6.0, 10.0, 7.0, 9.5])
+        lat = np.array([46.952405555555565, 47.0, 46.0, 47.5, 45.8, 46.3])
+        xo, yo = C.forward_np(om, lon, lat)
+        xs, ys = C.forward_np(som, lon, lat)
+        np.testing.assert_allclose(xo, xs, atol=5e-3)
+        np.testing.assert_allclose(yo, ys, atol=5e-3)
+        # at the shared origin both are exact
+        assert xo[0] == pytest.approx(600000.0, abs=1e-6)
+        assert yo[0] == pytest.approx(200000.0, abs=1e-6)
+
+    def test_conformality(self):
+        """The Jacobian w.r.t. isometric coordinates is a similarity
+        transform (equal column norms, orthogonal) — the defining
+        property of a conformal projection, checked numerically."""
+        from karta_spark.functions import crs as C
+        a, f = 6377298.556, 1.0 / 300.8017
+        e2 = f * (2 - f)
+        d = C.from_proj4(self.TIMBALAI)
+        for lon0, lat0 in [(115.0, 4.0), (117.5, 5.8), (112.0, 1.5)]:
+            eps = 1e-6
+            xs, ys = C.forward_np(
+                d, np.array([lon0, lon0 + eps, lon0]),
+                np.array([lat0, lat0, lat0 + eps]))
+            dxl, dyl = xs[1] - xs[0], ys[1] - ys[0]
+            dxp, dyp = xs[2] - xs[0], ys[2] - ys[0]
+            # d(iso lat)/d(phi) = M / (N cos phi) * ... : scale dphi to
+            # the isometric differential so both columns compare equal
+            phi = np.radians(lat0)
+            M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+            N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            s = M / (N * np.cos(phi))
+            dxp, dyp = dxp / s, dyp / s
+            n1 = np.hypot(dxl, dyl)
+            n2 = np.hypot(dxp, dyp)
+            assert n1 / n2 == pytest.approx(1.0, abs=1e-5)
+            dot = (dxl * dxp + dyl * dyp) / (n1 * n2)
+            assert dot == pytest.approx(0.0, abs=1e-5)
+
+    def test_roundtrip_grid(self):
+        from karta_spark.functions import crs as C
+        d = C.from_proj4(self.TIMBALAI)
+        rng = np.random.default_rng(41)
+        lon = rng.uniform(109, 119, 200)
+        lat = rng.uniform(-4, 7, 200)
+        lo, la = C.inverse_np(d, *C.forward_np(d, lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=2e-8)
+        np.testing.assert_allclose(la, lat, atol=2e-8)
+
+    def test_proj4_wkt_roundtrips_both_variants(self):
+        from karta_spark.functions import crs as C
+        d = C.from_proj4(self.TIMBALAI)
+        assert d.kind == "omerc" and d.params[7] == 1.0
+        assert C.from_proj4(C.to_proj4(d)).params == d.params
+        assert C.from_wkt(C.to_wkt(d)).params == d.params
+        a = C.from_proj4(self.TIMBALAI + " +no_off")
+        assert a.params[7] == 0.0
+        assert C.from_proj4(C.to_proj4(a)).params == a.params
+        assert C.from_wkt(C.to_wkt(a)).params == a.params
+        assert "Hotine_Oblique_Mercator\"" in C.to_wkt(a).replace("', '", '"')
+        # Swiss azimuth-90 azimuth-center WKT still routes to somerc
+        assert C.from_wkt(C.to_wkt(C.CH1903_LV03)) is C.CH1903_LV03
+
+    def test_two_point_form_raises(self):
+        from karta_spark.functions import crs as C
+        with pytest.raises(ValueError, match="two-point"):
+            C.from_proj4("+proj=omerc +lat_1=1 +lon_1=110 +lat_2=5 "
+                         "+lon_2=118 +k_0=1")
+
+    def test_spark_backend_matches_numpy(self, spark):
+        from pyspark.sql import functions as F
+        from karta_spark.functions import crs as C
+        d = C.from_proj4(self.TIMBALAI)
+        lons, lats = [115.8, 110.2, 118.0], [5.39, 1.2, 6.5]
+        df = spark.createDataFrame(pd.DataFrame({"lon": lons, "lat": lats}))
+        ex, ey = C.forward_exprs(d, F.col("lon"), F.col("lat"))
+        got = df.select(ex.alias("x"), ey.alias("y")).toPandas()
+        x, y = C.forward_np(d, np.array(lons), np.array(lats))
+        np.testing.assert_allclose(got["x"], x, atol=1e-6)
+        np.testing.assert_allclose(got["y"], y, atol=1e-6)
+
+
+class TestObliqueStereographic:
+    """Oblique stereographic, EPSG method 9809 / proj.4 +proj=sterea
+    (the Gauss-sphere double projection) — round-6 breadth: Amersfoort
+    / RD New (EPSG:28992).  External pin: the published EPSG GN 7-2
+    worked example; internal pins: conformality and the Gauss-sphere
+    inverse via the shared conformal-latitude series."""
+
+    def test_epsg_rd_new_worked_example(self):
+        """EPSG GN 7-2 method 9809: lat 53N lon 6E on RD New ->
+        E 196105.283, N 557057.739 (published to mm)."""
+        from karta_spark.functions import crs as C
+        x, y = C.forward_np(C.RD_NEW, 6.0, 53.0)
+        assert x == pytest.approx(196105.283, abs=1e-3)
+        assert y == pytest.approx(557057.739, abs=1e-3)
+        lo, la = C.inverse_np(C.RD_NEW, x, y)
+        assert lo == pytest.approx(6.0, abs=1e-9)
+        assert la == pytest.approx(53.0, abs=1e-9)
+
+    def test_center_maps_to_false_origin(self):
+        from karta_spark.functions import crs as C
+        x, y = C.forward_np(C.RD_NEW, C.RD_NEW.params[1], C.RD_NEW.params[0])
+        assert x == pytest.approx(155000.0, abs=1e-6)
+        assert y == pytest.approx(463000.0, abs=1e-6)
+
+    def test_conformality(self):
+        from karta_spark.functions import crs as C
+        a, f = 6377397.155, 1.0 / 299.1528128
+        e2 = f * (2 - f)
+        for lon0, lat0 in [(5.4, 52.2), (3.5, 51.0), (7.0, 53.4)]:
+            eps = 1e-6
+            xs, ys = C.forward_np(
+                C.RD_NEW, np.array([lon0, lon0 + eps, lon0]),
+                np.array([lat0, lat0, lat0 + eps]))
+            dxl, dyl = xs[1] - xs[0], ys[1] - ys[0]
+            dxp, dyp = xs[2] - xs[0], ys[2] - ys[0]
+            phi = np.radians(lat0)
+            M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+            N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            s = M / (N * np.cos(phi))
+            dxp, dyp = dxp / s, dyp / s
+            n1, n2 = np.hypot(dxl, dyl), np.hypot(dxp, dyp)
+            assert n1 / n2 == pytest.approx(1.0, abs=1e-5)
+            assert (dxl * dxp + dyl * dyp) / (n1 * n2) == \
+                pytest.approx(0.0, abs=1e-5)
+
+    def test_scale_factor_at_origin(self):
+        """Point scale at the origin equals k0 = 0.9999079 (the
+        defining property of the scale reduction)."""
+        from karta_spark.functions import crs as C
+        a, f = 6377397.155, 1.0 / 299.1528128
+        e2 = f * (2 - f)
+        lat0, lon0 = C.RD_NEW.params[0], C.RD_NEW.params[1]
+        eps = 1e-7
+        xs, ys = C.forward_np(C.RD_NEW,
+                              np.array([lon0, lon0 + eps]),
+                              np.array([lat0, lat0]))
+        phi = np.radians(lat0)
+        N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        k = np.hypot(xs[1] - xs[0], ys[1] - ys[0]) / (
+            np.radians(eps) * N * np.cos(phi))
+        assert k == pytest.approx(0.9999079, abs=1e-7)
+
+    def test_roundtrip_and_registry(self):
+        from karta_spark.functions import crs as C
+        rng = np.random.default_rng(53)
+        lon = rng.uniform(3.3, 7.2, 200)
+        lat = rng.uniform(50.7, 53.6, 200)
+        lo, la = C.inverse_np(C.RD_NEW, *C.forward_np(C.RD_NEW, lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=2e-8)
+        np.testing.assert_allclose(la, lat, atol=2e-8)
+        assert C.from_proj4(C.to_proj4(C.RD_NEW)) is C.RD_NEW
+        assert C.from_wkt(C.to_wkt(C.RD_NEW)) is C.RD_NEW
+        g = C.from_proj4("+proj=sterea +lat_0=46.0 +lon_0=25.0 "
+                         "+k_0=0.99975 +x_0=500000 +y_0=500000 "
+                         "+ellps=krass")  # Romanian stereo-70 shape
+        assert g.kind == "sterea"
+        assert C.from_proj4(C.to_proj4(g)).params == g.params
+        assert C.from_wkt(C.to_wkt(g)).params == g.params
+
+    def test_spark_backend_matches_numpy(self, spark):
+        from pyspark.sql import functions as F
+        from karta_spark.functions import crs as C
+        lons, lats = [6.0, 4.9, 3.6], [53.0, 52.37, 51.5]
+        df = spark.createDataFrame(pd.DataFrame({"lon": lons, "lat": lats}))
+        ex, ey = C.forward_exprs(C.RD_NEW, F.col("lon"), F.col("lat"))
+        got = df.select(ex.alias("x"), ey.alias("y")).toPandas()
+        x, y = C.forward_np(C.RD_NEW, np.array(lons), np.array(lats))
+        np.testing.assert_allclose(got["x"], x, atol=1e-6)
+        np.testing.assert_allclose(got["y"], y, atol=1e-6)
+
+
+class TestEpsgLookup:
+    """EPSG-code resolution for the natively-carried definitions (the
+    reference resolves any code via pyproj; unknown codes raise here
+    rather than guess)."""
+
+    def test_well_known_codes(self):
+        from karta_spark.functions import crs as C
+        assert C.from_epsg(4326) is C.LONLAT
+        assert C.from_epsg(3857) is C.WEB_MERCATOR
+        assert C.from_epsg(3395) is C.WORLD_MERCATOR
+        assert C.from_epsg(3035) is C.ETRS89_LAEA
+        assert C.from_epsg(28992) is C.RD_NEW
+        assert C.from_epsg(21781) is C.CH1903_LV03
+        assert C.from_epsg(2056) is C.CH1903_LV95
+        assert C.from_epsg(6931) is C.EASE2_NORTH
+        assert C.from_epsg(3413) is C.NSIDC_NORTH
+
+    def test_utm_ranges_and_lookup_string(self):
+        from karta_spark.functions import crs as C
+        assert C.from_epsg(32633).params == C.utm(33, south=False).params
+        assert C.from_epsg(32733).params == C.utm(33, south=True).params
+        assert C.lookup("epsg:3035") is C.ETRS89_LAEA
+        assert C.lookup("EPSG:4087") is C.PLATE_CARREE
+        assert C.lookup("rd_new") is C.RD_NEW
+        assert C.lookup("etrs89_laea") is C.ETRS89_LAEA
+
+    def test_constructible_codes(self):
+        from karta_spark.functions import crs as C
+        d = C.from_epsg(2154)               # RGF93 / Lambert-93
+        assert d.kind == "lcc"
+        # IGN worked value neighborhood: Paris (2.3522E, 48.8566N)
+        x, y = C.forward_np(d, 2.3522, 48.8566)
+        assert x == pytest.approx(652469, abs=1000)
+        assert y == pytest.approx(6862035, abs=1000)
+        assert C.from_epsg(5070).kind == "aea"
+        assert C.from_epsg(3031).kind == "stere"
+        assert C.from_epsg(3034).kind == "lcc"
+
+    def test_unknown_code_raises(self):
+        from karta_spark.functions import crs as C
+        with pytest.raises(ValueError, match="native registry"):
+            C.from_epsg(5514)  # S-JTSK Krovak: not implemented
