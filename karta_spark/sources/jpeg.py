@@ -438,6 +438,71 @@ def encode_jpeg12(arr: np.ndarray, quality: int = 95) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg12_progressive(arr: np.ndarray, quality: int = 95,
+                              successive: bool = True) -> bytes:
+    """Encode grayscale 12-bit samples as PROGRESSIVE SOF2 with
+    precision 12 — the remaining cell of the mode matrix (libjpeg-12
+    can emit it; the sequential 12-bit, 8-bit progressive and lossless
+    paths were already covered).  Same quantized coefficients as
+    ``encode_jpeg12``, so the decode must be BIT-IDENTICAL to the
+    sequential stream's (pinned by tests).  Scan script mirrors
+    encode_jpeg_progressive: DC scan + full-band AC scan, optionally at
+    Al=1 with refinement scans (spectral selection AND successive
+    approximation)."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2:
+        raise ValueError("encode_jpeg12_progressive is grayscale-only")
+    if arr.max(initial=0) > 4095:
+        raise ValueError("12-bit samples must be 0..4095")
+    h, w = arr.shape
+    mcux = (w + 7) // 8
+    mcuy = (h + 7) // 8
+    q = scaled_quant(QUANT_LUM, quality)
+    plane = _pad_to(arr.astype(np.float64) - 2048.0, mcuy * 8, mcux * 8)
+    blocks = _to_blocks(plane)
+    d = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+    coefs = np.round(d / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+    comp_coefs = [coefs]
+    samp = [(1, 1)]
+
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) \
+        + bytes(int(v) for v in q.reshape(-1)[ZIGZAG])
+    sof = struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xFF\xC2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(cls, tid, bits, vals):
+        body = struct.pack("B", (cls << 4) | tid) + bytes(bits) + bytes(vals)
+        return b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _DC12_BITS, _DC12_VALS)
+    out += dht(1, 0, _AC12_BITS, _AC12_VALS)
+
+    def sos(ss, se, ah, al):
+        hdr = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        return b"\xFF\xDA" + struct.pack(">H", 2 + len(hdr)) + hdr
+
+    al0 = 1 if successive else 0
+    out += sos(0, 0, 0, al0)
+    out += _enc_dc_scan(comp_coefs, samp, mcux, mcuy, 0, al0,
+                        enc_dc=[_ENC_DC12])
+    out += sos(1, 63, 0, al0)
+    out += _enc_ac_first_scan(
+        _noninterleaved_blocks(comp_coefs, 0, samp, mcux, mcuy, w, h),
+        1, 63, al0, _ENC_AC12)
+    if successive:
+        out += sos(0, 0, 1, 0)
+        out += _enc_dc_scan(comp_coefs, samp, mcux, mcuy, 1, 0,
+                            enc_dc=[_ENC_DC12])
+        out += sos(1, 63, 1, 0)
+        out += _enc_ac_refine_scan(
+            _noninterleaved_blocks(comp_coefs, 0, samp, mcux, mcuy, w, h),
+            1, 63, 0, _ENC_AC12)
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
 def encode_jpeg_cmyk(arr: np.ndarray, quality: int = 95,
                      transform: int = 2) -> bytes:
     """Encode (H,W,4) uint8 CMYK (255 = full ink) as an Adobe
@@ -1108,6 +1173,7 @@ def _decode_progressive(data: bytes) -> np.ndarray:
     huff: dict[tuple, tuple] = {}
     comps = []  # (cid, hi, vi, tq)
     h = w = 0
+    prec = 8
     restart_interval = 0
     hmax = vmax = mcux = mcuy = 1
     coefs: list[np.ndarray] = []
@@ -1135,8 +1201,9 @@ def _decode_progressive(data: bytes) -> np.ndarray:
                 qtabs[pq_tq & 0xF] = q[UNZIGZAG].reshape(8, 8).astype(np.int32)
         elif marker == 0xC2:
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise NotImplementedError("non-8-bit precision")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"precision {prec} (8 and 12 supported)")
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3:9 + ci * 3]
                 hi, vi = hv >> 4, hv & 0xF
@@ -1180,7 +1247,8 @@ def _decode_progressive(data: bytes) -> np.ndarray:
 
     if not comps:
         raise ValueError("no SOF2 frame in stream")
-    return _reconstruct(comps, coefs, qtabs, h, w, mcux, mcuy, hmax, vmax)
+    return _reconstruct(comps, coefs, qtabs, h, w, mcux, mcuy, hmax, vmax,
+                        prec=prec)
 
 
 def _decode_prog_scan(br, scan, ss, se, ah, al, comps, coefs, huff,
@@ -1248,7 +1316,10 @@ def _decode_prog_dc(br, scan, ah, al, comps, coefs, huff,
 def _dc_unit(br, scomp, si, ci, bi, ah, al, coefs, huff, preds):
     if ah == 0:  # first DC scan: baseline diff coding, values in 2^Al units
         s = br.huff(huff[(0, scomp[1])])
-        diff = _extend(br.bits(s), s) if s else 0
+        if s == 16:  # 12-bit DC category 16: DIFF=32768, NO bits (F.1.2.1.1)
+            diff = 32768
+        else:
+            diff = _extend(br.bits(s), s) if s else 0
         preds[si] += diff
         coefs[ci][bi, 0] = preds[si] << al
     else:        # refinement: one raw bit
@@ -1341,13 +1412,16 @@ def _decode_prog_ac(br, scomp, ss, se, ah, al, comps, coefs, huff,
                 eobrun -= 1
 
 
-def _enc_dc_scan(comp_coefs, samp, mcux, mcuy, ah, al):
+def _enc_dc_scan(comp_coefs, samp, mcux, mcuy, ah, al, enc_dc=None):
     """Interleaved DC scan body: first pass (Ah=0, diffs of coef>>Al) or
-    refinement (one raw bit per block)."""
+    refinement (one raw bit per block).  ``enc_dc`` overrides the
+    per-component DC tables (the 12-bit path passes [_ENC_DC12], whose
+    category-16 code carries NO appended bits per T.81 F.1.2.1.1)."""
     w = _BitWriter()
     ncomp = len(comp_coefs)
     preds = [0] * ncomp
-    enc_dc = [_ENC_DC_LUM] + [_ENC_DC_CHROM] * (ncomp - 1)
+    if enc_dc is None:
+        enc_dc = [_ENC_DC_LUM] + [_ENC_DC_CHROM] * (ncomp - 1)
     for mi in range(mcux * mcuy):
         my, mx = divmod(mi, mcux)
         for ci in range(ncomp):
@@ -1361,7 +1435,7 @@ def _enc_dc_scan(comp_coefs, samp, mcux, mcuy, ah, al):
                         preds[ci] = dc
                         c, ln = enc_dc[ci][s]
                         w.write(c, ln)
-                        if s:
+                        if s and s < 16:  # cat 16: DIFF=32768, no bits
                             w.write(bits, s)
                     else:
                         w.write(dc & 1, 1)

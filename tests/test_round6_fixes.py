@@ -1011,3 +1011,60 @@ class TestEpsgLookup:
         from karta_spark.functions import crs as C
         with pytest.raises(ValueError, match="native registry"):
             C.from_epsg(5514)  # S-JTSK Krovak: not implemented
+
+
+class TestProgressive12Bit:
+    """12-bit PROGRESSIVE JPEG (SOF2 precision 12) — the last cell of
+    the mode matrix (sequential-12, progressive-8 and lossless were
+    covered).  Pin: progressive streams must decode BIT-IDENTICALLY to
+    the sequential SOF1-12 stream of the same image (same quantized
+    coefficients, different entropy layout), for both the spectral-
+    selection-only and successive-approximation scan scripts."""
+
+    @pytest.mark.parametrize("successive", [True, False])
+    def test_bitexact_vs_sequential_12bit(self, successive):
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 4096, size=(41, 57)).astype(np.uint16)
+        seq = J.decode_jpeg_baseline(J.encode_jpeg12(img, 90))
+        pro = J.decode_jpeg_baseline(
+            J.encode_jpeg12_progressive(img, 90, successive=successive))
+        assert pro.dtype == np.uint16 and pro.shape == (41, 57)
+        np.testing.assert_array_equal(pro, seq)
+
+    def test_smooth_content_and_q100(self):
+        x, y = np.meshgrid(np.arange(64), np.arange(48))
+        img = (2048 + 1800 * np.sin(x / 5.0) * np.cos(y / 7.0)
+               ).astype(np.uint16)
+        for q in (100, 75):
+            seq = J.decode_jpeg_baseline(J.encode_jpeg12(img, q))
+            pro = J.decode_jpeg_baseline(J.encode_jpeg12_progressive(img, q))
+            np.testing.assert_array_equal(pro, seq)
+
+    def test_dc_category16_progressive_stream(self):
+        """Hand-built SOF2-12 stream whose second block carries a
+        DC-category-16 code (DIFF=32768, NO appended bits per T.81
+        F.1.2.1.1) — unreachable from the DCT encoder (max |diff| is
+        32760) but emitted by libjpeg-12's table range; the progressive
+        DC decode must consume zero magnitude bits."""
+        import struct as st
+        out = bytearray()
+        out += b"\xFF\xD8"
+        out += b"\xFF\xDB" + st.pack(">HB", 67, 0) + bytes([1] * 64)
+        sof = st.pack(">BHHB", 12, 8, 16, 1) + bytes([1, 0x11, 0])
+        out += b"\xFF\xC2" + st.pack(">H", 2 + len(sof)) + sof
+        body = st.pack("B", 0x00) + bytes(J._DC12_BITS) + bytes(J._DC12_VALS)
+        out += b"\xFF\xC4" + st.pack(">H", 2 + len(body)) + body
+        out += b"\xFF\xDA" + st.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0, 0])
+        wtr = J._BitWriter()
+        c, ln = J._ENC_DC12[0]
+        wtr.write(c, ln)                    # block 0: diff 0
+        c, ln = J._ENC_DC12[16]
+        wtr.write(c, ln)                    # block 1: DIFF=32768, no bits
+        wtr.flush()
+        out += wtr.buf
+        out += b"\xFF\xD9"
+        img = J.decode_jpeg_baseline(bytes(out))
+        assert img.shape == (8, 16) and img.dtype == np.uint16
+        # block 0: DC 0 -> mid gray 2048; block 1: DC 32768 -> clamps top
+        assert np.all(img[:, :8] == 2048)
+        assert np.all(img[:, 8:] == 4095)
