@@ -2612,6 +2612,57 @@ FROM proj
 """
 
 
+def q75_krovak_sjtsk(spark, sf_dir):
+    """S-JTSK / Krovak East North (EPSG:5514) grid assignment
+    (round 6): customers in the central-Europe window projected through
+    the Krovak oblique conformal conic (EPSG method 9819 on Bessel 1841
+    — the Czech/Slovak national grid), assigned to 25 km cells, plus an
+    inverse-roundtrip boolean.  The reference reaches krovak via
+    arbitrary proj.4 strings (reference crs.py:248-306); here
+    forward+inverse are native triple-backend column math, so the
+    DuckDB twin runs the textually identical algebra.  Externally
+    pinned by the EPSG GN 7-2 worked example
+    (tests/test_round6_fixes.py::TestKrovak)."""
+    from karta_spark.functions import crs as kcrs
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    z = c.where((F.col("x") > 5.0) & (F.col("x") < 30.0)
+                & (F.col("y") > 44.0) & (F.col("y") < 56.0))
+    ex, ny = kcrs.forward_exprs(kcrs.S_JTSK, F.col("x"), F.col("y"))
+    z = z.withColumn("px", ex).withColumn("py", ny)
+    lon2, lat2 = kcrs.inverse_exprs(kcrs.S_JTSK, F.col("px"), F.col("py"))
+    rt_ok = (F.abs(lon2 - F.col("x")) < 1e-6) & \
+        (F.abs(lat2 - F.col("y")) < 1e-6)
+    return z.select(
+        "c_custkey",
+        F.round(F.col("px"), 2).alias("sjtsk_x"),
+        F.round(F.col("py"), 2).alias("sjtsk_y"),
+        F.floor(F.col("px") / 25000.0).cast("long").alias("cell_x"),
+        F.floor(F.col("py") / 25000.0).cast("long").alias("cell_y"),
+        rt_ok.alias("rt_ok"))
+
+
+def _q75_sql():
+    from karta_spark.functions import crs as kcrs
+    xs, ys = kcrs.forward_sql(kcrs.S_JTSK, "x", "y")
+    lo, la = kcrs.inverse_sql(kcrs.S_JTSK, "px", "py")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y
+  FROM customer
+), zone AS (
+  SELECT * FROM pts
+  WHERE x > 5.0 AND x < 30.0 AND y > 44.0 AND y < 56.0
+), proj AS (
+  SELECT c_custkey, x, y, {xs} AS px, {ys} AS py FROM zone
+)
+SELECT c_custkey, round(px, 2) AS sjtsk_x, round(py, 2) AS sjtsk_y,
+       CAST(floor(px / 25000.0) AS BIGINT) AS cell_x,
+       CAST(floor(py / 25000.0) AS BIGINT) AS cell_y,
+       (abs({lo} - x) < 1e-6 AND abs({la} - y) < 1e-6) AS rt_ok
+FROM proj
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -2747,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_etrs89_laea_grid": q72_etrs89_laea_grid,
         "q73_rso_borneo": q73_rso_borneo,
         "q74_rd_new_grid": q74_rd_new_grid,
+        "q75_krovak_sjtsk": q75_krovak_sjtsk,
     }
 
 
@@ -2808,6 +2860,7 @@ def oracle_sql() -> dict[str, str]:
         "q72_etrs89_laea_grid": _q72_sql(),
         "q73_rso_borneo": _q73_sql(),
         "q74_rd_new_grid": _q74_sql(),
+        "q75_krovak_sjtsk": _q75_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

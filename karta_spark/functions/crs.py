@@ -398,6 +398,12 @@ ETRS89_LAEA = CrsDef("etrs89_laea", "laea_oblique",
 RD_NEW = CrsDef("rd_new", "sterea",
                 (52.15616055555555, 5.38763888888889, 0.9999079,
                  155000.0, 463000.0, 6377397.155, 1.0 / 299.1528128))
+# S-JTSK / Krovak East North (EPSG:5514, method 9819 on Bessel 1841) —
+# the Czech/Slovak national grid.  lon_0 is 42d30' East of Ferro =
+# 24d50' E Greenwich; azimuth 30d17'17.3031"; pseudo std par 78.5
+S_JTSK = CrsDef("s_jtsk", "krovak",
+                (49.5, 24.833333333333332, 30.288139750000002, 78.5,
+                 0.9999, 0.0, 0.0, 6377397.155, 1.0 / 299.1528128))
 # MODIS sinusoidal grid sphere (+proj=sinu +R=6371007.181 +lon_0=0)
 MODIS_SINU = CrsDef("modis_sinu", "sinu",
                     (0.0, 0.0, 0.0, 6371007.181, 0.0))
@@ -969,6 +975,91 @@ def _somerc_inv(B, x, y, lat0, lon0, k0, fe, fn, a=A_WGS84, f=F_WGS84):
     chi = 2.0 * B.atan(B.exp(S)) - math.pi / 2.0
     phi = _conformal_to_geographic(B, chi, e * e)
     return lon0 + (lam / c) * _R2D, phi * _R2D
+
+
+# ---------------------------------------------------------------------------
+# Krovak oblique conformal conic (EPSG method 9819) — the S-JTSK grid
+# behind every Czech and Slovak national dataset.  Ellipsoid -> Gauss
+# conformal sphere -> rotation to the cone axis (azimuth ~30.29 deg)
+# -> conformal cone at the pseudo standard parallel.  Native axes are
+# SOUTHING (X) / WESTING (Y); the kind emits the GIS "east-north"
+# convention of EPSG:5514 (x = -Y + FE, y = -X + FN), matching what
+# proj.4 +proj=krovak returns (the reference's path, crs.py:248-306).
+# params = (lat_c, lon0_greenwich, alpha, lat_p, k0, fe, fn) +
+# optional (a, f).
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _krovak_consts(lat_c: float, alpha: float, lat_p: float, k0: float,
+                   a: float, f: float):
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    pc = lat_c * _D2R
+    spc = math.sin(pc)
+    A = a * math.sqrt(1.0 - e2) / (1.0 - e2 * spc * spc)
+    Bk = math.sqrt(1.0 + e2 * math.cos(pc) ** 4 / (1.0 - e2))
+    g0 = math.asin(spc / Bk)
+    t0 = (math.tan(math.pi / 4.0 + g0 / 2.0)
+          * ((1.0 + e * spc) / (1.0 - e * spc)) ** (e * Bk / 2.0)
+          / math.tan(math.pi / 4.0 + pc / 2.0) ** Bk)
+    pp = lat_p * _D2R
+    n = math.sin(pp)
+    r0 = k0 * A / math.tan(pp)
+    tp = math.tan(math.pi / 4.0 + pp / 2.0)
+    return e, e2, Bk, math.log(t0), alpha * _D2R, n, r0, tp
+
+
+def _krovak_fwd(B, lon, lat, lat_c, lon0, alpha, lat_p, k0, fe, fn,
+                a=A_WGS84, f=F_WGS84):
+    e, e2, Bk, ln_t0, al, n, r0, tp = _krovak_consts(
+        lat_c, alpha, lat_p, k0, a, f)
+    phi = lat * _D2R
+    es = e * B.sin(phi)
+    # Gauss-sphere latitude U (conformal, same ln-form somerc uses)
+    S = ln_t0 + Bk * (B.ln(B.tan(math.pi / 4.0 + phi / 2.0))
+                      - (e / 2.0) * B.ln((1.0 + es) / (1.0 - es)))
+    U = 2.0 * (B.atan(B.exp(S)) - math.pi / 4.0)
+    V = Bk * (-1.0 * (_wrap_dlon(B, lon, lon0) * _D2R))
+    sU, cU = B.sin(U), B.cos(U)
+    sT = math.cos(al) * sU + math.sin(al) * (cU * B.cos(V))
+    sT = B.where((sT, ">", 1.0), 1.0, sT)
+    sT = B.where((sT, "<", -1.0), -1.0, sT)
+    T = B.asin(sT)
+    cT = B.sqrt(1.0 - sT * sT)
+    D = B.asin(cU * B.sin(V) / cT)
+    theta = n * D
+    r = r0 * B.pow(tp / B.tan(T / 2.0 + math.pi / 4.0), n)
+    xs = r * B.cos(theta)   # native southing
+    yw = r * B.sin(theta)   # native westing
+    return fe - yw, fn - xs  # EPSG:5514 east-north convention
+
+
+def _krovak_inv(B, x, y, lat_c, lon0, alpha, lat_p, k0, fe, fn,
+                a=A_WGS84, f=F_WGS84):
+    e, e2, Bk, ln_t0, al, n, r0, tp = _krovak_consts(
+        lat_c, alpha, lat_p, k0, a, f)
+    yw = fe - x
+    xs = fn - y
+    r = B.sqrt(xs * xs + yw * yw)
+    theta = B.atan2(yw, xs)
+    D = theta / n
+    T = 2.0 * (B.atan(tp * B.pow(r0 / r, 1.0 / n)) - math.pi / 4.0)
+    sT, cT = B.sin(T), B.cos(T)
+    sU = math.cos(al) * sT - math.sin(al) * (cT * B.cos(D))
+    sU = B.where((sU, ">", 1.0), 1.0, sU)
+    sU = B.where((sU, "<", -1.0), -1.0, sU)
+    U = B.asin(sU)
+    cU = B.sqrt(1.0 - sU * sU)
+    sV = cT * B.sin(D) / cU
+    sV = B.where((sV, ">", 1.0), 1.0, sV)
+    sV = B.where((sV, "<", -1.0), -1.0, sV)
+    V = B.asin(sV)
+    lam = lon0 - (V / Bk) * _R2D
+    # Gauss sphere -> ellipsoid through the conformal-latitude series
+    S = (_atanh(B, sU) - ln_t0) / Bk
+    chi = 2.0 * B.atan(B.exp(S)) - math.pi / 2.0
+    phi = _conformal_to_geographic(B, chi, e2)
+    return lam, phi * _R2D
 
 
 # ---------------------------------------------------------------------------
@@ -1652,6 +1743,8 @@ def _dispatch_fwd(B, crs: CrsDef, lon, lat):
         return _omerc_fwd(B, lon, lat, *crs.params)
     if crs.kind == "sterea":
         return _sterea_fwd(B, lon, lat, *crs.params)
+    if crs.kind == "krovak":
+        return _krovak_fwd(B, lon, lat, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
 
 
@@ -1694,6 +1787,8 @@ def _dispatch_inv(B, crs: CrsDef, x, y):
         return _omerc_inv(B, x, y, *crs.params)
     if crs.kind == "sterea":
         return _sterea_inv(B, x, y, *crs.params)
+    if crs.kind == "krovak":
+        return _krovak_inv(B, x, y, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
 
 
@@ -1738,7 +1833,7 @@ _REGISTRY = {c.name: c for c in (
     LONLAT, WEB_MERCATOR, WORLD_MERCATOR, UPS_NORTH, UPS_SOUTH,
     NSIDC_NORTH, NSIDC_SOUTH, LAEA_WGS84, GALL_PETERS, LONLAT_NAD27,
     LONLAT_NAD83, EASE2_NORTH, EASE2_SOUTH, MODIS_SINU, PLATE_CARREE,
-    CH1903_LV03, CH1903_LV95, ETRS89_LAEA, RD_NEW)}
+    CH1903_LV03, CH1903_LV95, ETRS89_LAEA, RD_NEW, S_JTSK)}
 
 # well-known EPSG codes -> named instances (the reference resolves any
 # EPSG code through pyproj, reference crs.py:248-306; this table covers
@@ -1752,6 +1847,7 @@ _EPSG = {
     6931: EASE2_NORTH, 6932: EASE2_SOUTH,
     4087: PLATE_CARREE, 3035: ETRS89_LAEA,
     21781: CH1903_LV03, 2056: CH1903_LV95, 28992: RD_NEW,
+    5514: S_JTSK,
 }
 
 
@@ -2006,6 +2102,24 @@ def from_proj4(s: str) -> CrsDef:
             return RD_NEW
         return CrsDef(f"sterea_{params[0]:g}_{params[1]:g}", "sterea",
                       params)
+    if proj == "krovak":
+        if "czech" in flags:
+            raise ValueError("krovak +czech (positive southing/westing "
+                             "axes) not supported; the east-north "
+                             "EPSG:5514 convention is")
+        # proj.4 defaults ARE the S-JTSK definition; ellipsoid defaults
+        # to bessel for this projection (proj.4 convention)
+        a_, f_ = (ellipsoid_params("bessel")
+                  if not ({"R", "a", "ellps", "datum"} & set(toks))
+                  else ell())
+        params = (g("lat_0", 49.5), g("lon_0", 24.833333333333332),
+                  g("alpha", 30.288139750000002), g("lat_1", 78.5),
+                  k0 if ("k" in toks or "k_0" in toks) else 0.9999,
+                  g("x_0"), g("y_0"), a_, f_)
+        if params == S_JTSK.params:
+            return S_JTSK
+        return CrsDef(f"krovak_{params[0]:g}_{params[1]:g}", "krovak",
+                      params)
     if proj == "omerc":
         if "lat_1" in toks or "lat_2" in toks:
             raise ValueError("omerc two-point form (+lat_1/+lat_2) not "
@@ -2166,6 +2280,12 @@ def to_proj4(crs: CrsDef | str) -> str:
         return (f"+proj=sterea +lat_0={lat0!r} +lon_0={lon0!r} "
                 f"+k_0={k0!r} +x_0={fe!r} +y_0={fn!r} {frag} "
                 "+units=m +no_defs")
+    if c.kind == "krovak":
+        lat_c, lon0, alpha, lat_p, k0, fe, fn = c.params[:7]
+        frag = _proj4_ellps_frag(c.params, 7)
+        return (f"+proj=krovak +lat_0={lat_c!r} +lon_0={lon0!r} "
+                f"+alpha={alpha!r} +lat_1={lat_p!r} +k_0={k0!r} "
+                f"+x_0={fe!r} +y_0={fn!r} {frag} +units=m +no_defs")
     raise ValueError(f"no proj.4 form for kind {c.kind!r}")
 
 
@@ -2363,6 +2483,14 @@ def to_wkt(crs: CrsDef | str) -> str:
         return _wkt_projcs(
             c.name, _wkt_geogcs_for(c.params, 5), "Oblique_Stereographic",
             [("latitude_of_origin", lat0), ("central_meridian", lon0),
+             ("scale_factor", k0),
+             ("false_easting", fe), ("false_northing", fn)])
+    if c.kind == "krovak":
+        lat_c, lon0, alpha, lat_p, k0, fe, fn = c.params[:7]
+        return _wkt_projcs(
+            c.name, _wkt_geogcs_for(c.params, 7), "Krovak",
+            [("latitude_of_center", lat_c), ("longitude_of_center", lon0),
+             ("azimuth", alpha), ("pseudo_standard_parallel_1", lat_p),
              ("scale_factor", k0),
              ("false_easting", fe), ("false_northing", fn)])
     raise ValueError(f"no WKT form for kind {c.kind!r}")
@@ -2650,6 +2778,18 @@ def from_wkt(s: str) -> CrsDef:
         if params == RD_NEW.params:
             return RD_NEW
         return CrsDef(f"sterea_{params[0]:g}_{params[1]:g}", "sterea",
+                      params)
+    if proj == "Krovak":
+        af = _wkt_ellipsoid(root)
+        params = (g("latitude_of_center", 49.5),
+                  g("longitude_of_center", 24.833333333333332),
+                  g("azimuth", 30.288139750000002),
+                  g("pseudo_standard_parallel_1", 78.5),
+                  g("scale_factor", 0.9999),
+                  g("false_easting"), g("false_northing")) + af
+        if params == S_JTSK.params:
+            return S_JTSK
+        return CrsDef(f"krovak_{params[0]:g}_{params[1]:g}", "krovak",
                       params)
     raise ValueError(f"unsupported WKT projection {proj!r}")
 

@@ -1010,7 +1010,7 @@ class TestEpsgLookup:
     def test_unknown_code_raises(self):
         from karta_spark.functions import crs as C
         with pytest.raises(ValueError, match="native registry"):
-            C.from_epsg(5514)  # S-JTSK Krovak: not implemented
+            C.from_epsg(27200)  # New Zealand Map Grid: not implemented
 
 
 class TestProgressive12Bit:
@@ -1068,3 +1068,89 @@ class TestProgressive12Bit:
         # block 0: DC 0 -> mid gray 2048; block 1: DC 32768 -> clamps top
         assert np.all(img[:, :8] == 2048)
         assert np.all(img[:, 8:] == 4095)
+
+
+class TestKrovak:
+    """Krovak oblique conformal conic (EPSG method 9819) — S-JTSK, the
+    Czech/Slovak national grid (EPSG:5514 east-north convention).
+    External pin: the published EPSG GN 7-2 worked example."""
+
+    def test_epsg_worked_example(self):
+        """EPSG GN 7-2: lat 50d12'32.4416\"N lon 16d50'59.1790\"E ->
+        southing X=1050538.63, westing Y=568991.00 (to cm); EPSG:5514
+        east-north emits (-Y, -X)."""
+        from karta_spark.functions import crs as C
+        lat = 50 + 12 / 60 + 32.4416 / 3600
+        lon = 16 + 50 / 60 + 59.1790 / 3600
+        x, y = C.forward_np(C.S_JTSK, lon, lat)
+        assert x == pytest.approx(-568991.00, abs=0.01)
+        assert y == pytest.approx(-1050538.63, abs=0.02)
+        lo, la = C.inverse_np(C.S_JTSK, x, y)
+        assert lo == pytest.approx(lon, abs=1e-9)
+        assert la == pytest.approx(lat, abs=1e-9)
+
+    def test_conformality(self):
+        from karta_spark.functions import crs as C
+        a, f = 6377397.155, 1.0 / 299.1528128
+        e2 = f * (2 - f)
+        for lon0, lat0 in [(14.42, 50.09), (17.1, 48.15), (21.2, 48.7)]:
+            eps = 1e-6
+            xs, ys = C.forward_np(
+                C.S_JTSK, np.array([lon0, lon0 + eps, lon0]),
+                np.array([lat0, lat0, lat0 + eps]))
+            dxl, dyl = xs[1] - xs[0], ys[1] - ys[0]
+            dxp, dyp = xs[2] - xs[0], ys[2] - ys[0]
+            phi = np.radians(lat0)
+            M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+            N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            s = M / (N * np.cos(phi))
+            dxp, dyp = dxp / s, dyp / s
+            n1, n2 = np.hypot(dxl, dyl), np.hypot(dxp, dyp)
+            assert n1 / n2 == pytest.approx(1.0, abs=1e-5)
+            assert (dxl * dxp + dyl * dyp) / (n1 * n2) == \
+                pytest.approx(0.0, abs=1e-5)
+
+    def test_scale_at_pseudo_standard_parallel(self):
+        """Point scale equals k0=0.9999 where the cone touches (the
+        pseudo standard parallel U = 78.5 on the Gauss sphere); the
+        Prague region sits near it, scale within [0.9999, 1.0001]."""
+        from karta_spark.functions import crs as C
+        a, f = 6377397.155, 1.0 / 299.1528128
+        e2 = f * (2 - f)
+        eps = 1e-6
+        scales = []
+        for lon0, lat0 in [(14.42, 50.088), (18.0, 49.2), (16.6, 49.2)]:
+            xs, ys = C.forward_np(C.S_JTSK,
+                                  np.array([lon0, lon0 + eps]),
+                                  np.array([lat0, lat0]))
+            phi = np.radians(lat0)
+            N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            scales.append(np.hypot(xs[1] - xs[0], ys[1] - ys[0])
+                          / (np.radians(eps) * N * np.cos(phi)))
+        assert all(0.99985 <= k <= 1.0002 for k in scales), scales
+
+    def test_roundtrip_and_registry(self):
+        from karta_spark.functions import crs as C
+        rng = np.random.default_rng(61)
+        lon = rng.uniform(12, 23, 200)
+        lat = rng.uniform(47.7, 51.1, 200)
+        lo, la = C.inverse_np(C.S_JTSK, *C.forward_np(C.S_JTSK, lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=2e-8)
+        np.testing.assert_allclose(la, lat, atol=2e-8)
+        assert C.from_epsg(5514) is C.S_JTSK
+        assert C.from_proj4("+proj=krovak") is C.S_JTSK
+        assert C.from_proj4(C.to_proj4(C.S_JTSK)) is C.S_JTSK
+        assert C.from_wkt(C.to_wkt(C.S_JTSK)) is C.S_JTSK
+        with pytest.raises(ValueError, match="czech"):
+            C.from_proj4("+proj=krovak +czech")
+
+    def test_spark_backend_matches_numpy(self, spark):
+        from pyspark.sql import functions as F
+        from karta_spark.functions import crs as C
+        lons, lats = [14.42, 17.1, 21.2], [50.09, 48.15, 48.7]
+        df = spark.createDataFrame(pd.DataFrame({"lon": lons, "lat": lats}))
+        ex, ey = C.forward_exprs(C.S_JTSK, F.col("lon"), F.col("lat"))
+        got = df.select(ex.alias("x"), ey.alias("y")).toPandas()
+        x, y = C.forward_np(C.S_JTSK, np.array(lons), np.array(lats))
+        np.testing.assert_allclose(got["x"], x, atol=1e-6)
+        np.testing.assert_allclose(got["y"], y, atol=1e-6)
