@@ -2663,6 +2663,76 @@ FROM proj
 """
 
 
+def q76_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization dedup census (round 6): plant four
+    deterministic variants of each base URL over the documents table
+    (scheme/host case, default :443 port, trailing + duplicate
+    slashes, utm_*/fbclid tracking params, fragments), canonicalize
+    with text.canonical_url (pure Catalyst: regexp components +
+    filter/array_sort HOFs — the standard web-corpus dedup key), and
+    verify EVERY row lands on its expected base plus the dup-group
+    census.  DuckDB runs the step-identical SQL chain
+    (canonical_url_sql), so any normalization divergence between
+    engines moves n_match or n_canon and fails the hash gate."""
+    from karta_spark.operators import text as T
+    d = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") / 4).cast("long")
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    gs = g.cast("string")
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://site"), gs,
+                                F.lit(".example.com/p/q?id="), gs))
+        .when(v == 1, F.concat(F.lit("HTTPS://SITE"), gs,
+                               F.lit(".EXAMPLE.COM:443/p/q/?id="), gs))
+        .when(v == 2, F.concat(F.lit("https://site"), gs,
+                               F.lit(".example.com/p//q?utm_source=feed&id="),
+                               gs))
+        .otherwise(F.concat(F.lit("https://site"), gs,
+                            F.lit(".example.com/p/q?id="), gs,
+                            F.lit("&utm_campaign=x#top"))))
+    expected = F.concat(F.lit("https://site"), gs,
+                        F.lit(".example.com/p/q?id="), gs)
+    canon = T.canonical_url(url)
+    return (d.select(canon.alias("canon"), expected.alias("want"))
+            .agg(F.count("*").cast("long").alias("n_urls"),
+                 F.countDistinct("canon").cast("long").alias("n_canon"),
+                 F.sum((F.col("canon") == F.col("want")).cast("long"))
+                 .alias("n_match")))
+
+
+def _q76_sql():
+    from karta_spark.operators.text import canonical_url_sql
+    return f"""
+WITH planted AS (
+  SELECT doc_id // 4 AS g, doc_id % 4 AS v,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://site' || CAST(doc_id // 4 AS VARCHAR)
+                       || '.example.com/p/q?id='
+                       || CAST(doc_id // 4 AS VARCHAR)
+           WHEN 1 THEN 'HTTPS://SITE' || CAST(doc_id // 4 AS VARCHAR)
+                       || '.EXAMPLE.COM:443/p/q/?id='
+                       || CAST(doc_id // 4 AS VARCHAR)
+           WHEN 2 THEN 'https://site' || CAST(doc_id // 4 AS VARCHAR)
+                       || '.example.com/p//q?utm_source=feed&id='
+                       || CAST(doc_id // 4 AS VARCHAR)
+           ELSE 'https://site' || CAST(doc_id // 4 AS VARCHAR)
+                || '.example.com/p/q?id=' || CAST(doc_id // 4 AS VARCHAR)
+                || '&utm_campaign=x#top'
+         END AS url,
+         'https://site' || CAST(doc_id // 4 AS VARCHAR)
+           || '.example.com/p/q?id=' || CAST(doc_id // 4 AS VARCHAR)
+           AS want
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT {canonical_url_sql('url')}) AS BIGINT)
+         AS n_canon,
+       CAST(sum(CASE WHEN {canonical_url_sql('url')} = want
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+FROM planted
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -2799,6 +2869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_rso_borneo": q73_rso_borneo,
         "q74_rd_new_grid": q74_rd_new_grid,
         "q75_krovak_sjtsk": q75_krovak_sjtsk,
+        "q76_url_canonical_dedup": q76_url_canonical_dedup,
     }
 
 
@@ -2861,6 +2932,7 @@ def oracle_sql() -> dict[str, str]:
         "q73_rso_borneo": _q73_sql(),
         "q74_rd_new_grid": _q74_sql(),
         "q75_krovak_sjtsk": _q75_sql(),
+        "q76_url_canonical_dedup": _q76_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

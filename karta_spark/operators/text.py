@@ -816,3 +816,73 @@ SELECT d.{id_col} AS id,
        coalesce(cl.removed_chars, 0) AS removed_chars
 FROM {table} d LEFT JOIN cleaned cl ON cl.id = d.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — web-corpus dedup keys.  Crawl pipelines dedup
+# pages by a normalized URL before (and alongside) content dedup; the
+# reference has no text layer (beyond-reference op).  Pure Catalyst:
+# regexp component extraction + higher-order array functions; no UDF.
+# ---------------------------------------------------------------------------
+
+_URL_TRACKING = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid)="
+_URL_SCHEME = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_URL_AUTH = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_URL_PATH = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_URL_QUERY = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^#?]*\?([^#]*)"
+
+
+def canonical_url(col: Column) -> Column:
+    """RFC-3986-flavoured canonical form of an absolute URL, the
+    standard web-corpus dedup key: lowercase scheme+host, default ports
+    (:80 http / :443 https) stripped, duplicate slashes collapsed,
+    trailing slash dropped (except the root path), fragment dropped,
+    tracking params (utm_*, gclid, fbclid, msclkid, mc_eid) removed and
+    the remaining query params SORTED.  Strings without a scheme://
+    part pass through trimmed (opaque keys stay stable).  All Catalyst:
+    regexp extraction + filter/array_sort/array_join — no Python."""
+    u = F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME, 1))
+    auth = F.lower(F.regexp_extract(u, _URL_AUTH, 1))
+    host = F.when(scheme == "http", F.regexp_replace(auth, ":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", "")) \
+        .otherwise(auth)
+    path = F.regexp_replace(F.regexp_extract(u, _URL_PATH, 1),
+                            "/{2,}", "/")
+    path = F.regexp_replace(path, "(.)/$", "$1")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(u, _URL_QUERY, 1)
+    keep = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(_URL_TRACKING))
+    q2 = F.array_join(F.array_sort(keep), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)))
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def canonical_url_sql(col_expr: str) -> str:
+    """DuckDB twin of canonical_url — identical patterns and steps
+    (backreference syntax \\1 vs Spark's $1 is the only divergence)."""
+    u = f"trim({col_expr})"
+    scheme = f"lower(regexp_extract({u}, '{_URL_SCHEME}', 1))"
+    auth = f"lower(regexp_extract({u}, '{_URL_AUTH}', 1))"
+    host = (f"CASE WHEN {scheme} = 'http' "
+            f"THEN regexp_replace({auth}, ':80$', '') "
+            f"WHEN {scheme} = 'https' "
+            f"THEN regexp_replace({auth}, ':443$', '') "
+            f"ELSE {auth} END")
+    path0 = (f"regexp_replace(regexp_extract({u}, '{_URL_PATH}', 1), "
+             f"'/{{2,}}', '/', 'g')")
+    path1 = f"regexp_replace({path0}, '(.)/$', '\\1')"
+    path = f"CASE WHEN {path1} = '' THEN '/' ELSE {path1} END"
+    q = f"regexp_extract({u}, '{_URL_QUERY}', 1)"
+    keep = (f"list_filter(string_split({q}, '&'), "
+            f"p -> p <> '' AND NOT regexp_matches(p, '{_URL_TRACKING}'))")
+    # coalesce: DuckDB's array_to_string yields NULL on an empty list
+    # (Spark's array_join yields '')
+    q2 = f"coalesce(array_to_string(list_sort({keep}), '&'), '')"
+    canon = (f"{scheme} || '://' || {host} || {path} || "
+             f"CASE WHEN {q2} = '' THEN '' ELSE '?' || {q2} END")
+    return f"CASE WHEN {scheme} = '' THEN {u} ELSE {canon} END"

@@ -1154,3 +1154,43 @@ class TestKrovak:
         x, y = C.forward_np(C.S_JTSK, np.array(lons), np.array(lats))
         np.testing.assert_allclose(got["x"], x, atol=1e-6)
         np.testing.assert_allclose(got["y"], y, atol=1e-6)
+
+
+class TestCanonicalUrl:
+    """URL canonicalization (web-corpus dedup key, round 6): pure
+    Catalyst normalization chain with a step-identical DuckDB twin."""
+
+    CASES = [
+        ("HTTPS://Example.COM:443/a/b/?id=7&utm_source=x#frag",
+         "https://example.com/a/b?id=7"),
+        ("https://example.com/a//b?utm_campaign=y&id=7",
+         "https://example.com/a/b?id=7"),
+        ("http://example.com:80/", "http://example.com/"),
+        ("http://example.com", "http://example.com/"),
+        ("https://example.com/a/b?z=1&a=2", "https://example.com/a/b?a=2&z=1"),
+        ("not a url", "not a url"),
+        ("  ftp://Host.Example/Path/ ", "ftp://host.example/Path"),
+        ("https://example.com:8443/x?fbclid=abc",
+         "https://example.com:8443/x"),  # non-default port kept
+        ("https://example.com/?gclid=1&msclkid=2&mc_eid=3",
+         "https://example.com/"),
+    ]
+
+    def test_spark_semantics(self, spark):
+        from pyspark.sql import functions as F
+        from karta_spark.operators.text import canonical_url
+        df = spark.createDataFrame(
+            pd.DataFrame({"u": [c for c, _ in self.CASES]}))
+        got = [r["c"] for r in
+               df.select(canonical_url(F.col("u")).alias("c")).collect()]
+        assert got == [w for _, w in self.CASES]
+
+    def test_duckdb_twin_identical(self):
+        import duckdb
+        from karta_spark.operators.text import canonical_url_sql
+        sql = canonical_url_sql("u")
+        for raw, want in self.CASES:
+            got = duckdb.sql(
+                f"SELECT {sql} AS c FROM (SELECT '{raw}' AS u)"
+            ).fetchone()[0]
+            assert got == want, (raw, got, want)
