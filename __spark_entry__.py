@@ -2733,6 +2733,73 @@ FROM planted
 """
 
 
+def q77_png_variants_census(spark, sf_dir):
+    """Full-PNG IHDR-matrix census (round 6): per documents row,
+    synthesize a closed-form image in one of six real-world PNG shapes
+    (8-bit gray; Adam7-interlaced RGB; 4-bit palette; 16-bit gray; RGBA
+    with a varying alpha plane; 1-bit interlaced bilevel — cycling all
+    five scanline filters), encode + decode ENTIRELY on executors with
+    the from-scratch codec (sources/png.py; the reference reads PNGs
+    via GDAL/Pillow, _gdal.py:114-188), and census the decoded sample
+    sums per variant.
+
+    Value-oracle-exact: every pixel formula is integer closed form and
+    restated verbatim in the oracle SQL, so DuckDB regenerates the
+    per-variant sample sums without any codec — a filter, interlace
+    pass-layout, palette, bit-unpack, or 16-bit byte-order bug moves
+    sum_samples (or drops a pixel from n_px_match) and fails the hash
+    gate."""
+    import pandas as pd
+    from karta_spark.sources.png import variant_census_row
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = [variant_census_row(int(x)) for x in pdf["doc_id"]]
+            yield pd.DataFrame(rows,
+                               columns=["variant", "got_sum", "n_px"])
+
+    res = d.repartition(8).mapInPandas(
+        run, "variant string, got_sum long, n_px long")
+    return res.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("got_sum").alias("sum_samples"),
+        F.sum("n_px").alias("n_px_match"))
+
+
+Q77_SQL = """
+WITH px AS (
+  SELECT doc_id AS d, i, j
+  FROM documents, range(12) t(i), range(16) s(j)
+), per AS (
+  SELECT d, d % 6 AS v,
+    CASE d % 6
+      WHEN 0 THEN (d*7 + 13*i + 29*j) % 256
+      WHEN 1 THEN (d*7 + 13*i + 29*j) % 256
+                + (d*7 + 13*i + 29*j + 71) % 256
+                + (d*7 + 13*i + 29*j + 142) % 256
+      WHEN 2 THEN (37*((d + 3*i + 5*j) % 16) + 11) % 256
+                + (59*((d + 3*i + 5*j) % 16) + 3) % 256
+                + (83*((d + 3*i + 5*j) % 16) + 7) % 256
+      WHEN 3 THEN (d*2654435761 + 65537*i + 12345*j) % 65536
+      WHEN 4 THEN (d + 2*i + 3*j) % 256
+                + (d + 2*i + 3*j + 50) % 256
+                + (d + 2*i + 3*j + 100) % 256
+                + (d + i + j) % 256
+      ELSE CASE WHEN (31*i + 17*j + d) % 5 <> 0 THEN 1 ELSE 0 END
+    END AS s
+  FROM px
+)
+SELECT CASE v WHEN 0 THEN 'gray8' WHEN 1 THEN 'rgb8_adam7'
+              WHEN 2 THEN 'pal4' WHEN 3 THEN 'gray16'
+              WHEN 4 THEN 'rgba8' ELSE 'gray1_adam7' END AS variant,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_images,
+       CAST(sum(s) AS BIGINT) AS sum_samples,
+       CAST(count(*) AS BIGINT) AS n_px_match
+FROM per GROUP BY variant, v
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -2870,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_rd_new_grid": q74_rd_new_grid,
         "q75_krovak_sjtsk": q75_krovak_sjtsk,
         "q76_url_canonical_dedup": q76_url_canonical_dedup,
+        "q77_png_variants_census": q77_png_variants_census,
     }
 
 
@@ -2933,6 +3001,7 @@ def oracle_sql() -> dict[str, str]:
         "q74_rd_new_grid": _q74_sql(),
         "q75_krovak_sjtsk": _q75_sql(),
         "q76_url_canonical_dedup": _q76_sql(),
+        "q77_png_variants_census": Q77_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

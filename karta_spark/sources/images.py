@@ -93,8 +93,14 @@ def decode_png(data: bytes) -> np.ndarray:
         tag = data[pos + 4:pos + 8]
         body = data[pos + 8:pos + 8 + length]
         if tag == b"IHDR":
-            w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
-            assert bit_depth == 8 and color_type in (0, 2)
+            w, h, bit_depth, color_type, _c, _f, interlace = \
+                struct.unpack(">IIBBBBB", body[:13])
+            if (bit_depth, interlace) != (8, 0) or color_type not in (0, 2):
+                # palette / alpha / 16-bit / sub-8-bit / Adam7: the full
+                # from-scratch codec (sources/png.py) handles every legal
+                # IHDR shape; this path stays the filter-0 bench fast path
+                from karta_spark.sources.png import decode_png_full
+                return decode_png_full(data)
         elif tag == b"IDAT":
             idat += body
         pos += 12 + length
