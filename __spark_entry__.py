@@ -2800,6 +2800,78 @@ FROM per GROUP BY variant, v
 """
 
 
+def q78_gif_frame_sampling(spark, sf_dir):
+    """Animated-GIF frame-sampling census (round 6): per documents row,
+    synthesize a closed-form 4-frame GIF89a animation (LZW-compressed,
+    frames 1-3 transparent-index compositing over disposal 1, odd ids
+    interlaced, every third id with a per-frame LOCAL color table),
+    decode + composite it ENTIRELY on executors with the from-scratch
+    codec (sources/gif.py — the reference reads rasters via GDAL,
+    _gdal.py:114-188; GIF animation sampling mirrors the MJPEG-AVI
+    path, av.py:150), sample frame ``d % 4``, and census the RGB sums
+    per sampled-frame position.
+
+    Value-oracle-exact: the transparency show-through recursion is
+    restated in SQL (source frame m = last k' <= k with a nonzero
+    index), so DuckDB regenerates every composited pixel sum with no
+    codec — an LZW width slip, interlace reorder, GCE transparency,
+    local-palette, or compositing bug moves sum_rgb (or drops a pixel
+    from n_px_match) and fails the hash gate."""
+    import pandas as pd
+    from karta_spark.sources.gif import gif_census_row
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = [gif_census_row(int(x)) for x in pdf["doc_id"]]
+            yield pd.DataFrame(rows,
+                               columns=["frame_sampled", "sum_rgb", "n_px"])
+
+    res = d.repartition(8).mapInPandas(
+        run, "frame_sampled long, sum_rgb long, n_px long")
+    return res.groupBy("frame_sampled").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("sum_rgb").alias("sum_rgb"),
+        F.sum("n_px").alias("n_px_match"))
+
+
+def _q78_sql() -> str:
+    # source frame m for composited frame k = d % 4: the last k' <= k
+    # whose index (d + 7k' + 3i + 5j) % 16 is nonzero (frame 0 is fully
+    # opaque), restating gif.animated_variant's compositing recursion
+    def idx(k):
+        return f"((d + 7*{k} + 3*i + 5*j) % 16)"
+
+    def src(k):
+        if k == 0:
+            return "0"
+        arms = " ".join(f"WHEN {idx(m)} <> 0 THEN {m}"
+                        for m in range(k, 0, -1))
+        return f"CASE {arms} ELSE 0 END"
+
+    m_expr = ("CASE d % 4 " + " ".join(
+        f"WHEN {k} THEN {src(k)}" for k in range(4)) + " END")
+    return f"""
+WITH px AS (
+  SELECT doc_id AS d, i, j
+  FROM documents, range(10) t(i), range(12) r(j)
+), src AS (
+  SELECT d, d % 4 AS fs, ({m_expr}) AS m, i, j FROM px
+), val AS (
+  SELECT d, fs, (d + 7*m + 3*i + 5*j) % 16 AS ki, m FROM src
+)
+SELECT CAST(fs AS BIGINT) AS frame_sampled,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_images,
+       CAST(sum(CASE WHEN m = 2 AND d % 3 = 0
+                THEN (91*ki + 13) % 256 + (29*ki + 41) % 256
+                     + (53*ki + 17) % 256
+                ELSE (23*ki + 5) % 256 + (47*ki + 9) % 256
+                     + (71*ki + 2) % 256 END) AS BIGINT) AS sum_rgb,
+       CAST(count(*) AS BIGINT) AS n_px_match
+FROM val GROUP BY fs
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -2938,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_krovak_sjtsk": q75_krovak_sjtsk,
         "q76_url_canonical_dedup": q76_url_canonical_dedup,
         "q77_png_variants_census": q77_png_variants_census,
+        "q78_gif_frame_sampling": q78_gif_frame_sampling,
     }
 
 
@@ -3002,6 +3075,7 @@ def oracle_sql() -> dict[str, str]:
         "q75_krovak_sjtsk": _q75_sql(),
         "q76_url_canonical_dedup": _q76_sql(),
         "q77_png_variants_census": Q77_SQL,
+        "q78_gif_frame_sampling": _q78_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -204,6 +204,9 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_bmp(data)
     if fmt == "jpeg":
         return decode_jpeg(data)
+    if fmt == "gif":
+        from karta_spark.sources.gif import gif_frames
+        return gif_frames(data)[0][0]  # first composited frame, RGB
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
