@@ -2872,6 +2872,66 @@ FROM val GROUP BY fs
 """
 
 
+def q79_html_extraction(spark, sf_dir):
+    """HTML -> text extraction (round 6): wrap every documents row in a
+    deterministic HTML page (title, style + script blocks with tag
+    traps inside, heading, body paragraph, href link, comment, named
+    entities), run text.html_to_text / html_title / extract_links (pure
+    Catalyst regexp chain, JVM-side), and return the CLEANED TEXT
+    ITSELF plus title and link census per row.  The first step of every
+    crawl-corpus pipeline (WARC -> WET production); the reference has
+    no text layer (beyond-reference op).
+
+    Value-oracle-exact: DuckDB builds the identical page and runs the
+    step-identical RE2 chain (html_to_text_sql), so the full cleaned
+    string is hash-compared row by row — any tag-strip, entity,
+    block-newline, or whitespace-normalization divergence between
+    engines fails the gate."""
+    from karta_spark.operators.text import (
+        extract_links, html_title, html_to_text,
+    )
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title><style>p{margin:0}</style>"
+              "<script>var x=\"<b>trap</b>\";</script></head>"
+              "<body><h1>Doc "), did,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><a href=\"https://ex.org/"), did,
+        F.lit("?x=1\">see</a><br><!-- hidden --><div>tail&nbsp;"), did,
+        F.lit(" &amp; &lt;end&gt;</div></body></html>"))
+    links = extract_links(html)
+    return (d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        html_to_text(html).alias("clean"),
+        html_title(html).alias("title"),
+        F.size(links).cast("long").alias("n_links"),
+        F.element_at(links, 1).alias("first_link"))
+        .orderBy("doc_id"))
+
+
+def _q79_sql():
+    from karta_spark.operators.text import (
+        extract_links_sql, html_title_sql, html_to_text_sql,
+    )
+    html = """('<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+ || '</title><style>p{margin:0}</style>'
+ || '<script>var x="<b>trap</b>";</script></head><body><h1>Doc '
+ || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+ || '</p><a href="https://ex.org/' || CAST(doc_id AS VARCHAR)
+ || '?x=1">see</a><br><!-- hidden --><div>tail&nbsp;'
+ || CAST(doc_id AS VARCHAR) || ' &amp; &lt;end&gt;</div></body></html>')"""
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {html_to_text_sql(html)} AS clean,
+       {html_title_sql(html)} AS title,
+       CAST(len({extract_links_sql(html)}) AS BIGINT) AS n_links,
+       list_extract({extract_links_sql(html)}, 1) AS first_link
+FROM documents ORDER BY doc_id
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3011,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_url_canonical_dedup": q76_url_canonical_dedup,
         "q77_png_variants_census": q77_png_variants_census,
         "q78_gif_frame_sampling": q78_gif_frame_sampling,
+        "q79_html_extraction": q79_html_extraction,
     }
 
 
@@ -3076,6 +3137,7 @@ def oracle_sql() -> dict[str, str]:
         "q76_url_canonical_dedup": _q76_sql(),
         "q77_png_variants_census": Q77_SQL,
         "q78_gif_frame_sampling": _q78_sql(),
+        "q79_html_extraction": _q79_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -886,3 +886,82 @@ def canonical_url_sql(col_expr: str) -> str:
     canon = (f"{scheme} || '://' || {host} || {path} || "
              f"CASE WHEN {q2} = '' THEN '' ELSE '?' || {q2} END")
     return f"CASE WHEN {scheme} = '' THEN {u} ELSE {canon} END"
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction — the first step of every web-corpus pipeline
+# (crawl WARC/WET production).  Pure Catalyst regexp chain with a
+# step-identical DuckDB twin; the reference has no text layer (beyond-
+# reference op).  Scope: tag/script/style/comment stripping, block-tag
+# newlines, the common named entities, whitespace normalization.
+# Arbitrary numeric character references are NOT decoded (documented).
+# ---------------------------------------------------------------------------
+
+# ordered (pattern, replacement) chain — shared verbatim by both engines
+# (no backreferences, no lookaround: must stay RE2-compatible for DuckDB)
+_HTML_STEPS = (
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)</?(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article"
+     r"|header|footer|title)\b[^>]*>|<br\s*/?>", "\n"),
+    (r"<[^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&apos;", "'"),
+    (r"&amp;", "&"),
+    # \x0B listed explicitly: Java \s includes it, RE2 \s does not —
+    # after this step the later \s* steps only ever see [ \n] (parity)
+    (r"[ \t\r\f\x0B]+", " "),
+    (r"\s*\n\s*", "\n"),
+    # trim() strips only spaces in both engines; anchor-trim newlines too
+    (r"^\s+", ""),
+    (r"\s+$", ""),
+)
+
+_HREF_RE = r"(?i)<a\b[^>]*?href\s*=\s*[\"']([^\"'>]+)[\"']"
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title\s*>"
+
+
+def html_to_text(col: Column) -> Column:
+    """Strip an HTML document to visible text: script/style/comment
+    blocks dropped, block-level tags become newlines, inline tags
+    become spaces, common named entities decoded, whitespace
+    normalized.  Pure Catalyst (14 regexp_replace steps, JVM-side);
+    the DuckDB twin (``html_to_text_sql``) runs the identical chain."""
+    out = col
+    for pat, rep in _HTML_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
+def html_to_text_sql(col_expr: str) -> str:
+    out = col_expr
+    for pat, rep in _HTML_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return f"trim({out})"
+
+
+def extract_links(col: Column) -> Column:
+    """All ``<a href=...>`` targets, document order (array<string>)."""
+    return F.regexp_extract_all(col, F.lit(_HREF_RE), 1)
+
+
+def extract_links_sql(col_expr: str) -> str:
+    p = _HREF_RE.replace("'", "''")
+    return f"regexp_extract_all({col_expr}, '{p}', 1)"
+
+
+def html_title(col: Column) -> Column:
+    """Contents of the first ``<title>`` element ('' when absent)."""
+    return F.trim(F.regexp_extract(col, _TITLE_RE, 1))
+
+
+def html_title_sql(col_expr: str) -> str:
+    p = _TITLE_RE.replace("'", "''")
+    return f"trim(regexp_extract({col_expr}, '{p}', 1))"

@@ -1194,3 +1194,62 @@ class TestCanonicalUrl:
                 f"SELECT {sql} AS c FROM (SELECT '{raw}' AS u)"
             ).fetchone()[0]
             assert got == want, (raw, got, want)
+
+
+class TestHtmlExtraction:
+    """html_to_text / html_title / extract_links (round 6): web-corpus
+    WARC->WET step; Catalyst chain with a step-identical DuckDB twin."""
+
+    HTML = ('<html><head><title> T1 &amp; T2 </title>'
+            '<style type="text/css">h1{x:1}</style>'
+            '<SCRIPT>if(a<b){doc.write("<p>evil</p>")}</SCRIPT></head>'
+            '<body><h1 class="x">Head</h1>'
+            '<p>one &lt;two&gt; &quot;three&quot; &#39;four&#39;</p>'
+            '<a href="https://x.example/a?b=1">A</a>\n'
+            "<a class='z' href='/rel/path'>B</a>"
+            '<!-- <p>never</p> --><br/><div>tail&nbsp;end</div></body>')
+    WANT = ('T1 & T2\nHead\none <two> "three" \'four\'\nA\nB\ntail end')
+
+    def test_spark_semantics(self, spark):
+        from pyspark.sql import functions as F
+        from karta_spark.operators.text import (
+            extract_links, html_title, html_to_text,
+        )
+        df = spark.createDataFrame([(self.HTML,)], "h string")
+        row = df.select(
+            html_to_text(F.col("h")).alias("c"),
+            html_title(F.col("h")).alias("t"),
+            extract_links(F.col("h")).alias("l")).collect()[0]
+        assert row["c"] == self.WANT
+        assert row["t"] == "T1 & T2"
+        assert row["l"] == ["https://x.example/a?b=1", "/rel/path"]
+
+    def test_duckdb_twin_identical(self):
+        import duckdb
+        from karta_spark.operators.text import (
+            extract_links_sql, html_title_sql, html_to_text_sql,
+        )
+        duckdb.sql("CREATE OR REPLACE TEMP TABLE th AS SELECT ? AS h",
+                   params=[self.HTML])
+        c, t, links = duckdb.sql(
+            f"SELECT {html_to_text_sql('h')}, {html_title_sql('h')}, "
+            f"{extract_links_sql('h')} FROM th").fetchone()
+        assert c == self.WANT
+        assert t == "T1 & T2"
+        assert links == ["https://x.example/a?b=1", "/rel/path"]
+
+    def test_plain_text_passthrough(self, spark):
+        from pyspark.sql import functions as F
+        from karta_spark.operators.text import html_to_text
+        df = spark.createDataFrame([("no tags here, just words",)],
+                                   "h string")
+        got = df.select(html_to_text(F.col("h")).alias("c")).collect()
+        assert got[0]["c"] == "no tags here, just words"
+
+    def test_numeric_entities_not_decoded(self, spark):
+        # documented scope limit: only the common named entities
+        from pyspark.sql import functions as F
+        from karta_spark.operators.text import html_to_text
+        df = spark.createDataFrame([("<p>&#169; &amp;</p>",)], "h string")
+        got = df.select(html_to_text(F.col("h")).alias("c")).collect()
+        assert got[0]["c"] == "&#169; &"
