@@ -899,13 +899,8 @@ def canonical_url_sql(col_expr: str) -> str:
 
 # ordered (pattern, replacement) chain — shared verbatim by both engines
 # (no backreferences, no lookaround: must stay RE2-compatible for DuckDB)
-_HTML_STEPS = (
-    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
-    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
-    (r"(?s)<!--.*?-->", " "),
-    (r"(?i)</?(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article"
-     r"|header|footer|title)\b[^>]*>|<br\s*/?>", "\n"),
-    (r"<[^>]*>", " "),
+# the common named entities (&amp; last so &amp;lt; decodes one level)
+_ENTITIES = (
     (r"&nbsp;", " "),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
@@ -913,6 +908,16 @@ _HTML_STEPS = (
     (r"&#39;", "'"),
     (r"&apos;", "'"),
     (r"&amp;", "&"),
+)
+
+_HTML_STEPS = (
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)</?(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article"
+     r"|header|footer|title)\b[^>]*>|<br\s*/?>", "\n"),
+    (r"<[^>]*>", " "),
+) + _ENTITIES + (
     # \x0B listed explicitly: Java \s includes it, RE2 \s does not —
     # after this step the later \s* steps only ever see [ \n] (parity)
     (r"[ \t\r\f\x0B]+", " "),
@@ -958,10 +963,19 @@ def extract_links_sql(col_expr: str) -> str:
 
 
 def html_title(col: Column) -> Column:
-    """Contents of the first ``<title>`` element ('' when absent)."""
-    return F.trim(F.regexp_extract(col, _TITLE_RE, 1))
+    """Contents of the first ``<title>`` element, entities decoded
+    ('' when absent)."""
+    out = F.regexp_extract(col, _TITLE_RE, 1)
+    for pat, rep in _ENTITIES:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
 
 
 def html_title_sql(col_expr: str) -> str:
     p = _TITLE_RE.replace("'", "''")
-    return f"trim(regexp_extract({col_expr}, '{p}', 1))"
+    out = f"regexp_extract({col_expr}, '{p}', 1)"
+    for pat, rep in _ENTITIES:
+        pe = pat.replace("'", "''")
+        re_ = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{pe}', '{re_}', 'g')"
+    return f"trim({out})"
