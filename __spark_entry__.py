@@ -2932,6 +2932,74 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q80_webp_variants_census(spark, sf_dir):
+    """Lossless-WebP (VP8L) census (round 6): per documents row,
+    synthesize a closed-form RGBA image, encode + decode it ENTIRELY on
+    executors with the from-scratch VP8L codec (sources/webp.py —
+    canonical prefix codes via the code-length code, LZ77 with the 2D
+    neighbor distance map, color cache, and the four transforms:
+    predictor, cross-color, subtract-green, color-indexing with
+    sub-byte bundling; the reference reads rasters via GDAL,
+    _gdal.py:114-188), cycling six transform stacks, and census the
+    decoded RGBA sums per variant.
+
+    Value-oracle-exact: VP8L is lossless and every pixel formula is
+    integer closed form restated verbatim in the oracle SQL, so DuckDB
+    regenerates the per-variant channel sums with no codec — a Huffman,
+    LZ77, cache, or inverse-transform bug moves sum_rgba (or drops a
+    pixel from n_px_match) and fails the hash gate."""
+    import pandas as pd
+    from karta_spark.sources.webp import variant_census_row
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = [variant_census_row(int(x)) for x in pdf["doc_id"]]
+            yield pd.DataFrame(rows,
+                               columns=["variant", "got_sum", "n_px"])
+
+    res = d.repartition(8).mapInPandas(
+        run, "variant string, got_sum long, n_px long")
+    return res.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("got_sum").alias("sum_rgba"),
+        F.sum("n_px").alias("n_px_match"))
+
+
+Q80_SQL = """
+WITH px AS (
+  SELECT doc_id AS d, i, j
+  FROM documents, range(10) t(i), range(14) s(j)
+), per AS (
+  SELECT d, d % 6 AS v,
+    CASE d % 6
+      WHEN 0 THEN (d + 2*i + 3*j) % 256 + (3*d + 5*i + j) % 256
+                + (5*d + i + 7*j) % 256 + 255
+      WHEN 1 THEN (d + 4*i + j) % 256 + (2*d + i + 6*j) % 256
+                + (7*d + 3*i + 2*j) % 256 + (d + i + j) % 256
+      WHEN 2 THEN (37*((d + 3*i + 5*j) % 16) + 11) % 256
+                + (59*((d + 3*i + 5*j) % 16) + 3) % 256
+                + (83*((d + 3*i + 5*j) % 16) + 7) % 256
+                + (29*((d + 3*i + 5*j) % 16) + 200) % 256
+      WHEN 3 THEN 3 * ((d + i + (j // 4) * 9) % 256) + 255
+      WHEN 4 THEN (11*d + i + j) % 256 + (d + 9*i + 2*j) % 256
+                + (13*d + 2*i + 5*j) % 256 + 255
+      ELSE (17*((i + j + d) % 4) + d) % 256
+           + (31*((i + j + d) % 4) + 2*d) % 256
+           + (43*((i + j + d) % 4) + 5) % 256 + 255
+    END AS s
+  FROM px
+)
+SELECT CASE v WHEN 0 THEN 'plain' WHEN 1 THEN 'subgreen_pred7'
+              WHEN 2 THEN 'pal16' WHEN 3 THEN 'cache_lz77'
+              WHEN 4 THEN 'cross_pred2' ELSE 'pal4_lz77' END AS variant,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_images,
+       CAST(sum(s) AS BIGINT) AS sum_rgba,
+       CAST(count(*) AS BIGINT) AS n_px_match
+FROM per GROUP BY variant, v
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3072,6 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_png_variants_census": q77_png_variants_census,
         "q78_gif_frame_sampling": q78_gif_frame_sampling,
         "q79_html_extraction": q79_html_extraction,
+        "q80_webp_variants_census": q80_webp_variants_census,
     }
 
 
@@ -3138,6 +3207,7 @@ def oracle_sql() -> dict[str, str]:
         "q77_png_variants_census": Q77_SQL,
         "q78_gif_frame_sampling": _q78_sql(),
         "q79_html_extraction": _q79_sql(),
+        "q80_webp_variants_census": Q80_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -207,6 +207,9 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "gif":
         from karta_spark.sources.gif import gif_frames
         return gif_frames(data)[0][0]  # first composited frame, RGB
+    if fmt == "webp":
+        from karta_spark.sources.webp import decode_webp
+        return decode_webp(data)  # RGBA
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
