@@ -3000,6 +3000,85 @@ FROM per GROUP BY variant, v
 """
 
 
+def q81_g711_audio_census(spark, sf_dir):
+    """G.711 telephony-audio census (round 6): per documents row, build
+    a closed-form byte stream, wrap it as a mu-law (even ids) or A-law
+    (odd ids) WAV (format codes 7/6), decode through the WAV path
+    (sources/av.py — vectorized ports of the public G.711 expansion
+    algebra), and census the recovered 16-bit-scale linear samples.
+
+    Value-oracle-exact: both companding laws are closed-form bijections
+    byte -> linear level (mu-law's duplicate zero code is avoided by
+    remapping byte 0x7F), so DuckDB regenerates every sample from the
+    G.711 algebra restated in SQL — any segment/mantissa/sign slip in
+    the expansion moves sum_v/min_v/max_v and fails the hash gate."""
+    import pandas as pd
+    from karta_spark.sources.av import decode_wav, encode_g711_wav
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    N = 64
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                i = np.arange(N)
+                b = ((did * 7 + i * 13) % 256).astype(np.uint8)
+                law = "ulaw" if did % 2 == 0 else "alaw"
+                if law == "ulaw":
+                    b[b == 0x7F] = 0x80  # avoid mu-law's second zero
+                wav = encode_g711_wav(b, 8000, law=law)
+                s, _sr = decode_wav(wav)
+                v = np.rint(s.ravel() * 32767.0).astype(np.int64)
+                rows.append((law, len(v), int(v.sum()),
+                             int(v.min()), int(v.max())))
+            yield pd.DataFrame(rows, columns=["law", "n", "s", "mn", "mx"])
+
+    res = d.repartition(8).mapInPandas(
+        run, "law string, n long, s long, mn long, mx long")
+    return res.groupBy("law").agg(
+        F.count("*").cast("long").alias("n_clips"),
+        F.sum("n").alias("n_samples"),
+        F.sum("s").alias("sum_v"),
+        F.min("mn").alias("min_v"),
+        F.max("mx").alias("max_v"))
+
+
+Q81_SQL = """
+WITH raw AS (
+  SELECT doc_id AS d, (doc_id * 7 + i * 13) % 256 AS b0
+  FROM documents, range(64) t(i)
+), mapped AS (
+  SELECT d, CASE WHEN d % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+         CASE WHEN d % 2 = 0 AND b0 = 127 THEN 128 ELSE b0 END AS b
+  FROM raw
+), dec AS (
+  SELECT d, law,
+    CASE WHEN law = 'ulaw' THEN
+      CASE WHEN (255 - b) >= 128
+           THEN 132 - (((255 - b) % 16) * 8 + 132)
+                      * (1 << (((255 - b) // 16) % 8))
+           ELSE (((255 - b) % 16) * 8 + 132)
+                * (1 << (((255 - b) // 16) % 8)) - 132 END
+    ELSE
+      CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+      CASE WHEN (xor(b, 85) // 16) % 8 = 0
+           THEN (xor(b, 85) % 16) * 16 + 8
+           ELSE ((xor(b, 85) % 16) * 16 + 264)
+                * (1 << ((xor(b, 85) // 16) % 8 - 1)) END
+    END AS v
+  FROM mapped
+)
+SELECT law,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_clips,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v
+FROM dec GROUP BY law
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3141,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_gif_frame_sampling": q78_gif_frame_sampling,
         "q79_html_extraction": q79_html_extraction,
         "q80_webp_variants_census": q80_webp_variants_census,
+        "q81_g711_audio_census": q81_g711_audio_census,
     }
 
 
@@ -3208,6 +3288,7 @@ def oracle_sql() -> dict[str, str]:
         "q78_gif_frame_sampling": _q78_sql(),
         "q79_html_extraction": _q79_sql(),
         "q80_webp_variants_census": Q80_SQL,
+        "q81_g711_audio_census": Q81_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -75,11 +75,25 @@ def decode_wav(data: bytes):
         (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
         body = data[pos + 8:pos + 8 + size]
         if tag == b"fmt ":
-            fmt_code, ch, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            fmt_code, ch, sr, _, block_align, bits = \
+                struct.unpack("<HHIIHH", body[:16])
+            if fmt_code == 0x11 and len(body) >= 20:
+                (spb,) = struct.unpack("<H", body[18:20])
         elif tag == b"data":
             if fmt_code is None:
                 raise ValueError("WAV data chunk before fmt chunk")
-            if fmt_code == 3 and bits == 32:
+            if fmt_code == 7 and bits == 8:   # G.711 mu-law
+                arr = mulaw_decode_bytes(
+                    np.frombuffer(body, dtype=np.uint8)) \
+                    .astype(np.float64) / 32767.0
+            elif fmt_code == 6 and bits == 8:  # G.711 A-law
+                arr = alaw_decode_bytes(
+                    np.frombuffer(body, dtype=np.uint8)) \
+                    .astype(np.float64) / 32767.0
+            elif fmt_code == 0x11 and bits == 4 and ch == 1:  # IMA ADPCM
+                arr = _ima_adpcm_decode(body, block_align, spb) \
+                    .astype(np.float64) / 32767.0
+            elif fmt_code == 3 and bits == 32:
                 arr = np.frombuffer(body, dtype="<f4").astype(np.float64)
             elif fmt_code == 1 and bits == 8:
                 arr = (np.frombuffer(body, dtype="<u1").astype(np.float64) - 128.0) / 127.0
@@ -90,7 +104,7 @@ def decode_wav(data: bytes):
             else:
                 raise NotImplementedError(
                     f"WAV format code {fmt_code} / {bits}-bit not supported "
-                    "(PCM 8/16/32 and float32 are)")
+                    "(PCM 8/16/32, float32, G.711 mu/A-law, IMA ADPCM are)")
             samples = arr.reshape(-1, ch)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if samples is None:
@@ -175,3 +189,177 @@ def iter_mjpeg_frames(data: bytes):
                 yield idx, decode_jpeg_baseline(payload)
             idx += 1
         p += 8 + size + (size & 1)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law (WAV format codes 7 / 6) — telephony + web audio.
+# Vectorized ports of the classic public-domain g711 reference algebra;
+# both laws are exact bijections byte <-> 16-bit-scale linear value (up
+# to mu-law's two zero codes), which the q81 oracle exploits.
+# ---------------------------------------------------------------------------
+
+def mulaw_decode_bytes(b: np.ndarray) -> np.ndarray:
+    """u8 -> int16-scale linear (+-32124)."""
+    u = (~np.asarray(b, dtype=np.uint8)).astype(np.int32) & 0xFF
+    mant = u & 0x0F
+    exp = (u >> 4) & 0x07
+    t = ((mant << 3) + 0x84) << exp
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _law_encoder(decode_fn):
+    """Exact table-based encoder: nearest decoded level wins, so
+    encode(decode(b)) == b for every byte (mu-law's duplicate zero code
+    collapses to its first occurrence)."""
+    table = decode_fn(np.arange(256, dtype=np.uint8)).astype(np.int32)
+    # for duplicate levels (mu-law's two zeros) prefer the HIGHER byte
+    # (0xFF, the industry silence code): sort by (level, -byte)
+    order = np.lexsort((-np.arange(256), table))
+    levels = table[order]
+    uniq, first = np.unique(levels, return_index=True)
+    uniq_bytes = order[first].astype(np.uint8)
+
+    def enc(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.int32).ravel()
+        pos = np.searchsorted(uniq, x)
+        pos = np.clip(pos, 1, len(uniq) - 1)
+        lo, hi = uniq[pos - 1], uniq[pos]
+        pick = np.where((x - lo) <= (hi - x), pos - 1, pos)
+        return uniq_bytes[pick]
+    return enc
+
+
+def mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16-scale linear -> u8 (nearest mu-law level, exact inverse
+    of mulaw_decode_bytes on representable values)."""
+    global _MULAW_ENC
+    if _MULAW_ENC is None:
+        _MULAW_ENC = _law_encoder(mulaw_decode_bytes)
+    return _MULAW_ENC(x)
+
+
+_MULAW_ENC = None
+_ALAW_ENC = None
+
+
+def alaw_decode_bytes(b: np.ndarray) -> np.ndarray:
+    a = (np.asarray(b, dtype=np.uint8).astype(np.int32)) ^ 0x55
+    mant = a & 0x0F
+    seg = (a >> 4) & 0x07
+    t = np.where(seg == 0, (mant << 4) + 8,
+                 ((mant << 4) + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def alaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16-scale linear -> u8 (nearest A-law level, exact inverse of
+    alaw_decode_bytes — A-law is a true bijection over all 256 bytes)."""
+    global _ALAW_ENC
+    if _ALAW_ENC is None:
+        _ALAW_ENC = _law_encoder(alaw_decode_bytes)
+    return _ALAW_ENC(x)
+
+
+def encode_g711_wav(law_bytes: np.ndarray, sample_rate: int,
+                    law: str = "ulaw", channels: int = 1) -> bytes:
+    """Wrap raw G.711 bytes (interleaved if multichannel) in a WAV."""
+    code = 7 if law == "ulaw" else 6
+    data = np.asarray(law_bytes, dtype=np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHHH", code, channels, sample_rate,
+                      sample_rate * channels, channels, 8, 0)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAV format 0x11): 4-bit differential blocks
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step(pred: int, index: int, nib: int):
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[nib & 7])))
+    return pred, index
+
+
+def ima_adpcm_encode_wav(samples: np.ndarray, sample_rate: int,
+                         samples_per_block: int = 505) -> bytes:
+    """Mono int16 -> IMA ADPCM WAV (format 0x11, low-nibble-first)."""
+    x = np.asarray(samples, dtype=np.int16).astype(np.int32).ravel()
+    spb = samples_per_block
+    if (spb - 1) % 8:
+        raise ValueError("samples_per_block must be 8k+1")
+    block_align = 4 + (spb - 1) // 2
+    out = bytearray()
+    index = 0
+    for start in range(0, len(x), spb):
+        blk = x[start:start + spb]
+        pred = int(blk[0])
+        out += struct.pack("<hBB", pred, index, 0)
+        nibs = []
+        for s in blk[1:]:
+            step = int(_IMA_STEPS[index])
+            diff = int(s) - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, index = _ima_step(pred, index, nib)
+            nibs.append(nib)
+        while len(nibs) < spb - 1:
+            nibs.append(0)  # pad final short block
+        for k in range(0, len(nibs), 2):
+            out.append(nibs[k] | (nibs[k + 1] << 4))
+    data = bytes(out)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, sample_rate,
+                      sample_rate * block_align // spb, block_align, 4,
+                      2, spb)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _ima_adpcm_decode(body: bytes, block_align: int, spb: int) -> np.ndarray:
+    out = []
+    for start in range(0, len(body), block_align):
+        blk = body[start:start + block_align]
+        if len(blk) < 4:
+            break
+        pred, index, _ = struct.unpack("<hBB", blk[:4])
+        index = max(0, min(88, index))
+        out.append(pred)
+        count = 1
+        for byte in blk[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                if count >= spb:
+                    break
+                pred, index = _ima_step(pred, index, nib)
+                out.append(pred)
+                count += 1
+    return np.array(out, dtype=np.int16)
