@@ -3079,6 +3079,66 @@ FROM dec GROUP BY law
 """
 
 
+def q82_webp_cog_census(spark, sf_dir):
+    """WebP-compressed COG census (round 6): synthesize a closed-form
+    uint8 grid, write it as a TILED GeoTIFF with compression 50001 —
+    the modern cloud-optimized-GeoTIFF codec GDAL emits as
+    COMPRESS=WEBP — where every tile is a complete lossless-VP8L RIFF
+    payload (sources/webp.py), re-read it through the DISTRIBUTED lazy
+    scan (driver parses only the IFD; executors seek per-tile byte
+    ranges and run the VP8L decoder), and census three windows.
+
+    Value-oracle-exact: VP8L is lossless and the content is integer
+    closed form ((i*29 + j*23 + 7) % 251), so DuckDB regenerates every
+    cell — a tile-placement, VP8L, or byte-range slip moves a sum and
+    fails the hash gate.  (Same plan shape as the LZW q60 and JPEG q63
+    censuses; this pins the third COG codec.)"""
+    import os
+    import tempfile
+    from karta_spark.raster.tiles import tile_cells
+    from karta_spark.sources import geotiff
+    ny, nx = 96, 128
+    ii, jj = np.mgrid[0:ny, 0:nx]
+    Z = ((ii * 29 + jj * 23 + 7) % 251).astype(np.uint8)
+    path = os.path.join(tempfile.gettempdir(), "karta_q82_webp.tif")
+    # write_geotiff_array takes TOP-DOWN rows; formula is in LL cell
+    # coords (cell_i counts up from the bottom row), so flip on write
+    geotiff.write_geotiff_array(path, Z[::-1], 0.0, float(ny), 1.0, 1.0,
+                                compress="webp", tiled=32)
+    cells = tile_cells(
+        geotiff.read_geotiff_distributed(spark, path, tile=32))
+    i, j = F.col("cell_i"), F.col("cell_j")
+    v = F.col("value").cast("long")
+    w1 = cells.where((i >= 8) & (i < 40) & (j >= 16) & (j < 100)) \
+              .withColumn("win", F.lit("w1"))
+    w2 = cells.where((i >= 80) | (j >= 120)).withColumn("win", F.lit("w2"))
+    wf = cells.withColumn("win", F.lit("full"))
+    return (w1.unionByName(w2).unionByName(wf)
+            .groupBy("win")
+            .agg(F.count("*").cast("long").alias("n_cells"),
+                 F.sum(v).alias("sum_v"),
+                 F.min(v).alias("min_v"),
+                 F.max(v).alias("max_v")))
+
+
+Q82_SQL = """
+WITH g AS (
+  SELECT i, j, (i*29 + j*23 + 7) % 251 AS v
+  FROM range(96) t(i), range(128) s(j)
+), w AS (
+  SELECT 'w1' AS win, v FROM g
+   WHERE i >= 8 AND i < 40 AND j >= 16 AND j < 100
+  UNION ALL SELECT 'w2', v FROM g WHERE i >= 80 OR j >= 120
+  UNION ALL SELECT 'full', v FROM g
+)
+SELECT win, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v
+FROM w GROUP BY win
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3221,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_html_extraction": q79_html_extraction,
         "q80_webp_variants_census": q80_webp_variants_census,
         "q81_g711_audio_census": q81_g711_audio_census,
+        "q82_webp_cog_census": q82_webp_cog_census,
     }
 
 
@@ -3289,6 +3350,7 @@ def oracle_sql() -> dict[str, str]:
         "q79_html_extraction": _q79_sql(),
         "q80_webp_variants_census": Q80_SQL,
         "q81_g711_audio_census": Q81_SQL,
+        "q82_webp_cog_census": Q82_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -7,13 +7,17 @@ Supported:
   early-change variant) and PackBits (32773), in STRIP (tags 273/278/279)
   or TILE organization (tags 322-325, the cloud-optimized layout GDAL
   writes for large rasters — edge-tile padding dropped); horizontal-
-  differencing predictor (tag 317 = 2) for integer data;
+  differencing predictor (tag 317 = 2) for integer data and the
+  floating-point byte predictor (317 = 3, TIFF TechNote 3 — GDAL's
+  default pairing for float COGs); WebP compression (50001, the modern
+  COG codec — lossless VP8L via sources/webp.py, gray or RGB(A));
   single- or multi-band, chunky (PlanarConfiguration 1) or planar
   (PlanarConfiguration 2, plane-major chunk arrays) interleave;
   uint8/16/32, int16/32, float32/64.
 - write: single-band, optional compress="deflate" | "packbits" | "lzw"
-  (the analog of the reference's compression write option,
-  grid.py:1066-1076), optional tiled=<edge> tile organization, optional
+  | "webp" (uint8, lossless VP8L) (the analog of the reference's
+  compression write option, grid.py:1066-1076), predictor=3 for float
+  data, optional tiled=<edge> tile organization, optional
   overviews=[f...] chained-IFD pyramids, GDAL_NODATA tag for non-NaN
   nodata.
 - lazy: TiffMeta (IFD-only parse), read_geotiff_window,
@@ -70,6 +74,7 @@ COMPRESSION_JPEG = 7  # new-style JPEG-in-TIFF (TTN2)
 COMPRESSION_DEFLATE_ADOBE = 8
 COMPRESSION_PACKBITS = 32773
 COMPRESSION_DEFLATE_OLD = 32946
+COMPRESSION_WEBP = 50001    # modern COG codec (GDAL WEBP-in-TIFF)
 
 
 def lzw_decode(data: bytes, expected: int | None = None) -> bytes:
@@ -246,22 +251,51 @@ def _compress_chunk(raw: bytes, compress: str | None) -> tuple[int, bytes]:
     raise ValueError(f"unknown compress option {compress!r}")
 
 
+def _fp_predict_bytes(a: np.ndarray) -> bytes:
+    """Forward predictor 3 for a little-endian float chunk: per row,
+    rearrange value bytes MSB-plane-major and byte-diff (stride 1 —
+    the writer is single-band)."""
+    it = a.dtype.itemsize
+    rows, wc = a.shape
+    le = np.ascontiguousarray(a.astype("<" + a.dtype.str[1:]))
+    arr = np.frombuffer(le.tobytes(), dtype=np.uint8).reshape(rows, wc * it)
+    out = np.zeros_like(arr)
+    for r in range(rows):
+        vals = arr[r].reshape(wc, it)
+        planes = np.stack([vals[:, it - 1 - b] for b in range(it)])
+        flat = planes.reshape(-1).astype(np.int16)
+        d = flat.copy()
+        d[1:] = (flat[1:] - flat[:-1]) & 0xFF
+        out[r] = d.astype(np.uint8)
+    return out.tobytes()
+
+
 def _build_tiff_section(arr: np.ndarray, x0: float, y_top: float,
                         dx: float, dy: float, compress: str | None,
                         tiled: int | None, base_off: int,
-                        next_ifd: int, nodata: float | None = None) -> bytes:
+                        next_ifd: int, nodata: float | None = None,
+                        predictor: int | None = None) -> bytes:
     """One complete IFD section (IFD + external values + chunk data) for
     a TOP-DOWN array, with absolute offsets starting at *base_off* and
     the next-IFD pointer set to *next_ifd* (0 terminates the chain)."""
     ny, nx = arr.shape
-    if compress == "jpeg" and arr.dtype != np.uint8:
-        raise ValueError("compress='jpeg' requires uint8 samples")
+    if compress in ("jpeg", "webp") and arr.dtype != np.uint8:
+        raise ValueError(f"compress={compress!r} requires uint8 samples")
+    if predictor not in (None, 3):
+        raise ValueError("writer supports predictor=3 (float) only")
+    if predictor == 3 and not np.issubdtype(arr.dtype, np.floating):
+        raise ValueError("predictor=3 requires float samples")
 
     def one_chunk(a: np.ndarray) -> tuple[int, bytes]:
         if compress == "jpeg":  # new-style JPEG-in-TIFF (compression 7)
             from karta_spark.sources.jpeg import encode_jpeg_baseline
             return COMPRESSION_JPEG, encode_jpeg_baseline(a, 95)
-        return _compress_chunk(np.ascontiguousarray(a).tobytes(), compress)
+        if compress == "webp":  # modern COG codec (lossless VP8L)
+            from karta_spark.sources.webp import encode_webp
+            return COMPRESSION_WEBP, encode_webp(a)
+        raw = (_fp_predict_bytes(a) if predictor == 3
+               else np.ascontiguousarray(a).tobytes())
+        return _compress_chunk(raw, compress)
 
     chunks: list[bytes] = []
     if tiled is None:
@@ -302,7 +336,8 @@ def _build_tiff_section(arr: np.ndarray, x0: float, y_top: float,
     nodata_bytes = b""
     if nodata is not None:
         nodata_bytes = f"{nodata:g}".encode("ascii") + b"\x00"
-    n_entries = (12 if tiled is None else 13) + (1 if nodata_bytes else 0)
+    n_entries = (12 if tiled is None else 13) + (1 if nodata_bytes else 0) \
+        + (1 if predictor else 0)
     ifd_size = 2 + n_entries * 12 + 4
     ext_off = base_off + ifd_size
     scale_bytes = struct.pack("<3d", dx, dy, 0.0)
@@ -345,6 +380,8 @@ def _build_tiff_section(arr: np.ndarray, x0: float, y_top: float,
         _entry(33550, 12, 3, val_long(scale_off)),  # ModelPixelScale
         _entry(33922, 12, 6, val_long(tie_off)),    # ModelTiepoint
     ]
+    if predictor:
+        entries += [_entry(317, 3, 1, val_short(predictor))]
     if nodata_bytes:  # GDAL_NODATA (tag 42113, ASCII)
         if len(nodata_bytes) <= 4:
             entries += [_entry(42113, 2, len(nodata_bytes),
@@ -405,7 +442,8 @@ def write_geotiff_array(path: str, arr: np.ndarray, x0: float, y_top: float,
                         dx: float, dy: float, compress: str | None = None,
                         tiled: int | None = None,
                         overviews: list[int] | None = None,
-                        nodata: float | None = None):
+                        nodata: float | None = None,
+                        predictor: int | None = None):
     """Array-level GeoTIFF writer: *arr* is TOP-DOWN, any dtype in the
     codec map — including int64/uint64 and complex64/complex128 (written
     as SampleFormat 6 IEEE pairs), which the float64 tile-table path
@@ -426,11 +464,11 @@ def write_geotiff_array(path: str, arr: np.ndarray, x0: float, y_top: float,
         # next-IFD pointer needs the NEXT section's base — build twice:
         # sizes are offset-independent, so a dry run sizes the section
         dry = _build_tiff_section(lv, x0, y_top, ldx, ldy, compress,
-                                  tiled, base, 0, nodata_tag)
+                                  tiled, base, 0, nodata_tag, predictor)
         nxt = base + len(dry) if li + 1 < len(levels) else 0
         sections.append(_build_tiff_section(lv, x0, y_top, ldx, ldy,
                                             compress, tiled, base, nxt,
-                                            nodata_tag))
+                                            nodata_tag, predictor))
         base += len(dry)
     with open(path, "wb") as f:
         f.write(b"II*\x00" + struct.pack("<I", 8))
@@ -759,6 +797,52 @@ class TiffMeta:
             return np.cumsum(chunk, axis=1, dtype=self.dtype)
         return chunk
 
+    def _undo_fp_predictor(self, data: bytes, rows: int, cols: int,
+                           nch: int) -> bytes:
+        """Predictor 3 (floating-point horizontal differencing, TIFF
+        TechNote 3 / libtiff fpAcc): per scanline the stored bytes are
+        MSB-plane-major and byte-wise diffed with stride=spp; undo =
+        lane cumsum mod 256, then regather value bytes in the file's
+        endianness."""
+        it = self.dtype.itemsize
+        wc = cols * nch
+        arr = np.frombuffer(data, dtype=np.uint8,
+                            count=rows * wc * it).reshape(rows, wc * it)
+        stride = nch
+        out = np.zeros_like(arr)
+        for r in range(rows):
+            row = arr[r].astype(np.int64)
+            pad = (-len(row)) % stride
+            lanes = np.concatenate([row, np.zeros(pad, np.int64)]) \
+                .reshape(-1, stride)
+            acc = (np.cumsum(lanes, axis=0) & 0xFF) \
+                .reshape(-1)[:len(row)].astype(np.uint8)
+            planes = acc.reshape(it, wc)
+            vals = np.zeros((wc, it), np.uint8)
+            for b in range(it):  # plane 0 holds each value's MSB
+                if self.endian == "<":
+                    vals[:, it - 1 - b] = planes[b]
+                else:
+                    vals[:, b] = planes[b]
+            out[r] = vals.reshape(-1)
+        return out.tobytes()
+
+    def _decode_webp_chunk(self, raw: bytes, rows: int, cols: int,
+                           nch: int) -> np.ndarray:
+        """WebP-compressed chunk (compression 50001, the modern COG
+        codec — GDAL pairs it with photometric 2, spp 3/4 uint8; our
+        writer also emits single-band gray).  The chunk is a complete
+        RIFF WebP; lossless VP8L decodes bit-exact."""
+        from karta_spark.sources.webp import decode_webp
+        rgba = decode_webp(raw)
+        if rgba.shape[0] < rows or rgba.shape[1] < cols:
+            raise ValueError("WebP chunk smaller than tile geometry")
+        if nch == 1:
+            out = rgba[:rows, :cols, 0:1]
+        else:
+            out = rgba[:rows, :cols, :nch]
+        return out.astype(self.dtype)
+
     def read_chunk(self, f, k, plane: int = 0) -> np.ndarray:
         """Decode chunk *k* (of *plane*, for PlanarConfiguration=2) by
         seeking to its byte range: (rows, cols, nch) top-down, tiles
@@ -777,6 +861,8 @@ class TiffMeta:
             return self._decode_jpeg_chunk(raw, rows, cols, nch)
         if self.comp == COMPRESSION_OJPEG:
             return self._decode_ojpeg_chunk(f, raw, rows, cols, nch, k)
+        if self.comp == COMPRESSION_WEBP:
+            return self._decode_webp_chunk(raw, rows, cols, nch)
         if self.bits == 1:
             return self._decode_bilevel_chunk(raw, rows, cols, nch)
         if self._cint is not None:  # complex-int pairs (SampleFormat 5)
@@ -788,6 +874,10 @@ class TiffMeta:
             return (pairs[..., 0] + 1j * pairs[..., 1]).astype(self.dtype)
         expected = rows * cols * nch * self.dtype.itemsize
         data = self._decompress(raw, expected)
+        if self.predictor == 3:
+            if not np.issubdtype(self.dtype, np.floating):
+                raise NotImplementedError("predictor=3 needs float samples")
+            data = self._undo_fp_predictor(data, rows, cols, nch)
         chunk = np.frombuffer(data[:expected],
                               dtype=self.endian + self.dtype.str[1:])
         return self._undo_predictor(chunk.reshape(rows, cols, nch))

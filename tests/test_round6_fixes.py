@@ -1253,3 +1253,106 @@ class TestHtmlExtraction:
         df = spark.createDataFrame([("<p>&#169; &amp;</p>",)], "h string")
         got = df.select(html_to_text(F.col("h")).alias("c")).collect()
         assert got[0]["c"] == "&#169; &"
+
+
+class TestWebpTiffAndFpPredictor:
+    """Round 6: WebP compression 50001 (modern COG codec) and the
+    floating-point byte predictor (tag 317 = 3, TIFF TechNote 3)."""
+
+    def test_webp_tiled_roundtrip(self, tmp_path):
+        from karta_spark.sources import geotiff
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 256, (70, 90), dtype=np.uint8)
+        p = str(tmp_path / "w.tif")
+        geotiff.write_geotiff_array(p, a, 0.0, 70.0, 1.0, 1.0,
+                                    compress="webp", tiled=32)
+        with open(p, "rb") as f:
+            m = geotiff.TiffMeta(f)
+            assert m.comp == geotiff.COMPRESSION_WEBP
+            ntx, nty = 3, 3
+            out = np.zeros((nty * 32, ntx * 32), a.dtype)
+            for k in range(ntx * nty):
+                ty, tx = divmod(k, ntx)
+                out[ty*32:(ty+1)*32, tx*32:(tx+1)*32] = \
+                    m.read_chunk(f, k)[:, :, 0]
+        np.testing.assert_array_equal(out[:70, :90], a)
+
+    @pytest.mark.parametrize("dt,compress,tiled", [
+        (np.float32, "deflate", None),
+        (np.float64, "lzw", 16),
+        (np.float32, None, None),
+    ])
+    def test_fp_predictor_roundtrip(self, tmp_path, dt, compress, tiled):
+        from karta_spark.sources import geotiff
+        rng = np.random.default_rng(3)
+        b = rng.normal(size=(33, 47)).astype(dt)
+        p = str(tmp_path / "fp.tif")
+        geotiff.write_geotiff_array(p, b, 0.0, 33.0, 1.0, 1.0,
+                                    compress=compress, predictor=3,
+                                    tiled=tiled)
+        with open(p, "rb") as f:
+            m = geotiff.TiffMeta(f)
+            assert m.predictor == 3
+            if tiled:
+                ntx = (47 + tiled - 1) // tiled
+                nty = (33 + tiled - 1) // tiled
+                out = np.zeros((nty * tiled, ntx * tiled), dt)
+                for k in range(ntx * nty):
+                    ty, tx = divmod(k, ntx)
+                    out[ty*tiled:(ty+1)*tiled, tx*tiled:(tx+1)*tiled] = \
+                        m.read_chunk(f, k)[:, :, 0]
+                got = out[:33, :47]
+            else:
+                got = m.read_chunk(f, 0)[:, :, 0]
+        np.testing.assert_array_equal(got, b)
+
+    def test_handbuilt_rgb_webp_tiff(self, tmp_path):
+        """GDAL's real WEBP-in-TIFF shape: photometric 2, spp 3, one
+        strip whose payload is a complete RIFF WebP."""
+        import struct
+        from karta_spark.sources import geotiff
+        from karta_spark.sources.webp import encode_webp
+        rng = np.random.default_rng(5)
+        rgb = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+        payload = encode_webp(rgb)
+
+        def entry(tag, typ, cnt, val4):
+            return struct.pack("<HHI", tag, typ, cnt) + val4
+
+        n = 8
+        ifd_off = 8
+        data_off = ifd_off + 2 + n * 12 + 4
+        entries = [
+            entry(256, 4, 1, struct.pack("<I", 30)),
+            entry(257, 4, 1, struct.pack("<I", 20)),
+            entry(258, 3, 1, struct.pack("<HH", 8, 0)),
+            entry(259, 3, 1, struct.pack("<HH", 50001, 0)),
+            entry(262, 3, 1, struct.pack("<HH", 2, 0)),   # RGB
+            entry(277, 3, 1, struct.pack("<HH", 3, 0)),   # spp 3
+            entry(273, 4, 1, struct.pack("<I", data_off)),
+            entry(279, 4, 1, struct.pack("<I", len(payload))),
+        ]
+        buf = (b"II*\x00" + struct.pack("<I", ifd_off)
+               + struct.pack("<H", n) + b"".join(entries)
+               + struct.pack("<I", 0) + payload)
+        p = str(tmp_path / "rgb_webp.tif")
+        with open(p, "wb") as f:
+            f.write(buf)
+        with open(p, "rb") as f:
+            m = geotiff.TiffMeta(f)
+            got = m.read_chunk(f, 0)
+        np.testing.assert_array_equal(got, rgb)
+
+    def test_predictor3_on_int_rejected(self, tmp_path):
+        from karta_spark.sources import geotiff
+        with pytest.raises(ValueError):
+            geotiff.write_geotiff_array(
+                str(tmp_path / "x.tif"),
+                np.zeros((4, 4), np.uint8), 0, 4, 1, 1, predictor=3)
+
+    def test_webp_on_float_rejected(self, tmp_path):
+        from karta_spark.sources import geotiff
+        with pytest.raises(ValueError):
+            geotiff.write_geotiff_array(
+                str(tmp_path / "x.tif"),
+                np.zeros((4, 4), np.float32), 0, 4, 1, 1, compress="webp")
