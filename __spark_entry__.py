@@ -3139,6 +3139,58 @@ FROM w GROUP BY win
 """
 
 
+def q83_line_dedup(spark, sf_dir):
+    """C4-rule line-level corpus dedup (round 6): plant boilerplate
+    around every documents row — a subscribe banner and a CMS footer on
+    every page (corpus df = N), plus a 'copyright site<k>' line with
+    k = doc_id % 130 so ids 110..129 sit exactly AT the max_df=3
+    threshold (kept) while the rest exceed it (removed) — then run
+    text.dedup_lines (posexplode -> ONE corpus line-frequency hash agg
+    -> equi-join back -> per-doc sort_array reassembly; hashed=True
+    ships 8-byte xxhash64 shuffle keys, the 100 TB setting) and return
+    the CLEANED TEXT ITSELF per row.
+
+    Value-oracle-exact: DuckDB runs the identical algebra with raw-line
+    keys (dedup_lines_sql), so the full reassembled strings hash-compare
+    row by row — an off-by-one at the df threshold, a line-order slip
+    in reassembly, or an exempt-blank-line bug fails the gate."""
+    from karta_spark.operators.text import dedup_lines
+    d = _t(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    planted = d.select(
+        F.col("doc_id"),
+        F.concat(F.lit("SUBSCRIBE TO OUR NEWSLETTER"), nl,
+                 F.col("text"), nl,
+                 F.lit("copyright site"),
+                 F.pmod(F.col("doc_id"), F.lit(130)).cast("string"), nl,
+                 F.lit("Powered by ExampleCMS")).alias("text"))
+    return (dedup_lines(planted, max_df=3, hashed=True)
+            .orderBy("doc_id")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "text",
+                    F.col("n_lines_kept").cast("long").alias("n_kept"),
+                    F.col("n_lines_removed").cast("long")
+                    .alias("n_removed")))
+
+
+def _q83_sql():
+    from karta_spark.operators.text import dedup_lines_sql
+    inner = dedup_lines_sql("planted", max_df=3)
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) || text || chr(10)
+         || 'copyright site' || CAST(doc_id % 130 AS VARCHAR) || chr(10)
+         || 'Powered by ExampleCMS' AS text
+  FROM documents
+), dl AS ({inner})
+SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+       CAST(n_lines_kept AS BIGINT) AS n_kept,
+       CAST(n_lines_removed AS BIGINT) AS n_removed
+FROM dl ORDER BY doc_id
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3282,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_webp_variants_census": q80_webp_variants_census,
         "q81_g711_audio_census": q81_g711_audio_census,
         "q82_webp_cog_census": q82_webp_cog_census,
+        "q83_line_dedup": q83_line_dedup,
     }
 
 
@@ -3351,6 +3404,7 @@ def oracle_sql() -> dict[str, str]:
         "q80_webp_variants_census": Q80_SQL,
         "q81_g711_audio_census": Q81_SQL,
         "q82_webp_cog_census": Q82_SQL,
+        "q83_line_dedup": _q83_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

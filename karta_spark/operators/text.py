@@ -979,3 +979,89 @@ def html_title_sql(col_expr: str) -> str:
         re_ = rep.replace("'", "''")
         out = f"regexp_replace({out}, '{pe}', '{re_}', 'g')"
     return f"trim({out})"
+
+
+# ---------------------------------------------------------------------------
+# Line-level corpus dedup — the C4 boilerplate rule ("drop any line that
+# occurs more than N times in the dataset").  Catches nav bars, cookie
+# banners, subscribe prompts that slip past document-level dedup.  The
+# reference has no text layer (beyond-reference op).
+# ---------------------------------------------------------------------------
+
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", max_df: int = 2,
+                min_chars: int = 1, hashed: bool = True) -> DataFrame:
+    """Remove every line whose corpus-wide occurrence count exceeds
+    ``max_df`` (lines shorter than ``min_chars`` are exempt — blank
+    separators survive).  Returns ``id_col, text (cleaned),
+    n_lines_kept, n_lines_removed``.
+
+    Plan shape (the 100 TB shape): one map-side posexplode of lines,
+    ONE hash aggregate for corpus line frequencies, an equi-join back,
+    and a per-doc sort_array reassembly — no window over the corpus, no
+    self-join.  ``hashed=True`` (default) shuffles 8-byte xxhash64 keys
+    instead of raw line text; the DuckDB oracle twin runs the
+    ``hashed=False`` plan (engine-portable keys), same results.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("pos", "line"))
+    key = F.xxhash64("line") if hashed else F.col("line")
+    lines = lines.withColumn("k", key) \
+        .withColumn("eligible", F.length("line") >= min_chars)
+    freq = (lines.where(F.col("eligible"))
+            .groupBy("k").agg(F.count("*").alias("line_df")))
+    tagged = (lines.join(freq, "k", "left")
+              .withColumn("keep", ~F.col("eligible")
+                          | (F.col("line_df") <= max_df)))
+    agg = (tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("keep"),
+                           F.struct(F.col("pos"), F.col("line"))))),
+                lambda s: s["line"]), "\n").alias("text"),
+        F.sum(F.col("keep").cast("long")).alias("n_lines_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_lines_removed")))
+    return df.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+        F.coalesce(F.col("n_lines_removed"), F.lit(0))
+        .alias("n_lines_removed"))
+
+
+def dedup_lines_sql(table: str, text_col: str = "text",
+                    id_col: str = "doc_id", max_df: int = 2,
+                    min_chars: int = 1) -> str:
+    """DuckDB twin of ``dedup_lines`` (unhashed keys, same algebra)."""
+    return f"""
+WITH split AS (
+  SELECT {id_col}, string_split({text_col}, chr(10)) AS ls FROM {table}
+), lines AS (
+  SELECT {id_col}, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+  FROM split
+), freq AS (
+  SELECT line, count(*) AS line_df FROM lines
+  WHERE length(line) >= {min_chars} GROUP BY line
+), tagged AS (
+  SELECT l.{id_col}, l.pos, l.line,
+         (length(l.line) < {min_chars} OR f.line_df <= {max_df}) AS keep
+  FROM lines l LEFT JOIN freq f ON l.line = f.line
+), agg AS (
+  SELECT {id_col},
+         string_agg(CASE WHEN keep THEN line END, chr(10)
+                    ORDER BY pos) FILTER (WHERE keep) AS text,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lines_kept,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_lines_removed
+  FROM tagged GROUP BY {id_col}
+)
+SELECT d.{id_col} AS {id_col}, coalesce(a.text, '') AS text,
+       coalesce(a.n_lines_kept, 0) AS n_lines_kept,
+       coalesce(a.n_lines_removed, 0) AS n_lines_removed
+FROM (SELECT DISTINCT {id_col} FROM {table}) d
+LEFT JOIN agg a ON a.{id_col} = d.{id_col}
+"""

@@ -1356,3 +1356,62 @@ class TestWebpTiffAndFpPredictor:
             geotiff.write_geotiff_array(
                 str(tmp_path / "x.tif"),
                 np.zeros((4, 4), np.float32), 0, 4, 1, 1, compress="webp")
+
+
+class TestDedupLines:
+    """C4-rule line-level corpus dedup (round 6): drop lines whose
+    corpus-wide occurrence count exceeds max_df; blanks exempt."""
+
+    DOCS = [
+        (0, "SUB\nalpha beta\n\ncopy1\nEND"),
+        (1, "SUB\ngamma delta\ncopy1\nEND"),
+        (2, "SUB\nepsilon\ncopy1\nEND"),
+        (3, "SUB\nSUB\nEND"),  # in-doc repeats count toward df
+    ]
+    WANT = [
+        (0, "alpha beta\n", 2, 3),   # blank line exempt -> kept
+        (1, "gamma delta", 1, 3),
+        (2, "epsilon", 1, 3),
+        (3, "", 0, 3),               # fully-boilerplate doc -> empty
+    ]
+
+    @pytest.mark.parametrize("hashed", [True, False])
+    def test_semantics(self, spark, hashed):
+        from karta_spark.operators.text import dedup_lines
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = [(r["doc_id"], r["text"], r["n_lines_kept"],
+                r["n_lines_removed"])
+               for r in dedup_lines(df, max_df=2, hashed=hashed)
+               .orderBy("doc_id").collect()]
+        assert got == self.WANT
+
+    def test_duckdb_twin_identical(self, spark):
+        import duckdb
+        import pandas as pd
+        from karta_spark.operators.text import dedup_lines_sql
+        pdl_docs = pd.DataFrame(self.DOCS, columns=["doc_id", "text"])
+        con = duckdb.connect()
+        con.register("dl_docs", pdl_docs)
+        got = [tuple(r) for r in con.sql(
+            dedup_lines_sql("dl_docs", max_df=2)
+            + " ORDER BY doc_id").fetchall()]
+        assert got == self.WANT
+
+    def test_threshold_boundary(self, spark):
+        from karta_spark.operators.text import dedup_lines
+        # 'x' appears exactly max_df times -> kept; 'y' once more -> cut
+        docs = [(i, "x\ny") for i in range(3)] + [(3, "y\nunique")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: r["text"]
+               for r in dedup_lines(df, max_df=3).collect()}
+        assert got[0] == "x"
+        assert got[3] == "unique"
+
+    def test_min_chars_exemption(self, spark):
+        from karta_spark.operators.text import dedup_lines
+        docs = [(i, "ab\nlong enough line") for i in range(5)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = dedup_lines(df, max_df=2, min_chars=3).collect()
+        # 'ab' is shorter than min_chars -> exempt despite df=5
+        assert all(r["text"].startswith("ab\n") or r["text"] == "ab"
+                   for r in got)
