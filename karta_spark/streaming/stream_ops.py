@@ -358,3 +358,20 @@ def streaming_phash_neardup(stream: DataFrame, root: str, checkpoint_dir: str,
         .foreachBatch(phash_neardup_sink(root, id_col, phash_col, **kw))
         .start()
     )
+
+
+def streaming_url_dedup(stream: DataFrame, url_col: str = "url",
+                        ts_col: str = "ts",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Crawl-frontier dedup: canonicalize URLs (text.canonical_url —
+    case/port/slash/tracking-param/fragment normalization, pure
+    Catalyst) and keep the first arrival per canonical form, with the
+    watermark bounding state exactly like ``streaming_dedup``.  The
+    streaming twin of the batch q76 dedup key; at crawl scale the state
+    store holds one entry per canonical URL inside the watermark
+    horizon."""
+    from karta_spark.operators.text import canonical_url
+    canon = stream.withColumn("canonical_url",
+                              canonical_url(F.col(url_col)))
+    return canon.withWatermark(ts_col, watermark) \
+                .dropDuplicatesWithinWatermark(["canonical_url"])

@@ -284,3 +284,30 @@ class TestStreamingPhashNearDup:
                 assert r.hamming == 1
         finally:
             q.stop()
+
+
+class TestStreamingUrlDedup:
+    def test_variants_collapse_to_one(self, spark, tmp_path):
+        import os
+        from karta_spark.streaming.stream_ops import streaming_url_dedup
+        src = str(tmp_path / "u_in")
+        os.makedirs(src)
+        spark.createDataFrame(
+            [("https://Example.com:443/a/?id=1&utm_source=x", "2024-01-01 00:00:00"),
+             ("https://example.com/a?id=1", "2024-01-01 00:00:01"),
+             ("HTTPS://EXAMPLE.COM/a//?id=1#frag", "2024-01-01 00:00:02"),
+             ("https://example.com/b", "2024-01-01 00:00:03")],
+            "url string, ts_s string",
+        ).write.mode("overwrite").parquet(src + "/b1")
+        stream = (spark.readStream.schema("url string, ts_s string")
+                  .option("maxFilesPerTrigger", "1").parquet(src + "/b1")
+                  .withColumn("ts", F.col("ts_s").cast("timestamp")))
+        out = streaming_url_dedup(stream)
+        q = (out.writeStream.format("memory").queryName("url_dedup_t")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        rows = spark.sql(
+            "SELECT canonical_url FROM url_dedup_t").collect()
+        got = sorted(r["canonical_url"] for r in rows)
+        assert got == ["https://example.com/a?id=1",
+                       "https://example.com/b"]
