@@ -3191,6 +3191,69 @@ FROM dl ORDER BY doc_id
 """
 
 
+def q84_warc_census(spark, sf_dir):
+    """WARC crawl-archive census (round 6): write the documents table
+    as 8 sharded `.warc.gz` files (per-record gzip members, the
+    splittable layout Common Crawl publishes; fixture built from
+    closed-form payloads — sources/warc.py write_warc), re-read them
+    with the DISTRIBUTED scan (binaryFile: one task per archive file,
+    zero driver bytes; executors gunzip members and parse WARC + HTTP
+    headers locally), and census per record type.
+
+    Value-oracle-exact: every payload is integer closed form (body
+    lengths derive from doc_id), so DuckDB regenerates the per-type
+    record counts, payload-byte sums and HTTP-200 counts — a gzip
+    member, Content-Length, HTTP-split, or record-ordering slip moves
+    a sum and fails the hash gate."""
+    import os
+    import tempfile
+    from karta_spark.sources.warc import (
+        http_response_payload, read_warc_distributed, write_warc,
+    )
+    ids = [int(r["doc_id"])
+           for r in _t(spark, sf_dir, "documents").select("doc_id")
+           .collect()]  # fixture construction: ids only, bounded table
+    root = os.path.join(tempfile.gettempdir(), "karta_q84_warc")
+    os.makedirs(root, exist_ok=True)
+    shards: dict[int, list] = {s: [] for s in range(8)}
+    for d in sorted(ids):
+        body = (f"<html><body>doc {d}:" + "x" * (d % 53)
+                + "</body></html>").encode()
+        text = (f"doc {d}:" + "y" * (d % 31)).encode()
+        shards[d % 8].append(dict(
+            warc_type="response", target_uri=f"https://ex.org/{d}",
+            content_type="application/http; msgtype=response",
+            payload=http_response_payload(body)))
+        shards[d % 8].append(dict(
+            warc_type="conversion", target_uri=f"https://ex.org/{d}",
+            content_type="text/plain", payload=text))
+    for s, recs in shards.items():
+        with open(os.path.join(root, f"part-{s}.warc.gz"), "wb") as f:
+            f.write(write_warc(recs, gzip_members=True))
+    rows = read_warc_distributed(spark, root)
+    return rows.groupBy("warc_type").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum(F.length("payload")).alias("payload_bytes"),
+        F.sum(F.coalesce((F.col("http_status") == 200).cast("long"),
+                         F.lit(0))).alias("n_http_200"))
+
+
+Q84_SQL = """
+WITH d AS (SELECT doc_id AS d FROM documents), per AS (
+  SELECT 'response' AS warc_type,
+         16 + length(CAST(d AS VARCHAR)) + 1 + d % 53 + 14 AS nbytes,
+         1 AS h FROM d
+  UNION ALL
+  SELECT 'conversion',
+         4 + length(CAST(d AS VARCHAR)) + 1 + d % 31, 0 FROM d
+)
+SELECT warc_type, CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(nbytes) AS BIGINT) AS payload_bytes,
+       CAST(sum(h) AS BIGINT) AS n_http_200
+FROM per GROUP BY warc_type
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3335,6 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_g711_audio_census": q81_g711_audio_census,
         "q82_webp_cog_census": q82_webp_cog_census,
         "q83_line_dedup": q83_line_dedup,
+        "q84_warc_census": q84_warc_census,
     }
 
 
@@ -3405,6 +3469,7 @@ def oracle_sql() -> dict[str, str]:
         "q81_g711_audio_census": Q81_SQL,
         "q82_webp_cog_census": Q82_SQL,
         "q83_line_dedup": _q83_sql(),
+        "q84_warc_census": Q84_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,
