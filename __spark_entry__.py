@@ -3254,6 +3254,85 @@ FROM per GROUP BY warc_type
 """
 
 
+def q85_crawl_to_training(spark, sf_dir):
+    """End-to-end crawl -> training-data pipeline (round 6): the full
+    WET-production chain composed from this round's operators — WARC
+    distributed scan (q84 machinery) -> HTTP-200 filter -> HTML-to-text
+    extraction (q79 chain, pure Catalyst) -> C4-rule line dedup (q83,
+    one corpus frequency agg) -> per-bucket census.  Every page plants
+    a boilerplate 'FOLLOW US ON SOCIAL' paragraph that line-dedup must
+    strip corpus-wide while each page's unique content line survives.
+
+    Value-oracle-exact: the fixture payloads are closed form, and
+    DuckDB replays the IDENTICAL extraction + dedup algebra
+    (html_to_text_sql + dedup_lines_sql) over the regenerated pages —
+    a slip in any stage (WARC parse, HTTP split, tag strip, frequency
+    threshold, reassembly) moves sum_chars/sum_tokens and fails the
+    hash gate."""
+    import os
+    import tempfile
+    from karta_spark.operators.text import (
+        dedup_lines, html_to_text, token_count,
+    )
+    from karta_spark.sources.warc import (
+        http_response_payload, read_warc_distributed, write_warc,
+    )
+    ids = [int(r["doc_id"])
+           for r in _t(spark, sf_dir, "documents").select("doc_id")
+           .collect()]  # fixture construction: ids only
+    root = os.path.join(tempfile.gettempdir(), "karta_q85_warc")
+    os.makedirs(root, exist_ok=True)
+    shards: dict[int, list] = {s: [] for s in range(8)}
+    for d in sorted(ids):
+        body = (f"<html><body><p>doc {d}:" + "x" * (d % 53)
+                + "</p><p>FOLLOW US ON SOCIAL</p></body></html>").encode()
+        shards[d % 8].append(dict(
+            warc_type="response", target_uri=f"https://ex.org/p/{d}",
+            content_type="application/http; msgtype=response",
+            payload=http_response_payload(body)))
+    for s, recs in shards.items():
+        with open(os.path.join(root, f"part-{s}.warc.gz"), "wb") as f:
+            f.write(write_warc(recs, gzip_members=True))
+    pages = (read_warc_distributed(spark, root)
+             .where((F.col("warc_type") == "response")
+                    & (F.col("http_status") == 200))
+             .select(F.regexp_extract("target_uri", r"(\d+)$", 1)
+                     .cast("long").alias("doc_id"),
+                     html_to_text(F.decode(F.col("payload"), "UTF-8"))
+                     .alias("text")))
+    cleaned = dedup_lines(pages, max_df=3, hashed=True)
+    return (cleaned.groupBy(F.pmod(F.col("doc_id"), F.lit(4))
+                            .cast("long").alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.sum(F.length("text")).alias("sum_chars"),
+                 F.sum(token_count(F.col("text")).cast("long"))
+                 .alias("sum_tokens"),
+                 F.sum("n_lines_removed").alias("n_boilerplate")))
+
+
+def _q85_sql():
+    from karta_spark.operators.text import (
+        dedup_lines_sql, html_to_text_sql,
+    )
+    html = ("('<html><body><p>doc ' || CAST(doc_id AS VARCHAR) || ':' "
+            "|| repeat('x', doc_id % 53) "
+            "|| '</p><p>FOLLOW US ON SOCIAL</p></body></html>')")
+    inner = dedup_lines_sql("pages", max_df=3)
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {html_to_text_sql(html)} AS text FROM documents
+), dl AS ({inner})
+SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split(trim(text), ' ')) END) AS BIGINT)
+         AS sum_tokens,
+       CAST(sum(n_lines_removed) AS BIGINT) AS n_boilerplate
+FROM dl GROUP BY 1
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3399,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_webp_cog_census": q82_webp_cog_census,
         "q83_line_dedup": q83_line_dedup,
         "q84_warc_census": q84_warc_census,
+        "q85_crawl_to_training": q85_crawl_to_training,
     }
 
 
@@ -3470,6 +3550,7 @@ def oracle_sql() -> dict[str, str]:
         "q82_webp_cog_census": Q82_SQL,
         "q83_line_dedup": _q83_sql(),
         "q84_warc_census": Q84_SQL,
+        "q85_crawl_to_training": _q85_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,
