@@ -3333,6 +3333,76 @@ FROM dl GROUP BY 1
 """
 
 
+def q86_webdataset_census(spark, sf_dir):
+    """WebDataset shard-ingest census (round 6): write the documents
+    table as 6 `.tar` shards in the WebDataset convention (one sample
+    per doc: `<id>.png` + `<id>.txt`, members contiguous, key = name
+    up to the first period — sources/webdataset.py), re-read with the
+    DISTRIBUTED scan (binaryFile: one task per shard, no driver
+    bytes), DECODE every image on executors (the training-ingest
+    step), and census pixels + caption chars per id bucket.
+
+    Value-oracle-exact: pixels and captions are integer closed form,
+    so DuckDB regenerates the sums codec-free — a tar-member grouping,
+    key-split, PNG, or caption slip moves a sum and fails the gate."""
+    import os
+    import tempfile
+    from karta_spark.sources.images import decode_png, encode_png
+    from karta_spark.sources.webdataset import (
+        read_webdataset_distributed, write_shard,
+    )
+    ids = [int(r["doc_id"])
+           for r in _t(spark, sf_dir, "documents").select("doc_id")
+           .collect()]  # fixture construction: ids only
+    root = os.path.join(tempfile.gettempdir(), "karta_q86_wds")
+    os.makedirs(root, exist_ok=True)
+    shards: dict[int, tuple[list, list]] = {s: ([], []) for s in range(6)}
+    ii, jj = np.mgrid[0:8, 0:8]
+    for d in sorted(ids):
+        png = encode_png(((d + 5 * ii + 7 * jj) % 256).astype(np.uint8))
+        txt = (f"caption {d} " + "z" * (d % 13)).encode()
+        smp, keys = shards[d % 6]
+        smp.append({"png": png, "txt": txt})
+        keys.append(str(d))
+    for s, (smp, keys) in shards.items():
+        with open(os.path.join(root, f"shard-{s}.tar"), "wb") as f:
+            f.write(write_shard(smp, keys=keys))
+    rows = read_webdataset_distributed(spark, root,
+                                       extensions=("png", "txt"))
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for key, png, txt in zip(pdf["key"], pdf["png"], pdf["txt"]):
+                pix = decode_png(bytes(png))
+                out.append((int(key) % 4, int(pix.astype(np.int64).sum()),
+                            len(bytes(txt))))
+            yield pd.DataFrame(out, columns=["bucket", "px", "chars"])
+
+    stats = rows.mapInPandas(run, "bucket long, px long, chars long")
+    return stats.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.sum("px").alias("sum_pixels"),
+        F.sum("chars").alias("sum_caption_chars"))
+
+
+Q86_SQL = """
+WITH px AS (
+  SELECT doc_id AS d, (d + 5*i + 7*j) % 256 AS v
+  FROM documents, range(8) t(i), range(8) s(j)
+), per AS (
+  SELECT d, sum(v) AS pxsum FROM px GROUP BY d
+)
+SELECT CAST(d % 4 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(pxsum) AS BIGINT) AS sum_pixels,
+       CAST(sum(8 + length(CAST(d AS VARCHAR)) + 1 + d % 13) AS BIGINT)
+         AS sum_caption_chars
+FROM per GROUP BY 1
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3479,6 +3549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_line_dedup": q83_line_dedup,
         "q84_warc_census": q84_warc_census,
         "q85_crawl_to_training": q85_crawl_to_training,
+        "q86_webdataset_census": q86_webdataset_census,
     }
 
 
@@ -3551,6 +3622,7 @@ def oracle_sql() -> dict[str, str]:
         "q83_line_dedup": _q83_sql(),
         "q84_warc_census": Q84_SQL,
         "q85_crawl_to_training": _q85_sql(),
+        "q86_webdataset_census": Q86_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

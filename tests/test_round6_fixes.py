@@ -1480,3 +1480,59 @@ class TestWarc:
         for r in rows:
             by_file.setdefault(r["path"], []).append(r["record_idx"])
         assert all(sorted(v) == [0, 1, 2, 3] for v in by_file.values())
+
+
+class TestWebDataset:
+    """WebDataset tar shards (round 6): multimodal training's standard
+    sample container (key = basename up to the FIRST period)."""
+
+    def test_roundtrip_and_grouping(self):
+        from karta_spark.sources.webdataset import parse_shard, write_shard
+        samples = [{"jpg": b"img0", "txt": b"cap0", "json": b"{}"},
+                   {"jpg": b"img1", "txt": b"cap1"}]
+        out = parse_shard(write_shard(samples))
+        assert [s["__key__"] for s in out] == ["000000", "000001"]
+        assert out[0]["json"] == b"{}"
+        assert "json" not in out[1]
+
+    def test_first_dot_rule(self):
+        from karta_spark.sources.webdataset import parse_shard, write_shard
+        data = write_shard([{"seg.png": b"mask", "jpg": b"raw"}],
+                           keys=["a1"])
+        out = parse_shard(data)
+        assert len(out) == 1
+        assert out[0]["__key__"] == "a1"
+        assert out[0]["seg.png"] == b"mask"
+        assert out[0]["jpg"] == b"raw"
+
+    def test_subdir_keys(self):
+        from karta_spark.sources.webdataset import parse_shard, write_shard
+        out = parse_shard(write_shard([{"txt": b"x"}], keys=["d0/k1"]))
+        assert out[0]["__key__"] == "d0/k1"
+
+    def test_deterministic_bytes(self):
+        from karta_spark.sources.webdataset import write_shard
+        s = [{"txt": b"same"}]
+        assert write_shard(s) == write_shard(s)
+
+    def test_distributed_scan(self, spark, tmp_path):
+        from karta_spark.sources.webdataset import (
+            read_webdataset_distributed, write_shard,
+        )
+        for sh in range(3):
+            samples = [{"jpg": f"i{sh}{k}".encode(),
+                        "txt": f"c{sh}{k}".encode()} for k in range(4)]
+            (tmp_path / f"s{sh}.tar").write_bytes(write_shard(samples))
+        rows = read_webdataset_distributed(spark, str(tmp_path)).collect()
+        assert len(rows) == 12
+        one = next(r for r in rows if bytes(r["jpg"]) == b"i21")
+        assert bytes(one["txt"]) == b"c21"
+
+    def test_missing_extension_is_null(self, spark, tmp_path):
+        from karta_spark.sources.webdataset import (
+            read_webdataset_distributed, write_shard,
+        )
+        (tmp_path / "s.tar").write_bytes(
+            write_shard([{"jpg": b"only-image"}]))
+        rows = read_webdataset_distributed(spark, str(tmp_path)).collect()
+        assert rows[0]["txt"] is None
