@@ -3403,6 +3403,69 @@ FROM per GROUP BY 1
 """
 
 
+def q87_exif_gps_tiles(spark, sf_dir):
+    """EXIF-GPS geotagging census (round 6): the image -> geospatial
+    bridge.  Per documents row, encode a baseline JPEG and splice an
+    EXIF APP1 segment carrying closed-form camera GPS (micro-degree
+    rationals) + orientation (sources/exif.py), then ON EXECUTORS parse
+    the EXIF back out of the bytes and feed the recovered lon/lat into
+    the slippy-tile assignment (functions/cells.py, zoom 6) — exactly
+    how a crawled-photo corpus becomes a point table for the spatial
+    operators.
+
+    Value-oracle-exact: the rationals are micro-degree-exact so the
+    extracted doubles are bit-identical to DuckDB's regenerated
+    lon/lat, and the tile math uses the proven q06 SQL twins — an IFD
+    offset, rational, sign-ref, or orientation slip moves a tile count
+    or drops ori_ok and fails the hash gate."""
+    import pandas as pd
+    from karta_spark.sources.exif import exif_app1, insert_exif, parse_exif
+    from karta_spark.sources.images import encode_jpeg
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        img = np.zeros((8, 8), np.uint8)
+        base = encode_jpeg(img + 128)
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                lonm = (did * 2654435761) % 360000000 - 180000000
+                latm = (did * 2246822519) % 170000000 - 85000000
+                ori = did % 8 + 1
+                tagged = insert_exif(
+                    base, exif_app1(lonm, latm, orientation=ori,
+                                    alt_mm=1000 * (did % 9)))
+                got = parse_exif(tagged)
+                rows.append((got["lon"], got["lat"],
+                             int(got["orientation"] == ori)))
+            yield pd.DataFrame(rows, columns=["lon", "lat", "ori_ok"])
+
+    pts = d.repartition(8).mapInPandas(
+        run, "lon double, lat double, ori_ok long")
+    return (pts.groupBy(
+        cells.tile_x(F.col("lon"), 6).alias("tile_x"),
+        cells.tile_y(F.col("lat"), 6).alias("tile_y"))
+        .agg(F.count("*").cast("long").alias("n_photos"),
+             F.sum("ori_ok").alias("n_ori_ok")))
+
+
+Q87_SQL = f"""
+WITH pts AS (
+  SELECT CAST((doc_id * 2654435761) % 360000000 - 180000000 AS DOUBLE)
+           / 1000000.0 AS lon,
+         CAST((doc_id * 2246822519) % 170000000 - 85000000 AS DOUBLE)
+           / 1000000.0 AS lat
+  FROM documents
+)
+SELECT {cells.tile_x_sql('lon', 6)} AS tile_x,
+       {cells.tile_y_sql('lat', 6)} AS tile_y,
+       CAST(count(*) AS BIGINT) AS n_photos,
+       CAST(count(*) AS BIGINT) AS n_ori_ok
+FROM pts GROUP BY 1, 2
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3550,6 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_warc_census": q84_warc_census,
         "q85_crawl_to_training": q85_crawl_to_training,
         "q86_webdataset_census": q86_webdataset_census,
+        "q87_exif_gps_tiles": q87_exif_gps_tiles,
     }
 
 
@@ -3623,6 +3687,7 @@ def oracle_sql() -> dict[str, str]:
         "q84_warc_census": Q84_SQL,
         "q85_crawl_to_training": _q85_sql(),
         "q86_webdataset_census": Q86_SQL,
+        "q87_exif_gps_tiles": Q87_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -1536,3 +1536,60 @@ class TestWebDataset:
             write_shard([{"jpg": b"only-image"}]))
         rows = read_webdataset_distributed(spark, str(tmp_path)).collect()
         assert rows[0]["txt"] is None
+
+
+class TestExifGps:
+    """EXIF APP1 GPS/orientation (round 6): the image->geo bridge."""
+
+    def _tagged(self, lonm, latm, **kw):
+        from karta_spark.sources.exif import exif_app1, insert_exif
+        from karta_spark.sources.images import encode_jpeg
+        base = encode_jpeg(np.full((8, 8), 100, np.uint8))
+        return insert_exif(base, exif_app1(lonm, latm, **kw))
+
+    @pytest.mark.parametrize("lonm,latm", [
+        (-122418400, 37774900),    # SF (W/N)
+        (139691700, -35689500),    # (E/S)
+        (0, 0), (-180000000, -84999999), (179999999, 84999999),
+    ])
+    def test_micro_degree_exact(self, lonm, latm):
+        from karta_spark.sources.exif import parse_exif
+        got = parse_exif(self._tagged(lonm, latm))
+        sign = lambda v: -1.0 if v < 0 else 1.0
+        assert got["lon"] == sign(lonm) * (abs(lonm) / 1000000)
+        assert got["lat"] == sign(latm) * (abs(latm) / 1000000)
+
+    def test_orientation_and_altitude(self):
+        from karta_spark.sources.exif import parse_exif
+        got = parse_exif(self._tagged(1000000, 2000000, orientation=6,
+                                      alt_mm=-3500))
+        assert got["orientation"] == 6
+        assert got["alt_m"] == -3.5
+
+    def test_no_exif_returns_none(self):
+        from karta_spark.sources.exif import parse_exif
+        from karta_spark.sources.images import encode_jpeg
+        got = parse_exif(encode_jpeg(np.zeros((8, 8), np.uint8)))
+        assert got == dict(orientation=None, lon=None, lat=None,
+                           alt_m=None)
+
+    def test_tagged_jpeg_still_decodes(self):
+        from karta_spark.sources.images import decode_jpeg
+        img = decode_jpeg(self._tagged(5000000, 6000000))
+        assert img.shape == (8, 8)
+
+    def test_big_endian_body_parses(self):
+        # flip the TIFF body to MM by hand: rebuild via struct is
+        # overkill; instead assert the parser honors the endianness flag
+        # using a minimal hand-built big-endian EXIF
+        import struct
+        from karta_spark.sources.exif import parse_exif
+        body = bytearray()
+        body += b"MM\x00*" + struct.pack(">I", 8)
+        body += struct.pack(">H", 1)
+        body += struct.pack(">HHI", 274, 3, 1) + struct.pack(">HH", 3, 0)
+        body += struct.pack(">I", 0)
+        seg = b"Exif\x00\x00" + bytes(body)
+        app1 = b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
+        jpeg = b"\xff\xd8" + app1 + b"\xff\xd9"
+        assert parse_exif(jpeg)["orientation"] == 3
