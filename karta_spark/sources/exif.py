@@ -152,3 +152,30 @@ def parse_exif(jpeg: bytes) -> dict:
             break
         pos += 2 + seglen
     return out
+
+
+def normalize_orientation(pix, orientation: int | None):
+    """Transform decoded pixels upright per the EXIF orientation tag
+    (PIL ``exif_transpose`` semantics): 1 identity, 2 mirror-H,
+    3 rotate-180, 4 mirror-V, 5 transpose, 6 rotate-90-CW,
+    7 transverse, 8 rotate-90-CCW.  Works on (h, w) or (h, w, c)."""
+    import numpy as np
+    a = np.asarray(pix)
+    o = orientation or 1
+    if o == 1:
+        return a
+    if o == 2:
+        return a[:, ::-1]
+    if o == 3:
+        return a[::-1, ::-1]
+    if o == 4:
+        return a[::-1, :]
+    if o == 5:
+        return np.swapaxes(a, 0, 1)
+    if o == 6:
+        return np.rot90(a, k=-1)
+    if o == 7:
+        return np.swapaxes(a[::-1, ::-1], 0, 1)
+    if o == 8:
+        return np.rot90(a, k=1)
+    raise ValueError(f"EXIF orientation {orientation} invalid")

@@ -1593,3 +1593,28 @@ class TestExifGps:
         app1 = b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
         jpeg = b"\xff\xd8" + app1 + b"\xff\xd9"
         assert parse_exif(jpeg)["orientation"] == 3
+
+
+class TestExifOrientation:
+    def test_all_eight_on_2x2(self):
+        from karta_spark.sources.exif import normalize_orientation as N
+        a = np.array([[1, 2], [3, 4]])
+        want = {
+            1: [[1, 2], [3, 4]], 2: [[2, 1], [4, 3]],
+            3: [[4, 3], [2, 1]], 4: [[3, 4], [1, 2]],
+            5: [[1, 3], [2, 4]], 6: [[3, 1], [4, 2]],
+            7: [[4, 2], [3, 1]], 8: [[2, 4], [1, 3]],
+        }
+        for o, w in want.items():
+            np.testing.assert_array_equal(N(a, o), w)
+
+    def test_multichannel_and_none(self):
+        from karta_spark.sources.exif import normalize_orientation as N
+        rgb = np.arange(24).reshape(2, 4, 3)
+        assert N(rgb, 6).shape == (4, 2, 3)
+        np.testing.assert_array_equal(N(rgb, None), rgb)
+
+    def test_invalid_raises(self):
+        from karta_spark.sources.exif import normalize_orientation as N
+        with pytest.raises(ValueError):
+            N(np.zeros((2, 2)), 9)
