@@ -3466,6 +3466,84 @@ FROM pts GROUP BY 1, 2
 """
 
 
+def q88_apng_frame_sampling(spark, sf_dir):
+    """APNG frame-sampling census (round 6): per documents row,
+    synthesize a 3-frame animated PNG (acTL/fcTL/fdAT on the full PNG
+    codec, sources/png.py) — two full-canvas frames plus a SUB-RECT
+    third frame composited at (x=3, y=2) — decode + composite ENTIRELY
+    on executors, sample frame ``d % 3``, and census the RGBA sums.
+
+    Value-oracle-exact: APNG is lossless and the sub-rect compositing
+    is a coordinate CASE, so DuckDB regenerates every composited pixel
+    — an fdAT sequence, fcTL offset, or canvas-compositing bug moves
+    sum_rgba (or drops a pixel from n_px_match) and fails the gate."""
+    import pandas as pd
+    from karta_spark.sources.png import decode_apng, encode_apng
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    H, W = 8, 10
+
+    def build(did: int):
+        ii, jj, cc = np.mgrid[0:H, 0:W, 0:4]
+        f0 = ((did + 3 * ii + 5 * jj + 11 * cc) % 256).astype(np.uint8)
+        f1 = ((2 * did + ii + 7 * jj + 17 * cc) % 256).astype(np.uint8)
+        pi, pj, pc = np.mgrid[0:4, 0:5, 0:4]
+        patch = ((5 * did + 9 * pi + pj + 23 * pc) % 256).astype(np.uint8)
+        apng = encode_apng([f0, f1, patch],
+                           offsets=[(0, 0), (0, 0), (3, 2)],
+                           dispose=0, blend=0)
+        expect2 = f1.copy()
+        expect2[2:6, 3:8] = patch
+        return apng, [f0, f1, expect2]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                apng, expects = build(did)
+                frames, _ = decode_apng(apng)
+                s = did % 3
+                got = frames[s]
+                rows.append((s, int(got.astype(np.int64).sum()),
+                             int((got == expects[s]).all(axis=2).sum())))
+            yield pd.DataFrame(rows,
+                               columns=["frame_sampled", "sum_rgba",
+                                        "n_px"])
+
+    res = d.repartition(8).mapInPandas(
+        run, "frame_sampled long, sum_rgba long, n_px long")
+    return res.groupBy("frame_sampled").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("sum_rgba").alias("sum_rgba"),
+        F.sum("n_px").alias("n_px_match"))
+
+
+def _q88_sql() -> str:
+    f0 = " + ".join(f"(d + 3*i + 5*j + {11 * c}) % 256" for c in range(4))
+    f1 = " + ".join(f"(2*d + i + 7*j + {17 * c}) % 256" for c in range(4))
+    patch = " + ".join(f"(5*d + 9*(i-2) + (j-3) + {23 * c}) % 256"
+                       for c in range(4))
+    comp2 = (f"CASE WHEN i >= 2 AND i < 6 AND j >= 3 AND j < 8 "
+             f"THEN {patch} ELSE {f1} END")
+    return f"""
+WITH px AS (
+  SELECT doc_id AS d, i, j
+  FROM documents, range(8) t(i), range(10) s(j)
+), per AS (
+  SELECT d, d % 3 AS fs,
+    CASE d % 3 WHEN 0 THEN {f0}
+               WHEN 1 THEN {f1}
+               ELSE {comp2} END AS v
+  FROM px
+)
+SELECT CAST(fs AS BIGINT) AS frame_sampled,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_images,
+       CAST(sum(v) AS BIGINT) AS sum_rgba,
+       CAST(count(*) AS BIGINT) AS n_px_match
+FROM per GROUP BY fs
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3614,6 +3692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_crawl_to_training": q85_crawl_to_training,
         "q86_webdataset_census": q86_webdataset_census,
         "q87_exif_gps_tiles": q87_exif_gps_tiles,
+        "q88_apng_frame_sampling": q88_apng_frame_sampling,
     }
 
 
@@ -3688,6 +3767,7 @@ def oracle_sql() -> dict[str, str]:
         "q85_crawl_to_training": _q85_sql(),
         "q86_webdataset_census": Q86_SQL,
         "q87_exif_gps_tiles": Q87_SQL,
+        "q88_apng_frame_sampling": _q88_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

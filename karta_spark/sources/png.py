@@ -419,3 +419,154 @@ def variant_census_row(d: int, h: int = 12, w: int = 16):
     eq = (got == expect)
     n_match = int(eq.all(axis=2).sum() if eq.ndim == 3 else eq.sum())
     return name, got_sum, n_match
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG) — acTL/fcTL/fdAT on top of the core codec.
+# Sticker/emoji corpora ship APNG heavily; frame sampling mirrors the
+# GIF and MJPEG-AVI paths (gif.sample_frames / av.iter_mjpeg_frames).
+# ---------------------------------------------------------------------------
+
+def decode_apng(data: bytes):
+    """Decode an APNG to composited full-canvas RGBA frames.
+
+    Returns ``(frames (n, h, w, 4) uint8, delays (num, den) list)``.
+    Honors dispose_op 0 none / 1 background (clear rect to fully
+    transparent) / 2 previous, and blend_op 0 source / 1 over
+    (straight-alpha compositing, integer math).  A plain PNG decodes
+    as a single frame.  The default image (IDAT without a preceding
+    fcTL) is not part of the animation per the spec."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    w = h = depth = ctype = interlace = 0
+    plte = trns = None
+    frames_meta = []   # per frame: (fctl dict, [raw chunks])
+    idat_fctl = None
+    idat = b""
+    seen_actl = False
+    for tag, body in _iter_chunks(data):
+        if tag == b"IHDR":
+            w, h, depth, ctype, _c, _f, interlace = \
+                struct.unpack(">IIBBBBB", body[:13])
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"tRNS":
+            trns = body
+        elif tag == b"acTL":
+            seen_actl = True
+        elif tag == b"fcTL":
+            fm = dict(zip(
+                ("seq", "fw", "fh", "x", "y", "dnum", "dden",
+                 "dispose", "blend"),
+                struct.unpack(">IIIIIHHBB", body[:26])))
+            frames_meta.append((fm, []))
+        elif tag == b"IDAT":
+            if frames_meta and not frames_meta[-1][1] and idat == b"" \
+                    and len(frames_meta) == 1:
+                idat_fctl = frames_meta[-1][0]
+            idat += body
+        elif tag == b"fdAT":
+            if not frames_meta:
+                raise ValueError("fdAT before any fcTL")
+            frames_meta[-1][1].append(body[4:])  # drop sequence number
+
+    def decode_sub(raw_idat: bytes, fw: int, fh: int) -> np.ndarray:
+        # rebuild a standalone PNG for the sub-frame and reuse the core
+        # decoder (same IHDR shape, sub-frame geometry)
+        ihdr = struct.pack(">IIBBBBB", fw, fh, depth, ctype, 0, 0,
+                           interlace)
+        png = _SIG + _chunk(b"IHDR", ihdr)
+        if plte is not None:
+            png += _chunk(b"PLTE", plte)
+        if trns is not None:
+            png += _chunk(b"tRNS", trns)
+        png += _chunk(b"IDAT", raw_idat) + _chunk(b"IEND", b"")
+        return _to_rgba(decode_png_full(png))
+
+    if not seen_actl or not frames_meta:
+        return _to_rgba(decode_png_full(data))[None, ...], [(0, 100)]
+
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)
+    out, delays = [], []
+    first = True
+    for fm, chunks in frames_meta:
+        if first and idat_fctl is fm:
+            sub = decode_sub(idat, fm["fw"], fm["fh"])
+        else:
+            sub = decode_sub(b"".join(chunks), fm["fw"], fm["fh"])
+        first = False
+        before = canvas.copy()
+        y, x, fh2, fw2 = fm["y"], fm["x"], fm["fh"], fm["fw"]
+        rect = canvas[y:y + fh2, x:x + fw2]
+        if fm["blend"] == 0:
+            rect[:] = sub
+        else:  # over: straight alpha, integer math per spec
+            sa = sub[:, :, 3:4].astype(np.uint32)
+            da = rect[:, :, 3:4].astype(np.uint32)
+            oa = sa * 255 + da * (255 - sa)          # alpha * 255^2
+            num = (sub[:, :, :3].astype(np.uint32) * sa * 255
+                   + rect[:, :, :3].astype(np.uint32) * da * (255 - sa))
+            rgb = np.where(oa > 0, num // np.maximum(oa, 1), 0)
+            rect[:, :, :3] = rgb.astype(np.uint8)
+            # oa = 255^2 * out_alpha  ->  byte alpha = oa / 255
+            rect[:, :, 3] = (oa // 255).astype(np.uint8)[:, :, 0]
+        out.append(canvas.copy())
+        delays.append((fm["dnum"], fm["dden"] or 100))
+        if fm["dispose"] == 1:
+            canvas[y:y + fh2, x:x + fw2] = 0
+        elif fm["dispose"] == 2:
+            canvas = before
+    return np.stack(out), delays
+
+
+def _to_rgba(img: np.ndarray) -> np.ndarray:
+    """Core-decoder output (any shape/depth) -> 8-bit RGBA."""
+    if img.dtype == np.uint16:
+        img = (img >> 8).astype(np.uint8)
+    if img.ndim == 2:
+        img = np.dstack([img] * 3)
+    if img.shape[2] == 2:  # gray + alpha
+        g, a = img[:, :, 0], img[:, :, 1]
+        return np.dstack([g, g, g, a])
+    if img.shape[2] == 3:
+        return np.dstack([img,
+                          np.full(img.shape[:2], 255, np.uint8)])
+    return img
+
+
+def encode_apng(frames, *, delays=(1, 10), offsets=None,
+                dispose: int = 0, blend: int = 0) -> bytes:
+    """Write an APNG from RGBA uint8 frames (list of (h,w,4) arrays;
+    later frames may be smaller rects placed via ``offsets``).  Frame 0
+    doubles as the default image (fcTL before IDAT)."""
+    frames = [np.ascontiguousarray(f, np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    out = _SIG + _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+
+    def per(v, i):
+        return v[i] if isinstance(v, list) else v
+
+    def raw_zlib(fr):
+        fh, fw = fr.shape[:2]
+        rows = np.zeros((fh, fw * 4 + 1), np.uint8)
+        rows[:, 1:] = fr.reshape(fh, fw * 4)
+        return zlib.compress(rows.tobytes(), 6)
+
+    for i, fr in enumerate(frames):
+        fh, fw = fr.shape[:2]
+        x, y = (offsets[i] if offsets else (0, 0)) if i else (0, 0)
+        dn, dd = per(delays, i) if isinstance(delays, list) else delays
+        fctl = struct.pack(">IIIIIHHBB", seq, fw, fh, x, y, dn, dd,
+                           per(dispose, i), per(blend, i))
+        seq += 1
+        out += _chunk(b"fcTL", fctl)
+        z = raw_zlib(fr)
+        if i == 0:
+            out += _chunk(b"IDAT", z)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    return out + _chunk(b"IEND", b"")

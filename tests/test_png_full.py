@@ -187,3 +187,86 @@ class TestSubByteSemantics:
         rebuilt = (png[:i] + chunk(b"IDAT", a) + chunk(b"IDAT", b)
                    + png[i + 12 + ln:])
         np.testing.assert_array_equal(decode_png_full(rebuilt), arr)
+
+
+class TestApng:
+    """APNG (acTL/fcTL/fdAT) on the core codec: compositing parity with
+    the GIF/AVI frame-sampling paths."""
+
+    def test_two_full_frames_source_blend(self):
+        from karta_spark.sources.png import decode_apng, encode_apng
+        rng = np.random.default_rng(0)
+        f0 = rng.integers(0, 256, (6, 8, 4), dtype=np.uint8)
+        f1 = rng.integers(0, 256, (6, 8, 4), dtype=np.uint8)
+        frames, delays = decode_apng(encode_apng([f0, f1], blend=0))
+        np.testing.assert_array_equal(frames[0], f0)
+        np.testing.assert_array_equal(frames[1], f1)
+        assert delays == [(1, 10), (1, 10)]
+
+    def test_sub_rect_placement(self):
+        from karta_spark.sources.png import decode_apng, encode_apng
+        f0 = np.full((4, 6, 4), 100, np.uint8)
+        patch = np.full((2, 3, 4), 200, np.uint8)
+        frames, _ = decode_apng(encode_apng(
+            [f0, patch], offsets=[(0, 0), (2, 1)], blend=0))
+        want = f0.copy()
+        want[1:3, 2:5] = 200
+        np.testing.assert_array_equal(frames[1], want)
+
+    def test_over_blend_opaque_and_transparent(self):
+        from karta_spark.sources.png import decode_apng, encode_apng
+        base = np.zeros((1, 2, 4), np.uint8)
+        base[0, :] = (10, 20, 30, 200)
+        top = np.zeros((1, 2, 4), np.uint8)
+        top[0, 0] = (99, 98, 97, 255)   # opaque -> replaces
+        top[0, 1] = (50, 50, 50, 0)     # transparent -> keeps dst
+        frames, _ = decode_apng(encode_apng([base, top],
+                                            blend=[0, 1]))
+        np.testing.assert_array_equal(frames[1][0, 0], (99, 98, 97, 255))
+        np.testing.assert_array_equal(frames[1][0, 1], (10, 20, 30, 200))
+
+    def test_over_blend_half_alpha(self):
+        from karta_spark.sources.png import decode_apng, encode_apng
+        base = np.zeros((1, 1, 4), np.uint8)
+        base[0, 0] = (0, 0, 0, 255)
+        top = np.zeros((1, 1, 4), np.uint8)
+        top[0, 0] = (255, 255, 255, 128)
+        frames, _ = decode_apng(encode_apng([base, top], blend=[0, 1]))
+        got = frames[1][0, 0]
+        assert got[3] == 255
+        assert 127 <= got[0] <= 129  # ~50% white over black
+
+    def test_dispose_background(self):
+        from karta_spark.sources.png import decode_apng, encode_apng
+        f0 = np.full((2, 2, 4), 77, np.uint8)
+        f1 = np.full((2, 2, 4), 99, np.uint8)
+        f2 = np.zeros((1, 1, 4), np.uint8)
+        f2[0, 0] = (1, 2, 3, 255)
+        frames, _ = decode_apng(encode_apng(
+            [f0, f1, f2], offsets=[(0, 0), (0, 0), (1, 1)],
+            dispose=[0, 1, 0], blend=0))
+        # frame 1 disposed to transparent before frame 2's 1x1 patch
+        assert (frames[2][0, 0] == 0).all()
+        np.testing.assert_array_equal(frames[2][1, 1], (1, 2, 3, 255))
+
+    def test_dispose_previous(self):
+        from karta_spark.sources.png import decode_apng, encode_apng
+        f0 = np.full((2, 2, 4), 10, np.uint8)
+        f1 = np.full((2, 2, 4), 20, np.uint8)
+        f2 = np.full((1, 1, 4), 30, np.uint8)
+        frames, _ = decode_apng(encode_apng(
+            [f0, f1, f2], offsets=[(0, 0), (0, 0), (0, 0)],
+            dispose=[0, 2, 0], blend=0))
+        # frame 1's effect reverted before frame 2 draws its 1x1
+        np.testing.assert_array_equal(frames[2][1, 1], (10, 10, 10, 10))
+        np.testing.assert_array_equal(frames[2][0, 0], (30, 30, 30, 30))
+
+    def test_plain_png_single_frame(self):
+        from karta_spark.sources.png import (
+            decode_apng, encode_png_full,
+        )
+        a = np.random.default_rng(3).integers(0, 256, (5, 5, 3),
+                                              dtype=np.uint8)
+        frames, delays = decode_apng(encode_png_full(a, color_type=2))
+        assert frames.shape == (1, 5, 5, 4)
+        np.testing.assert_array_equal(frames[0, :, :, :3], a)
