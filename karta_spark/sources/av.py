@@ -79,6 +79,11 @@ def decode_wav(data: bytes):
                 struct.unpack("<HHIIHH", body[:16])
             if fmt_code == 0x11 and len(body) >= 20:
                 (spb,) = struct.unpack("<H", body[18:20])
+            if fmt_code == 0xFFFE and len(body) >= 40:
+                # WAVE_FORMAT_EXTENSIBLE: the real format is the first
+                # two bytes of the SubFormat GUID (1 = PCM, 3 = float);
+                # bits stays wBitsPerSample (the container size)
+                (fmt_code,) = struct.unpack("<H", body[24:26])
         elif tag == b"data":
             if fmt_code is None:
                 raise ValueError("WAV data chunk before fmt chunk")

@@ -1618,3 +1618,74 @@ class TestExifOrientation:
         from karta_spark.sources.exif import normalize_orientation as N
         with pytest.raises(ValueError):
             N(np.zeros((2, 2)), 9)
+
+
+class TestWavExtensible:
+    def test_extensible_pcm16(self):
+        import struct
+        from karta_spark.sources.av import decode_wav
+        samples = np.arange(-8, 8, dtype=np.int16).reshape(-1, 2)
+        data = samples.astype("<i2").tobytes()
+        tail = (b"\x00\x00\x00\x00\x10\x00\x80\x00"
+                b"\x00\xaa\x00\x38\x9b\x71")
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 2, 8000, 32000, 4, 16)
+        fmt += struct.pack("<HHI", 22, 16, 3) + struct.pack("<H", 1) + tail
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        s, sr = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+        np.testing.assert_array_equal(
+            s, samples.astype(np.float64) / 32767.0)
+        assert sr == 8000
+
+
+class TestIco:
+    """ICO favicons (round 6): PNG and 32bpp-DIB entries."""
+
+    @pytest.mark.parametrize("as_png", [False, True])
+    def test_roundtrip(self, as_png):
+        from karta_spark.sources.ico import decode_ico, encode_ico
+        rng = np.random.default_rng(1)
+        imgs = [rng.integers(0, 256, (16, 16, 4), dtype=np.uint8),
+                rng.integers(0, 256, (32, 32, 4), dtype=np.uint8)]
+        out = decode_ico(encode_ico(imgs, as_png=as_png))
+        for o, i in zip(out, imgs):
+            np.testing.assert_array_equal(o["rgba"], i)
+
+    def test_legacy_32bpp_empty_alpha_uses_and_mask(self):
+        import struct
+        from karta_spark.sources.ico import decode_ico, encode_ico
+        img = np.zeros((2, 2, 4), np.uint8)
+        img[:, :, 0] = 50  # red, alpha all zero
+        ico = bytearray(encode_ico([img]))
+        # set an AND mask bit for pixel (0,0): rows are bottom-up, so
+        # the top row is the LAST and-mask row. DIB starts at offset 22.
+        hdr_off = 22
+        and_off = hdr_off + 40 + 2 * 2 * 4 + 4  # header + XOR + row0
+        ico[and_off] = 0x80  # MSB = leftmost pixel transparent
+        out = decode_ico(bytes(ico))
+        assert out[0]["rgba"][0, 0, 3] == 0
+        assert out[0]["rgba"][0, 1, 3] == 255
+        assert out[0]["rgba"][1, 1, 3] == 255
+
+    def test_palette_8bpp_dib(self):
+        import struct
+        from karta_spark.sources.ico import decode_ico
+        # hand-built 2x1 8bpp entry: palette [blue, green]
+        w, h = 2, 1
+        hdr = struct.pack("<IiiHHIIiiII", 40, w, h * 2, 1, 8, 0,
+                          0, 0, 0, 2, 0)
+        pal = bytes([255, 0, 0, 0,   0, 255, 0, 0])  # BGRX: blue, green
+        xor = bytes([0, 1, 0, 0])  # row padded to 4
+        andm = bytes([0, 0, 0, 0])
+        blob = hdr + pal + xor + andm
+        ico = (struct.pack("<HHH", 0, 1, 1)
+               + struct.pack("<BBBBHHII", w, h, 2, 0, 1, 8, len(blob), 22)
+               + blob)
+        out = decode_ico(ico)
+        np.testing.assert_array_equal(out[0]["rgba"][0, 0, :3], (0, 0, 255))
+        np.testing.assert_array_equal(out[0]["rgba"][0, 1, :3], (0, 255, 0))
+
+    def test_not_ico(self):
+        from karta_spark.sources.ico import decode_ico
+        with pytest.raises(ValueError):
+            decode_ico(b"\x89PNG....")
