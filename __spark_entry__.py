@@ -3544,6 +3544,40 @@ FROM per GROUP BY fs
 """
 
 
+def q89_geohash_census(spark, sf_dir):
+    """Geohash cell census (round 6): assign every customer point its
+    precision-4 geohash (functions/cells.geohash — the OTHER ubiquitous
+    spatial key besides slippy tiles; closed-form interleaved-bisection
+    bits, pure Catalyst, no iteration) and count per cell plus a
+    precision-6 refinement census.
+
+    Value-oracle-exact: every hash bit is floor(frac * 2^k) mod 2 with
+    power-of-two multiplies (IEEE-exact), and DuckDB runs the identical
+    algebra (geohash_sql) — the char-for-char base32 strings are
+    hash-compared, so any bit-order, alphabet, or parity slip fails.
+    The algebra itself is pinned to the published 'ezs42'/Palermo
+    goldens in tests."""
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    return (c.withColumn("gh4", cells.geohash(F.col("x"), F.col("y"), 4))
+            .groupBy("gh4")
+            .agg(F.count("*").cast("long").alias("n_points"),
+                 F.countDistinct(
+                     cells.geohash(F.col("x"), F.col("y"), 6))
+                 .cast("long").alias("n_gh6")))
+
+
+Q89_SQL = f"""
+WITH pts AS (
+  SELECT {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y FROM customer
+)
+SELECT {cells.geohash_sql('x', 'y', 4)} AS gh4,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(DISTINCT {cells.geohash_sql('x', 'y', 6)}) AS BIGINT)
+         AS n_gh6
+FROM pts GROUP BY 1
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3693,6 +3727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_webdataset_census": q86_webdataset_census,
         "q87_exif_gps_tiles": q87_exif_gps_tiles,
         "q88_apng_frame_sampling": q88_apng_frame_sampling,
+        "q89_geohash_census": q89_geohash_census,
     }
 
 
@@ -3768,6 +3803,7 @@ def oracle_sql() -> dict[str, str]:
         "q86_webdataset_census": Q86_SQL,
         "q87_exif_gps_tiles": Q87_SQL,
         "q88_apng_frame_sampling": _q88_sql(),
+        "q89_geohash_census": Q89_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -227,3 +227,74 @@ def modis_tile_sql(lon_expr: str, lat_expr: str) -> tuple[str, str]:
     v = (f"CAST(least(greatest(floor(({MODIS_Y_MAX!r} - ({y})) "
          f"/ {MODIS_TILE_SIZE!r}), 0), 17) AS INTEGER)")
     return h, v
+
+
+# ---------------------------------------------------------------------------
+# Geohash — the other ubiquitous cell key (base32 interleaved bisection).
+# Closed form, no iteration: global bit g of the hash is a LON bit when
+# g is even (its index i = g/2), a LAT bit when odd; each bit is
+# floor(frac * 2^(i+1)) mod 2 with frac = (lon+180)/360 or (lat+90)/180.
+# Power-of-two multiplies are IEEE-exact, so Spark and DuckDB agree
+# bit-for-bit on the identical expression (same discipline as tile_x/y).
+# ---------------------------------------------------------------------------
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_char_val(lon: Column, lat: Column, c: int) -> Column:
+    """Integer value (0..31) of geohash character ``c`` (0-based)."""
+    fx = (lon + 180.0) / 360.0
+    fy = (lat + 90.0) / 180.0
+    val = F.lit(0)
+    for j in range(5):
+        g = 5 * c + j
+        i = g // 2
+        frac = fx if g % 2 == 0 else fy
+        bit = F.floor(frac * float(2 ** (i + 1))).cast("long") % 2
+        val = val + bit * (1 << (4 - j))
+    return val
+
+
+def geohash(lon: Column, lat: Column, precision: int = 6) -> Column:
+    """Geohash string of the given precision — pure Catalyst (floor /
+    arithmetic / substring), whole-stage-codegen'd like the tile
+    exprs."""
+    parts = []
+    for c in range(precision):
+        idx = _geohash_char_val(lon, lat, c)
+        parts.append(F.lit(GEOHASH_ALPHABET).substr(
+            idx.cast("int") + 1, F.lit(1)))
+    return F.concat(*parts)
+
+
+def geohash_sql(lon_expr: str, lat_expr: str, precision: int = 6) -> str:
+    """DuckDB twin — identical bit algebra."""
+    chars = []
+    for c in range(precision):
+        bits = []
+        for j in range(5):
+            g = 5 * c + j
+            i = g // 2
+            frac = (f"(({lon_expr}) + 180.0) / 360.0" if g % 2 == 0
+                    else f"(({lat_expr}) + 90.0) / 180.0")
+            bits.append(f"(CAST(floor({frac} * {float(2 ** (i + 1))!r}) "
+                        f"AS BIGINT) % 2) * {1 << (4 - j)}")
+        chars.append(f"substring('{GEOHASH_ALPHABET}', "
+                     f"CAST({' + '.join(bits)} AS INT) + 1, 1)")
+    return " || ".join(chars)
+
+
+def geohash_py(lon: float, lat: float, precision: int = 6) -> str:
+    """Reference implementation (same algebra) for tests."""
+    out = []
+    fx = (lon + 180.0) / 360.0
+    fy = (lat + 90.0) / 180.0
+    for c in range(precision):
+        v = 0
+        for j in range(5):
+            g = 5 * c + j
+            i = g // 2
+            frac = fx if g % 2 == 0 else fy
+            v += (int(math.floor(frac * 2.0 ** (i + 1))) % 2) << (4 - j)
+        out.append(GEOHASH_ALPHABET[v])
+    return "".join(out)

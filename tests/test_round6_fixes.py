@@ -1689,3 +1689,49 @@ class TestIco:
         from karta_spark.sources.ico import decode_ico
         with pytest.raises(ValueError):
             decode_ico(b"\x89PNG....")
+
+
+class TestGeohash:
+    """Geohash cell key (round 6): closed-form bit algebra, no loop."""
+
+    def test_published_goldens(self):
+        from karta_spark.functions.cells import geohash_py
+        # the spec's canonical example and the classic Palermo case
+        assert geohash_py(-5.6, 42.6, 5) == "ezs42"
+        assert geohash_py(13.361389, 38.115556, 10) == "sqc8b49rny"
+
+    def test_three_way_parity(self, spark):
+        import duckdb
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from karta_spark.functions.cells import (
+            geohash, geohash_py, geohash_sql,
+        )
+        rng = np.random.default_rng(7)
+        pdf = pd.DataFrame({"lon": rng.uniform(-180, 180, 100),
+                            "lat": rng.uniform(-90, 90, 100)})
+        got = [r["g"] for r in spark.createDataFrame(pdf)
+               .select(geohash(F.col("lon"), F.col("lat"), 7)
+                       .alias("g")).collect()]
+        con = duckdb.connect()
+        con.register("gh_t", pdf)
+        want = [r[0] for r in con.sql(
+            f"SELECT {geohash_sql('lon', 'lat', 7)} FROM gh_t").fetchall()]
+        py = [geohash_py(lo, la, 7)
+              for lo, la in zip(pdf.lon, pdf.lat)]
+        assert got == want == py
+
+    def test_prefix_property(self):
+        from karta_spark.functions.cells import geohash_py
+        g8 = geohash_py(2.3488, 48.8534, 8)
+        for p in range(1, 8):
+            assert geohash_py(2.3488, 48.8534, p) == g8[:p]
+
+    def test_poles_and_dateline(self):
+        from karta_spark.functions.cells import geohash_py
+        # edge coordinates produce valid alphabet chars
+        from karta_spark.functions.cells import GEOHASH_ALPHABET
+        for lon, lat in ((-180.0, -90.0), (179.999999, 89.999999),
+                         (0.0, 0.0)):
+            g = geohash_py(lon, lat, 6)
+            assert len(g) == 6 and all(c in GEOHASH_ALPHABET for c in g)
