@@ -298,3 +298,24 @@ def geohash_py(lon: float, lat: float, precision: int = 6) -> str:
             v += (int(math.floor(frac * 2.0 ** (i + 1))) % 2) << (4 - j)
         out.append(GEOHASH_ALPHABET[v])
     return "".join(out)
+
+
+def geohash_decode_py(gh: str):
+    """Decode a geohash to ``(lon, lat, lon_err, lat_err)`` — the cell
+    center and half-widths (inverse of the bisection bits)."""
+    lon_lo, lon_hi = -180.0, 180.0
+    lat_lo, lat_hi = -90.0, 90.0
+    even = True
+    for ch in gh:
+        v = GEOHASH_ALPHABET.index(ch)
+        for j in range(4, -1, -1):
+            bit = (v >> j) & 1
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                lon_lo, lon_hi = (mid, lon_hi) if bit else (lon_lo, mid)
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                lat_lo, lat_hi = (mid, lat_hi) if bit else (lat_lo, mid)
+            even = not even
+    return ((lon_lo + lon_hi) / 2, (lat_lo + lat_hi) / 2,
+            (lon_hi - lon_lo) / 2, (lat_hi - lat_lo) / 2)

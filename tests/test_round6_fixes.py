@@ -1735,3 +1735,23 @@ class TestGeohash:
                          (0.0, 0.0)):
             g = geohash_py(lon, lat, 6)
             assert len(g) == 6 and all(c in GEOHASH_ALPHABET for c in g)
+
+
+class TestGeohashDecode:
+    def test_roundtrip_within_cell(self):
+        from karta_spark.functions.cells import geohash_decode_py, geohash_py
+        import numpy as np
+        rng = np.random.default_rng(11)
+        for _ in range(50):
+            lon = float(rng.uniform(-180, 180))
+            lat = float(rng.uniform(-90, 90))
+            gh = geohash_py(lon, lat, 8)
+            clon, clat, elon, elat = geohash_decode_py(gh)
+            assert abs(clon - lon) <= elon
+            assert abs(clat - lat) <= elat
+
+    def test_canonical_example(self):
+        from karta_spark.functions.cells import geohash_decode_py
+        clon, clat, elon, elat = geohash_decode_py("ezs42")
+        assert abs(clon - (-5.60302734375)) < 1e-9
+        assert abs(clat - 42.60498046875) < 1e-9
