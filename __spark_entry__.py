@@ -3578,6 +3578,110 @@ FROM pts GROUP BY 1
 """
 
 
+def q90_robust_ingest_census(spark, sf_dir):
+    """Mixed-format robust-ingest census (round 6): per documents row,
+    synthesize a blob cycling SEVEN shapes — PNG, GIF, lossless WebP,
+    JPEG, BMP, ICO, and a deliberately truncated GIF — sniff + decode
+    with multimodal.decode_any (magic numbers; NEVER raises — one bad
+    blob must not kill a 10^9-row task), and census ok/err counts and
+    decoded pixel sums per format.
+
+    Value-oracle-exact: all lossless formats decode closed-form pixels
+    DuckDB regenerates (JPEG contributes counts only — lossy); the
+    corrupt bucket must land entirely in n_err — a sniff, codec, or
+    error-contract slip moves a count or sum and fails the gate."""
+    import pandas as pd
+    from karta_spark.sources.gif import encode_gif
+    from karta_spark.sources.ico import encode_ico
+    from karta_spark.sources.images import (
+        encode_bmp, encode_jpeg, encode_png,
+    )
+    from karta_spark.sources.multimodal import decode_any
+    from karta_spark.sources.webp import encode_webp
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    FMT = ("png", "gif", "webp", "jpeg", "bmp", "ico", "corrupt")
+
+    def build(did: int):
+        ii, jj = np.mgrid[0:8, 0:8]
+        v = did % 7
+        gray = ((did + 5 * ii + 7 * jj) % 256).astype(np.uint8)
+        if v == 0:
+            return encode_png(gray)
+        if v == 1:
+            k16 = np.arange(16)
+            pal = np.stack([(23 * k16 + 5) % 256, (47 * k16 + 9) % 256,
+                            (71 * k16 + 2) % 256], 1).astype(np.uint8)
+            idx = ((did + 3 * ii + 5 * jj) % 16).astype(np.uint8)
+            return encode_gif(idx, pal)
+        if v == 3:
+            return encode_jpeg(gray)
+        if v == 4:
+            return encode_bmp(gray)
+        rgba = np.zeros((8, 8, 4), np.uint8)
+        rgba[:, :, 0] = (did + 2 * ii + 3 * jj) % 256
+        rgba[:, :, 1] = (3 * did + 5 * ii + jj) % 256
+        rgba[:, :, 2] = (5 * did + ii + 7 * jj) % 256
+        rgba[:, :, 3] = 255
+        if v == 2:
+            return encode_webp(rgba)
+        if v == 5:
+            return encode_ico([rgba])
+        return b"GIF89a" + b"\x00" * 3  # truncated: sniffs, fails decode
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for x in pdf["doc_id"]:
+                did = int(x)
+                want = FMT[did % 7]
+                fmt, arr, err = decode_any(build(did))
+                ok = arr is not None
+                px = int(arr.astype(np.int64).sum()) if ok and \
+                    want not in ("jpeg",) else 0
+                rows.append((want, int(ok), int(err is not None), px))
+            yield pd.DataFrame(rows, columns=["fmt", "ok", "err", "px"])
+
+    res = d.repartition(8).mapInPandas(
+        run, "fmt string, ok long, err long, px long")
+    return res.groupBy("fmt").agg(
+        F.count("*").cast("long").alias("n_blobs"),
+        F.sum("ok").alias("n_ok"),
+        F.sum("err").alias("n_err"),
+        F.sum("px").alias("sum_px"))
+
+
+Q90_SQL = """
+WITH px AS (
+  SELECT doc_id AS d, i, j
+  FROM documents, range(8) t(i), range(8) s(j)
+), per AS (
+  SELECT d, d % 7 AS v,
+    CASE d % 7
+      WHEN 0 THEN (d + 5*i + 7*j) % 256
+      WHEN 1 THEN (23*((d + 3*i + 5*j) % 16) + 5) % 256
+                + (47*((d + 3*i + 5*j) % 16) + 9) % 256
+                + (71*((d + 3*i + 5*j) % 16) + 2) % 256
+      WHEN 2 THEN (d + 2*i + 3*j) % 256 + (3*d + 5*i + j) % 256
+                + (5*d + i + 7*j) % 256 + 255
+      WHEN 4 THEN 3 * ((d + 5*i + 7*j) % 256)
+      WHEN 5 THEN (d + 2*i + 3*j) % 256 + (3*d + 5*i + j) % 256
+                + (5*d + i + 7*j) % 256 + 255
+      ELSE 0 END AS s
+  FROM px
+)
+SELECT CASE v WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'webp'
+              WHEN 3 THEN 'jpeg' WHEN 4 THEN 'bmp' WHEN 5 THEN 'ico'
+              ELSE 'corrupt' END AS fmt,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_blobs,
+       CAST(count(DISTINCT CASE WHEN v <> 6 THEN d END) AS BIGINT)
+         AS n_ok,
+       CAST(count(DISTINCT CASE WHEN v = 6 THEN d END) AS BIGINT)
+         AS n_err,
+       CAST(sum(s) AS BIGINT) AS sum_px
+FROM per GROUP BY 1
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3728,6 +3832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_exif_gps_tiles": q87_exif_gps_tiles,
         "q88_apng_frame_sampling": q88_apng_frame_sampling,
         "q89_geohash_census": q89_geohash_census,
+        "q90_robust_ingest_census": q90_robust_ingest_census,
     }
 
 
@@ -3804,6 +3909,7 @@ def oracle_sql() -> dict[str, str]:
         "q87_exif_gps_tiles": Q87_SQL,
         "q88_apng_frame_sampling": _q88_sql(),
         "q89_geohash_census": Q89_SQL,
+        "q90_robust_ingest_census": Q90_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

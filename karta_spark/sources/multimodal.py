@@ -173,3 +173,50 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30,
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return videos.mapInPandas(run, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# robust mixed-format ingest — crawl corpora interleave formats and ship
+# plenty of corrupt bytes; the ingest step sniffs magic numbers and must
+# fail CLEANLY (a status row, never a crashed task).
+# ---------------------------------------------------------------------------
+
+def sniff_format(data: bytes) -> str | None:
+    """Magic-number sniff: png/apng, gif, webp, jpeg, bmp, ico, tiff,
+    or None when unrecognized."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if len(data) >= 6 and data[:4] == b"\x00\x00\x01\x00":
+        return "ico"
+    return None
+
+
+def decode_any(data: bytes):
+    """Sniff + decode; returns ``(fmt, array_or_None, error_or_None)``.
+    Never raises — malformed bytes yield ``(fmt, None, "reason")``, the
+    crawl-scale contract (one bad blob must not kill a 10^9-row task).
+    ICO decodes to the FIRST directory entry's RGBA."""
+    data = bytes(data)
+    fmt = sniff_format(data)
+    if fmt is None:
+        return None, None, "unknown format"
+    try:
+        if fmt == "ico":
+            from karta_spark.sources.ico import decode_ico
+            return fmt, decode_ico(data)[0]["rgba"], None
+        if fmt == "tiff":
+            raise NotImplementedError(
+                "plain TIFF rasters go through sources/geotiff.py")
+        return fmt, decode_image(data, fmt), None
+    except Exception as exc:  # noqa: BLE001 — the contract IS catch-all
+        return fmt, None, f"{type(exc).__name__}: {exc}"

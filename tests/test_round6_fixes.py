@@ -1755,3 +1755,61 @@ class TestGeohashDecode:
         clon, clat, elon, elat = geohash_decode_py("ezs42")
         assert abs(clon - (-5.60302734375)) < 1e-9
         assert abs(clat - 42.60498046875) < 1e-9
+
+
+class TestRobustIngest:
+    """sniff_format / decode_any (round 6): the crawl-ingest contract —
+    magic-number dispatch, and NO exception ever escapes on bad bytes."""
+
+    def _valid_blobs(self):
+        from karta_spark.sources.gif import encode_gif
+        from karta_spark.sources.ico import encode_ico
+        from karta_spark.sources.images import (
+            encode_bmp, encode_jpeg, encode_png,
+        )
+        from karta_spark.sources.webp import encode_webp
+        rng = np.random.default_rng(0)
+        g = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        rgba = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, (8, 8), dtype=np.uint8)
+        return {"png": encode_png(g), "bmp": encode_bmp(g),
+                "jpeg": encode_jpeg(g), "gif": encode_gif(idx, pal),
+                "webp": encode_webp(rgba), "ico": encode_ico([rgba])}
+
+    def test_sniff_and_decode_all(self):
+        from karta_spark.sources.multimodal import decode_any, sniff_format
+        for want, blob in self._valid_blobs().items():
+            assert sniff_format(blob) == want
+            fmt, arr, err = decode_any(blob)
+            assert fmt == want and arr is not None and err is None
+
+    def test_truncations_fail_cleanly(self):
+        from karta_spark.sources.multimodal import decode_any
+        for want, blob in self._valid_blobs().items():
+            for cut in (3, 8, len(blob) // 3, len(blob) - 2):
+                fmt, arr, err = decode_any(blob[:cut])
+                if arr is None:
+                    assert err is not None or fmt is None
+
+    def test_random_fuzz_never_raises(self):
+        from karta_spark.sources.multimodal import decode_any
+        rng = np.random.default_rng(42)
+        magics = [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8", b"BM",
+                  b"RIFF\x10\x00\x00\x00WEBP", b"\x00\x00\x01\x00"]
+        for k in range(300):
+            junk = rng.integers(0, 256, int(rng.integers(0, 200)),
+                                dtype=np.uint8).tobytes()
+            blob = magics[k % len(magics)] + junk if k % 2 else junk
+            fmt, arr, err = decode_any(blob)  # must not raise
+            assert arr is not None or err is not None
+
+    def test_flipped_bits_fail_cleanly(self):
+        from karta_spark.sources.multimodal import decode_any
+        rng = np.random.default_rng(7)
+        for want, blob in self._valid_blobs().items():
+            b = bytearray(blob)
+            for _ in range(5):
+                i = int(rng.integers(8, len(b)))
+                b[i] ^= 0xFF
+            decode_any(bytes(b))  # any outcome, but never an exception
