@@ -3682,6 +3682,54 @@ FROM per GROUP BY 1
 """
 
 
+def q91_c4_clean(spark, sf_dir):
+    """C4 line/page cleaning rules (round 6, Raffel et al. 2020 §2.2):
+    plant lines with known verdicts around every documents row — a
+    2-word fragment (dropped: < 3 words), a proper planted sentence
+    (kept), a 'lorem ipsum' line and a curly-brace CSS line (both
+    blocklisted) — run text.c4_clean (terminal-punctuation + min-words
+    + blocklist line filter, min-sentences page verdict; a pure
+    Catalyst PROJECTION, no shuffle), and return the cleaned text
+    itself plus all rule counters per row.
+
+    Value-oracle-exact: DuckDB applies the identical RE2-safe rules
+    (c4_clean_sql), so the kept-line strings hash-compare row by row."""
+    from karta_spark.operators.text import c4_clean
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        F.col("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit("\nBuy now\nThis planted sentence stays in doc "),
+                 F.col("doc_id").cast("string"),
+                 F.lit(".\nplenty of lorem ipsum filler text here.\n"
+                       ".menu { display: none }")).alias("text"))
+    return (c4_clean(planted)
+            .orderBy("doc_id")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "text",
+                    "n_lines_kept", "n_lines_dropped", "n_sentences",
+                    "kept"))
+
+
+def _q91_sql():
+    from karta_spark.operators.text import c4_clean_sql
+    inner = c4_clean_sql("planted")
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || chr(10) || 'Buy now' || chr(10)
+         || 'This planted sentence stays in doc '
+         || CAST(doc_id AS VARCHAR) || '.' || chr(10)
+         || 'plenty of lorem ipsum filler text here.' || chr(10)
+         || '.menu {{ display: none }}' AS text
+  FROM documents
+), cleaned AS ({inner})
+SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+       n_lines_kept, n_lines_dropped, n_sentences, kept
+FROM cleaned ORDER BY doc_id
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3833,6 +3881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_apng_frame_sampling": q88_apng_frame_sampling,
         "q89_geohash_census": q89_geohash_census,
         "q90_robust_ingest_census": q90_robust_ingest_census,
+        "q91_c4_clean": q91_c4_clean,
     }
 
 
@@ -3910,6 +3959,7 @@ def oracle_sql() -> dict[str, str]:
         "q88_apng_frame_sampling": _q88_sql(),
         "q89_geohash_census": Q89_SQL,
         "q90_robust_ingest_census": Q90_SQL,
+        "q91_c4_clean": _q91_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -1065,3 +1065,71 @@ SELECT d.{id_col} AS {id_col}, coalesce(a.text, '') AS text,
 FROM (SELECT DISTINCT {id_col} FROM {table}) d
 LEFT JOIN agg a ON a.{id_col} = d.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# C4-style line/page filters — the classic cleaning pass (Raffel et al.
+# 2020 §2.2): keep only lines ending in terminal punctuation with at
+# least N words; drop pages with too few sentences or blocklist terms.
+# RE2-safe (no lookaround) so DuckDB runs the identical rules.
+# ---------------------------------------------------------------------------
+
+_C4_BLOCKLIST = ("lorem ipsum", "javascript must be enabled", "{")
+_TERMINAL = r'[.!?"]$'
+
+
+def c4_clean(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", min_words: int = 3,
+             min_sentences: int = 2) -> DataFrame:
+    """Apply the C4 line + page rules.  Returns
+    ``id_col, text (kept lines), n_lines_kept, n_lines_dropped,
+    n_sentences, kept (page-level verdict)``.
+
+    All Catalyst: split -> filter/transform HOFs -> array_join; the
+    sentence count is the number of terminal-punctuation runs in the
+    kept text.  No shuffle at all — a pure projection, which is the
+    shape this runs at on a 100 TB corpus."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def line_ok(ln):
+        # regex-split word count (no nested lambda: keeps the Catalyst
+        # tree small — this predicate is inlined at every reference)
+        words = F.size(F.split(F.trim(ln), r"\s+"))
+        return (ln.rlike(_TERMINAL) & (words >= min_words)
+                & ~F.lower(ln).rlike("lorem ipsum")
+                & ~ln.contains("{"))
+
+    kept_arr = F.filter(lines, line_ok)
+    clean = F.array_join(kept_arr, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r'([.!?]+)'), 1))
+    return df.select(
+        F.col(id_col),
+        clean.alias("text"),
+        F.size(kept_arr).cast("long").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept_arr)).cast("long")
+        .alias("n_lines_dropped"),
+        n_sent.cast("long").alias("n_sentences"),
+        (n_sent >= min_sentences).alias("kept"))
+
+
+def c4_clean_sql(table: str, text_col: str = "text",
+                 id_col: str = "doc_id", min_words: int = 3,
+                 min_sentences: int = 2) -> str:
+    """DuckDB twin — identical rules via list HOFs."""
+    lines = f"string_split({text_col}, chr(10))"
+    ok = (f"ln -> regexp_matches(ln, '{_TERMINAL}') "
+          f"AND len(string_split_regex(trim(ln), '\\s+')) >= {min_words} "
+          f"AND NOT regexp_matches(lower(ln), 'lorem ipsum') "
+          f"AND NOT contains(ln, '{{')")
+    kept = f"list_filter({lines}, {ok})"
+    clean = f"coalesce(array_to_string({kept}, chr(10)), '')"
+    nsent = f"len(regexp_extract_all({clean}, '([.!?]+)'))"
+    return f"""
+SELECT {id_col},
+       {clean} AS text,
+       CAST(len({kept}) AS BIGINT) AS n_lines_kept,
+       CAST(len({lines}) - len({kept}) AS BIGINT) AS n_lines_dropped,
+       CAST({nsent} AS BIGINT) AS n_sentences,
+       {nsent} >= {min_sentences} AS kept
+FROM {table}
+"""

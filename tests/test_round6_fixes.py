@@ -1813,3 +1813,47 @@ class TestRobustIngest:
                 i = int(rng.integers(8, len(b)))
                 b[i] ^= 0xFF
             decode_any(bytes(b))  # any outcome, but never an exception
+
+
+class TestC4Clean:
+    """C4 line/page rules (round 6): terminal punct, min words,
+    blocklist, min sentences — engine-identical."""
+
+    DOCS = [
+        (0, "This is a fine sentence.\nshort.\nAnother good line here!"
+            "\nno punct line\nmenu { display: none }"),
+        (1, 'He said "stop".\nfragment without others'),
+        (2, "Lorem Ipsum dolor sit amet.\nA real one is here. And more."),
+    ]
+
+    def test_semantics(self, spark):
+        from karta_spark.operators.text import c4_clean
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in c4_clean(df).collect()}
+        assert got[0]["text"] == ("This is a fine sentence.\n"
+                                  "Another good line here!")
+        assert got[0]["kept"] is True and got[0]["n_lines_dropped"] == 3
+        assert got[1]["n_sentences"] == 1 and got[1]["kept"] is False
+        assert got[2]["text"] == "A real one is here. And more."
+
+    def test_duckdb_twin_identical(self):
+        import duckdb
+        import pandas as pd
+        from karta_spark.operators.text import c4_clean_sql
+        con = duckdb.connect()
+        con.register("c4_docs", pd.DataFrame(self.DOCS,
+                                             columns=["doc_id", "text"]))
+        rows = {r[0]: r for r in con.sql(
+            c4_clean_sql("c4_docs")).fetchall()}
+        assert rows[0][1] == ("This is a fine sentence.\n"
+                              "Another good line here!")
+        assert rows[1][5] is False
+        assert rows[2][1] == "A real one is here. And more."
+
+    def test_quote_terminal_allowed(self, spark):
+        from karta_spark.operators.text import c4_clean
+        df = spark.createDataFrame(
+            [(0, 'She finished with a quote she liked."')],
+            "doc_id long, text string")
+        got = c4_clean(df, min_sentences=0).collect()[0]
+        assert got["n_lines_kept"] == 1
