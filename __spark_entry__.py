@@ -3730,6 +3730,89 @@ FROM cleaned ORDER BY doc_id
 """
 
 
+def q92_multipage_document_census(spark, sf_dir):
+    """Multi-page scanned-document census (round 6): write a 4-page
+    CCITT-G4 document (chained IFDs, the layout fax archives and
+    scanners emit — pages of DIFFERENT sizes;
+    geotiff.write_multipage_bilevel), parse only the IFD chain on the
+    driver (tiff_pages), then fan the (page, strip) grid out to
+    executors that seek their strip byte ranges and run the T.6
+    decoder locally — per-page parallelism on top of q71's per-strip
+    shape.
+
+    Value-oracle-exact: each page's ink is an integer closed form
+    DuckDB regenerates, so a chained-IFD offset, page-geometry, or
+    strip-seek slip moves n_black or drops a pixel from n_match."""
+    import os
+    import tempfile
+    import pandas as pd
+    from karta_spark.sources import geotiff
+    K, NX = 4, 64
+
+    def page_bitmap(p: int) -> np.ndarray:
+        ny = 48 + 8 * p
+        ii, jj = np.mgrid[0:ny, 0:NX]
+        return (((ii // (3 + p) + jj // 5) % 2 == 0)
+                & ((ii * 7 + jj * 11 + p) % 4 != 0)).astype(np.uint8)
+
+    path = os.path.join(tempfile.gettempdir(), "karta_q92_mp.tif")
+    geotiff.write_multipage_bilevel(
+        path, [page_bitmap(p) for p in range(K)], rows_per_strip=16)
+    with open(path, "rb") as f:
+        offs = [8] + [m.next_ifd for m in geotiff.tiff_pages(f)][:-1]
+        strips = [(p, s, off) for p, off in enumerate(offs)
+                  for s in range(len(geotiff.TiffMeta(
+                      f, None if p == 0 else off).offsets))]
+    spec = spark.createDataFrame(
+        pd.DataFrame(strips, columns=["page", "strip", "ifd_off"]))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            with open(path, "rb") as fh:
+                for p, s, off in zip(pdf["page"], pdf["strip"],
+                                     pdf["ifd_off"]):
+                    m = geotiff.TiffMeta(fh, None if p == 0 else int(off))
+                    got = m.read_chunk(fh, int(s))[:, :, 0]
+                    r0 = int(s) * 16
+                    want = page_bitmap(int(p))[r0:r0 + got.shape[0]]
+                    rows.append((int(p), int(got.sum()),
+                                 int((got == want).sum()), got.size))
+            yield pd.DataFrame(rows, columns=["page", "n_black",
+                                              "n_match", "n_px"])
+
+    res = spec.repartition(8).mapInPandas(
+        run, "page long, n_black long, n_match long, n_px long")
+    return res.groupBy("page").agg(
+        F.count("*").cast("long").alias("n_strips"),
+        F.sum("n_black").alias("n_black"),
+        F.sum("n_match").alias("n_px_match"),
+        F.sum("n_px").alias("n_px"))
+
+
+Q92_SQL = """
+WITH pages AS (
+  SELECT p FROM range(4) t(p)
+), px AS (
+  SELECT p, i, j
+  FROM pages, range(80) a(i), range(64) b(j)
+  WHERE i < 48 + 8*p
+), per AS (
+  SELECT p,
+    CASE WHEN ((i // (3 + p) + j // 5) % 2 = 0)
+              AND ((i*7 + j*11 + p) % 4 <> 0)
+         THEN 1 ELSE 0 END AS v
+  FROM px
+)
+SELECT CAST(p AS BIGINT) AS page,
+       CAST((48 + 8*p + 15) // 16 AS BIGINT) AS n_strips,
+       CAST(sum(v) AS BIGINT) AS n_black,
+       CAST(count(*) AS BIGINT) AS n_px_match,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM per GROUP BY p
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3882,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_geohash_census": q89_geohash_census,
         "q90_robust_ingest_census": q90_robust_ingest_census,
         "q91_c4_clean": q91_c4_clean,
+        "q92_multipage_document_census": q92_multipage_document_census,
     }
 
 
@@ -3960,6 +4044,7 @@ def oracle_sql() -> dict[str, str]:
         "q89_geohash_census": Q89_SQL,
         "q90_robust_ingest_census": Q90_SQL,
         "q91_c4_clean": _q91_sql(),
+        "q92_multipage_document_census": Q92_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -488,6 +488,51 @@ def write_bilevel_geotiff(path: str, bitmap: np.ndarray, x0: float,
     black as 1 (WhiteIsZero, the fax convention every scanner emits);
     1 flips it.  Strip-organized so the lazy-window reader can skip
     strips."""
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", 8))
+        f.write(_build_bilevel_section(bitmap, x0, y_top, dx, dy,
+                                       compress, rows_per_strip,
+                                       photometric, 8, 0))
+
+
+def write_multipage_bilevel(path: str, bitmaps: list, x0: float = 0.0,
+                            y_top: float | None = None, dx: float = 1.0,
+                            dy: float = 1.0, compress: str = "g4",
+                            rows_per_strip: int | None = None,
+                            photometric: int = 0):
+    """Multi-page scanned document: one chained IFD per page (the
+    layout fax archives and scanners emit — libtiff 'directories',
+    GDAL subdatasets).  Pages may differ in size."""
+    sections = []
+    base = 8
+    for li, bm in enumerate(bitmaps):
+        yt = y_top if y_top is not None else float(np.asarray(bm).shape[0])
+        dry = _build_bilevel_section(bm, x0, yt, dx, dy, compress,
+                                     rows_per_strip, photometric, base, 0)
+        nxt = base + len(dry) if li + 1 < len(bitmaps) else 0
+        sections.append(_build_bilevel_section(
+            bm, x0, yt, dx, dy, compress, rows_per_strip, photometric,
+            base, nxt))
+        base += len(dry)
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", 8))
+        for s in sections:
+            f.write(s)
+
+
+def tiff_pages(f) -> list:
+    """All IFDs of a multi-page TIFF as TiffMeta objects (follows the
+    next-IFD chain — pages, not overviews, for scanned documents)."""
+    pages = [TiffMeta(f)]
+    while pages[-1].next_ifd:
+        pages.append(TiffMeta(f, pages[-1].next_ifd))
+    return pages
+
+
+def _build_bilevel_section(bitmap: np.ndarray, x0: float, y_top: float,
+                           dx: float, dy: float, compress: str,
+                           rows_per_strip: int | None, photometric: int,
+                           base_off: int, next_ifd: int) -> bytes:
     from karta_spark.sources import ccitt
     bm = (np.asarray(bitmap) != 0).astype(np.uint8)
     ny, nx = bm.shape
@@ -519,7 +564,7 @@ def write_bilevel_geotiff(path: str, bitmap: np.ndarray, x0: float,
     nchunks = len(chunks)
     n_entries = 12  # 10 fixed tags + strip offsets/counts
     ifd_size = 2 + n_entries * 12 + 4
-    ext_off = 8 + ifd_size
+    ext_off = base_off + ifd_size
     scale_bytes = struct.pack("<3d", dx, dy, 0.0)
     tie_bytes = struct.pack("<6d", 0.0, 0.0, 0.0, x0, y_top, 0.0)
     scale_off, tie_off = ext_off, ext_off + len(scale_bytes)
@@ -554,16 +599,16 @@ def write_bilevel_geotiff(path: str, bitmap: np.ndarray, x0: float,
         _entry(33922, 12, 6, val_long(tie_off)),
     ] + chunk_entries, key=lambda e: struct.unpack_from("<H", e)[0])
     assert len(entries) == n_entries
-    with open(path, "wb") as f:
-        f.write(b"II*\x00" + struct.pack("<I", 8))
-        f.write(struct.pack("<H", n_entries) + b"".join(entries))
-        f.write(struct.pack("<I", 0))
-        f.write(scale_bytes + tie_bytes)
-        if nchunks > 1:
-            f.write(struct.pack(f"<{nchunks}I", *chunk_offsets))
-            f.write(struct.pack(f"<{nchunks}I", *[len(c) for c in chunks]))
-        for c in chunks:
-            f.write(c)
+    out = bytearray()
+    out += struct.pack("<H", n_entries) + b"".join(entries)
+    out += struct.pack("<I", next_ifd)
+    out += scale_bytes + tie_bytes
+    if nchunks > 1:
+        out += struct.pack(f"<{nchunks}I", *chunk_offsets)
+        out += struct.pack(f"<{nchunks}I", *[len(c) for c in chunks])
+    for c in chunks:
+        out += c
+    return bytes(out)
 
 
 class TiffMeta:

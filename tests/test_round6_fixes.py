@@ -1857,3 +1857,47 @@ class TestC4Clean:
             "doc_id long, text string")
         got = c4_clean(df, min_sentences=0).collect()[0]
         assert got["n_lines_kept"] == 1
+
+
+class TestMultipageTiff:
+    """Chained-IFD multi-page documents (round 6): fax-archive layout."""
+
+    def test_pages_roundtrip_mixed_sizes(self, tmp_path):
+        from karta_spark.sources import geotiff
+        pages = [((np.add.outer(np.arange(40 + 8 * k), np.arange(60))
+                   % (5 + k)) == 0).astype(np.uint8) for k in range(3)]
+        p = str(tmp_path / "mp.tif")
+        geotiff.write_multipage_bilevel(p, pages, rows_per_strip=16)
+        with open(p, "rb") as f:
+            metas = geotiff.tiff_pages(f)
+            assert [m.ny for m in metas] == [40, 48, 56]
+            assert all(m.comp == geotiff.COMPRESSION_CCITT_G4
+                       for m in metas)
+            for m, want in zip(metas, pages):
+                got = np.concatenate([m.read_chunk(f, k)[:, :, 0]
+                                      for k in range(len(m.offsets))])
+                np.testing.assert_array_equal(got[:want.shape[0]], want)
+
+    def test_single_page_writer_unchanged(self, tmp_path):
+        from karta_spark.sources import geotiff
+        bm = (np.add.outer(np.arange(24), np.arange(31)) % 3 == 0) \
+            .astype(np.uint8)
+        p = str(tmp_path / "sp.tif")
+        geotiff.write_bilevel_geotiff(p, bm, 0.0, 24.0, 1.0, 1.0)
+        with open(p, "rb") as f:
+            metas = geotiff.tiff_pages(f)
+            assert len(metas) == 1
+            np.testing.assert_array_equal(
+                metas[0].read_chunk(f, 0)[:, :, 0], bm)
+
+    def test_uncompressed_pages(self, tmp_path):
+        from karta_spark.sources import geotiff
+        pages = [np.eye(16, dtype=np.uint8), np.ones((8, 16), np.uint8)]
+        p = str(tmp_path / "mpn.tif")
+        geotiff.write_multipage_bilevel(p, pages, compress=None,
+                                        photometric=0)
+        with open(p, "rb") as f:
+            metas = geotiff.tiff_pages(f)
+            for m, want in zip(metas, pages):
+                got = m.read_chunk(f, 0)[:, :, 0]
+                np.testing.assert_array_equal(got, want)
