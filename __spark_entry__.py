@@ -3813,6 +3813,37 @@ FROM per GROUP BY p
 """
 
 
+def q93_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule audit (round 6, Rae et al. 2021 table A1):
+    evaluate all seven published rules per documents row — word-count
+    bounds, mean word length, symbol-to-word ratio, bullet-line and
+    ellipsis-line fractions, alphabetic-word fraction, stop-word
+    presence — as named booleans plus the AND verdict
+    (text.gopher_quality, a pure Catalyst projection; completes the
+    canonical published-filter trio beside C4's line rules q91 and the
+    Gopher repetition rule q53).
+
+    Value-oracle-exact: DuckDB evaluates the identical RE2-safe
+    algebra per row (gopher_quality_sql); all 500x8 booleans are
+    hash-compared."""
+    from karta_spark.operators.text import gopher_quality
+    d = _t(spark, sf_dir, "documents")
+    rules = gopher_quality(F.col("text"), min_words=30)
+    return (d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     *[v.alias(k if k != "pass" else "pass_all")
+                       for k, v in rules.items()])
+            .orderBy("doc_id"))
+
+
+def _q93_sql():
+    from karta_spark.operators.text import gopher_quality_sql
+    rules = gopher_quality_sql("text", min_words=30)
+    cols = ", ".join(f"{v} AS {(k if k != 'pass' else 'pass_all')}"
+                     for k, v in rules.items())
+    return (f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {cols} "
+            f"FROM documents ORDER BY doc_id")
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3966,6 +3997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_robust_ingest_census": q90_robust_ingest_census,
         "q91_c4_clean": q91_c4_clean,
         "q92_multipage_document_census": q92_multipage_document_census,
+        "q93_gopher_rules": q93_gopher_rules,
     }
 
 
@@ -4045,6 +4077,7 @@ def oracle_sql() -> dict[str, str]:
         "q90_robust_ingest_census": Q90_SQL,
         "q91_c4_clean": _q91_sql(),
         "q92_multipage_document_census": Q92_SQL,
+        "q93_gopher_rules": _q93_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -1133,3 +1133,104 @@ SELECT {id_col},
        {nsent} >= {min_sentences} AS kept
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, table A1) — the other canonical
+# published filter set beside C4's.  Deterministic, RE2-safe, engine-
+# identical; each rule surfaces as its own boolean so downstream
+# pipelines can tune which to enforce.
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(col: Column, *, min_words: int = 50,
+                   max_words: int = 100_000) -> dict:
+    """Returns a dict of named boolean Columns (plus ``pass`` = AND of
+    all): word-count bounds, mean word length in [3, 10], symbol-to-
+    word ratio (# / ellipsis) < 0.1, < 90% bullet lines, < 30%
+    ellipsis-ended lines, >= 80% words with an alphabetic char, >= 2
+    distinct Gopher stop words.  Pure Catalyst projection."""
+    t = F.coalesce(col, F.lit(""))
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)) \
+        .otherwise(F.size(words))
+    nw = n_words.cast("double")
+    mean_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(F.trim(t), r"\s+", "")).cast("double")
+        / nw)
+    n_hash = F.size(F.regexp_extract_all(t, F.lit(r"(#)"), 1))
+    n_ell = F.size(F.regexp_extract_all(t, F.lit(r"(\.\.\.)"), 1))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+    n_ell_end = F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"\.\.\.$")))
+    n_alpha_words = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]")))
+    n_stops = sum(
+        (F.lower(t).rlike(r"\b" + w + r"\b")).cast("int")
+        for w in _GOPHER_STOPS)
+    rules = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "symbol_ratio_ok": (n_hash + n_ell).cast("double")
+        < 0.1 * F.greatest(nw, F.lit(1.0)),
+        "bullet_ok": n_bullet.cast("double")
+        < 0.9 * n_lines.cast("double"),
+        "ellipsis_ok": n_ell_end.cast("double")
+        < 0.3 * n_lines.cast("double"),
+        "alpha_ok": n_alpha_words.cast("double")
+        >= 0.8 * F.greatest(nw, F.lit(1.0)),
+        "stopword_ok": n_stops >= 2,
+    }
+    allok = None
+    for v in rules.values():
+        allok = v if allok is None else (allok & v)
+    rules["pass"] = allok
+    return rules
+
+
+def gopher_quality_sql(col_expr: str, *, min_words: int = 50,
+                       max_words: int = 100_000) -> dict:
+    """DuckDB twins (same names, same algebra)."""
+    t = f"coalesce({col_expr}, '')"
+    n_words = (f"CASE WHEN length(trim({t})) = 0 THEN 0 "
+               f"ELSE len(string_split_regex(trim({t}), '\\s+')) END")
+    mean_len = (f"CASE WHEN ({n_words}) = 0 THEN 0.0 ELSE "
+                f"CAST(length(regexp_replace(trim({t}), '\\s+', '', 'g'))"
+                f" AS DOUBLE) / ({n_words}) END")
+    n_hash = f"len(regexp_extract_all({t}, '(#)'))"
+    n_ell = f"len(regexp_extract_all({t}, '(\\.\\.\\.)'))"
+    lines = f"string_split({t}, chr(10))"
+    n_lines = f"len({lines})"
+    n_bullet = (f"len(list_filter({lines}, "
+                f"ln -> regexp_matches(trim(ln), '^[-*•]')))")
+    n_ell_end = (f"len(list_filter({lines}, "
+                 f"ln -> regexp_matches(ln, '\\.\\.\\.$')))")
+    words = f"string_split_regex(trim({t}), '\\s+')"
+    n_alpha = (f"len(list_filter({words}, "
+               f"w -> regexp_matches(w, '[A-Za-z]')))")
+    n_stops = " + ".join(
+        f"CASE WHEN regexp_matches(lower({t}), '\\b{w}\\b') "
+        f"THEN 1 ELSE 0 END" for w in _GOPHER_STOPS)
+    rules = {
+        "word_count_ok": f"(({n_words}) >= {min_words} "
+                         f"AND ({n_words}) <= {max_words})",
+        "mean_word_len_ok": f"(({mean_len}) >= 3.0 "
+                            f"AND ({mean_len}) <= 10.0)",
+        "symbol_ratio_ok": f"(CAST(({n_hash}) + ({n_ell}) AS DOUBLE) "
+                           f"< 0.1 * greatest(CAST({n_words} AS DOUBLE),"
+                           f" 1.0))",
+        "bullet_ok": f"(CAST({n_bullet} AS DOUBLE) "
+                     f"< 0.9 * CAST({n_lines} AS DOUBLE))",
+        "ellipsis_ok": f"(CAST({n_ell_end} AS DOUBLE) "
+                       f"< 0.3 * CAST({n_lines} AS DOUBLE))",
+        "alpha_ok": f"(CAST({n_alpha} AS DOUBLE) "
+                    f">= 0.8 * greatest(CAST({n_words} AS DOUBLE), 1.0))",
+        "stopword_ok": f"(({n_stops}) >= 2)",
+    }
+    rules["pass"] = "(" + " AND ".join(rules.values()) + ")"
+    return rules

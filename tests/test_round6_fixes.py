@@ -1901,3 +1901,52 @@ class TestMultipageTiff:
             for m, want in zip(metas, pages):
                 got = m.read_chunk(f, 0)[:, :, 0]
                 np.testing.assert_array_equal(got, want)
+
+
+class TestGopherRules:
+    """Gopher quality rules (round 6): Rae et al. 2021 table A1."""
+
+    CASES = [
+        # (text, failing_rules)
+        (" ".join(["the quick brown fox and that dog have fun."] * 8),
+         set()),
+        ("too short.", {"word_count_ok", "stopword_ok"}),
+        (" ".join(["####", "..."] * 40),
+         {"symbol_ratio_ok", "alpha_ok", "stopword_ok",
+          "ellipsis_ok"}),
+        ("\n".join(["- item with the thing of it and that stuff here"]
+                   * 10), {"bullet_ok"}),
+    ]
+
+    def test_rules_spark(self, spark):
+        from pyspark.sql import functions as F
+        from karta_spark.operators.text import gopher_quality
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(self.CASES)],
+            "doc_id long, text string")
+        rules = gopher_quality(F.col("text"), min_words=8)
+        rows = df.select("doc_id", *[v.alias(k) for k, v in rules.items()
+                                     if k != "pass"]) \
+            .orderBy("doc_id").collect()
+        for row, (_, failing) in zip(rows, self.CASES):
+            got_fail = {k for k in row.asDict() if k != "doc_id"
+                        and row[k] is False}
+            assert got_fail == failing, (row["doc_id"], got_fail, failing)
+
+    def test_duckdb_twin(self):
+        import duckdb
+        import pandas as pd
+        from karta_spark.operators.text import gopher_quality_sql
+        con = duckdb.connect()
+        con.register("gq_docs", pd.DataFrame(
+            [(i, t) for i, (t, _) in enumerate(self.CASES)],
+            columns=["doc_id", "text"]))
+        rules = gopher_quality_sql("text", min_words=8)
+        cols = ", ".join(f"{v} AS {k}" for k, v in rules.items()
+                         if k != "pass")
+        rows = con.sql(f"SELECT doc_id, {cols} FROM gq_docs "
+                       "ORDER BY doc_id").df()
+        for i, (_, failing) in enumerate(self.CASES):
+            got_fail = {c for c in rows.columns if c != "doc_id"
+                        and rows.iloc[i][c] == False}  # noqa: E712
+            assert got_fail == failing, (i, got_fail, failing)
