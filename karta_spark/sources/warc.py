@@ -39,13 +39,18 @@ WARC_SCHEMA = ("path string, record_idx long, warc_type string, "
 # ---------------------------------------------------------------------------
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress ALL members of a multi-member gzip stream."""
+    """Decompress ALL members of a multi-member gzip stream.  Corrupt
+    members raise ValueError (uniform error type — crawl archives are
+    routinely truncated/corrupt and callers key on ValueError)."""
     out = bytearray()
     rest = data
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=47)
-        out += d.decompress(rest)
-        out += d.flush()
+        try:
+            out += d.decompress(rest)
+            out += d.flush()
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member: {exc}") from exc
         if not d.eof:
             raise ValueError("truncated gzip member in WARC stream")
         rest = d.unused_data
@@ -100,7 +105,10 @@ def parse_warc(data: bytes) -> list[dict]:
         for ln in lines[1:]:
             k, _, v = ln.partition(":")
             fields[k.strip().lower()] = v.strip()
-        length = int(fields["content-length"])
+        try:
+            length = int(fields["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError(f"bad WARC Content-Length: {exc}") from exc
         body_start = hdr_end + 4
         payload = raw[body_start:body_start + length]
         pos = body_start + length
@@ -167,7 +175,8 @@ def http_response_payload(body: bytes, content_type: str = "text/html",
 # distributed scan
 # ---------------------------------------------------------------------------
 
-def read_warc_distributed(spark: SparkSession, path: str) -> DataFrame:
+def read_warc_distributed(spark: SparkSession, path: str,
+                          on_error: str = "fail") -> DataFrame:
     """One task per WARC file: `binaryFile` scan (no driver bytes) +
     mapInPandas parse.  Production shape: a crawl snapshot is tens of
     thousands of `.warc.gz` files, so file-level parallelism saturates
@@ -181,7 +190,13 @@ def read_warc_distributed(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                for i, r in enumerate(parse_warc(bytes(content))):
+                try:
+                    recs = parse_warc(bytes(content))
+                except (ValueError, NotImplementedError):
+                    if on_error == "skip":  # drop the bad archive file
+                        continue
+                    raise
+                for i, r in enumerate(recs):
                     rows.append((p, i, r["warc_type"], r["target_uri"],
                                  r["warc_date"], r["content_type"],
                                  r["http_status"], r["http_content_type"],

@@ -57,7 +57,11 @@ def parse_shard(data: bytes) -> list[dict]:
     so ``a.seg.png`` groups with ``a.jpg`` under key ``a`` with
     extension ``seg.png``."""
     out: dict[str, dict] = {}
-    with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+    try:
+        tf_ctx = tarfile.open(fileobj=io.BytesIO(data))
+    except tarfile.TarError as exc:
+        raise ValueError(f"corrupt tar shard: {exc}") from exc
+    with tf_ctx as tf:
         for m in tf:
             if not m.isfile():
                 continue
@@ -75,7 +79,7 @@ def parse_shard(data: bytes) -> list[dict]:
 
 def read_webdataset_distributed(spark: SparkSession, path: str,
                                 extensions: tuple = ("jpg", "txt"),
-                                ) -> DataFrame:
+                                on_error: str = "fail") -> DataFrame:
     """One task per shard: `binaryFile` scan + mapInPandas grouping.
     Returns ``shard string, key string`` plus one BINARY column per
     requested extension (NULL when a sample lacks it)."""
@@ -88,7 +92,13 @@ def read_webdataset_distributed(spark: SparkSession, path: str,
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                for s in parse_shard(bytes(content)):
+                try:
+                    shard = parse_shard(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                for s in shard:
                     rows.append((p, s["__key__"],
                                  *[bytearray(s[e]) if e in s else None
                                    for e in extensions]))

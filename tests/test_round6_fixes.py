@@ -1950,3 +1950,69 @@ class TestGopherRules:
             got_fail = {c for c in rows.columns if c != "doc_id"
                         and rows.iloc[i][c] == False}  # noqa: E712
             assert got_fail == failing, (i, got_fail, failing)
+
+
+class TestContainerFuzz:
+    """Round 6 hardening: container parsers raise ONLY ValueError-family
+    errors on corrupt input (zlib/tarfile internals never leak), and the
+    distributed readers honor on_error='skip'."""
+
+    def test_warc_corrupt_raises_valueerror(self):
+        from karta_spark.sources.warc import parse_warc, write_warc
+        w = bytearray(write_warc(
+            [dict(warc_type="conversion", payload=b"x" * 50)]))
+        w[15] ^= 0xFF
+        with pytest.raises(ValueError):
+            parse_warc(bytes(w))
+
+    def test_warc_fuzz_error_types(self):
+        from karta_spark.sources.warc import parse_warc, write_warc
+        rng = np.random.default_rng(3)
+        base = write_warc([dict(warc_type="conversion",
+                                payload=b"hello world " * 5)])
+        for k in range(120):
+            b = bytearray(base)
+            mode = k % 3
+            if mode == 0:
+                b = b[:int(rng.integers(0, len(b)))]
+            elif mode == 1:
+                for _ in range(3):
+                    b[int(rng.integers(0, len(b)))] ^= 0xFF
+            else:
+                b = bytearray(rng.integers(0, 256, 80, dtype=np.uint8))
+            try:
+                parse_warc(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass  # the contract
+
+    def test_wds_corrupt_raises_valueerror(self):
+        from karta_spark.sources.webdataset import parse_shard
+        with pytest.raises(ValueError):
+            parse_shard(b"definitely not a tar" * 40)
+
+    def test_warc_skip_policy(self, spark, tmp_path):
+        from karta_spark.sources.warc import (
+            read_warc_distributed, write_warc,
+        )
+        good = write_warc([dict(warc_type="conversion",
+                                target_uri="https://ok.ex/1",
+                                payload=b"fine")])
+        (tmp_path / "good.warc.gz").write_bytes(good)
+        bad = bytearray(good)
+        bad[12] ^= 0xFF
+        (tmp_path / "bad.warc.gz").write_bytes(bytes(bad))
+        rows = read_warc_distributed(spark, str(tmp_path),
+                                     on_error="skip").collect()
+        assert [r["target_uri"] for r in rows] == ["https://ok.ex/1"]
+
+    def test_wds_skip_policy(self, spark, tmp_path):
+        from karta_spark.sources.webdataset import (
+            read_webdataset_distributed, write_shard,
+        )
+        (tmp_path / "good.tar").write_bytes(
+            write_shard([{"txt": b"keep me"}]))
+        (tmp_path / "bad.tar").write_bytes(b"\x00garbage" * 100)
+        rows = read_webdataset_distributed(
+            spark, str(tmp_path), on_error="skip").collect()
+        assert len(rows) == 1
+        assert bytes(rows[0]["txt"]) == b"keep me"
