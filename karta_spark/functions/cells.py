@@ -240,11 +240,21 @@ def modis_tile_sql(lon_expr: str, lat_expr: str) -> tuple[str, str]:
 
 GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 
+# Largest double < 1.  Clamping frac into [0, _GH_FRAC_MAX] makes the
+# closed-form bits match the published bisection algorithm at the exact
+# domain edges (lon=180 / lat=90 -> all-1 bits, easternmost/northernmost
+# cell) and keeps out-of-range inputs from producing negative bits via
+# sign-preserving %.  (1 - 2^-53) * 2^(i+1) is IEEE-exact on both Spark
+# and DuckDB, so the twins stay bit-identical.
+_GH_FRAC_MAX = 1.0 - 2.0 ** -53
+
 
 def _geohash_char_val(lon: Column, lat: Column, c: int) -> Column:
     """Integer value (0..31) of geohash character ``c`` (0-based)."""
-    fx = (lon + 180.0) / 360.0
-    fy = (lat + 90.0) / 180.0
+    fx = F.greatest(F.lit(0.0),
+                    F.least((lon + 180.0) / 360.0, F.lit(_GH_FRAC_MAX)))
+    fy = F.greatest(F.lit(0.0),
+                    F.least((lat + 90.0) / 180.0, F.lit(_GH_FRAC_MAX)))
     val = F.lit(0)
     for j in range(5):
         g = 5 * c + j
@@ -275,8 +285,13 @@ def geohash_sql(lon_expr: str, lat_expr: str, precision: int = 6) -> str:
         for j in range(5):
             g = 5 * c + j
             i = g // 2
-            frac = (f"(({lon_expr}) + 180.0) / 360.0" if g % 2 == 0
-                    else f"(({lat_expr}) + 90.0) / 180.0")
+            raw = (f"(({lon_expr}) + 180.0) / 360.0" if g % 2 == 0
+                   else f"(({lat_expr}) + 90.0) / 180.0")
+            # NB: DuckDB parses the literal 0.9999999999999999 as
+            # DECIMAL(17,16), whose DOUBLE cast rounds to 1.0 — spell
+            # 1 - 2^-53 as an exact IEEE expression instead.
+            frac = (f"greatest(0.0, least({raw}, "
+                    f"1.0 - power(2.0, -53.0)))")
             bits.append(f"(CAST(floor({frac} * {float(2 ** (i + 1))!r}) "
                         f"AS BIGINT) % 2) * {1 << (4 - j)}")
         chars.append(f"substring('{GEOHASH_ALPHABET}', "
@@ -287,8 +302,8 @@ def geohash_sql(lon_expr: str, lat_expr: str, precision: int = 6) -> str:
 def geohash_py(lon: float, lat: float, precision: int = 6) -> str:
     """Reference implementation (same algebra) for tests."""
     out = []
-    fx = (lon + 180.0) / 360.0
-    fy = (lat + 90.0) / 180.0
+    fx = max(0.0, min((lon + 180.0) / 360.0, _GH_FRAC_MAX))
+    fy = max(0.0, min((lat + 90.0) / 180.0, _GH_FRAC_MAX))
     for c in range(precision):
         v = 0
         for j in range(5):

@@ -767,8 +767,12 @@ def clip_repeated_spans(df: DataFrame, text_col: str = "text",
         lambda s: F.concat(
             s["acc"], text.substr(s["last"] + F.lit(1),
                                   F.length(text) - s["last"])))
-    out = (df.join(ivs, F.col(id_col) == ivs["id"], "left")
-           .select(F.col(id_col).alias("id"),
+    # Alias the interval table's id to a reserved name: if the caller's
+    # id_col is literally "id", an F.col reference after the join would
+    # be ambiguous (AnalysisException).
+    ivs = ivs.withColumnRenamed("id", "_ivs_id")
+    out = (df.join(ivs, df[id_col] == ivs["_ivs_id"], "left")
+           .select(df[id_col].alias("id"),
                    F.when(F.col("ivs").isNull(), text)
                    .otherwise(clean).alias("clean_text"),
                    text.alias("_orig")))

@@ -265,7 +265,11 @@ def gif_frames(data: bytes):
     """
     g = decode_gif(data)
     w, h = g["w"], g["h"]
-    bg_rgb = (g["gct"][g["bg"]] if g["gct"] is not None
+    # Wild GIFs routinely carry a background index >= GCT size; fall back
+    # to black rather than breaking the uniform ValueError contract with
+    # an IndexError.
+    bg_rgb = (g["gct"][g["bg"]]
+              if g["gct"] is not None and 0 <= g["bg"] < len(g["gct"])
               else np.zeros(3, np.uint8))
     canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
     out, delays = [], []
