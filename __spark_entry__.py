@@ -3844,6 +3844,55 @@ def _q93_sql():
             f"FROM documents ORDER BY doc_id")
 
 
+def q94_vp8_lossy_census(spark, sf_dir):
+    """Lossy-WebP (VP8 key frame) census (round 7): per documents row,
+    synthesize a closed-form smooth RGB image, encode + decode it
+    ENTIRELY on executors with the from-scratch RFC 6386 codec
+    (sources/vp8.py — boolean arithmetic coder, coefficient-token
+    trees with the §13.5 default probabilities, WHT/DCT fixed-point
+    inverse transforms, all 16x16 and 4x4 intra modes, normal + simple
+    loop filters; the reference reads lossy WebP via GDAL,
+    _gdal.py:114-188), cycling q_index 0-7, loop-filter settings,
+    B_PRED, token partitions and an ALPH alpha plane, then verify the
+    north rule's lossy invariant per row: PSNR >= 40 dB vs the source,
+    exact dimensions, byte-exact alpha.
+
+    Value-oracle semantics: lossy pixels are not SQL-restatable, so
+    the gate asserts the PSNR bound as a per-image boolean (the
+    CLAUDE.md tolerance discipline) and hash-compares it together with
+    the SQL-regenerated source-pixel sums — a codec regression flips
+    n_ok, a synth drift moves sum_src, and either fails the gate."""
+    import pandas as pd
+    from karta_spark.sources.vp8 import vp8_census_row
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = [vp8_census_row(int(x)) for x in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=["variant", "ok", "src_sum"])
+
+    res = d.repartition(16).mapInPandas(
+        run, "variant string, ok int, src_sum long")
+    return res.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("ok").cast("long").alias("n_ok"),
+        F.sum("src_sum").alias("sum_src"))
+
+
+Q94_SQL = """
+WITH px AS (
+  SELECT doc_id AS d, i, j
+  FROM documents, range(32) t(i), range(32) s(j)
+)
+SELECT 'q' || CAST(d % 8 AS VARCHAR) AS variant,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_images,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_ok,
+       CAST(sum((d % 97 + 2*j + i // 2) + (d % 83 + 2*i + j // 2)
+                + (d % 71 + i + j)) AS BIGINT) AS sum_src
+FROM px GROUP BY 1
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -3998,6 +4047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_c4_clean": q91_c4_clean,
         "q92_multipage_document_census": q92_multipage_document_census,
         "q93_gopher_rules": q93_gopher_rules,
+        "q94_vp8_lossy_census": q94_vp8_lossy_census,
     }
 
 
@@ -4078,6 +4128,7 @@ def oracle_sql() -> dict[str, str]:
         "q91_c4_clean": _q91_sql(),
         "q92_multipage_document_census": Q92_SQL,
         "q93_gopher_rules": _q93_sql(),
+        "q94_vp8_lossy_census": Q94_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -112,11 +112,17 @@ class TestRoundtripMatrix:
     def test_not_webp(self):
         with pytest.raises(ValueError):
             decode_webp(b"\x89PNG....")
-        # RIFF/WEBP with only a lossy VP8 chunk
+        # lossy VP8 chunks now decode (sources/vp8.py); garbage still
+        # raises the uniform ValueError contract
         lossy = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
                  + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
-        with pytest.raises(ValueError, match="lossy"):
+        with pytest.raises(ValueError):
             decode_webp(lossy)
+        # container with no image chunk at all
+        empty = (b"RIFF" + struct.pack("<I", 12) + b"WEBP"
+                 + b"META" + struct.pack("<I", 0))
+        with pytest.raises(ValueError, match="chunk"):
+            decode_webp(empty)
 
 
 class TestHandBuiltStreams:
