@@ -3893,6 +3893,139 @@ FROM px GROUP BY 1
 """
 
 
+def _q95_polys():
+    return [("diamond", [(0.0, 1.5), (2.0, 3.5), (4.0, 1.5), (2.0, -0.5)]),
+            ("quad", [(-60.0, -30.0), (-40.0, -30.0),
+                      (-40.0, -10.0), (-60.0, -10.0)])]
+
+
+def q95_salted_pip_hot_cell(spark, sf_dir):
+    """Hot-cell-salted big-big PIP join (round 7): 20% of the corpus
+    piles onto ONE coordinate (the phash-pileup shape the north rule
+    names), and the cell-keyed shuffle join in
+    point_in_polygon_join_table runs with salt_threshold — the
+    data-driven histogram salt map (operators/skew.py:24) fans the hot
+    cell out k = ceil(count/threshold) ways, point rows pick a stable
+    hash salt, cover rows explode x k, and the join key becomes
+    (cell_id, salt).  SURVEY §4's skew row demands exactly this
+    explicit salting rather than leaving the pileup to AQE.
+
+    Value-oracle-exact: the salted plan must produce byte-identical
+    join results to the unsalted semantics, so the oracle is the same
+    winding-number SQL twin as q50/q54 over the formula-derived points;
+    a salting bug (dropped salt arm, wrong fan-out, hash drift between
+    the two sides) changes n_inside/sum_doc and fails the hash gate.
+    Salted==unsalted is additionally pinned by
+    tests/test_pip_salting.py."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    pts = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(2.0))
+         .otherwise(((F.col("doc_id") * 37) % 320) - 160 + 0.5)
+         .cast("double").alias("x"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(1.5))
+         .otherwise(((F.col("doc_id") * 53) % 140) - 70 + 0.25)
+         .cast("double").alias("y"))
+    poly_df = spark.createDataFrame(
+        [(pid, [{"x": float(x), "y": float(y)} for x, y in ring])
+         for pid, ring in _q95_polys()],
+        "poly_id string, vertices array<struct<x double, y double>>")
+    joined = pip_join.point_in_polygon_join_table(
+        pts, poly_df, zoom=5, small_table_threshold=None,
+        salt_threshold=20)
+    return joined.groupBy("poly_id").agg(
+        F.count("*").cast("long").alias("n_inside"),
+        F.sum("doc_id").alias("sum_doc"))
+
+
+def _q95_sql():
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{pid}' AS poly_id, CAST(count(*) AS BIGINT) AS n_inside, "
+        f"CAST(sum(doc_id) AS BIGINT) AS sum_doc "
+        f"FROM pts WHERE {winding_sql(np.array(ring), 'x', 'y')}"
+        for pid, ring in _q95_polys())
+    return f"""
+WITH pts AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN 2.0
+              ELSE ((doc_id * 37) % 320) - 160 + 0.5 END AS DOUBLE) AS x,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN 1.5
+              ELSE ((doc_id * 53) % 140) - 70 + 0.25 END AS DOUBLE) AS y
+  FROM documents
+), u AS (
+{arms}
+)
+SELECT poly_id, n_inside, sum_doc FROM u WHERE n_inside > 0
+"""
+
+
+def q96_ivf_trained_determinism(spark, sf_dir):
+    """Trained-IVF replica stability (round 7): train_centroids is now
+    CONTENT-deterministic (similarity.py — rows sampled by
+    xxhash64(vector) and ordered by the full hash, so the codebook is a
+    pure function of the corpus, not of the partition layout;
+    df.sample's per-layout seeding silently retrained different
+    codebooks when upstream partitioning shifted).  The gate trains,
+    assigns and runs trained ivf_topk on two deliberately different
+    layouts (repartition(3) vs repartition(13, vec_id)) and emits the
+    mismatch counts, which must be zero, alongside corpus totals.
+
+    Value-oracle semantics: determinism itself is not SQL-expressible,
+    so the oracle pins the mismatch counts at zero and regenerates the
+    totals (vector count, centroid-component count, top-k row count)
+    from the embeddings table — any layout-dependence in the trained
+    path flips n_bad and fails the hash gate.  Bit-stability is
+    additionally pinned by tests/test_ivf_determinism.py."""
+    import pandas as pd
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    vectors = e.where(F.col("vec_id") >= 5)
+    va = vectors.repartition(3)
+    vb = vectors.repartition(13, "vec_id")
+    c, k = 8, 5
+    cent_a = similarity.train_centroids(va, "embedding", c)
+    cent_b = similarity.train_centroids(vb, "embedding", c)
+    cent_bad = int((cent_a != cent_b).sum())
+    asg_a = similarity.ivf_assign(va, "embedding", cent_a) \
+        .select("vec_id", F.col("ivf_list").alias("la"))
+    asg_b = similarity.ivf_assign(vb, "embedding", cent_b) \
+        .select("vec_id", F.col("ivf_list").alias("lb"))
+    asg = asg_a.join(asg_b, "vec_id")
+    n_vec = vectors.count()
+    asg_bad = asg.where(F.col("la") != F.col("lb")).count()
+    top_a = similarity.ivf_topk(va, queries, k=k, c=c, nprobe=3)
+    top_b = similarity.ivf_topk(vb, queries, k=k, c=c, nprobe=3)
+    ta = {(r["query_id"], r["rank"]): r["vec_id"] for r in top_a.collect()}
+    tb = {(r["query_id"], r["rank"]): r["vec_id"] for r in top_b.collect()}
+    top_bad = sum(1 for kk in set(ta) | set(tb) if ta.get(kk) != tb.get(kk))
+    rows = [
+        ("assignment_stability", int(asg_bad), int(n_vec)),
+        ("centroid_stability", cent_bad, int(cent_a.size)),
+        ("topk_stability", int(top_bad), len(ta)),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["check", "n_bad", "n_total"])
+    ).select("check", F.col("n_bad").cast("long"),
+             F.col("n_total").cast("long"))
+
+
+Q96_SQL = """
+WITH v AS (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 5)
+SELECT 'assignment_stability' AS check, CAST(0 AS BIGINT) AS n_bad,
+       CAST(n AS BIGINT) AS n_total FROM v
+UNION ALL
+SELECT 'centroid_stability', CAST(0 AS BIGINT),
+       CAST(8 * 64 AS BIGINT)
+UNION ALL
+SELECT 'topk_stability', CAST(0 AS BIGINT),
+       CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id < 5)
+            AS BIGINT)
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -4048,6 +4181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_multipage_document_census": q92_multipage_document_census,
         "q93_gopher_rules": q93_gopher_rules,
         "q94_vp8_lossy_census": q94_vp8_lossy_census,
+        "q95_salted_pip_hot_cell": q95_salted_pip_hot_cell,
+        "q96_ivf_trained_determinism": q96_ivf_trained_determinism,
     }
 
 
@@ -4129,6 +4264,8 @@ def oracle_sql() -> dict[str, str]:
         "q92_multipage_document_census": Q92_SQL,
         "q93_gopher_rules": _q93_sql(),
         "q94_vp8_lossy_census": Q94_SQL,
+        "q95_salted_pip_hot_cell": _q95_sql(),
+        "q96_ivf_trained_determinism": Q96_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -595,6 +595,7 @@ def point_in_polygon_join_table(
     vertices: str = "vertices",
     small_table_threshold: int | None = 256,
     max_polar_rings: int | None = 10_000,
+    salt_threshold: int | None = None,
 ) -> DataFrame:
     """Big-big PIP join: the polygon side is itself a distributed DataFrame
     (poly_id, vertices array<struct<x double, y double>> — outer rings,
@@ -700,7 +701,21 @@ def point_in_polygon_join_table(
         build, "_pid string, cell_id long, full boolean")
 
     pts = points.withColumn("cell_id", cells.tile_id_clamped(F.col(lon), F.col(lat), zoom))
-    cand = pts.join(cover, "cell_id", "inner")
+    if salt_threshold is not None:
+        # explicit data-driven hot-cell salting (north rule / SURVEY §4):
+        # a phash pileup can put a large fraction of the corpus into ONE
+        # cell, and AQE's skew split only helps after that reducer's
+        # input is already materialized.  operators/skew.py histograms
+        # the point side, fans hot cells out k = ceil(count/threshold)
+        # ways (point rows pick a stable hash salt, cover rows explode
+        # x k), and the join key becomes (cell_id, salt).  Costs one
+        # extra aggregation scan of the points — opt in where the corpus
+        # is known to pile up.
+        from karta_spark.operators import skew
+        cand = skew.salted_join(pts, cover, threshold=salt_threshold,
+                                cell="cell_id", broadcast_small=False)
+    else:
+        cand = pts.join(cover, "cell_id", "inner")
     full_hits = cand.where(F.col("full")).drop("full", "cell_id")
     boundary = (cand.where(~F.col("full")).drop("full", "cell_id")
                 .join(ring, "_pid"))

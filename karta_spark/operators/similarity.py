@@ -331,16 +331,28 @@ def train_centroids(vectors: DataFrame, vec_col: str, c: int, iters: int = 3,
                     seed: int = 11) -> np.ndarray:
     """Tiny driver-side k-means on a sample (centroids broadcast afterwards).
 
-    Sampling uses df.sample (uniform across partitions) rather than limit()
-    — limit() would take only the first partitions' rows, biasing the
-    centroids toward whatever keys sort first."""
+    The sample is CONTENT-deterministic, not layout-deterministic:
+    rows are selected by a hash of the vector itself (filter on
+    pmod(xxhash64(vec, seed)) then order by the full 64-bit hash and
+    take n_target), so the same corpus yields bit-identical centroids
+    under any repartitioning, coalescing, or cluster size — df.sample
+    is seeded per *partition layout* and silently retrains different
+    codebooks when the upstream layout shifts (replica instability).
+    Hash-equal rows are identical vectors, so ordering ties cannot
+    reorder distinct content.  Cost: the same single pass a sample
+    takes, plus a sort of only the ~3x n_target filtered rows."""
     n_target = max(c * 50, 1000)
     total = vectors.count()
     frac = min(1.0, 3.0 * n_target / max(total, 1))
+    cut = int(frac * 1_000_000)
+    cand = (vectors.select(F.col(vec_col).alias("_v"))
+            .withColumn("_h", F.xxhash64(F.col("_v"), F.lit(int(seed))))
+            .where((F.pmod(F.col("_h"), F.lit(1_000_000)) < cut)
+                   | F.lit(cut >= 1_000_000))
+            .orderBy("_h")
+            .limit(n_target))
     sample = np.array([
-        np.asarray(r[0], dtype=np.float64)
-        for r in vectors.select(vec_col).sample(fraction=frac, seed=seed)
-                        .limit(n_target).collect()
+        np.asarray(r["_v"], dtype=np.float64) for r in cand.collect()
     ])
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(len(sample), size=min(c, len(sample)), replace=False)]

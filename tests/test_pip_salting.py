@@ -64,7 +64,7 @@ class TestPipSalting:
     def test_salt_map_fanout_matches_histogram(self, spark):
         pts = _hot_points(spark).withColumn(
             "cell_id", F.when(F.col("id") % 4 == 0, F.lit(7)).otherwise(
-                F.col("id")))
+                F.col("id") + 10000))
         hist = skew.cell_histogram(pts)
         m = {r["cell_id"]: r["n_salt"]
              for r in skew.salt_map(hist, threshold=100).collect()}
