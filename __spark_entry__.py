@@ -4026,6 +4026,156 @@ SELECT 'topk_stability', CAST(0 AS BIGINT),
 """
 
 
+_STERE_OBL_NL = None
+
+
+def _stere_obl_crs():
+    global _STERE_OBL_NL
+    if _STERE_OBL_NL is None:
+        from karta_spark.functions import crs as kcrs
+        _STERE_OBL_NL = kcrs.from_proj4(
+            "+proj=stere +lat_0=52 +lon_0=6 +k_0=0.9999 "
+            "+x_0=155000 +y_0=463000 +ellps=bessel")
+    return _STERE_OBL_NL
+
+
+def q97_oblique_stere_grid(spark, sf_dir):
+    """Plain oblique stereographic reproject gate (round 7): customers
+    in the northwest-Europe window through +proj=stere +lat_0=52 (the
+    PROJ OBLIQ arm, Snyder 21-27..21-31 on the conformal latitude —
+    crs.py:2017 raised on any non-polar lat_0 until this round;
+    reference accepts the projstring via proj.4, crs.py:248-306), 10 km
+    grid assignment plus an inverse-roundtrip boolean.  Deliberately
+    the same window and grid as q74's sterea (EPSG 9809 double
+    projection) so the two conformal oblique-stereographic VARIANTS are
+    gated side by side — a registry mixup between them would flip both.
+
+    Value-oracle-exact: forward+inverse are backend-generic column
+    algebra; the DuckDB twin runs the textually identical SQL emitted
+    from the same registry entry.  Conformality / sphere-form /
+    roundtrip invariants pinned in tests/test_crs_round7.py."""
+    from karta_spark.functions import crs as kcrs
+    g = _stere_obl_crs()
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    z = c.where((F.col("x") > -10.0) & (F.col("x") < 20.0)
+                & (F.col("y") > 40.0) & (F.col("y") < 62.0))
+    ex, ny = kcrs.forward_exprs(g, F.col("x"), F.col("y"))
+    z = z.withColumn("px", ex).withColumn("py", ny)
+    lon2, lat2 = kcrs.inverse_exprs(g, F.col("px"), F.col("py"))
+    rt_ok = (F.abs(lon2 - F.col("x")) < 1e-6) & \
+        (F.abs(lat2 - F.col("y")) < 1e-6)
+    return z.select(
+        "c_custkey",
+        F.round(F.col("px"), 2).alias("st_e"),
+        F.round(F.col("py"), 2).alias("st_n"),
+        F.floor(F.col("px") / 10000.0).cast("long").alias("cell_e"),
+        F.floor(F.col("py") / 10000.0).cast("long").alias("cell_n"),
+        rt_ok.alias("rt_ok"))
+
+
+def _q97_sql():
+    from karta_spark.functions import crs as kcrs
+    g = _stere_obl_crs()
+    xs, ys = kcrs.forward_sql(g, "x", "y")
+    lo, la = kcrs.inverse_sql(g, "px", "py")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y
+  FROM customer
+), zone AS (
+  SELECT * FROM pts
+  WHERE x > -10.0 AND x < 20.0 AND y > 40.0 AND y < 62.0
+), proj AS (
+  SELECT c_custkey, x, y, {xs} AS px, {ys} AS py FROM zone
+)
+SELECT c_custkey, round(px, 2) AS st_e, round(py, 2) AS st_n,
+       CAST(floor(px / 10000.0) AS BIGINT) AS cell_e,
+       CAST(floor(py / 10000.0) AS BIGINT) AS cell_n,
+       (abs({lo} - x) < 1e-6 AND abs({la} - y) < 1e-6) AS rt_ok
+FROM proj
+"""
+
+
+_EQDC_NL = None
+
+
+def _eqdc_crs():
+    global _EQDC_NL
+    if _EQDC_NL is None:
+        from karta_spark.functions import crs as kcrs
+        _EQDC_NL = kcrs.from_proj4(
+            "+proj=eqdc +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+            "+ellps=clrk66")
+    return _EQDC_NL
+
+
+def q98_eqdc_conus(spark, sf_dir):
+    """Equidistant conic reproject gate (round 7): CONUS-window
+    customers through +proj=eqdc on Clarke 1866 (Snyder ch. 16 —
+    crs.py:2077 raised on eqdc until this round; national grids that
+    use it reach the reference via proj.4).  Output: projected coords,
+    100 km cells, an inverse-roundtrip boolean, AND the projection's
+    defining invariant as a column — the projected radial distance to
+    the lat_0 parallel along the point's own meridian equals the
+    ellipsoidal meridian-arc difference (true scale along meridians),
+    emitted as a tolerance boolean.
+
+    Value-oracle-exact: the DuckDB twin runs the same backend-generic
+    SQL for forward, inverse AND the meridian-arc series."""
+    from karta_spark.functions import crs as kcrs
+    g = _eqdc_crs()
+    c = with_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    z = c.where((F.col("x") > -125.0) & (F.col("x") < -66.0)
+                & (F.col("y") > 24.0) & (F.col("y") < 49.0))
+    ex, ny = kcrs.forward_exprs(g, F.col("x"), F.col("y"))
+    z = z.withColumn("px", ex).withColumn("py", ny)
+    lon2, lat2 = kcrs.inverse_exprs(g, F.col("px"), F.col("py"))
+    rt_ok = (F.abs(lon2 - F.col("x")) < 1e-6) & \
+        (F.abs(lat2 - F.col("y")) < 1e-6)
+    # meridian equidistance: |(px,py) - fwd(x, 23)| == M(y) - M(23)
+    bx, by = kcrs.forward_exprs(g, F.col("x"), F.lit(23.0))
+    d_proj = F.sqrt((F.col("px") - bx) ** 2 + (F.col("py") - by) ** 2)
+    arc = kcrs.meridian_arc_expr(g, F.col("y")) - \
+        kcrs.meridian_arc_expr(g, F.lit(23.0))
+    eq_ok = F.abs(d_proj - F.abs(arc)) < 1e-4
+    return z.select(
+        "c_custkey",
+        F.round(F.col("px"), 2).alias("ec_e"),
+        F.round(F.col("py"), 2).alias("ec_n"),
+        F.floor(F.col("px") / 100000.0).cast("long").alias("cell_e"),
+        F.floor(F.col("py") / 100000.0).cast("long").alias("cell_n"),
+        rt_ok.alias("rt_ok"),
+        eq_ok.alias("meridian_true_scale"))
+
+
+def _q98_sql():
+    from karta_spark.functions import crs as kcrs
+    g = _eqdc_crs()
+    xs, ys = kcrs.forward_sql(g, "x", "y")
+    lo, la = kcrs.inverse_sql(g, "px", "py")
+    bx, by = kcrs.forward_sql(g, "x", "23.0")
+    arc_y = kcrs.meridian_arc_sql(g, "y")
+    arc_0 = kcrs.meridian_arc_sql(g, "23.0")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_LON('c_custkey')} AS x, {_LAT('c_custkey')} AS y
+  FROM customer
+), zone AS (
+  SELECT * FROM pts
+  WHERE x > -125.0 AND x < -66.0 AND y > 24.0 AND y < 49.0
+), proj AS (
+  SELECT c_custkey, x, y, {xs} AS px, {ys} AS py FROM zone
+)
+SELECT c_custkey, round(px, 2) AS ec_e, round(py, 2) AS ec_n,
+       CAST(floor(px / 100000.0) AS BIGINT) AS cell_e,
+       CAST(floor(py / 100000.0) AS BIGINT) AS cell_n,
+       (abs({lo} - x) < 1e-6 AND abs({la} - y) < 1e-6) AS rt_ok,
+       (abs(sqrt((px - {bx}) * (px - {bx}) + (py - {by}) * (py - {by}))
+            - abs({arc_y} - {arc_0})) < 1e-4) AS meridian_true_scale
+FROM proj
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -4183,6 +4333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_vp8_lossy_census": q94_vp8_lossy_census,
         "q95_salted_pip_hot_cell": q95_salted_pip_hot_cell,
         "q96_ivf_trained_determinism": q96_ivf_trained_determinism,
+        "q97_oblique_stere_grid": q97_oblique_stere_grid,
+        "q98_eqdc_conus": q98_eqdc_conus,
     }
 
 
@@ -4266,6 +4418,8 @@ def oracle_sql() -> dict[str, str]:
         "q94_vp8_lossy_census": Q94_SQL,
         "q95_salted_pip_hot_cell": _q95_sql(),
         "q96_ivf_trained_determinism": Q96_SQL,
+        "q97_oblique_stere_grid": _q97_sql(),
+        "q98_eqdc_conus": _q98_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

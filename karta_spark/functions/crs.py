@@ -1137,6 +1137,122 @@ def _sterea_inv(B, x, y, lat0, lon0, k0, fe, fn, a=A_WGS84, f=F_WGS84):
 
 
 # ---------------------------------------------------------------------------
+# plain oblique/equatorial stereographic (+proj=stere, |lat_0| < 90) —
+# Snyder 1987 eq. 21-27..21-31 forward / 21-38..21-40 inverse
+# (ellipsoidal oblique aspect via the conformal latitude), the
+# formulation PROJ's PJ_stere.c OBLIQ/EQUIT arms implement.  Distinct
+# from sterea (EPSG 9809 Gauss double projection): both conformal with
+# scale k0 at the origin, diverging at higher order away from it.
+# The reference reaches this through arbitrary proj.4 strings
+# (reference crs.py:248-306).  params = (lat0, lon0, k0, fe, fn[, a, f]).
+# ---------------------------------------------------------------------------
+
+def _stere_obl_consts(lat0: float, k0: float, a: float, f: float):
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    p0 = lat0 * _D2R
+    sp0, cp0 = math.sin(p0), math.cos(p0)
+    es0 = e * sp0
+    w0 = ((1.0 + sp0) / (1.0 - sp0)) * ((1.0 - es0) / (1.0 + es0)) ** e
+    sin_x1 = (w0 - 1.0) / (w0 + 1.0)          # sin(conformal lat of origin)
+    cos_x1 = math.sqrt(max(0.0, 1.0 - sin_x1 * sin_x1))
+    m0 = cp0 / math.sqrt(1.0 - e2 * sp0 * sp0)
+    return e, e2, sin_x1, cos_x1, 2.0 * a * k0 * m0
+
+
+def _stere_obl_fwd(B, lon, lat, lat0, lon0, k0, fe, fn,
+                   a=A_WGS84, f=F_WGS84):
+    e, e2, sx1, cx1, akm1 = _stere_obl_consts(lat0, k0, a, f)
+    phi = lat * _D2R
+    sphi = B.sin(phi)
+    es = e * sphi
+    w = (1.0 + sphi) / (1.0 - sphi) * B.pow((1.0 - es) / (1.0 + es), e)
+    sin_x = (w - 1.0) / (w + 1.0)
+    cos_x = B.sqrt(1.0 - sin_x * sin_x)
+    dL = _wrap_dlon(B, lon, lon0) * _D2R
+    cos_dl = B.cos(dL)
+    A = akm1 / (cx1 * (1.0 + sx1 * sin_x + cx1 * cos_x * cos_dl))
+    x = fe + A * cos_x * B.sin(dL)
+    y = fn + A * (cx1 * sin_x - sx1 * cos_x * cos_dl)
+    return x, y
+
+
+def _stere_obl_inv(B, x, y, lat0, lon0, k0, fe, fn,
+                   a=A_WGS84, f=F_WGS84):
+    e, e2, sx1, cx1, akm1 = _stere_obl_consts(lat0, k0, a, f)
+    xr = x - fe
+    yr = y - fn
+    rho = B.sqrt(xr * xr + yr * yr)
+    safe_rho = B.where((rho, "<", 1e-12), 1e-12, rho)
+    ce = 2.0 * B.atan(safe_rho * cx1 / akm1)
+    sin_ce, cos_ce = B.sin(ce), B.cos(ce)
+    sin_x = B.where((rho, "<", 1e-12), sx1,
+                    cos_ce * sx1 + (yr * sin_ce * cx1) / safe_rho)
+    sin_x = B.where((sin_x, ">", 1.0), 1.0, sin_x)
+    sin_x = B.where((sin_x, "<", -1.0), -1.0, sin_x)
+    dL = B.atan2(xr * sin_ce,
+                 safe_rho * cx1 * cos_ce - yr * sx1 * sin_ce)
+    chi = B.atan2(sin_x, B.sqrt(1.0 - sin_x * sin_x))
+    phi = _conformal_to_geographic(B, chi, e2)
+    return lon0 + dL * _R2D, phi * _R2D
+
+
+# ---------------------------------------------------------------------------
+# equidistant conic (+proj=eqdc) — Snyder 1987 eq. 16-4..16-6 forward /
+# 16-10..16-11 constants / inverse via the rectifying-latitude series
+# (the same meridian-arc pair tmerc uses).  True scale on both standard
+# parallels and along every meridian.  params =
+# (lat1, lat2, lat0, lon0, fe, fn[, a, f]).
+# ---------------------------------------------------------------------------
+
+def _eqdc_consts(lat1: float, lat2: float, lat0: float,
+                 a: float, f: float):
+    e2 = f * (2.0 - f)
+    p1, p2, p0 = lat1 * _D2R, lat2 * _D2R, lat0 * _D2R
+
+    def m(p):
+        return math.cos(p) / math.sqrt(1.0 - e2 * math.sin(p) ** 2)
+
+    def M(p):
+        return float(_meridian_arc(_NpOps, np.float64(p), a, e2))
+
+    m1 = m(p1)
+    if abs(p1 - p2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = a * (m1 - m(p2)) / (M(p2) - M(p1))
+    if abs(n) < 1e-10:
+        raise ValueError(
+            "eqdc: standard parallels are symmetric about the equator "
+            "(n = 0); the projection degenerates to plate carree")
+    G = m1 / n + M(p1) / a
+    rho0 = a * G - M(p0)
+    return e2, n, G, rho0
+
+
+def _eqdc_fwd(B, lon, lat, lat1, lat2, lat0, lon0, fe, fn,
+              a=A_WGS84, f=F_WGS84):
+    e2, n, G, rho0 = _eqdc_consts(lat1, lat2, lat0, a, f)
+    rho = a * G - _meridian_arc(B, lat * _D2R, a, e2)
+    th = n * (_wrap_dlon(B, lon, lon0) * _D2R)
+    x = fe + rho * B.sin(th)
+    y = fn + rho0 - rho * B.cos(th)
+    return x, y
+
+
+def _eqdc_inv(B, x, y, lat1, lat2, lat0, lon0, fe, fn,
+              a=A_WGS84, f=F_WGS84):
+    e2, n, G, rho0 = _eqdc_consts(lat1, lat2, lat0, a, f)
+    sgn = 1.0 if n >= 0 else -1.0
+    xr = x - fe
+    yd = rho0 - (y - fn)
+    rho = sgn * B.sqrt(xr * xr + yd * yd)
+    th = B.atan2(sgn * xr, sgn * yd)
+    phi = _inv_meridian_arc(B, a * G - rho, a, e2)
+    return lon0 + (th / n) * _R2D, phi * _R2D
+
+
+# ---------------------------------------------------------------------------
 # Hotine oblique Mercator (EPSG methods 9812 "variant A" / 9815
 # "variant B", Snyder 1987 section 9 eq. 9-1..9-47) — the general
 # oblique-azimuth cylinder: Malaysia RSO grids, Alaska zone 1,
@@ -1743,6 +1859,10 @@ def _dispatch_fwd(B, crs: CrsDef, lon, lat):
         return _omerc_fwd(B, lon, lat, *crs.params)
     if crs.kind == "sterea":
         return _sterea_fwd(B, lon, lat, *crs.params)
+    if crs.kind == "stere_obl":
+        return _stere_obl_fwd(B, lon, lat, *crs.params)
+    if crs.kind == "eqdc":
+        return _eqdc_fwd(B, lon, lat, *crs.params)
     if crs.kind == "krovak":
         return _krovak_fwd(B, lon, lat, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
@@ -1787,6 +1907,10 @@ def _dispatch_inv(B, crs: CrsDef, x, y):
         return _omerc_inv(B, x, y, *crs.params)
     if crs.kind == "sterea":
         return _sterea_inv(B, x, y, *crs.params)
+    if crs.kind == "stere_obl":
+        return _stere_obl_inv(B, x, y, *crs.params)
+    if crs.kind == "eqdc":
+        return _eqdc_inv(B, x, y, *crs.params)
     if crs.kind == "krovak":
         return _krovak_inv(B, x, y, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
@@ -1815,6 +1939,31 @@ def forward_sql(crs: CrsDef, lon_expr: str, lat_expr: str) -> tuple[str, str]:
 def inverse_sql(crs: CrsDef, x_expr: str, y_expr: str) -> tuple[str, str]:
     x, y = _dispatch_inv(_SqlOps, crs, _SqlVal(f"({x_expr})"), _SqlVal(f"({y_expr})"))
     return x.s, y.s
+
+
+def _crs_ellipsoid(crs: CrsDef) -> tuple[float, float]:
+    """(a, e2) of the ellipsoid a CRS rides (WGS84 when the params
+    carry no tail) — looks for the (a, f) pair at the end of params."""
+    p = crs.params
+    if len(p) >= 2 and isinstance(p[-2], float) and p[-2] > 6e6:
+        a, f = float(p[-2]), float(p[-1])
+        return a, f * (2.0 - f)
+    return A_WGS84, E2_WGS84
+
+
+def meridian_arc_expr(crs: CrsDef, lat: Column) -> Column:
+    """Ellipsoidal meridian arc length from the equator to *lat*
+    (degrees) on the CRS's ellipsoid, as a Catalyst expression —
+    exposes the same Snyder 3-21 series the projections use (the
+    eqdc/tmerc invariant checks build on it)."""
+    a, e2 = _crs_ellipsoid(crs)
+    return _meridian_arc(_ColOps, lat * _D2R, a, e2)
+
+
+def meridian_arc_sql(crs: CrsDef, lat_expr: str) -> str:
+    """DuckDB-SQL twin of :func:`meridian_arc_expr`."""
+    a, e2 = _crs_ellipsoid(crs)
+    return _meridian_arc(_SqlOps, _SqlVal(f"({lat_expr})") * _D2R, a, e2).s
 
 
 def forward_np(crs: CrsDef, lon, lat):
@@ -2014,9 +2163,12 @@ def from_proj4(s: str) -> CrsDef:
     if proj == "stere":
         lat0 = g("lat_0", 90.0)
         if abs(lat0) != 90.0:
-            raise ValueError(
-                f"unsupported stere with non-polar lat_0={lat0} "
-                "(only polar stereographic)")
+            # oblique/equatorial aspect (PROJ OBLIQ/EQUIT arms); lat_ts
+            # is a polar-only parameter in PROJ and is ignored here too
+            params = (lat0, g("lon_0"), k0,
+                      g("x_0"), g("y_0")) + ell_tail()
+            return CrsDef(f"stereobl_{lat0:g}_{params[1]:g}",
+                          "stere_obl", params)
         sgn = 1.0 if lat0 >= 0 else -1.0
         params = (sgn, g("lon_0"), abs(g("lat_ts", lat0)), k0,
                   g("x_0"), g("y_0")) + ell_tail()
@@ -2072,9 +2224,13 @@ def from_proj4(s: str) -> CrsDef:
             raise ValueError("aeqd +guam variant not supported")
         params = (g("lat_0"), g("lon_0"), g("x_0"), g("y_0")) + ell_tail()
         return CrsDef(f"aeqd_{params[0]:g}_{params[1]:g}", "aeqd", params)
-    if proj in ("eqc", "eqdc"):
-        if proj == "eqdc":
-            raise ValueError("equidistant CONIC (eqdc) not supported")
+    if proj == "eqdc":
+        lat1 = g("lat_1", g("lat_0"))
+        lat2 = float(toks["lat_2"]) if "lat_2" in toks else lat1
+        params = (lat1, lat2, g("lat_0"), g("lon_0"),
+                  g("x_0"), g("y_0")) + ell_tail()
+        return CrsDef(f"eqdc_{lat1:g}_{lat2:g}", "eqdc", params)
+    if proj == "eqc":
         params = (g("lat_ts"), g("lon_0"), g("x_0"), g("y_0")) + ell_tail()
         if params == PLATE_CARREE.params:
             return PLATE_CARREE
@@ -2280,6 +2436,18 @@ def to_proj4(crs: CrsDef | str) -> str:
         return (f"+proj=sterea +lat_0={lat0!r} +lon_0={lon0!r} "
                 f"+k_0={k0!r} +x_0={fe!r} +y_0={fn!r} {frag} "
                 "+units=m +no_defs")
+    if c.kind == "stere_obl":
+        lat0, lon0, k0, fe, fn = c.params[:5]
+        frag = _proj4_ellps_frag(c.params, 5)
+        return (f"+proj=stere +lat_0={lat0!r} +lon_0={lon0!r} "
+                f"+k_0={k0!r} +x_0={fe!r} +y_0={fn!r} {frag} "
+                "+units=m +no_defs")
+    if c.kind == "eqdc":
+        lat1, lat2, lat0, lon0, fe, fn = c.params[:6]
+        frag = _proj4_ellps_frag(c.params, 6)
+        return (f"+proj=eqdc +lat_1={lat1!r} +lat_2={lat2!r} "
+                f"+lat_0={lat0!r} +lon_0={lon0!r} "
+                f"+x_0={fe!r} +y_0={fn!r} {frag} +units=m +no_defs")
     if c.kind == "krovak":
         lat_c, lon0, alpha, lat_p, k0, fe, fn = c.params[:7]
         frag = _proj4_ellps_frag(c.params, 7)
@@ -2484,6 +2652,20 @@ def to_wkt(crs: CrsDef | str) -> str:
             c.name, _wkt_geogcs_for(c.params, 5), "Oblique_Stereographic",
             [("latitude_of_origin", lat0), ("central_meridian", lon0),
              ("scale_factor", k0),
+             ("false_easting", fe), ("false_northing", fn)])
+    if c.kind == "stere_obl":
+        lat0, lon0, k0, fe, fn = c.params[:5]
+        return _wkt_projcs(
+            c.name, _wkt_geogcs_for(c.params, 5), "Stereographic",
+            [("latitude_of_origin", lat0), ("central_meridian", lon0),
+             ("scale_factor", k0),
+             ("false_easting", fe), ("false_northing", fn)])
+    if c.kind == "eqdc":
+        lat1, lat2, lat0, lon0, fe, fn = c.params[:6]
+        return _wkt_projcs(
+            c.name, _wkt_geogcs_for(c.params, 6), "Equidistant_Conic",
+            [("standard_parallel_1", lat1), ("standard_parallel_2", lat2),
+             ("latitude_of_center", lat0), ("longitude_of_center", lon0),
              ("false_easting", fe), ("false_northing", fn)])
     if c.kind == "krovak":
         lat_c, lon0, alpha, lat_p, k0, fe, fn = c.params[:7]
@@ -2769,6 +2951,26 @@ def from_wkt(s: str) -> CrsDef:
                   g("false_easting"), g("false_northing"), off) + tail
         return CrsDef(f"omerc_{params[0]:g}_{params[1]:g}_{alpha:g}",
                       "omerc", params)
+    if proj == "Stereographic":
+        # GDAL/ESRI WKT1 name for plain (PROJ-style) stereographic;
+        # polar WKT arrives as Polar_Stereographic (handled above)
+        af = _wkt_ellipsoid(root)
+        tail = () if af == (A_WGS84, F_WGS84) else af
+        params = (g("latitude_of_origin", g("latitude_of_center")),
+                  g("central_meridian", g("longitude_of_center")),
+                  g("scale_factor", 1.0),
+                  g("false_easting"), g("false_northing")) + tail
+        return CrsDef(f"stereobl_{params[0]:g}_{params[1]:g}",
+                      "stere_obl", params)
+    if proj == "Equidistant_Conic":
+        af = _wkt_ellipsoid(root)
+        tail = () if af == (A_WGS84, F_WGS84) else af
+        params = (g("standard_parallel_1"),
+                  g("standard_parallel_2", g("standard_parallel_1")),
+                  g("latitude_of_center", g("latitude_of_origin")),
+                  g("longitude_of_center", g("central_meridian")),
+                  g("false_easting"), g("false_northing")) + tail
+        return CrsDef(f"eqdc_{params[0]:g}_{params[1]:g}", "eqdc", params)
     if proj in ("Oblique_Stereographic", "Double_Stereographic"):
         af = _wkt_ellipsoid(root)
         params = (g("latitude_of_origin", g("latitude_of_center")),
