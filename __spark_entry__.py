@@ -4176,6 +4176,209 @@ FROM proj
 """
 
 
+def q99_multimodal_pipeline_resume(spark, sf_dir):
+    """End-to-end multimodal pipeline with lineage checkpoints (round
+    7): the image twin of q85's crawl chain, composing this repo's
+    multimodal operators through plans/lineage.resume_or_run so every
+    stage checkpoints with per-partition lineage and a killed job
+    resumes stage-granular (north rule; stage-resume behavior pinned by
+    tests/test_pipeline_resume.py).
+
+    WebDataset tar shards of MIXED formats (PNG / lossy-VP8 WebP /
+    EXIF-tagged JPEG + caption sidecars) -> stage 'decode': distributed
+    shard scan + robust decode + invariant check per arm (exact pixels
+    for PNG, PSNR>=40 for VP8, EXIF-GPS==caption-geo for JPEG) + phash
+    -> stage 'neardup': banded hamming pairs + connected components +
+    cluster representatives -> stage 'census': slippy-tile assignment
+    of every image's geotag + per-format rollup.
+
+    Value-oracle-exact: geotags are micro-degree rationals, PNG pixels
+    and phashes are integer closed form, and the oracle replays the
+    pair generation brute-force, the clustering as a recursive CTE and
+    the tile math with the q06 twins — a slip in any stage (tar
+    grouping, codec, EXIF, banding, CC, representative pick, tile
+    algebra, or a stale checkpoint read) moves a census value."""
+    import os
+    import shutil
+    import tempfile
+    from karta_spark.operators.dedup import (
+        cluster_representatives, hamming_near_pairs,
+    )
+    from karta_spark.plans import lineage
+    from karta_spark.sources.exif import exif_app1, insert_exif, parse_exif
+    from karta_spark.sources.images import (
+        decode_png, encode_jpeg, encode_png,
+    )
+    from karta_spark.sources.webdataset import (
+        read_webdataset_distributed, write_shard,
+    )
+    from karta_spark.sources.webp import decode_webp, encode_webp_vp8
+
+    ids = sorted(int(r["doc_id"])
+                 for r in _t(spark, sf_dir, "documents")
+                 .select("doc_id").collect())
+    wds_root = os.path.join(tempfile.gettempdir(), "karta_q99_wds")
+    ckpt_root = os.path.join(tempfile.gettempdir(), "karta_q99_ckpt")
+    shutil.rmtree(wds_root, ignore_errors=True)
+    shutil.rmtree(ckpt_root, ignore_errors=True)   # gate = clean full run
+    os.makedirs(wds_root)
+    ii, jj = np.mgrid[0:8, 0:8]
+    wi, wj = np.mgrid[0:16, 0:16]
+    jpeg_base = encode_jpeg(np.full((8, 8), 128, np.uint8))
+    shards: dict[int, tuple[list, list]] = {s: ([], []) for s in range(6)}
+    for d in ids:
+        lonm = (d * 2654435761) % 360000000 - 180000000
+        latm = (d * 2246822519) % 170000000 - 85000000
+        cap = f"geo:{lonm},{latm} img {d}".encode()
+        smp = {"txt": cap}
+        if d % 3 == 0:
+            smp["png"] = encode_png(((d + 5 * ii + 7 * jj) % 256)
+                                    .astype(np.uint8))
+        elif d % 3 == 1:
+            img = np.dstack([(d % 97) + wj, (d % 83) + wi,
+                             (d % 71) + (wi + wj) // 2]).astype(np.uint8)
+            smp["webp"] = encode_webp_vp8(img, q_index=d % 4)
+        else:
+            smp["jpg"] = insert_exif(
+                jpeg_base, exif_app1(lonm, latm, orientation=d % 8 + 1))
+        s, k = shards[d % 6]
+        s.append(smp)
+        k.append(str(d))
+    for s, (smp, keys) in shards.items():
+        with open(os.path.join(wds_root, f"shard-{s}.tar"), "wb") as f:
+            f.write(write_shard(smp, keys=keys))
+
+    def build_decode():
+        import pandas as pd
+        rows = read_webdataset_distributed(
+            spark, wds_root, extensions=("png", "webp", "jpg", "txt"))
+
+        def run(batches):
+            i8, j8 = np.mgrid[0:8, 0:8]
+            i16, j16 = np.mgrid[0:16, 0:16]
+            for pdf in batches:
+                out = []
+                for key, png, webp, jpg, txt in zip(
+                        pdf["key"], pdf["png"], pdf["webp"],
+                        pdf["jpg"], pdf["txt"]):
+                    d = int(key)
+                    geo = bytes(txt).decode().split(" ")[0][4:].split(",")
+                    lonm, latm = int(geo[0]), int(geo[1])
+                    ok, px, fmt = 0, 0, "?"
+                    if png is not None:
+                        fmt = "png"
+                        pix = decode_png(bytes(png))
+                        want = ((d + 5 * i8 + 7 * j8) % 256)
+                        ok = int(np.array_equal(pix, want))
+                        px = int(pix.astype(np.int64).sum())
+                    elif webp is not None:
+                        fmt = "webp"
+                        got = decode_webp(bytes(webp))[:, :, :3]
+                        src = np.dstack([(d % 97) + j16, (d % 83) + i16,
+                                         (d % 71) + (i16 + j16) // 2]
+                                        ).astype(np.uint8)
+                        mse = ((got.astype(np.float64)
+                                - src.astype(np.float64)) ** 2).mean()
+                        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+                        ok = int(psnr >= 40.0)
+                    elif jpg is not None:
+                        fmt = "jpg"
+                        g = parse_exif(bytes(jpg))
+                        ok = int(round(g["lon"] * 1e6) == lonm
+                                 and round(g["lat"] * 1e6) == latm
+                                 and g["orientation"] == d % 8 + 1)
+                    gid = d % 100
+                    ph0 = ((gid * 2654435761) % 2 ** 32
+                           + ((gid * 2246822519) % 2 ** 31) * 2 ** 32)
+                    flips = (1 << ((d * 7 + 3) % 62)) | \
+                        (1 << ((d * 13 + 5) % 62))
+                    out.append((d, fmt, ok, px,
+                                lonm / 1e6, latm / 1e6, ph0 ^ flips))
+                yield pd.DataFrame(out, columns=[
+                    "doc_id", "fmt", "ok", "px", "lon", "lat", "phash"])
+
+        return rows.mapInPandas(
+            run, "doc_id long, fmt string, ok int, px long, "
+                 "lon double, lat double, phash long")
+
+    dec = lineage.resume_or_run(build_decode, ckpt_root, "decode",
+                                spark=spark)
+
+    def build_reps():
+        pairs = hamming_near_pairs(dec.select("doc_id", "phash"),
+                                   "phash", "doc_id", max_hamming=4)
+        return cluster_representatives(dec, pairs, "doc_id", F.lit(0.0))
+
+    reps = lineage.resume_or_run(build_reps, ckpt_root, "neardup",
+                                 spark=spark)
+
+    def build_census():
+        r = dec.join(reps.select(F.col("rep_id").alias("doc_id"),
+                                 F.lit(1).alias("is_rep")),
+                     "doc_id", "left")
+        t = (r.withColumn("tile_x", cells.tile_x(F.col("lon"), 4))
+             .withColumn("tile_y", cells.tile_y(F.col("lat"), 4)))
+        return t.groupBy("fmt").agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.sum("ok").cast("long").alias("n_ok"),
+            F.sum("px").alias("sum_px"),
+            F.sum(F.coalesce(F.col("is_rep"), F.lit(0)))
+            .cast("long").alias("n_reps"),
+            F.sum(F.col("tile_x") * 16 + F.col("tile_y"))
+            .cast("long").alias("tile_checksum"))
+
+    return lineage.resume_or_run(build_census, ckpt_root, "census",
+                                 spark=spark)
+
+
+def _q99_sql():
+    tx = cells.tile_x_sql("lonm / 1e6", 4)
+    ty = cells.tile_y_sql("latm / 1e6", 4)
+    return f"""
+WITH RECURSIVE ids AS (
+  SELECT CAST(doc_id AS BIGINT) AS d FROM documents
+), base AS (
+  SELECT d,
+         (d * 2654435761) % 360000000 - 180000000 AS lonm,
+         (d * 2246822519) % 170000000 - 85000000 AS latm,
+         CASE d % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
+              ELSE 'jpg' END AS fmt,
+         xor((d % 100) * 2654435761 % 4294967296
+             + ((d % 100) * 2246822519 % 2147483648) * 4294967296,
+             (1::BIGINT << CAST((d * 7 + 3) % 62 AS INT))
+             | (1::BIGINT << CAST((d * 13 + 5) % 62 AS INT))) AS phash
+  FROM ids
+), px AS (
+  SELECT d, CAST(sum((d + 5 * i + 7 * j) % 256) AS BIGINT) AS px
+  FROM base, range(8) a(i), range(8) b(j) WHERE fmt = 'png' GROUP BY d
+), jp AS (
+  SELECT a.d AS id_a, b.d AS id_b
+  FROM base a JOIN base b ON a.d < b.d
+  WHERE bit_count(xor(a.phash, b.phash)) <= 4
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM jp
+  UNION ALL SELECT id_b, id_a FROM jp
+), r(id, lab) AS (
+  SELECT d, d FROM base
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN r ON r.id = e.b
+), reach AS (
+  SELECT id, min(lab) AS canonical_id FROM r GROUP BY id
+), allc AS (
+  SELECT base.*, COALESCE(px.px, 0) AS pxs,
+         (reach.canonical_id = base.d) AS is_rep
+  FROM base JOIN reach ON reach.id = base.d
+  LEFT JOIN px ON px.d = base.d
+)
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(count(*) AS BIGINT) AS n_ok,
+       CAST(sum(pxs) AS BIGINT) AS sum_px,
+       CAST(sum(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_reps,
+       CAST(sum({tx} * 16 + {ty}) AS BIGINT) AS tile_checksum
+FROM allc GROUP BY fmt
+"""
+
+
 def q71_g4_document_census(spark, sf_dir):
     """CCITT Group 4 scanned-document census (round 6): synthesize a
     closed-form bilevel "page" (integer texture stressing pass /
@@ -4335,6 +4538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_ivf_trained_determinism": q96_ivf_trained_determinism,
         "q97_oblique_stere_grid": q97_oblique_stere_grid,
         "q98_eqdc_conus": q98_eqdc_conus,
+        "q99_multimodal_pipeline_resume": q99_multimodal_pipeline_resume,
     }
 
 
@@ -4420,6 +4624,7 @@ def oracle_sql() -> dict[str, str]:
         "q96_ivf_trained_determinism": Q96_SQL,
         "q97_oblique_stere_grid": _q97_sql(),
         "q98_eqdc_conus": _q98_sql(),
+        "q99_multimodal_pipeline_resume": _q99_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,
