@@ -1125,3 +1125,58 @@ class TestPlanarTiff:
         vals0, _ = geotiff.read_geotiff_window(p, 2, 1, 5, 4, band=1)
         full1, _, _ = df_to_grid(df, band=1)
         assert np.array_equal(vals0, full1[2:7, 1:5])
+
+
+class TestGpxRoutesExtensions:
+    """Round-7 GPX long tail: <rte> routes and <extensions> blobs
+    (reference _gpx.py Route namedtuple + _readextensions:66-73)."""
+
+    GPX_DOC = """<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1" creator="t">
+      <wpt lon="-21.9" lat="64.1"><name>rvk</name>
+        <extensions><hr>142</hr><cad>87</cad></extensions></wpt>
+      <rte><name>commute</name><desc>morning</desc>
+        <extensions><color>red</color></extensions>
+        <rtept lon="0.0" lat="51.5"/><rtept lon="0.1" lat="51.6"/>
+        <rtept lon="0.2" lat="51.7"/></rte>
+      <trk><name>t1</name><trkseg>
+        <trkpt lon="1.0" lat="2.0"/><trkpt lon="1.5" lat="2.5"/>
+      </trkseg></trk>
+    </gpx>"""
+
+    def test_routes_read(self, spark):
+        from karta_spark.sources import gpx
+        layers = gpx.read_gpx(spark, self.GPX_DOC)
+        rows = layers["routes"].collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["properties"]["name"] == "commute"
+        assert r["properties"]["desc"] == "morning"
+        assert r["properties"]["ext:color"] == "red"
+        assert [(v["x"], v["y"]) for v in r["vertices"]] == \
+            [(0.0, 51.5), (0.1, 51.6), (0.2, 51.7)]
+
+    def test_waypoint_extensions_read(self, spark):
+        from karta_spark.sources import gpx
+        layers = gpx.read_gpx(spark, self.GPX_DOC)
+        w = layers["waypoints"].collect()[0]
+        assert w["properties"]["ext:hr"] == "142"
+        assert w["properties"]["ext:cad"] == "87"
+        assert w["properties"]["name"] == "rvk"
+
+    def test_full_roundtrip_with_routes_and_extensions(self, spark):
+        from karta_spark.sources import gpx
+        layers = gpx.read_gpx(spark, self.GPX_DOC)
+        doc2 = gpx.to_gpx(waypoints=layers["waypoints"],
+                          tracks=layers["tracks"],
+                          routes=layers["routes"])
+        # extensions serialize into a real <extensions> block, not a
+        # flat child (the reference's GPX consumers require that)
+        assert "<extensions>" in doc2 and "<color>red</color>" in doc2
+        again = gpx.read_gpx(spark, doc2)
+        r1 = layers["routes"].collect()[0]
+        r2 = again["routes"].collect()[0]
+        assert r1["vertices"] == r2["vertices"]
+        assert dict(r1["properties"]) == dict(r2["properties"])
+        w1 = layers["waypoints"].collect()[0]
+        w2 = again["waypoints"].collect()[0]
+        assert dict(w1["properties"]) == dict(w2["properties"])
