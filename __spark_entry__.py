@@ -4438,6 +4438,69 @@ FROM g GROUP BY 1
 """
 
 
+def q100_zstd_lzma_cog_census(spark, sf_dir):
+    """ZSTD + LZMA GeoTIFF census (round 7): the two modern libtiff
+    codecs beyond WebP that GDAL emits for cloud-optimized GeoTIFFs
+    (COMPRESS=ZSTD, COMPRESS=LZMA; reference reads them via GDAL,
+    _gdal.py:114-188).  Synthesize two closed-form grids, write one as
+    a TILED compression-50000 (zstd, via pyarrow's bundled codec) and
+    one as a strip-organized compression-34925 (lzma xz streams,
+    stdlib) float file under predictor 3, re-read BOTH through the
+    DISTRIBUTED lazy scan (driver parses only IFDs; executors seek
+    per-chunk byte ranges and decompress), and census each.
+
+    Value-oracle-exact: both codecs are lossless and the float values
+    are small integers (exactly representable), so DuckDB regenerates
+    every cell — a chunk-layout, exact-size-decompress, or predictor-3
+    slip moves a sum and fails the hash gate."""
+    import os
+    import tempfile
+    from karta_spark.raster.tiles import tile_cells
+    from karta_spark.sources import geotiff
+    ny1, nx1 = 80, 96
+    ii, jj = np.mgrid[0:ny1, 0:nx1]
+    Z1 = ((ii * 13 + jj * 31 + 3) % 241).astype(np.uint8)
+    p1 = os.path.join(tempfile.gettempdir(), "karta_q100_zstd.tif")
+    geotiff.write_geotiff_array(p1, Z1[::-1], 0.0, float(ny1), 1.0, 1.0,
+                                compress="zstd", tiled=32)
+    ny2, nx2 = 64, 80
+    i2, j2 = np.mgrid[0:ny2, 0:nx2]
+    Z2 = ((i2 * 5 + j2 * 7) % 97).astype(np.float32)
+    p2 = os.path.join(tempfile.gettempdir(), "karta_q100_lzma.tif")
+    geotiff.write_geotiff_array(p2, Z2[::-1], 0.0, float(ny2), 1.0, 1.0,
+                                compress="lzma", predictor=3)
+    out = []
+    for codec, path, tile in (("zstd", p1, 32), ("lzma", p2, 32)):
+        cells = tile_cells(
+            geotiff.read_geotiff_distributed(spark, path, tile=tile))
+        v = F.col("value").cast("long")
+        out.append(cells.groupBy(F.lit(codec).alias("codec"))
+                   .agg(F.count("*").cast("long").alias("n_cells"),
+                        F.sum(v).alias("sum_v"),
+                        F.min(v).alias("min_v"),
+                        F.max(v).alias("max_v")))
+    return out[0].unionByName(out[1])
+
+
+Q100_SQL = """
+WITH z AS (
+  SELECT (i*13 + j*31 + 3) % 241 AS v
+  FROM range(80) t(i), range(96) s(j)
+), l AS (
+  SELECT (i*5 + j*7) % 97 AS v
+  FROM range(64) t(i), range(80) s(j)
+), u AS (
+  SELECT 'zstd' AS codec, v FROM z
+  UNION ALL SELECT 'lzma', v FROM l
+)
+SELECT codec, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v
+FROM u GROUP BY codec
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4539,6 +4602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_oblique_stere_grid": q97_oblique_stere_grid,
         "q98_eqdc_conus": q98_eqdc_conus,
         "q99_multimodal_pipeline_resume": q99_multimodal_pipeline_resume,
+        "q100_zstd_lzma_cog_census": q100_zstd_lzma_cog_census,
     }
 
 
@@ -4625,6 +4689,7 @@ def oracle_sql() -> dict[str, str]:
         "q97_oblique_stere_grid": _q97_sql(),
         "q98_eqdc_conus": _q98_sql(),
         "q99_multimodal_pipeline_resume": _q99_sql(),
+        "q100_zstd_lzma_cog_census": Q100_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -14,7 +14,10 @@ Supported:
   single- or multi-band, chunky (PlanarConfiguration 1) or planar
   (PlanarConfiguration 2, plane-major chunk arrays) interleave;
   uint8/16/32, int16/32, float32/64.
+- read/write: ZSTD (50000, GDAL COMPRESS=ZSTD — via pyarrow's bundled
+  zstd) and LZMA (34925, libtiff tif_lzma.c xz streams — stdlib lzma).
 - write: single-band, optional compress="deflate" | "packbits" | "lzw"
+  | "zstd" | "lzma"
   | "webp" (uint8, lossless VP8L) (the analog of the reference's
   compression write option, grid.py:1066-1076), predictor=3 for float
   data, optional tiled=<edge> tile organization, optional
@@ -34,6 +37,7 @@ on write.
 
 from __future__ import annotations
 
+import lzma
 import struct
 import zlib
 
@@ -74,6 +78,8 @@ COMPRESSION_JPEG = 7  # new-style JPEG-in-TIFF (TTN2)
 COMPRESSION_DEFLATE_ADOBE = 8
 COMPRESSION_PACKBITS = 32773
 COMPRESSION_DEFLATE_OLD = 32946
+COMPRESSION_LZMA = 34925    # libtiff tif_lzma.c: xz-container LZMA2 stream
+COMPRESSION_ZSTD = 50000    # GDAL/libtiff COMPRESS=ZSTD (modern COG codec)
 COMPRESSION_WEBP = 50001    # modern COG codec (GDAL WEBP-in-TIFF)
 
 
@@ -248,6 +254,14 @@ def _compress_chunk(raw: bytes, compress: str | None) -> tuple[int, bytes]:
         return COMPRESSION_PACKBITS, packbits_encode(raw)
     if compress == "lzw":
         return COMPRESSION_LZW, lzw_encode(raw)
+    if compress == "zstd":
+        import pyarrow as pa  # bundled zstd — no external lib needed
+        return COMPRESSION_ZSTD, bytes(pa.Codec("zstd").compress(raw))
+    if compress == "lzma":
+        # libtiff's tif_lzma.c emits an xz-container LZMA2 stream with
+        # no integrity check — match it so GDAL can read what we write
+        return COMPRESSION_LZMA, lzma.compress(
+            raw, format=lzma.FORMAT_XZ, check=lzma.CHECK_NONE)
     raise ValueError(f"unknown compress option {compress!r}")
 
 
@@ -804,8 +818,15 @@ class TiffMeta:
             return packbits_decode(raw, expected)
         if comp == COMPRESSION_LZW:
             return lzw_decode(raw, expected)
+        if comp == COMPRESSION_ZSTD:
+            import pyarrow as pa
+            # zstd needs the exact decompressed size; TIFF chunks are
+            # written exact (tiles always padded, last strip short)
+            return bytes(pa.Codec("zstd").decompress(bytes(raw), expected))
+        if comp == COMPRESSION_LZMA:
+            return lzma.decompress(raw)  # auto-detects xz / lzma-alone
         raise NotImplementedError(f"TIFF compression {comp} not supported "
-                                  "(none/deflate/lzw/packbits are)")
+                                  "(none/deflate/lzw/packbits/zstd/lzma are)")
 
     def _decode_bilevel_chunk(self, raw, rows, cols, nch):
         """Bilevel (1-bit) chunk: CCITT fax compressions 2/3/4 (scanned-
