@@ -4501,6 +4501,67 @@ FROM u GROUP BY codec
 """
 
 
+def q101_pdf_text_census(spark, sf_dir):
+    """PDF text-extraction census (round 7): a crawl corpus is full of
+    PDFs, and a training pipeline needs their text.  Synthesize eight
+    documents with closed-form page/line content, encode half in the
+    classic xref-table layout and half in the PDF 1.5+ layout (object
+    streams + PNG-Up-predicted xref STREAM), extract per-page text
+    DISTRIBUTED (sources/pdf.py pdf_page_text — Arrow-batched
+    mapInPandas, robust err contract), and census characters per doc.
+
+    Value-oracle-exact: the text is a closed form over (doc, page,
+    line), so DuckDB regenerates every line length — any xref, filter,
+    ObjStm, content-tokenizer, or line-assembly slip moves total_chars
+    or the page-weighted checksum and fails the hash gate.  (The
+    reference has no document layer — GDAL reads PDFs as rasters only;
+    this is LLM-pipeline surface like WARC q84 / WebDataset q86.)"""
+    from karta_spark.sources.pdf import encode_pdf, pdf_page_text
+    rows = []
+    for d in range(8):
+        n_pages = (d % 3) + 1
+        pages = []
+        for p in range(n_pages):
+            n_lines = ((d + p) % 4) + 1
+            pages.append("\n".join(
+                f"doc{d} page{p} line{t} " + "x" * ((d * 7 + p * 5 + t * 3) % 11)
+                for t in range(n_lines)))
+        rows.append((d, bytearray(encode_pdf(pages,
+                                             xref_stream=(d % 2 == 1),
+                                             compress=(d % 3 != 0)))))
+    docs = spark.createDataFrame(rows, "doc_id long, content binary")
+    ext = pdf_page_text(docs).where(F.col("err").isNull())
+    nc = F.col("n_chars").cast("long")
+    return (ext.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.sum(nc).alias("total_chars"),
+                 F.sum((F.col("page") + 1).cast("long") * nc)
+                  .alias("checksum")))
+
+
+Q101_SQL = """
+WITH docs AS (
+  SELECT i AS d, (i % 3) + 1 AS n_pages FROM range(8) t(i)
+), pages AS (
+  SELECT d, j AS p, ((d + j) % 4) + 1 AS n_lines
+  FROM docs, range(3) s(j) WHERE j < n_pages
+), lines AS (
+  SELECT d, p,
+         length('doc' || d || ' page' || p || ' line' || k || ' ')
+           + (d*7 + p*5 + k*3) % 11 AS len
+  FROM pages, range(4) r(k) WHERE k < n_lines
+), ptext AS (
+  SELECT d, p, sum(len) + count(*) - 1 AS n_chars
+  FROM lines GROUP BY d, p
+)
+SELECT CAST(d AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum((p + 1) * n_chars) AS BIGINT) AS checksum
+FROM ptext GROUP BY d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4603,6 +4664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_eqdc_conus": q98_eqdc_conus,
         "q99_multimodal_pipeline_resume": q99_multimodal_pipeline_resume,
         "q100_zstd_lzma_cog_census": q100_zstd_lzma_cog_census,
+        "q101_pdf_text_census": q101_pdf_text_census,
     }
 
 
@@ -4690,6 +4752,7 @@ def oracle_sql() -> dict[str, str]:
         "q98_eqdc_conus": _q98_sql(),
         "q99_multimodal_pipeline_resume": _q99_sql(),
         "q100_zstd_lzma_cog_census": Q100_SQL,
+        "q101_pdf_text_census": Q101_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

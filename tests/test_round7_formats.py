@@ -90,3 +90,121 @@ class TestTiffZstdLzma:
                                                             tile=32))
         got = cells.agg({"value": "sum"}).collect()[0][0]
         assert int(got) == int(Z.astype(np.int64).sum())
+
+
+class TestPdf:
+    """PDF text extraction (sources/pdf.py) — both xref layouts, the
+    filter chain, ToUnicode CMaps, and the malformed-input contract."""
+
+    PAGES = ["hello world\nsecond line", "page two (with) \\ specials"]
+
+    @pytest.mark.parametrize("xref_stream", [False, True])
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_roundtrip(self, xref_stream, compress):
+        from karta_spark.sources.pdf import encode_pdf, extract_text
+        d = encode_pdf(self.PAGES, xref_stream=xref_stream,
+                       compress=compress)
+        assert extract_text(d) == self.PAGES
+
+    def test_many_pages_large_offsets(self):
+        from karta_spark.sources.pdf import encode_pdf, extract_text
+        big = [f"page {i}\n" + "x" * 200 for i in range(40)]
+        assert extract_text(encode_pdf(big, xref_stream=True)) == big
+        assert extract_text(encode_pdf(big, xref_stream=False)) == big
+
+    def test_malformed_raises_valueerror(self):
+        from karta_spark.sources.pdf import encode_pdf, extract_text
+        with pytest.raises(ValueError):
+            extract_text(b"not a pdf at all")
+        good = encode_pdf(["x"])
+        with pytest.raises(ValueError):
+            extract_text(good[:60])  # truncated mid-structure
+        with pytest.raises(ValueError):
+            extract_text(good.replace(b"startxref", b"startxre_"))
+
+    def test_filters_asciihex_ascii85(self):
+        from karta_spark.sources.pdf import _apply_filters, _Name
+        raw = b"training data pipeline"
+        import binascii, base64
+        hx = binascii.hexlify(raw) + b">"
+        assert _apply_filters(hx, _Name("ASCIIHexDecode"), None) == raw
+        a85 = base64.a85encode(raw) + b"~>"
+        assert _apply_filters(a85, _Name("ASCII85Decode"), None) == raw
+
+    def test_filter_chain_with_predictor(self):
+        # Flate + PNG Up predictor — the xref-stream DecodeParms shape
+        import zlib
+        from karta_spark.sources.pdf import _apply_filters, _Name
+        rows = [bytes([1, 2, 3, 4]), bytes([5, 6, 7, 8])]
+        pred = bytearray()
+        prev = bytes(4)
+        for r in rows:
+            pred.append(2)
+            pred.extend((r[i] - prev[i]) & 0xFF for i in range(4))
+            prev = r
+        got = _apply_filters(zlib.compress(bytes(pred)),
+                             _Name("FlateDecode"),
+                             {"Predictor": 12, "Columns": 4})
+        assert got == b"".join(rows)
+
+    def test_tounicode_cmap(self):
+        from karta_spark.sources.pdf import parse_tounicode, \
+            _decode_text_string
+        cmap = (b"/CIDInit /ProcSet findresource begin\n"
+                b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+                b"2 beginbfchar <0041> <0048> <0042> <0069> endbfchar\n"
+                b"1 beginbfrange <0050> <0052> <0061> endbfrange\n"
+                b"endcmap end")
+        width, table = parse_tounicode(cmap)
+        assert width == 2
+        # bfchar: 0x41->H 0x42->i ; bfrange: 0x50..0x52 -> a,b,c
+        got = _decode_text_string(b"\x00\x41\x00\x42\x00\x50\x00\x52",
+                                  (width, table))
+        assert got == "Hiac"
+
+    def test_tj_kerning_space_heuristic(self):
+        from karta_spark.sources.pdf import extract_content_text
+        content = (b"BT /F1 12 Tf 72 720 Td "
+                   b"[(Hel) -20 (lo) -250 (world)] TJ ET")
+        assert extract_content_text(content) == "Hello world"
+
+    def test_inline_image_skipped(self):
+        from karta_spark.sources.pdf import extract_content_text
+        content = (b"BT (before) Tj ET "
+                   b"BI /W 2 /H 2 ID \x00\xff(\xde\xad EI "
+                   b"BT 0 -14 Td (after) Tj ET")
+        assert extract_content_text(content) == "before\nafter"
+
+    def test_incremental_update_prev_chain(self):
+        """Appended update section overriding page 1's content: the
+        newest xref wins, /Prev still resolves the untouched objects."""
+        from karta_spark.sources.pdf import encode_pdf, extract_text
+        base = encode_pdf(["old text", "keep me"], compress=False)
+        startxref_old = int(base.rsplit(b"startxref", 1)[1].split()[0])
+        upd = bytearray(base)
+        new_body = b"BT /F1 12 Tf 72 720 Td (new text) Tj ET"
+        off = len(upd)
+        upd += (b"4 0 obj\n<< /Length %d >>\nstream\n" % len(new_body)
+                + new_body + b"\nendstream\nendobj\n")
+        xoff = len(upd)
+        upd += b"xref\n4 1\n%010d 00000 n \ntrailer\n" % off
+        upd += (b"<< /Size 8 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+                % (startxref_old, xoff))
+        assert extract_text(bytes(upd)) == ["new text", "keep me"]
+
+    def test_distributed_pdf_page_text(self, spark):
+        from karta_spark.sources.pdf import encode_pdf, pdf_page_text
+        rows = []
+        for d in range(4):
+            pages = [f"doc{d} page{p}" for p in range((d % 2) + 1)]
+            rows.append((d, bytearray(encode_pdf(pages,
+                                                 xref_stream=d % 2 == 1))))
+        rows.append((99, bytearray(b"%PDF-1.4 broken")))
+        df = spark.createDataFrame(rows, "doc_id long, content binary")
+        out = pdf_page_text(df).toPandas().sort_values(
+            ["doc_id", "page"]).reset_index(drop=True)
+        good = out[out["err"].isnull()]
+        bad = out[out["err"].notnull()]
+        assert len(good) == 1 + 2 + 1 + 2
+        assert list(bad["doc_id"]) == [99] and list(bad["page"]) == [-1]
+        assert good.iloc[0]["text"] == "doc0 page0"
