@@ -4562,6 +4562,71 @@ FROM ptext GROUP BY d
 """
 
 
+def q102_warc_content_encoding(spark, sf_dir):
+    """WARC HTTP content-decoding census (round 7): real crawls store
+    responses as the server sent them — gzip / deflate / brotli
+    Content-Encoding and chunked Transfer-Encoding.  Synthesize 60
+    responses with closed-form bodies, wrap each in one of five wire
+    shapes (identity, gzip, deflate, br, chunked+gzip), shard into 4
+    `.warc.gz` files, re-read DISTRIBUTED (executors gunzip members,
+    split HTTP, de-chunk and content-decode locally —
+    sources/warc.py decode_http_body), and census per wire shape.
+
+    Value-oracle-exact: body text is a closed form over doc index, so
+    DuckDB regenerates decoded byte counts per encoding — a dechunk,
+    zlib-window, or brotli slip moves payload_bytes and fails the
+    hash gate."""
+    import os
+    import tempfile
+    from karta_spark.sources.warc import (
+        http_response_payload, read_warc_distributed, write_warc,
+    )
+    encs = [("identity", None, False), ("gzip", "gzip", False),
+            ("deflate", "deflate", False), ("br", "br", False),
+            ("chunked_gzip", "gzip", True)]
+    root = os.path.join(tempfile.gettempdir(), "karta_q102_warc")
+    os.makedirs(root, exist_ok=True)
+    shards: dict[int, list] = {s: [] for s in range(4)}
+    for d in range(60):
+        label, ce, ch = encs[d % 5]
+        body = (f"<html><body>doc {d}: " + "z" * ((d * 13) % 97)
+                + "</body></html>").encode()
+        shards[d % 4].append(dict(
+            warc_type="response",
+            target_uri=f"https://ex.org/{label}/{d}",
+            content_type="application/http; msgtype=response",
+            payload=http_response_payload(body, content_encoding=ce,
+                                          chunked=ch)))
+    for s, recs in shards.items():
+        with open(os.path.join(root, f"part-{s}.warc.gz"), "wb") as f:
+            f.write(write_warc(recs, gzip_members=True))
+    rows = read_warc_distributed(spark, root)
+    wire = F.split(F.col("target_uri"), "/").getItem(3)
+    return (rows.groupBy(wire.alias("wire"))
+            .agg(F.count("*").cast("long").alias("n_records"),
+                 F.sum(F.length("payload")).alias("payload_bytes"),
+                 F.sum(F.coalesce(
+                     (F.col("http_status") == 200).cast("long"),
+                     F.lit(0))).alias("n_http_200")))
+
+
+Q102_SQL = """
+WITH d AS (
+  SELECT i,
+         CASE i % 5 WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
+                    WHEN 2 THEN 'deflate' WHEN 3 THEN 'br'
+                    ELSE 'chunked_gzip' END AS wire,
+         length('<html><body>doc ' || i || ': ') + (i*13) % 97
+           + length('</body></html>') AS body_len
+  FROM range(60) t(i)
+)
+SELECT wire, CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(body_len) AS BIGINT) AS payload_bytes,
+       CAST(count(*) AS BIGINT) AS n_http_200
+FROM d GROUP BY wire
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4665,6 +4730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_multimodal_pipeline_resume": q99_multimodal_pipeline_resume,
         "q100_zstd_lzma_cog_census": q100_zstd_lzma_cog_census,
         "q101_pdf_text_census": q101_pdf_text_census,
+        "q102_warc_content_encoding": q102_warc_content_encoding,
     }
 
 
@@ -4753,6 +4819,7 @@ def oracle_sql() -> dict[str, str]:
         "q99_multimodal_pipeline_resume": _q99_sql(),
         "q100_zstd_lzma_cog_census": Q100_SQL,
         "q101_pdf_text_census": Q101_SQL,
+        "q102_warc_content_encoding": Q102_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

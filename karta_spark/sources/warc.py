@@ -61,9 +61,71 @@ def _gunzip_members(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _dechunk(body: bytes) -> bytes:
+    """HTTP/1.1 chunked transfer coding -> raw body.  Raises ValueError
+    on malformed chunk framing."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.index(b"\r\n", pos)
+        size_tok = body[pos:eol].split(b";")[0].strip()  # drop extensions
+        size = int(size_tok, 16)
+        pos = eol + 2
+        if size == 0:
+            break  # trailers (if any) are not payload
+        out += body[pos:pos + size]
+        pos += size
+        if body[pos:pos + 2] != b"\r\n":
+            raise ValueError("chunked body missing chunk CRLF")
+        pos += 2
+    return bytes(out)
+
+
+def decode_http_body(body: bytes, content_encoding: str | None,
+                     transfer_encoding: str | None = None) -> bytes:
+    """Undo Transfer-Encoding (chunked) then Content-Encoding (gzip /
+    deflate — both zlib-wrapped and raw — / br via pyarrow's bundled
+    brotli / identity).  Raises ValueError on anything it can't undo;
+    callers in the crawl path catch and keep the raw bytes (one
+    mis-encoded response must not kill an archive task)."""
+    if transfer_encoding and "chunked" in transfer_encoding.lower():
+        try:
+            body = _dechunk(body)
+        except (ValueError, IndexError) as exc:
+            raise ValueError(f"bad chunked body: {exc}") from exc
+    if not content_encoding:
+        return body
+    # comma lists apply encodings in order; decode in reverse
+    for enc in [e.strip().lower()
+                for e in content_encoding.split(",")][::-1]:
+        try:
+            if enc in ("gzip", "x-gzip"):
+                body = zlib.decompress(body, 47)  # auto gzip/zlib header
+            elif enc == "deflate":
+                try:
+                    body = zlib.decompress(body)  # RFC-correct zlib wrap
+                except zlib.error:
+                    body = zlib.decompress(body, -15)  # wild raw deflate
+            elif enc == "br":
+                import pyarrow as pa  # streaming: size is unknown
+                body = pa.input_stream(pa.BufferReader(body),
+                                       compression="brotli").read()
+            elif enc in ("identity", ""):
+                pass
+            else:
+                raise ValueError(f"unsupported Content-Encoding {enc!r}")
+        except (zlib.error, OSError) as exc:
+            raise ValueError(f"bad {enc} body: {exc}") from exc
+    return body
+
+
 def _parse_http(payload: bytes):
     """Split an HTTP/1.x response payload -> (status, content_type, body);
-    returns (None, None, payload) when it isn't HTTP."""
+    returns (None, None, payload) when it isn't HTTP.  The body is
+    de-chunked and content-decoded (gzip/deflate/br) when the headers
+    say so; if that decoding fails the raw body is kept — the
+    crawl-scale contract (cf. multimodal.decode_any)."""
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
     head, sep, body = payload.partition(b"\r\n\r\n")
@@ -74,11 +136,21 @@ def _parse_http(payload: bytes):
         status = int(lines[0].split()[1])
     except (IndexError, ValueError):
         return None, None, payload
-    ctype = None
+    ctype = cenc = tenc = None
     for ln in lines[1:]:
         k, _, v = ln.partition(b":")
-        if k.strip().lower() == b"content-type":
+        key = k.strip().lower()
+        if key == b"content-type":
             ctype = v.strip().decode("latin-1")
+        elif key == b"content-encoding":
+            cenc = v.strip().decode("latin-1")
+        elif key == b"transfer-encoding":
+            tenc = v.strip().decode("latin-1")
+    if cenc or tenc:
+        try:
+            body = decode_http_body(body, cenc, tenc)
+        except ValueError:
+            pass  # keep raw bytes; downstream sniffers handle or skip
     return status, ctype, body
 
 
@@ -162,13 +234,43 @@ def write_warc(records: list[dict], gzip_members: bool = True) -> bytes:
 
 
 def http_response_payload(body: bytes, content_type: str = "text/html",
-                          status: int = 200) -> bytes:
+                          status: int = 200,
+                          content_encoding: str | None = None,
+                          chunked: bool = False) -> bytes:
     """Wrap a body as an HTTP/1.1 response (the payload shape of WARC
-    ``response`` records)."""
-    head = (f"HTTP/1.1 {status} OK\r\n"
-            f"Content-Type: {content_type}\r\n"
-            f"Content-Length: {len(body)}\r\n\r\n").encode("latin-1")
-    return head + bytes(body)
+    ``response`` records).  ``content_encoding`` gzip/deflate/br
+    compresses the body; ``chunked`` emits chunked transfer coding —
+    fixture shapes for what real crawls store."""
+    body = bytes(body)
+    extra = ""
+    if content_encoding:
+        if content_encoding in ("gzip", "x-gzip"):
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            body = co.compress(body) + co.flush()
+        elif content_encoding == "deflate":
+            body = zlib.compress(body, 6)
+        elif content_encoding == "br":
+            import pyarrow as pa
+            body = bytes(pa.Codec("brotli").compress(body))
+        else:
+            raise ValueError(f"unknown content_encoding {content_encoding!r}")
+        extra += f"Content-Encoding: {content_encoding}\r\n"
+    if chunked:
+        out = bytearray()
+        for k in range(0, len(body), 41):  # odd size: multi-chunk bodies
+            part = body[k:k + 41]
+            out += f"{len(part):x}\r\n".encode() + part + b"\r\n"
+        out += b"0\r\n\r\n"
+        body = bytes(out)
+        extra += "Transfer-Encoding: chunked\r\n"
+        head = (f"HTTP/1.1 {status} OK\r\n"
+                f"Content-Type: {content_type}\r\n"
+                f"{extra}\r\n").encode("latin-1")
+    else:
+        head = (f"HTTP/1.1 {status} OK\r\n"
+                f"Content-Type: {content_type}\r\n{extra}"
+                f"Content-Length: {len(body)}\r\n\r\n").encode("latin-1")
+    return head + body
 
 
 # ---------------------------------------------------------------------------

@@ -208,3 +208,60 @@ class TestPdf:
         assert len(good) == 1 + 2 + 1 + 2
         assert list(bad["doc_id"]) == [99] and list(bad["page"]) == [-1]
         assert good.iloc[0]["text"] == "doc0 page0"
+
+
+class TestWarcContentEncoding:
+    """HTTP payload decoding in the WARC path: chunked transfer coding
+    and gzip/deflate/br content encodings (what real crawls store)."""
+
+    BODY = ("<html><body>" + "payload text " * 20 + "</body></html>"
+            ).encode()
+
+    def _one(self, **kw):
+        from karta_spark.sources.warc import (http_response_payload,
+                                              parse_warc, write_warc)
+        payload = http_response_payload(self.BODY, **kw)
+        blob = write_warc([{"warc_type": "response",
+                            "target_uri": "http://x.example/",
+                            "payload": payload}])
+        recs = parse_warc(blob)
+        assert len(recs) == 1
+        return recs[0]
+
+    @pytest.mark.parametrize("enc", ["gzip", "deflate", "br"])
+    def test_content_encoding_decoded(self, enc):
+        r = self._one(content_encoding=enc)
+        assert r["payload"] == self.BODY
+
+    def test_chunked(self):
+        r = self._one(chunked=True)
+        assert r["payload"] == self.BODY
+
+    def test_chunked_plus_gzip(self):
+        r = self._one(content_encoding="gzip", chunked=True)
+        assert r["payload"] == self.BODY
+
+    def test_raw_deflate_fallback(self):
+        # wild servers send raw-deflate under "deflate"
+        import zlib
+        from karta_spark.sources.warc import decode_http_body
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        raw = co.compress(self.BODY) + co.flush()
+        assert decode_http_body(raw, "deflate") == self.BODY
+
+    def test_bad_encoding_keeps_raw_bytes(self):
+        # corrupt gzip body: parse_warc must keep the raw bytes, not die
+        from karta_spark.sources.warc import (http_response_payload,
+                                              parse_warc, write_warc)
+        payload = http_response_payload(self.BODY, content_encoding="gzip")
+        payload = payload.replace(b"\x1f\x8b", b"\x00\x00", 1)
+        blob = write_warc([{"warc_type": "response",
+                            "target_uri": "http://x.example/",
+                            "payload": payload}])
+        r = parse_warc(blob)[0]
+        assert r["payload"].startswith(b"\x00\x00")  # surfaced as-is
+
+    def test_bad_chunk_framing_raises_in_decode(self):
+        from karta_spark.sources.warc import decode_http_body
+        with pytest.raises(ValueError):
+            decode_http_body(b"zz\r\nnot hex\r\n", None, "chunked")
