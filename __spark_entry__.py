@@ -4627,6 +4627,78 @@ FROM d GROUP BY wire
 """
 
 
+def _q103_defs():
+    """The three round-7 projection variants, built from the same
+    proj.4 strings on both engines (sources of truth in crs.py):
+    Guam 1963 (+proj=aeqd +guam, EPSG 9831 — pinned to the EPSG GN7-2
+    worked example in tests), Krovak +czech (positive southing/
+    westing sheet convention), and two-point Hotine omerc (converted
+    internally to the azimuth form exactly as proj omerc.c does)."""
+    from karta_spark.functions import crs as kcrs
+    guam = kcrs.from_proj4(
+        "+proj=aeqd +guam +lat_0=13.472466352777777 "
+        "+lon_0=144.74875070555555 +x_0=50000 +y_0=50000 +ellps=clrk66")
+    czech = kcrs.from_proj4("+proj=krovak +czech")
+    omerc2 = kcrs.from_proj4(
+        "+proj=omerc +lat_0=4 +lat_1=1.6275602834328 "
+        "+lon_1=111.84269725505 +lat_2=-1.35671776762 "
+        "+lon_2=107.88856718778 +k_0=0.99984 +ellps=GRS80 +no_off")
+    return [("guam", guam, 144.3, 0.02, 13.0, 0.03),
+            ("krovak_czech", czech, 12.5, 0.15, 48.6, 0.07),
+            ("omerc_2pt", omerc2, 108.0, 0.22, -1.0, 0.2)]
+
+
+def q103_projection_variants(spark, sf_dir):
+    """Exotic projection-variant grid assignment (round 7): Guam
+    (+proj=aeqd +guam), Krovak +czech, and two-point omerc — the last
+    proj.4 forms that raised in round 6 (the reference accepts any
+    projstring via proj.4, reference crs.py:248-306).  120 closed-form
+    points per variant projected through the Catalyst backend with an
+    inverse-roundtrip boolean; DuckDB runs the textually identical
+    SQL algebra (forward_sql/inverse_sql twins), so any forward,
+    inverse, or variant-wiring divergence fails the hash gate."""
+    from karta_spark.functions import crs as kcrs
+    out = None
+    base = spark.range(120)
+    for name, cdef, lon0, dlon, lat0, dlat in _q103_defs():
+        lon = F.lit(lon0) + (F.col("id") % 40).cast("double") * dlon
+        lat = F.lit(lat0) + (F.col("id") % 30).cast("double") * dlat
+        px, py = kcrs.forward_exprs(cdef, lon, lat)
+        d = (base.withColumn("variant", F.lit(name))
+             .withColumn("lon", lon).withColumn("lat", lat)
+             .withColumn("px", px).withColumn("py", py))
+        lon2, lat2 = kcrs.inverse_exprs(cdef, F.col("px"), F.col("py"))
+        rt_ok = (F.abs(lon2 - F.col("lon")) < 1e-6) & \
+            (F.abs(lat2 - F.col("lat")) < 1e-6)
+        d = d.select("variant", F.col("id").cast("long").alias("pt_id"),
+                     F.round(F.col("px"), 2).alias("proj_x"),
+                     F.round(F.col("py"), 2).alias("proj_y"),
+                     rt_ok.alias("rt_ok"))
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def _q103_sql():
+    from karta_spark.functions import crs as kcrs
+    parts = []
+    for name, cdef, lon0, dlon, lat0, dlat in _q103_defs():
+        xs, ys = kcrs.forward_sql(cdef, "lon", "lat")
+        lo, la = kcrs.inverse_sql(cdef, "px", "py")
+        parts.append(f"""
+SELECT variant, pt_id, round(px, 2) AS proj_x, round(py, 2) AS proj_y,
+       (abs({lo} - lon) < 1e-6 AND abs({la} - lat) < 1e-6) AS rt_ok
+FROM (
+  SELECT variant, pt_id, lon, lat, {xs} AS px, {ys} AS py
+  FROM (
+    SELECT '{name}' AS variant, CAST(i AS BIGINT) AS pt_id,
+           {lon0!r} + CAST(i % 40 AS DOUBLE) * {dlon!r} AS lon,
+           {lat0!r} + CAST(i % 30 AS DOUBLE) * {dlat!r} AS lat
+    FROM range(120) t(i)
+  ) p
+) q""")
+    return " UNION ALL ".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4731,6 +4803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_zstd_lzma_cog_census": q100_zstd_lzma_cog_census,
         "q101_pdf_text_census": q101_pdf_text_census,
         "q102_warc_content_encoding": q102_warc_content_encoding,
+        "q103_projection_variants": q103_projection_variants,
     }
 
 
@@ -4820,6 +4893,7 @@ def oracle_sql() -> dict[str, str]:
         "q100_zstd_lzma_cog_census": Q100_SQL,
         "q101_pdf_text_census": Q101_SQL,
         "q102_warc_content_encoding": Q102_SQL,
+        "q103_projection_variants": _q103_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -771,6 +771,49 @@ def _aeqd_inv(B, x, y, lat0, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
     return lon0 + lam * _R2D, phi * _R2D
 
 
+def _aeqd_guam_fwd(B, lon, lat, lat0, lon0, fe, fn, a=A_WGS84,
+                   f=F_WGS84):
+    """Guam projection (EPSG method 9831; proj.4 ``+proj=aeqd +guam``,
+    Snyder 1987 p.196) — the Guam 1963 SPCS variant of the modified
+    azimuthal equidistant.  The reference reaches it via arbitrary
+    proj.4 strings (reference crs.py:248-306)."""
+    e2 = f * (2.0 - f)
+    phi = lat * _D2R
+    p0 = lat0 * _D2R
+    dlam = _wrap_dlon(B, lon, lon0) * _D2R
+    W = B.sqrt(1.0 - e2 * B.pow(B.sin(phi), 2))
+    xp = a * dlam * B.cos(phi) / W
+    c0, c2, c4, c6 = _marc_coeffs(e2)[0]
+    M0 = a * (c0 * p0 - c2 * math.sin(2.0 * p0)
+              + c4 * math.sin(4.0 * p0) - c6 * math.sin(6.0 * p0))
+    yp = (_meridian_arc(B, phi, a, e2) - M0
+          + xp * xp * B.tan(phi) * W / (2.0 * a))
+    return fe + xp, fn + yp
+
+
+def _aeqd_guam_inv(B, x, y, lat0, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
+    """EPSG 9831 inverse: three fixed-point iterations of the
+    meridian-arc correction (the published iteration count; the
+    correction term is tiny over Guam's extent so it converges to
+    sub-mm)."""
+    e2 = f * (2.0 - f)
+    p0 = lat0 * _D2R
+    xp = x - fe
+    yp = y - fn
+    c0, c2, c4, c6 = _marc_coeffs(e2)[0]
+    M0 = a * (c0 * p0 - c2 * math.sin(2.0 * p0)
+              + c4 * math.sin(4.0 * p0) - c6 * math.sin(6.0 * p0))
+    x2 = xp * xp / (2.0 * a)
+    phi = _inv_meridian_arc(B, M0 + yp, a, e2)  # correction-0 start
+    for _ in range(2):
+        W = B.sqrt(1.0 - e2 * B.pow(B.sin(phi), 2))
+        phi = _inv_meridian_arc(B, M0 + yp - x2 * B.tan(phi) * W,
+                                a, e2)
+    W = B.sqrt(1.0 - e2 * B.pow(B.sin(phi), 2))
+    lam = xp * W / (a * B.cos(phi))
+    return lon0 + lam * _R2D, phi * _R2D
+
+
 def _eqc_fwd(B, lon, lat, lat_ts, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
     """Equidistant cylindrical (EPSG method 1028, Snyder 12 generalized
     to the ellipsoid): true-scale parallels at +-lat_ts, y = meridian
@@ -1010,7 +1053,7 @@ def _krovak_consts(lat_c: float, alpha: float, lat_p: float, k0: float,
 
 
 def _krovak_fwd(B, lon, lat, lat_c, lon0, alpha, lat_p, k0, fe, fn,
-                a=A_WGS84, f=F_WGS84):
+                a=A_WGS84, f=F_WGS84, sgn=-1.0):
     e, e2, Bk, ln_t0, al, n, r0, tp = _krovak_consts(
         lat_c, alpha, lat_p, k0, a, f)
     phi = lat * _D2R
@@ -1031,15 +1074,18 @@ def _krovak_fwd(B, lon, lat, lat_c, lon0, alpha, lat_p, k0, fe, fn,
     r = r0 * B.pow(tp / B.tan(T / 2.0 + math.pi / 4.0), n)
     xs = r * B.cos(theta)   # native southing
     yw = r * B.sin(theta)   # native westing
-    return fe - yw, fn - xs  # EPSG:5514 east-north convention
+    # sgn=-1: EPSG:5514 east-north convention (negative values, the
+    # proj.4 default); sgn=+1: +czech — positive southing/westing,
+    # the traditional S-JTSK sheet convention (proj krovak.c flag)
+    return fe + sgn * yw, fn + sgn * xs
 
 
 def _krovak_inv(B, x, y, lat_c, lon0, alpha, lat_p, k0, fe, fn,
-                a=A_WGS84, f=F_WGS84):
+                a=A_WGS84, f=F_WGS84, sgn=-1.0):
     e, e2, Bk, ln_t0, al, n, r0, tp = _krovak_consts(
         lat_c, alpha, lat_p, k0, a, f)
-    yw = fe - x
-    xs = fn - y
+    yw = sgn * (x - fe)
+    xs = sgn * (y - fn)
     r = B.sqrt(xs * xs + yw * yw)
     theta = B.atan2(yw, xs)
     D = theta / n
@@ -1265,6 +1311,60 @@ def _eqdc_inv(B, x, y, lat1, lat2, lat0, lon0, fe, fn,
 # proj.4 default), off=0.0 is variant A (+no_off, FE/FN at the
 # natural origin).
 # ---------------------------------------------------------------------------
+
+def _omerc_two_point_to_azimuth(lat0: float, lat1: float, lon1: float,
+                                lat2: float, lon2: float,
+                                a: float, f: float) -> tuple[float, float]:
+    """Two-point Hotine form -> equivalent azimuth form (lonc, alpha).
+
+    Exactly the internal conversion proj omerc.c performs for
+    +lat_1/+lon_1/+lat_2/+lon_2: the initial line is the conformal
+    'great circle' through the two points; gamma defaults to the
+    resulting alpha_c, matching proj.  Degrees in, degrees out."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+
+    def tsfn(p):
+        sp = math.sin(p)
+        return (math.tan(math.pi / 4.0 - p / 2.0)
+                / ((1.0 - e * sp) / (1.0 + e * sp)) ** (e / 2.0))
+
+    def adjlon(x):
+        while x > math.pi:
+            x -= 2.0 * math.pi
+        while x < -math.pi:
+            x += 2.0 * math.pi
+        return x
+
+    p0, p1, p2 = (v * _D2R for v in (lat0, lat1, lat2))
+    sp0, cp0 = math.sin(p0), math.cos(p0)
+    Bc = math.sqrt(1.0 + e2 * cp0 ** 4 / (1.0 - e2))
+    D = Bc * math.sqrt(1.0 - e2) / (cp0 * math.sqrt(1.0 - e2 * sp0 * sp0))
+    D2 = max(D * D, 1.0)
+    s0 = 1.0 if lat0 >= 0 else -1.0
+    F = D + math.sqrt(D2 - 1.0) * s0
+    E = F * tsfn(p0) ** Bc
+    H = tsfn(p1) ** Bc
+    L = tsfn(p2) ** Bc
+    Fv = E / H
+    pq = (L - H) / (L + H)
+    J = (E * E - L * H) / (E * E + L * H)
+    lam1, lam2 = lon1 * _D2R, lon2 * _D2R
+    con = lam1 - lam2
+    if con < -math.pi:
+        lam2 -= 2.0 * math.pi
+    elif con > math.pi:
+        lam2 += 2.0 * math.pi
+    lam0 = adjlon(0.5 * (lam1 + lam2)
+                  - math.atan(J * math.tan(0.5 * Bc * (lam1 - lam2)) / pq)
+                  / Bc)
+    gamma0 = math.atan(2.0 * math.sin(Bc * adjlon(lam1 - lam0))
+                       / (Fv - 1.0 / Fv))
+    alpha = math.asin(min(max(D * math.sin(gamma0), -1.0), 1.0))
+    G = (F - 1.0 / F) / 2.0
+    lonc = lam0 + math.asin(min(max(G * math.tan(gamma0), -1.0), 1.0)) / Bc
+    return lonc * _R2D, alpha * _R2D
+
 
 @lru_cache(maxsize=None)
 def _omerc_consts(lat0: float, lonc: float, alpha: float, gamma: float,
@@ -1865,6 +1965,8 @@ def _dispatch_fwd(B, crs: CrsDef, lon, lat):
         return _eqdc_fwd(B, lon, lat, *crs.params)
     if crs.kind == "krovak":
         return _krovak_fwd(B, lon, lat, *crs.params)
+    if crs.kind == "aeqd_guam":
+        return _aeqd_guam_fwd(B, lon, lat, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
 
 
@@ -1913,6 +2015,8 @@ def _dispatch_inv(B, crs: CrsDef, x, y):
         return _eqdc_inv(B, x, y, *crs.params)
     if crs.kind == "krovak":
         return _krovak_inv(B, x, y, *crs.params)
+    if crs.kind == "aeqd_guam":
+        return _aeqd_guam_inv(B, x, y, *crs.params)
     raise ValueError(f"unknown CRS kind {crs.kind!r}")
 
 
@@ -2220,9 +2324,11 @@ def from_proj4(s: str) -> CrsDef:
         return albers(g("lat_1"), g("lat_2"), g("lat_0"), g("lon_0"),
                       g("x_0"), g("y_0"), ellps=ell())
     if proj == "aeqd":
-        if "guam" in flags:
-            raise ValueError("aeqd +guam variant not supported")
         params = (g("lat_0"), g("lon_0"), g("x_0"), g("y_0")) + ell_tail()
+        if "guam" in flags:
+            a_, f_ = ell()
+            return CrsDef(f"aeqd_guam_{params[0]:g}_{params[1]:g}",
+                          "aeqd_guam", params[:4] + (a_, f_))
         return CrsDef(f"aeqd_{params[0]:g}_{params[1]:g}", "aeqd", params)
     if proj == "eqdc":
         lat1 = g("lat_1", g("lat_0"))
@@ -2259,12 +2365,10 @@ def from_proj4(s: str) -> CrsDef:
         return CrsDef(f"sterea_{params[0]:g}_{params[1]:g}", "sterea",
                       params)
     if proj == "krovak":
-        if "czech" in flags:
-            raise ValueError("krovak +czech (positive southing/westing "
-                             "axes) not supported; the east-north "
-                             "EPSG:5514 convention is")
         # proj.4 defaults ARE the S-JTSK definition; ellipsoid defaults
-        # to bessel for this projection (proj.4 convention)
+        # to bessel for this projection (proj.4 convention).  +czech
+        # flips both axes to the traditional positive southing/westing
+        # sheet convention (proj krovak.c).
         a_, f_ = (ellipsoid_params("bessel")
                   if not ({"R", "a", "ellps", "datum"} & set(toks))
                   else ell())
@@ -2272,14 +2376,28 @@ def from_proj4(s: str) -> CrsDef:
                   g("alpha", 30.288139750000002), g("lat_1", 78.5),
                   k0 if ("k" in toks or "k_0" in toks) else 0.9999,
                   g("x_0"), g("y_0"), a_, f_)
+        if "czech" in flags:
+            return CrsDef(f"krovak_czech_{params[0]:g}_{params[1]:g}",
+                          "krovak", params + (1.0,))
         if params == S_JTSK.params:
             return S_JTSK
         return CrsDef(f"krovak_{params[0]:g}_{params[1]:g}", "krovak",
                       params)
     if proj == "omerc":
         if "lat_1" in toks or "lat_2" in toks:
-            raise ValueError("omerc two-point form (+lat_1/+lat_2) not "
-                             "supported (azimuth form is)")
+            # two-point form: convert to the equivalent azimuth form
+            # (lonc, alpha) — exactly what proj omerc.c computes
+            # internally — and reuse the azimuth kernel unchanged
+            a_, f_ = ell()
+            lonc, alpha = _omerc_two_point_to_azimuth(
+                g("lat_0"), g("lat_1"), g("lon_1"), g("lat_2"),
+                g("lon_2"), a_, f_)
+            off = 0.0 if "no_off" in flags else 1.0
+            params = (g("lat_0"), lonc, alpha, alpha, k0,
+                      g("x_0"), g("y_0"), off) + ell_tail()
+            return CrsDef(
+                f"omerc2p_{params[0]:g}_{lonc:g}_{alpha:g}", "omerc",
+                params)
         lonc = g("lonc", g("lon_0"))
         alpha = g("alpha", 90.0)
         gamma = g("gamma", alpha)
@@ -2450,9 +2568,15 @@ def to_proj4(crs: CrsDef | str) -> str:
                 f"+x_0={fe!r} +y_0={fn!r} {frag} +units=m +no_defs")
     if c.kind == "krovak":
         lat_c, lon0, alpha, lat_p, k0, fe, fn = c.params[:7]
-        frag = _proj4_ellps_frag(c.params, 7)
+        frag = _proj4_ellps_frag(c.params[:9], 7)
+        czech = " +czech" if len(c.params) > 9 and c.params[9] > 0 else ""
         return (f"+proj=krovak +lat_0={lat_c!r} +lon_0={lon0!r} "
                 f"+alpha={alpha!r} +lat_1={lat_p!r} +k_0={k0!r} "
+                f"+x_0={fe!r} +y_0={fn!r}{czech} {frag} +units=m +no_defs")
+    if c.kind == "aeqd_guam":
+        lat0, lon0, fe, fn = c.params[:4]
+        frag = _proj4_ellps_frag(c.params, 4)
+        return (f"+proj=aeqd +guam +lat_0={lat0!r} +lon_0={lon0!r} "
                 f"+x_0={fe!r} +y_0={fn!r} {frag} +units=m +no_defs")
     raise ValueError(f"no proj.4 form for kind {c.kind!r}")
 

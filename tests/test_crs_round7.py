@@ -240,3 +240,141 @@ class TestEquidistantConic:
         X, Y = C.forward_np(EQDC_CONUS, lon, lat)
         for i, x, y in rows:
             assert abs(x - X[i]) < 1e-6 and abs(y - Y[i]) < 1e-6
+
+
+def _dms(d, m, s):
+    return d + m / 60.0 + s / 3600.0
+
+
+GUAM = C.from_proj4(
+    f"+proj=aeqd +guam +lat_0={_dms(13, 28, 20.87887)!r} "
+    f"+lon_0={_dms(144, 44, 55.50254)!r} "
+    "+x_0=50000 +y_0=50000 +ellps=clrk66")
+
+
+class TestAeqdGuam:
+    """Guam projection (+proj=aeqd +guam, EPSG method 9831) — pinned
+    to the EPSG GN7-2 worked example (Guam 1963 SPCS, Clarke 1866)."""
+
+    def test_epsg_worked_example(self):
+        lat = _dms(13, 20, 20.53846)
+        lon = _dms(144, 38, 7.19265)
+        x, y = C.forward_np(GUAM, np.array([lon]), np.array([lat]))
+        assert abs(x[0] - 37712.48) < 0.02
+        assert abs(y[0] - 35242.00) < 0.02
+
+    def test_inverse_roundtrip(self):
+        lon = np.linspace(144.2, 145.2, 16)
+        lat = np.linspace(13.0, 13.9, 16)
+        x, y = C.forward_np(GUAM, lon, lat)
+        lo, la = C.inverse_np(GUAM, x, y)
+        assert np.allclose(lo, lon, atol=1e-9)
+        assert np.allclose(la, lat, atol=1e-9)
+
+    def test_proj4_roundtrip(self):
+        g2 = C.from_proj4(C.to_proj4(GUAM))
+        assert g2.kind == "aeqd_guam"
+        assert np.allclose(g2.params, GUAM.params)
+
+    def test_sql_twin_matches_numpy(self):
+        lon = np.linspace(144.3, 145.1, 16)
+        lat = np.linspace(13.1, 13.8, 16)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE pts AS SELECT i, CAST(lon AS DOUBLE) AS lon, "
+            "CAST(lat AS DOUBLE) AS lat FROM (VALUES "
+            + ",".join(f"({i}, {lon[i]!r}, {lat[i]!r})" for i in range(16))
+            + ") t(i, lon, lat)")
+        xs, ys = C.forward_sql(GUAM, "lon", "lat")
+        rows = con.execute(
+            f"SELECT i, {xs} AS x, {ys} AS y FROM pts ORDER BY i").fetchall()
+        X, Y = C.forward_np(GUAM, lon, lat)
+        for i, x, y in rows:
+            assert abs(x - X[i]) < 1e-6 and abs(y - Y[i]) < 1e-6
+
+
+class TestKrovakCzech:
+    """+czech flag: positive southing/westing (traditional S-JTSK
+    sheets) = sign-flipped proj default (proj krovak.c)."""
+
+    def test_czech_is_negated_default(self):
+        base = C.from_proj4("+proj=krovak")
+        cz = C.from_proj4("+proj=krovak +czech")
+        lon = np.array([14.42076, 16.6, 17.25])
+        lat = np.array([50.08804, 49.2, 49.95])
+        x0, y0 = C.forward_np(base, lon, lat)
+        x1, y1 = C.forward_np(cz, lon, lat)
+        assert np.allclose(x1, -x0) and np.allclose(y1, -y0)
+        assert (x1 > 0).all() and (y1 > 0).all()  # positive sheet coords
+
+    def test_czech_inverse_roundtrip(self):
+        cz = C.from_proj4("+proj=krovak +czech")
+        lon = np.linspace(12.5, 18.5, 12)
+        lat = np.linspace(48.6, 50.9, 12)
+        x, y = C.forward_np(cz, lon, lat)
+        lo, la = C.inverse_np(cz, x, y)
+        assert np.allclose(lo, lon, atol=1e-9)
+        assert np.allclose(la, lat, atol=1e-9)
+
+    def test_proj4_roundtrip_keeps_flag(self):
+        cz = C.from_proj4("+proj=krovak +czech")
+        s = C.to_proj4(cz)
+        assert "+czech" in s
+        cz2 = C.from_proj4(s)
+        assert np.allclose(cz2.params, cz.params)
+
+
+class TestOmercTwoPoint:
+    """Two-point Hotine form -> azimuth-form conversion, validated by
+    geometry: the azimuth form's own centerline points, fed back as
+    +lat_1/+lon_1/+lat_2/+lon_2, must reproduce the same projection."""
+
+    AZ = C.from_proj4("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582 "
+                      "+k_0=0.99984 +ellps=GRS80 +no_off")
+
+    def _two_point_from_centerline(self):
+        import math
+        g = self.AZ.params[3] * math.pi / 180.0
+        pts = []
+        for u in (300000.0, -250000.0):
+            lo, la = C.inverse_np(self.AZ, np.array([u * math.sin(g)]),
+                                  np.array([u * math.cos(g)]))
+            pts.append((lo[0], la[0]))
+        (lo1, la1), (lo2, la2) = pts
+        return C.from_proj4(
+            f"+proj=omerc +lat_0=4 +lat_1={la1!r} +lon_1={lo1!r} "
+            f"+lat_2={la2!r} +lon_2={lo2!r} +k_0=0.99984 "
+            "+ellps=GRS80 +no_off")
+
+    def test_recovers_azimuth_form(self):
+        tp = self._two_point_from_centerline()
+        assert tp.kind == "omerc"
+        # recovered lonc/alpha match the generating azimuth form
+        assert abs(tp.params[1] - 115.0) < 1e-8
+        assert abs(tp.params[2] - 53.31582) < 1e-7
+
+    def test_defining_points_on_centerline(self):
+        import math
+        tp = self._two_point_from_centerline()
+        g = tp.params[3] * math.pi / 180.0
+        pts = []
+        for u in (300000.0, -250000.0):
+            lo, la = C.inverse_np(self.AZ, np.array([u * math.sin(g)]),
+                                  np.array([u * math.cos(g)]))
+            pts.append((lo[0], la[0]))
+        lons = np.array([p[0] for p in pts])
+        lats = np.array([p[1] for p in pts])
+        x, y = C.forward_np(tp, lons, lats)
+        v = x * math.cos(g) - y * math.sin(g)
+        u = y * math.cos(g) + x * math.sin(g)
+        assert np.allclose(v, 0.0, atol=1e-4)  # sub-0.1mm off the line
+        assert np.allclose(u, [300000.0, -250000.0], atol=1e-3)
+
+    def test_inverse_roundtrip(self):
+        tp = self._two_point_from_centerline()
+        lon = np.linspace(110.0, 120.0, 10)
+        lat = np.linspace(0.0, 8.0, 10)
+        x, y = C.forward_np(tp, lon, lat)
+        lo, la = C.inverse_np(tp, x, y)
+        assert np.allclose(lo, lon, atol=1e-9)
+        assert np.allclose(la, lat, atol=1e-9)

@@ -436,10 +436,12 @@ class TestAzimuthalEquidistant:
                        crs.from_wkt(crs.to_wkt(c))):
                 assert rt.kind == "aeqd" and rt.params == c.params, c.name
 
-    def test_guam_variant_rejected(self):
+    def test_guam_variant_routes_to_guam_kernel(self):
+        # supported since round 7 (EPSG 9831); behavior pinned against
+        # the EPSG worked example in test_crs_round7.py::TestAeqdGuam
         from karta_spark.functions import crs
-        with pytest.raises(ValueError, match="guam"):
-            crs.from_proj4("+proj=aeqd +lat_0=13.5 +lon_0=144.75 +guam")
+        g = crs.from_proj4("+proj=aeqd +lat_0=13.5 +lon_0=144.75 +guam")
+        assert g.kind == "aeqd_guam" and g.params[:2] == (13.5, 144.75)
 
 
 class TestClipRepeatedSpans:
@@ -859,11 +861,17 @@ class TestHotineObliqueMercator:
         # Swiss azimuth-90 azimuth-center WKT still routes to somerc
         assert C.from_wkt(C.to_wkt(C.CH1903_LV03)) is C.CH1903_LV03
 
-    def test_two_point_form_raises(self):
+    def test_two_point_form_converts_to_azimuth(self):
+        # supported since round 7: converted to the equivalent azimuth
+        # form exactly as proj omerc.c does; geometry pinned in
+        # test_crs_round7.py::TestOmercTwoPoint
         from karta_spark.functions import crs as C
-        with pytest.raises(ValueError, match="two-point"):
-            C.from_proj4("+proj=omerc +lat_1=1 +lon_1=110 +lat_2=5 "
-                         "+lon_2=118 +k_0=1")
+        tp = C.from_proj4("+proj=omerc +lat_1=1 +lon_1=110 +lat_2=5 "
+                          "+lon_2=118 +k_0=1")
+        # lonc is where the centerline crosses lat_0=0 — west of both
+        # defining points for this NE-trending line
+        assert tp.kind == "omerc" and 100.0 < tp.params[1] < 110.0
+        assert 0.0 < tp.params[2] < 90.0
 
     def test_spark_backend_matches_numpy(self, spark):
         from pyspark.sql import functions as F
@@ -1141,8 +1149,10 @@ class TestKrovak:
         assert C.from_proj4("+proj=krovak") is C.S_JTSK
         assert C.from_proj4(C.to_proj4(C.S_JTSK)) is C.S_JTSK
         assert C.from_wkt(C.to_wkt(C.S_JTSK)) is C.S_JTSK
-        with pytest.raises(ValueError, match="czech"):
-            C.from_proj4("+proj=krovak +czech")
+        # +czech supported since round 7 (positive southing/westing);
+        # full behavior pinned in test_crs_round7.py::TestKrovakCzech
+        cz = C.from_proj4("+proj=krovak +czech")
+        assert cz.params[:9] == C.S_JTSK.params and cz.params[9] == 1.0
 
     def test_spark_backend_matches_numpy(self, spark):
         from pyspark.sql import functions as F
