@@ -4699,6 +4699,62 @@ FROM (
     return " UNION ALL ".join(parts)
 
 
+def q104_flac_audio_census(spark, sf_dir):
+    """FLAC audio census (round 7): the dominant lossless audio format
+    in crawled corpora, decoded by the from-scratch codec
+    (sources/flac.py — fixed + LPC subframes, partitioned Rice,
+    stereo decorrelation, CRC-verified frames).  Six closed-form int16
+    waveforms are FLAC-encoded AND decoded executor-side (Arrow-
+    batched mapInPandas, zero driver bytes), then censused per clip.
+
+    Value-oracle-exact: FLAC is lossless, so DuckDB regenerates every
+    sample from the closed form — a Rice, predictor, frame-header, or
+    block-boundary slip moves a sum and fails the hash gate.  The
+    `compressed` flag additionally pins that the stream is genuinely
+    smaller than raw PCM (the encoder really rices, not stores)."""
+    import pandas as pd
+
+    def run(batches):
+        from karta_spark.sources.flac import decode_flac, encode_flac
+        for pdf in batches:
+            rows = []
+            for c in pdf["id"]:
+                c = int(c)
+                n = 4000 + 600 * c
+                i = np.arange(n, dtype=np.int64)
+                v = (i * (2 * c + 3)) % 4001 - 2000
+                blob = encode_flac(v, 16000, bits=16, blocksize=1024)
+                out, sr, bits = decode_flac(blob)
+                s = out[:, 0].astype(np.int64)
+                rows.append((c, len(s), int(s.sum()), int(s.min()),
+                             int(s.max()),
+                             bool(len(blob) < 2 * n) and sr == 16000
+                             and bits == 16))
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "n_samples", "sum_v", "min_v", "max_v",
+                "compressed"])
+
+    schema = ("clip_id long, n_samples long, sum_v long, min_v long, "
+              "max_v long, compressed boolean")
+    return spark.range(6).repartition(6).mapInPandas(run, schema)
+
+
+Q104_SQL = """
+WITH s AS (
+  SELECT c, (i * (2*c + 3)) % 4001 - 2000 AS v
+  FROM range(6) t(c), range(7600) r(i)
+  WHERE i < 4000 + 600 * c
+)
+SELECT CAST(c AS BIGINT) AS clip_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v,
+       TRUE AS compressed
+FROM s GROUP BY c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4804,6 +4860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_pdf_text_census": q101_pdf_text_census,
         "q102_warc_content_encoding": q102_warc_content_encoding,
         "q103_projection_variants": q103_projection_variants,
+        "q104_flac_audio_census": q104_flac_audio_census,
     }
 
 
@@ -4894,6 +4951,7 @@ def oracle_sql() -> dict[str, str]:
         "q101_pdf_text_census": Q101_SQL,
         "q102_warc_content_encoding": Q102_SQL,
         "q103_projection_variants": _q103_sql(),
+        "q104_flac_audio_census": Q104_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -108,9 +108,11 @@ AUDIO_SCHEMA = StructType([
 def decode_audio(clips: DataFrame, bytes_col: str = "bytes",
                  id_col: str = "clip_id") -> DataFrame:
     """Arrow-batched audio decode: WAV (PCM 8/16/32-bit + float32, any
-    channel count) via the pure-python codec in sources/av.py; `soundfile`
-    is used instead when importable (adds mp3/ogg/flac).  Per clip:
-    sample rate, sample count, RMS level."""
+    channel count) via the pure-python codec in sources/av.py and FLAC
+    (sources/flac.py, sniffed on the fLaC magic — decoded samples are
+    rescaled to [-1, 1] like the float WAV path); `soundfile` is used
+    instead when importable (adds mp3/ogg).  Per clip: sample rate,
+    sample count, RMS level."""
     try:  # pragma: no cover - not present in this container
         import soundfile
         _HAS_SF = True
@@ -118,6 +120,7 @@ def decode_audio(clips: DataFrame, bytes_col: str = "bytes",
         _HAS_SF = False
 
     from karta_spark.sources.av import decode_wav
+    from karta_spark.sources.flac import decode_flac
 
     def run(pdf_iter):
         import io
@@ -125,7 +128,10 @@ def decode_audio(clips: DataFrame, bytes_col: str = "bytes",
             rows = []
             for _, r in pdf.iterrows():
                 raw = bytes(r[bytes_col])
-                if _HAS_SF:  # pragma: no cover
+                if raw[:4] == b"fLaC":
+                    ints, sr, bits = decode_flac(raw)
+                    data = ints.astype(np.float64) / float(2 ** (bits - 1))
+                elif _HAS_SF:  # pragma: no cover
                     data, sr = soundfile.read(io.BytesIO(raw))
                 else:
                     data, sr = decode_wav(raw)

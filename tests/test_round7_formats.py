@@ -265,3 +265,215 @@ class TestWarcContentEncoding:
         from karta_spark.sources.warc import decode_http_body
         with pytest.raises(ValueError):
             decode_http_body(b"zz\r\nnot hex\r\n", None, "chunked")
+
+
+class TestFlac:
+    """FLAC codec (sources/flac.py): encoder/decoder roundtrips plus
+    hand-built frames for the decode paths the fixture encoder does
+    not emit (LPC, stereo decorrelation, partitioned/escape/rice2
+    residuals)."""
+
+    def _mono(self, n=20000, seed=5):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n)
+        return (3000 * np.sin(t / 50)
+                + rng.integers(-200, 200, n)).astype(np.int32)
+
+    def test_mono_roundtrip_compresses(self):
+        from karta_spark.sources.flac import decode_flac, encode_flac
+        x = self._mono()
+        blob = encode_flac(x, 44100, bits=16)
+        out, sr, bits = decode_flac(blob)
+        assert sr == 44100 and bits == 16
+        assert np.array_equal(out[:, 0], x)
+        assert len(blob) < 0.75 * x.nbytes  # genuinely compressed
+
+    def test_stereo_and_comments(self):
+        from karta_spark.sources.flac import (decode_flac, encode_flac,
+                                              parse_flac_meta)
+        x = self._mono(8000)
+        s = np.stack([x, x // 2 + 100], axis=1)
+        blob = encode_flac(s, 48000, bits=16,
+                           comments={"TITLE": "t", "ARTIST": "a"})
+        out, sr, _ = decode_flac(blob)
+        assert np.array_equal(out, s) and sr == 48000
+        meta = parse_flac_meta(blob)
+        assert meta["comments"] == {"TITLE": "t", "ARTIST": "a"}
+        assert meta["channels"] == 2 and meta["total_samples"] == 8000
+
+    def test_constant_and_odd_blocksize(self):
+        from karta_spark.sources.flac import decode_flac, encode_flac
+        c = np.full(5000, -123, np.int32)
+        out, _, _ = decode_flac(encode_flac(c, 8000, blocksize=999))
+        assert np.array_equal(out[:, 0], c)
+
+    @pytest.mark.parametrize("bits", [8, 12, 16, 20, 24])
+    def test_bit_depths(self, bits):
+        from karta_spark.sources.flac import decode_flac, encode_flac
+        rng = np.random.default_rng(bits)
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        x = rng.integers(lo, hi + 1, 3000).astype(np.int64)
+        out, _, b = decode_flac(encode_flac(x, 16000, bits=bits))
+        assert b == bits and np.array_equal(out[:, 0], x)
+
+    def test_malformed_raises(self):
+        from karta_spark.sources.flac import decode_flac, encode_flac
+        blob = encode_flac(self._mono(1000), 44100)
+        for bad in (b"fLaC", b"not flac", blob[:100],
+                    blob[:4] + b"\xff" + blob[5:]):
+            with pytest.raises(ValueError):
+                decode_flac(bad)
+
+    # -- hand-built frames for decoder-only paths -----------------------
+
+    def _wrap(self, body_fn, blocksize, ch_code, nch, bps=16, sr=44100):
+        """Minimal stream: STREAMINFO + ONE frame whose subframe bits
+        come from body_fn(w)."""
+        import struct
+        from karta_spark.sources import flac as FL
+        si = bytearray()
+        si += struct.pack(">HH", blocksize, blocksize)
+        si += b"\x00\x00\x00" * 2
+        si += bytes([(sr >> 12) & 0xFF, (sr >> 4) & 0xFF,
+                     ((sr & 0x0F) << 4) | ((nch - 1) << 1)
+                     | ((bps - 1) >> 4),
+                     (((bps - 1) & 0x0F) << 4)])
+        si += struct.pack(">I", blocksize)
+        si += bytes(16)
+        out = bytearray(b"fLaC")
+        out.append(0x80)
+        out += len(si).to_bytes(3, "big")
+        out += si
+        w = FL._BitWriter()
+        w.write(0x3FFE, 14)
+        w.write(0, 2)
+        w.write(7, 4)           # 16-bit blocksize follows
+        w.write(0, 4)           # rate from STREAMINFO
+        w.write(ch_code, 4)
+        w.write(4, 3)           # 16-bit samples
+        w.write(0, 1)
+        w.write(0, 8)           # frame 0
+        w.write(blocksize - 1, 16)
+        w.align()
+        hdr = w.bytes()
+        hdr += bytes([FL._crc8(hdr)])
+        w = FL._BitWriter()
+        body_fn(w)
+        w.align()
+        frame = hdr + w.bytes()
+        frame += struct.pack(">H", FL._crc16(frame))
+        return bytes(out + frame)
+
+    def _verbatim(self, w, x, bps):
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in x:
+            w.write(int(v) & ((1 << bps) - 1), bps)
+
+    def test_left_side_and_right_side_and_mid_side(self):
+        from karta_spark.sources.flac import decode_flac
+        rng = np.random.default_rng(9)
+        L = rng.integers(-3000, 3000, 64).astype(np.int64)
+        R = rng.integers(-3000, 3000, 64).astype(np.int64)
+        side = L - R
+        mid = (L + R) >> 1
+        blob = self._wrap(lambda w: (self._verbatim(w, L, 16),
+                                     self._verbatim(w, side, 17)),
+                          64, 8, 2)  # left/side
+        out, _, _ = decode_flac(blob)
+        assert np.array_equal(out[:, 0], L)
+        assert np.array_equal(out[:, 1], R)
+        blob = self._wrap(lambda w: (self._verbatim(w, side, 17),
+                                     self._verbatim(w, R, 16)),
+                          64, 9, 2)  # right/side
+        out, _, _ = decode_flac(blob)
+        assert np.array_equal(out[:, 0], L)
+        assert np.array_equal(out[:, 1], R)
+        blob = self._wrap(lambda w: (self._verbatim(w, mid, 16),
+                                     self._verbatim(w, side, 17)),
+                          64, 10, 2)  # mid/side
+        out, _, _ = decode_flac(blob)
+        assert np.array_equal(out[:, 0], L)
+        assert np.array_equal(out[:, 1], R)
+
+    def test_lpc_subframe(self):
+        """Order-2 LPC with known coefficients: decoder must apply
+        pred = (c0*x[i-1] + c1*x[i-2]) >> shift."""
+        from karta_spark.sources.flac import decode_flac
+        n, shift = 48, 5
+        coefs = [45, -14]   # precision 8
+        warm = [100, -200]
+        res = [(i * 7) % 11 - 5 for i in range(n - 2)]
+        expect = np.empty(n, np.int64)
+        expect[0], expect[1] = warm
+        for i in range(2, n):
+            pred = (coefs[0] * expect[i - 1]
+                    + coefs[1] * expect[i - 2]) >> shift
+            expect[i] = res[i - 2] + pred
+
+        def body(w):
+            w.write(0, 1)
+            w.write(32 + 1, 6)     # LPC order 2
+            w.write(0, 1)
+            for v in warm:
+                w.write(int(v) & 0xFFFF, 16)
+            w.write(8 - 1, 4)      # precision 8
+            w.write(shift & 0x1F, 5)
+            for c in coefs:
+                w.write(c & 0xFF, 8)
+            w.write(0, 2)          # rice method 0
+            w.write(0, 4)          # porder 0
+            w.write(3, 4)          # k=3
+            for v in res:
+                u = (abs(v) * 2 - 1) if v < 0 else v * 2
+                w.write_unary(u >> 3)
+                w.write(u & 7, 3)
+
+        out, _, _ = decode_flac(self._wrap(body, n, 0, 1))
+        assert np.array_equal(out[:, 0], expect)
+
+    def test_partitioned_rice2_and_escape(self):
+        """porder=2 (4 partitions), rice2 (5-bit params), one escape
+        partition stored verbatim at 9 bits."""
+        from karta_spark.sources.flac import decode_flac
+        n = 64
+        vals = [(i * 13) % 17 - 8 for i in range(n)]
+
+        def body(w):
+            w.write(0, 1)
+            w.write(8, 6)      # FIXED order 0 -> residual == samples
+            w.write(0, 1)
+            w.write(1, 2)      # rice method 1 (5-bit params)
+            w.write(2, 4)      # porder 2 -> 4 partitions of 16
+            for p in range(4):
+                part = vals[p * 16:(p + 1) * 16]
+                if p == 2:     # escape partition
+                    w.write(31, 5)
+                    w.write(9, 5)
+                    for v in part:
+                        w.write(int(v) & 0x1FF, 9)
+                else:
+                    w.write(4, 5)
+                    for v in part:
+                        u = (abs(v) * 2 - 1) if v < 0 else v * 2
+                        w.write_unary(u >> 4)
+                        w.write(u & 15, 4)
+
+        out, _, _ = decode_flac(self._wrap(body, n, 0, 1))
+        assert np.array_equal(out[:, 0], np.array(vals))
+
+    def test_wasted_bits(self):
+        from karta_spark.sources.flac import decode_flac
+        x = np.array([8 * ((i * 5) % 7 - 3) for i in range(32)], np.int64)
+
+        def body(w):
+            w.write(0, 1)
+            w.write(1, 6)      # VERBATIM
+            w.write(1, 1)      # wasted-bits flag
+            w.write_unary(2)   # 3 wasted bits
+            for v in x >> 3:
+                w.write(int(v) & 0x1FFF, 13)
+
+        out, _, _ = decode_flac(self._wrap(body, 32, 0, 1))
+        assert np.array_equal(out[:, 0], x)
