@@ -4755,6 +4755,141 @@ FROM s GROUP BY c
 """
 
 
+def q105_zipshard_census(spark, sf_dir):
+    """ZIP shard census (round 7): the other container training
+    corpora ship in (Kaggle-style dumps, document archives) — same
+    sample-key convention as WebDataset tar shards (q86), stdlib
+    zipfile underneath (sources/zipshard.py).  Three shards of
+    closed-form samples written to disk, re-read DISTRIBUTED
+    (binaryFile: one task per shard, zero driver bytes), censused
+    per shard.
+
+    Value-oracle-exact: payload lengths are closed form over (shard,
+    sample), so DuckDB regenerates byte sums — a member-grouping,
+    deflate, or key-rule slip moves a sum and fails the hash gate."""
+    import os
+    import tempfile
+    from karta_spark.sources.zipshard import (
+        read_zipshard_distributed, write_zip_shard)
+    root = os.path.join(tempfile.gettempdir(), "karta_q105_zip")
+    os.makedirs(root, exist_ok=True)
+    for sh in range(3):
+        samples = []
+        for i in range(10 + sh):
+            samples.append({
+                "__key__": f"{sh:02d}/{i:05d}",
+                "jpg": bytes([(sh * 31 + i) % 251]) * (20 + (i * 7) % 33),
+                "txt": (f"shard {sh} sample {i} "
+                        + "c" * ((sh * 5 + i * 3) % 17)).encode()})
+        with open(os.path.join(root, f"part-{sh}.zip"), "wb") as f:
+            f.write(write_zip_shard(samples))
+    rows = read_zipshard_distributed(spark, root)
+    shard_id = F.regexp_extract(F.col("shard"), r"part-(\d+)\.zip", 1) \
+        .cast("long")
+    return (rows.groupBy(shard_id.alias("shard_id"))
+            .agg(F.count("*").cast("long").alias("n_samples"),
+                 F.sum(F.length("jpg")).alias("jpg_bytes"),
+                 F.sum(F.length("txt")).alias("txt_bytes")))
+
+
+Q105_SQL = """
+WITH s AS (
+  SELECT sh, i,
+         20 + (i*7) % 33 AS jpg_len,
+         length('shard ' || sh || ' sample ' || i || ' ')
+           + (sh*5 + i*3) % 17 AS txt_len
+  FROM range(3) t(sh), range(12) r(i)
+  WHERE i < 10 + sh
+)
+SELECT CAST(sh AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(jpg_len) AS BIGINT) AS jpg_bytes,
+       CAST(sum(txt_len) AS BIGINT) AS txt_bytes
+FROM s GROUP BY sh
+"""
+
+
+def q106_audio_metadata_census(spark, sf_dir):
+    """Audio METADATA census without decode (round 7): duration /
+    bitrate / channel census over MP3 and Ogg (Opus + Vorbis) — the
+    compressed formats whose full decode genuinely needs external
+    codecs, but whose container metadata (what a corpus census needs)
+    is exact from the frame/page structure (sources/audiometa.py:
+    ID3v2 walk + MPEG frame-length arithmetic; Ogg page walk with
+    CRC verification + OpusHead/Vorbis id headers, RFC 7845 pre-skip).
+    Nine streams synthesized AND parsed executor-side.
+
+    Value-oracle-exact: durations are integer microseconds from frame
+    counts and granule positions — any frame-length, granule, or
+    pre-skip slip moves duration_us and fails the hash gate."""
+    import pandas as pd
+
+    def run(batches):
+        from karta_spark.sources.audiometa import (
+            encode_mp3_frames, mp3_meta, ogg_meta, opus_head,
+            vorbis_id_header, write_ogg)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 3 == 0:
+                    nf = 40 + i * 10
+                    m = mp3_meta(encode_mp3_frames(
+                        nf, 128, 44100, tags={"TIT2": f"track {i}"}))
+                    us = m["n_frames"] * 1152 * 1_000_000 // m["sample_rate"]
+                    rows.append((i, "mp3", m["n_frames"], us,
+                                 m["channels"], m["tags"].get("TIT2")))
+                elif i % 3 == 1:
+                    gran = 4800 * (i + 1) + 312
+                    m = ogg_meta(write_ogg(
+                        [opus_head(2, 312), b"OpusTags", b"\x00" * 30,
+                         b"\x00" * 30], granules=[0, 0, gran // 2, gran]))
+                    samples = int(round(m["duration_s"] * 48000))
+                    rows.append((i, m["codec"], m["n_pages"],
+                                 samples * 1_000_000 // 48000,
+                                 m["channels"], None))
+                else:
+                    gran = 22050 * (i + 1)
+                    m = ogg_meta(write_ogg(
+                        [vorbis_id_header(1, 22050), b"\x03vorbis",
+                         b"x" * 12], granules=[0, 0, gran]))
+                    samples = int(round(m["duration_s"] * m["sample_rate"]))
+                    rows.append((i, m["codec"], m["n_pages"],
+                                 samples * 1_000_000 // m["sample_rate"],
+                                 m["channels"], None))
+            yield pd.DataFrame(rows, columns=[
+                "stream_id", "kind", "n_units", "duration_us",
+                "channels", "title"])
+
+    schema = ("stream_id long, kind string, n_units long, "
+              "duration_us long, channels int, title string")
+    return spark.range(9).repartition(3).mapInPandas(run, schema)
+
+
+Q106_SQL = """
+WITH s AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'opus'
+                    ELSE 'vorbis' END AS kind,
+         CASE i % 3 WHEN 0 THEN 40 + i*10 ELSE 4 - (i % 3 = 2)::INT
+              END AS n_units,
+         CASE i % 3
+           WHEN 0 THEN (40 + i*10) * 1152 * 1000000 // 44100
+           WHEN 1 THEN (4800 * (i + 1)) * 1000000 // 48000
+           ELSE (22050 * (i + 1)) * 1000000 // 22050
+         END AS duration_us,
+         CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 2 ELSE 1 END AS channels,
+         CASE i % 3 WHEN 0 THEN 'track ' || i ELSE NULL END AS title
+  FROM range(9) t(i)
+)
+SELECT CAST(i AS BIGINT) AS stream_id, kind,
+       CAST(n_units AS BIGINT) AS n_units,
+       CAST(duration_us AS BIGINT) AS duration_us,
+       CAST(channels AS INT) AS channels, title
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4861,6 +4996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_warc_content_encoding": q102_warc_content_encoding,
         "q103_projection_variants": q103_projection_variants,
         "q104_flac_audio_census": q104_flac_audio_census,
+        "q105_zipshard_census": q105_zipshard_census,
+        "q106_audio_metadata_census": q106_audio_metadata_census,
     }
 
 
@@ -4952,6 +5089,8 @@ def oracle_sql() -> dict[str, str]:
         "q102_warc_content_encoding": Q102_SQL,
         "q103_projection_variants": _q103_sql(),
         "q104_flac_audio_census": Q104_SQL,
+        "q105_zipshard_census": Q105_SQL,
+        "q106_audio_metadata_census": Q106_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

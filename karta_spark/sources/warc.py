@@ -41,7 +41,22 @@ WARC_SCHEMA = ("path string, record_idx long, warc_type string, "
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress ALL members of a multi-member gzip stream.  Corrupt
     members raise ValueError (uniform error type — crawl archives are
-    routinely truncated/corrupt and callers key on ValueError)."""
+    routinely truncated/corrupt and callers key on ValueError).
+    ``.warc.zst`` archives (zstd frames, possibly concatenated) are
+    sniffed on the frame magic and decompressed via pyarrow's bundled
+    zstd streaming reader; skippable dictionary frames (0x184D2A5x,
+    the warc-zstd convention) are not supported and raise."""
+    if data[:4] == b"\x28\xb5\x2f\xfd":  # zstd frame magic
+        import pyarrow as pa
+        try:
+            return pa.input_stream(pa.BufferReader(data),
+                                   compression="zstd").read()
+        except OSError as exc:
+            raise ValueError(f"corrupt zstd WARC stream: {exc}") from exc
+    if data[:4] in (b"\x50\x2a\x4d\x18", b"\x51\x2a\x4d\x18",
+                    b"\x52\x2a\x4d\x18", b"\x53\x2a\x4d\x18"):
+        raise ValueError("warc-zstd dictionary (skippable frame) "
+                         "archives not supported")
     out = bytearray()
     rest = data
     while rest[:2] == b"\x1f\x8b":
@@ -204,13 +219,22 @@ def parse_warc(data: bytes) -> list[dict]:
 # writer (fixtures + interchange)
 # ---------------------------------------------------------------------------
 
-def write_warc(records: list[dict], gzip_members: bool = True) -> bytes:
+def write_warc(records: list[dict], gzip_members: bool = True,
+               compression: str | None = None) -> bytes:
     """Serialize records to WARC/1.0 bytes.  Each record dict:
     ``warc_type`` (default ``conversion``), ``target_uri``,
     ``warc_date`` (ISO-8601), ``content_type``, ``payload`` (bytes),
-    optional ``record_id``.  ``gzip_members=True`` emits one gzip
-    member per record — the splittable `.warc.gz` layout crawlers
-    publish."""
+    optional ``record_id``.  ``gzip_members=True`` (the default)
+    emits one gzip member per record — the splittable `.warc.gz`
+    layout crawlers publish; ``compression='zstd'`` emits one zstd
+    frame per record (`.warc.zst`, no dictionary frame)."""
+    zstd_codec = None
+    if compression == "zstd":
+        import pyarrow as pa
+        zstd_codec = pa.Codec("zstd")
+        gzip_members = False
+    elif compression not in (None, "gzip"):
+        raise ValueError(f"unknown WARC compression {compression!r}")
     out = bytearray()
     for i, r in enumerate(records):
         payload = bytes(r["payload"])
@@ -225,7 +249,9 @@ def write_warc(records: list[dict], gzip_members: bool = True) -> bytes:
             f"Content-Length: {len(payload)}\r\n\r\n"
         ).encode("utf-8")
         rec = head + payload + b"\r\n\r\n"
-        if gzip_members:
+        if zstd_codec is not None:
+            out += bytes(zstd_codec.compress(rec))  # one frame/record
+        elif gzip_members:
             co = zlib.compressobj(6, zlib.DEFLATED, 31)
             out += co.compress(rec) + co.flush()
         else:

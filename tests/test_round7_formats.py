@@ -477,3 +477,150 @@ class TestFlac:
 
         out, _, _ = decode_flac(self._wrap(body, 32, 0, 1))
         assert np.array_equal(out[:, 0], x)
+
+
+class TestZipShard:
+    """ZIP shard container (sources/zipshard.py) — the WebDataset key
+    convention over stdlib zipfile."""
+
+    def _samples(self):
+        return [{"__key__": f"{i:05d}", "jpg": bytes([i]) * (10 + i),
+                 "txt": f"caption {i}".encode()} for i in range(6)]
+
+    def test_roundtrip(self):
+        from karta_spark.sources.zipshard import (parse_zip_shard,
+                                                  write_zip_shard)
+        s = self._samples()
+        out = parse_zip_shard(write_zip_shard(s))
+        assert out == s
+
+    def test_stored_and_first_dot_rule(self):
+        from karta_spark.sources.zipshard import (parse_zip_shard,
+                                                  write_zip_shard)
+        s = [{"__key__": "a", "jpg": b"x", "seg.png": b"y"}]
+        out = parse_zip_shard(write_zip_shard(s, compress=False))
+        assert out[0]["seg.png"] == b"y"  # ext = after FIRST dot
+
+    def test_deterministic_bytes(self):
+        from karta_spark.sources.zipshard import write_zip_shard
+        s = self._samples()
+        assert write_zip_shard(s) == write_zip_shard(s)
+
+    def test_corrupt_raises_valueerror(self):
+        from karta_spark.sources.zipshard import (parse_zip_shard,
+                                                  write_zip_shard)
+        blob = write_zip_shard(self._samples())
+        with pytest.raises(ValueError):
+            parse_zip_shard(b"PK\x03\x04 not a zip")
+        with pytest.raises(ValueError):
+            parse_zip_shard(blob[: len(blob) // 2])
+
+    def test_distributed(self, tmp_path, spark):
+        from karta_spark.sources.zipshard import (
+            read_zipshard_distributed, write_zip_shard)
+        import os
+        root = str(tmp_path / "shards")
+        os.makedirs(root)
+        for sh in range(3):
+            samples = [{"__key__": f"{sh}/{i}", "jpg": b"J" * (i + 1),
+                        "txt": f"s{sh}i{i}".encode()} for i in range(4)]
+            with open(f"{root}/part-{sh}.zip", "wb") as f:
+                f.write(write_zip_shard(samples))
+        df = read_zipshard_distributed(spark, root).toPandas()
+        assert len(df) == 12
+        assert df["txt"].map(lambda b: bytes(b).decode()).str.match(
+            r"s\d+i\d+").all()
+
+
+class TestAudioMeta:
+    """MP3/Ogg metadata extraction (sources/audiometa.py)."""
+
+    def test_mp3_cbr(self):
+        from karta_spark.sources.audiometa import (encode_mp3_frames,
+                                                   mp3_meta)
+        m = mp3_meta(encode_mp3_frames(100, 128, 44100,
+                                       tags={"TIT2": "T", "TPE1": "A"}))
+        assert m["n_frames"] == 100 and m["sample_rate"] == 44100
+        assert abs(m["duration_s"] - 100 * 1152 / 44100) < 1e-9
+        assert m["bitrate_kbps"] == 128 and not m["vbr"]
+        assert m["tags"] == {"TIT2": "T", "TPE1": "A"}
+        assert m["channels"] == 2 and m["layer"] == 3
+
+    def test_mp3_vbr_and_id3v1_trailer(self):
+        from karta_spark.sources.audiometa import (encode_mp3_frames,
+                                                   mp3_meta)
+        blob = (encode_mp3_frames(50, 128) + encode_mp3_frames(50, 192)
+                + b"TAG" + bytes(125))  # ID3v1 trailer tolerated
+        m = mp3_meta(blob)
+        assert m["vbr"] and m["n_frames"] == 100
+
+    def test_mp3_resync_over_leading_garbage(self):
+        from karta_spark.sources.audiometa import (encode_mp3_frames,
+                                                   mp3_meta)
+        m = mp3_meta(b"\x00garbage\xff" + encode_mp3_frames(10, 96))
+        assert m["n_frames"] == 10
+
+    def test_mp3_no_frames_raises(self):
+        from karta_spark.sources.audiometa import mp3_meta
+        with pytest.raises(ValueError):
+            mp3_meta(bytes(1000))
+
+    def test_opus_duration_pre_skip(self):
+        from karta_spark.sources.audiometa import (ogg_meta, opus_head,
+                                                   write_ogg)
+        og = write_ogg([opus_head(2, 312), b"OpusTags", b"\x00" * 40,
+                        b"\x00" * 40], granules=[0, 0, 24000, 48312])
+        m = ogg_meta(og)
+        assert m["codec"] == "opus" and m["channels"] == 2
+        assert abs(m["duration_s"] - 1.0) < 1e-9
+        assert m["pre_skip"] == 312 and m["n_pages"] == 4
+
+    def test_vorbis_duration(self):
+        from karta_spark.sources.audiometa import (ogg_meta,
+                                                   vorbis_id_header,
+                                                   write_ogg)
+        og = write_ogg([vorbis_id_header(1, 22050), b"\x03vorbis",
+                        b"x" * 10], granules=[0, 0, 44100])
+        m = ogg_meta(og)
+        assert m["codec"] == "vorbis" and m["sample_rate"] == 22050
+        assert abs(m["duration_s"] - 2.0) < 1e-9
+
+    def test_ogg_crc_verified(self):
+        from karta_spark.sources.audiometa import (ogg_meta, opus_head,
+                                                   write_ogg)
+        og = bytearray(write_ogg([opus_head(), b"\x00" * 20]))
+        og[-1] ^= 0xFF  # corrupt final payload byte
+        with pytest.raises(ValueError, match="CRC"):
+            ogg_meta(bytes(og))
+        ogg_meta(bytes(og), check_crc=False)  # tolerated when asked
+
+    def test_ogg_truncated_raises(self):
+        from karta_spark.sources.audiometa import (ogg_meta, opus_head,
+                                                   write_ogg)
+        og = write_ogg([opus_head(), b"\x00" * 300])
+        with pytest.raises(ValueError):
+            ogg_meta(og[:50])
+
+
+class TestWarcZstd:
+    def test_zstd_members_roundtrip(self):
+        from karta_spark.sources.warc import parse_warc, write_warc
+        recs = [{"warc_type": "conversion",
+                 "target_uri": f"https://x.example/{i}",
+                 "payload": f"doc {i} ".encode() * 10} for i in range(5)]
+        blob = write_warc(recs, compression="zstd")
+        assert blob[:4] == b"\x28\xb5\x2f\xfd"  # zstd frame magic
+        out = parse_warc(blob)
+        assert len(out) == 5
+        assert out[3]["payload"] == recs[3]["payload"]
+
+    def test_corrupt_zstd_raises(self):
+        from karta_spark.sources.warc import parse_warc, write_warc
+        blob = write_warc([{"payload": b"x" * 100}], compression="zstd")
+        with pytest.raises(ValueError):
+            parse_warc(blob[:10])
+
+    def test_dictionary_frame_rejected(self):
+        from karta_spark.sources.warc import parse_warc
+        with pytest.raises(ValueError, match="dictionary"):
+            parse_warc(b"\x50\x2a\x4d\x18\x04\x00\x00\x00dict" + b"\x00" * 8)
