@@ -4890,6 +4890,53 @@ FROM s
 """
 
 
+def q107_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter benchmark decontamination (round 7): the 100 TB
+    shape of q51 — when the benchmark gram set outgrows a broadcast
+    semi-join, a CONSTANT-size Bloom bitset (8M bits here) probes
+    every corpus gram Arrow-batched, then the exact gram join verifies
+    ONLY the candidate docs (operators/text.py
+    bloom_contaminated_ids).  Zero false negatives by construction,
+    false positives removed by the verify phase, so the output is
+    bit-identical to the exact path at any scale.
+
+    Value-oracle-exact: DuckDB recomputes the exact gram-overlap
+    answer (the q51 shape, benchmark = doc_id % 13); a Bloom build
+    (bit_or word aggregation), probe kernel, or verify slip flips a
+    contamination flag and fails the hash gate."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 13 == 0)
+    corpus = d.where(F.col("doc_id") % 13 != 0)
+    bad = text.bloom_contaminated_ids(corpus, bench, "text", "doc_id",
+                                      n=5, m_bits=1 << 23, k=5)
+    return (corpus.join(bad.withColumnRenamed("id", "doc_id")
+                        .withColumn("contaminated", F.lit(True)),
+                        "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("contaminated",
+                               F.lit(False)).alias("contaminated")))
+
+
+Q107_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), doc_g AS (
+  SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i+4 AS INT)], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+  WHERE doc_id % 13 <> 0 AND len(t) >= 5
+), bench_g AS (
+  SELECT DISTINCT array_to_string(t[CAST(i AS INT):CAST(i+4 AS INT)], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+  WHERE doc_id % 13 = 0 AND len(t) >= 5
+), bad AS (
+  SELECT DISTINCT doc_id FROM doc_g WHERE g IN (SELECT g FROM bench_g)
+)
+SELECT d.doc_id, (bad.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN bad ON d.doc_id = bad.doc_id
+WHERE d.doc_id % 13 <> 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4998,6 +5045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_flac_audio_census": q104_flac_audio_census,
         "q105_zipshard_census": q105_zipshard_census,
         "q106_audio_metadata_census": q106_audio_metadata_census,
+        "q107_bloom_decontaminate": q107_bloom_decontaminate,
     }
 
 
@@ -5091,6 +5139,7 @@ def oracle_sql() -> dict[str, str]:
         "q104_flac_audio_census": Q104_SQL,
         "q105_zipshard_census": Q105_SQL,
         "q106_audio_metadata_census": Q106_SQL,
+        "q107_bloom_decontaminate": Q107_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

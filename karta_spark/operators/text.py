@@ -338,6 +338,96 @@ def decontaminate(df: DataFrame, bench: DataFrame, text_col: str,
     return df.join(bad.withColumnRenamed("id", id_col), id_col, "left_anti")
 
 
+def build_gram_bloom(bench: DataFrame, text_col: str, n: int = 5,
+                     m_bits: int = 1 << 23, k: int = 5):
+    """Bloom bitset over the benchmark's word n-grams.
+
+    The 100 TB shape for decontamination: the exact path
+    (contaminated_ids) semi-joins against the distinct benchmark gram
+    set, which stops broadcasting when the benchmark grows past
+    executor memory.  A Bloom filter is CONSTANT-size (m_bits/8 bytes
+    regardless of benchmark size) with zero false negatives, so it is
+    always broadcastable; its false positives are removed by an exact
+    verify limited to the candidate subset (bloom_contaminated_ids
+    verify=True).
+
+    Build plan is fully distributed: grams -> k xxhash64 positions ->
+    per-64-bit-word bit_or aggregation — the driver materializes at
+    most m_bits/64 (word_idx, word) rows (131k for the 8M-bit
+    default), never the gram set itself.  Returns a numpy uint64
+    array of length m_bits/64."""
+    import numpy as np
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    grams = bench.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+    pos = None
+    for seed in range(k):
+        p = grams.select(
+            F.pmod(F.xxhash64(F.col("g"), F.lit(seed)),
+                   F.lit(m_bits)).alias("pos"))
+        pos = p if pos is None else pos.unionAll(p)
+    words = (pos
+             .select((F.col("pos") / 64).cast("long").alias("w"),
+                     F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")
+                     .alias("bit"))
+             .groupBy("w").agg(F.expr("bit_or(bit)").alias("bits"))
+             .collect())  # bounded: <= m_bits/64 rows by construction
+    bitset = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in words:
+        bitset[int(r["w"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return bitset
+
+
+def bloom_contaminated_ids(df: DataFrame, bench: DataFrame,
+                           text_col: str, id_col: str, n: int = 5,
+                           m_bits: int = 1 << 23, k: int = 5,
+                           verify: bool = True) -> DataFrame:
+    """Two-phase benchmark decontamination for corpus scale:
+
+    1. PROBE — every corpus gram checks k Bloom bits in an
+       Arrow-batched kernel over the broadcast constant-size bitset;
+       docs with any fully-set gram become candidates.  Zero false
+       negatives by Bloom construction.
+    2. VERIFY (default) — the exact gram semi-join of
+       contaminated_ids runs on the CANDIDATE DOCS ONLY, removing
+       Bloom false positives.  Output == the exact path, but the
+       expensive join touches a tiny fraction of a 100 TB corpus.
+
+    verify=False returns the raw candidate superset (useful when a
+    conservative drop is acceptable and the benchmark is huge)."""
+    import numpy as np
+    import pandas as pd
+    spark = df.sparkSession
+    bitset = build_gram_bloom(bench, text_col, n, m_bits, k)
+    bc = spark.sparkContext.broadcast(bitset)
+    grams = df.select(F.col(id_col).alias("id"),
+                      F.explode(word_ngrams(F.col(text_col), n))
+                      .alias("g"))
+    hcols = [F.pmod(F.xxhash64(F.col("g"), F.lit(s)), F.lit(m_bits))
+             .alias(f"h{s}") for s in range(k)]
+    hashed = grams.select("id", *hcols)
+
+    def probe(batches):
+        bs = bc.value
+        for pdf in batches:
+            hits = np.ones(len(pdf), dtype=bool)
+            for s in range(k):
+                p = pdf[f"h{s}"].to_numpy().astype(np.int64)
+                word = bs[p >> 6]
+                hits &= (word >> (p & 63).astype(np.uint64)
+                         & np.uint64(1)).astype(bool)
+            yield pd.DataFrame({"id": pdf["id"][hits]})
+
+    cand = hashed.mapInPandas(probe, f"id {df.schema[id_col].dataType.simpleString()}") \
+                 .distinct()
+    if not verify:
+        return cand
+    cand_docs = df.join(cand.withColumnRenamed("id", id_col),
+                        id_col, "left_semi")
+    return contaminated_ids(cand_docs, bench, text_col, id_col, n)
+
+
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One row per document with the full feature set."""
     c = F.col(text_col)

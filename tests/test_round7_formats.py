@@ -624,3 +624,45 @@ class TestWarcZstd:
         from karta_spark.sources.warc import parse_warc
         with pytest.raises(ValueError, match="dictionary"):
             parse_warc(b"\x50\x2a\x4d\x18\x04\x00\x00\x00dict" + b"\x00" * 8)
+
+
+class TestBloomDecontaminate:
+    """Bloom-filter decontamination (operators/text.py): the
+    constant-size scale path must equal the exact gram semi-join."""
+
+    def _corpus(self, spark):
+        import pyspark.sql.functions as F
+        rows = [(i, " ".join(f"w{(i * j * 7) % 97}" for j in range(12))
+                 + (" leak one two three four" if i % 9 == 0 else ""))
+                for i in range(300)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return (docs.where(F.col("doc_id") % 30 != 0),
+                docs.where(F.col("doc_id") % 30 == 0))
+
+    def test_verified_equals_exact(self, spark):
+        from karta_spark.operators import text as T
+        corpus, bench = self._corpus(spark)
+        exact = {r.id for r in T.contaminated_ids(
+            corpus, bench, "text", "doc_id", n=5).collect()}
+        bloom = {r.id for r in T.bloom_contaminated_ids(
+            corpus, bench, "text", "doc_id", n=5).collect()}
+        assert bloom == exact and len(exact) > 0
+
+    def test_raw_candidates_are_superset(self, spark):
+        # zero false negatives by Bloom construction, even at a small
+        # m_bits where false positives are likely
+        from karta_spark.operators import text as T
+        corpus, bench = self._corpus(spark)
+        exact = {r.id for r in T.contaminated_ids(
+            corpus, bench, "text", "doc_id", n=5).collect()}
+        raw = {r.id for r in T.bloom_contaminated_ids(
+            corpus, bench, "text", "doc_id", n=5, m_bits=1 << 10,
+            verify=False).collect()}
+        assert exact <= raw
+
+    def test_bitset_is_constant_size(self, spark):
+        from karta_spark.operators.text import build_gram_bloom
+        _, bench = self._corpus(spark)
+        bs = build_gram_bloom(bench, "text", n=5, m_bits=1 << 16)
+        assert bs.nbytes == (1 << 16) // 8
+        assert bs.sum() > 0  # bits actually set
