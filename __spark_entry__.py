@@ -4937,6 +4937,67 @@ WHERE d.doc_id % 13 <> 0
 """
 
 
+_Q108_ROBOTS = [
+    # host 0: agent-specific group shadows the catch-all deny
+    ("User-agent: kartabot\nDisallow: /private/\nAllow: /private/ok/\n"
+     "\nUser-agent: *\nDisallow: /\n"),
+    # host 1: wildcard + $ anchor, prefix rule
+    ("User-agent: *\nDisallow: /tmp/*.bin$\nDisallow: /admin\n"),
+    # host 2: no rules at all
+    "",
+]
+
+
+def q108_robots_eval(spark, sf_dir):
+    """robots.txt permission census (round 7): a crawl→training
+    pipeline must honor robots.txt (RFC 9309); sources/robots.py
+    implements group selection (longest agent match, * fallback),
+    longest-rule-match-wins with allow-on-tie, wildcard + $ anchors,
+    and the Arrow-batched (robots, url) evaluator with per-blob parse
+    caching.  60 closed-form URLs across three host rule-sets are
+    evaluated distributed for agent 'kartabot'.
+
+    Value-oracle-exact: every decision is re-derived in DuckDB from
+    the DESIGNED rule semantics (CASE over the url shapes), so a
+    group-selection, longest-match, anchor, or tie-break slip flips
+    an `allowed` and fails the hash gate."""
+    from karta_spark.sources.robots import robots_allowed
+    rows = []
+    for i in range(60):
+        h = i % 3
+        kind = i % 5
+        path = [f"/private/p{i}", f"/private/ok/p{i}", f"/tmp/f{i}.bin",
+                f"/admin/x{i}", f"/page/{i}"][kind]
+        rb = _Q108_ROBOTS[h]
+        rows.append((i, h, rb, path))
+    df = spark.createDataFrame(
+        rows, "url_id long, host long, robots_txt string, url string")
+    out = robots_allowed(df, agent="kartabot")
+    return out.select("url_id", "host", "url", "allowed")
+
+
+Q108_SQL = """
+WITH u AS (
+  SELECT i, i % 3 AS h, i % 5 AS kind,
+         CASE i % 5
+           WHEN 0 THEN '/private/p' || i
+           WHEN 1 THEN '/private/ok/p' || i
+           WHEN 2 THEN '/tmp/f' || i || '.bin'
+           WHEN 3 THEN '/admin/x' || i
+           ELSE '/page/' || i END AS url
+  FROM range(60) t(i)
+)
+SELECT CAST(i AS BIGINT) AS url_id, CAST(h AS BIGINT) AS host, url,
+       CASE
+         WHEN h = 0 THEN kind <> 0        -- kartabot group: only
+                                          -- /private/ (not ok/) denied
+         WHEN h = 1 THEN kind NOT IN (2, 3)  -- *.bin$ and /admin denied
+         ELSE TRUE                        -- empty robots: all allowed
+       END AS allowed
+FROM u
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5046,6 +5107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_zipshard_census": q105_zipshard_census,
         "q106_audio_metadata_census": q106_audio_metadata_census,
         "q107_bloom_decontaminate": q107_bloom_decontaminate,
+        "q108_robots_eval": q108_robots_eval,
     }
 
 
@@ -5140,6 +5202,7 @@ def oracle_sql() -> dict[str, str]:
         "q105_zipshard_census": Q105_SQL,
         "q106_audio_metadata_census": Q106_SQL,
         "q107_bloom_decontaminate": Q107_SQL,
+        "q108_robots_eval": Q108_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -666,3 +666,64 @@ class TestBloomDecontaminate:
         bs = build_gram_bloom(bench, "text", n=5, m_bits=1 << 16)
         assert bs.nbytes == (1 << 16) // 8
         assert bs.sum() > 0  # bits actually set
+
+
+class TestRobots:
+    """robots.txt evaluation (sources/robots.py, RFC 9309 + the
+    wildcard/$ extensions both major engines ship)."""
+
+    R = ("# example\n"
+         "User-agent: kartabot\n"
+         "User-agent: otherbot\n"
+         "Disallow: /private/\n"
+         "Allow: /private/ok/\n"
+         "Disallow: /tmp/*.bin$\n"
+         "Crawl-delay: 2.5\n"
+         "\n"
+         "User-agent: *\n"
+         "Disallow: /admin\n"
+         "Allow:\n"
+         "\n"
+         "Sitemap: https://x.example/sitemap.xml\n")
+
+    @pytest.mark.parametrize("agent,url,want", [
+        ("kartabot", "/private/x", False),
+        ("kartabot", "/private/ok/page", True),  # longer Allow wins
+        ("kartabot", "/public", True),           # no rule -> allowed
+        ("kartabot", "/tmp/a.bin", False),       # wildcard + $ anchor
+        ("kartabot", "/tmp/a.bin.txt", True),    # $ must anchor
+        ("unknown", "/admin/x", False),          # falls to * group
+        ("unknown", "/other", True),
+        ("kartabot", "https://h.example/private/z?q=1", False),
+    ])
+    def test_decisions(self, agent, url, want):
+        from karta_spark.sources.robots import is_allowed
+        assert is_allowed(self.R, agent, url) is want
+
+    def test_group_selection_longest_match_and_delay(self):
+        from karta_spark.sources.robots import (crawl_delay,
+                                                parse_robots,
+                                                select_group)
+        p = parse_robots(self.R)
+        assert select_group(p, "KartaBot/1.0")["agents"] == \
+            ["kartabot", "otherbot"]
+        assert crawl_delay(self.R, "kartabot") == 2.5
+        assert crawl_delay(self.R, "unknown") is None
+        assert p["sitemaps"] == ["https://x.example/sitemap.xml"]
+
+    def test_tie_goes_to_allow_and_empty_disallow(self):
+        from karta_spark.sources.robots import is_allowed
+        r = "User-agent: *\nDisallow: /x\nAllow: /x"
+        assert is_allowed(r, "any", "/x/page") is True
+        assert is_allowed("User-agent: *\nDisallow:", "a", "/any") is True
+        assert is_allowed("", "a", "/any") is True  # no groups -> allowed
+
+    def test_distributed_eval(self, spark):
+        from karta_spark.sources.robots import robots_allowed
+        rows = [(i, self.R, f"/private/p{i}" if i % 2 else "/ok")
+                for i in range(20)]
+        df = spark.createDataFrame(
+            rows, "url_id long, robots_txt string, url string")
+        out = robots_allowed(df, agent="kartabot").toPandas()
+        assert (out[out.url_id % 2 == 1]["allowed"] == False).all()  # noqa: E712
+        assert (out[out.url_id % 2 == 0]["allowed"] == True).all()   # noqa: E712
