@@ -4998,6 +4998,47 @@ FROM u
 """
 
 
+def q109_bpe_roundtrip(spark, sf_dir):
+    """BPE tokenizer roundtrip census (round 7): train 60 merges over
+    the documents corpus (operators/bpe.py — word counting is the one
+    distributed pass; the merge loop runs on the bounded distinct-word
+    table, the production-trainer split; deterministic under any
+    partitioning by count-desc/lexicographic tie-break), encode every
+    document Arrow-batched, detokenize in PURE CATALYST
+    (array_join + the </w> marker), and verify lossless reconstruction
+    per document.
+
+    Value-oracle-exact: the decoded text must equal the whitespace-
+    normalized original, so DuckDB regenerates n_chars_decoded with
+    regexp_replace and pins roundtrip_ok/tokens_ge_words TRUE — any
+    merge-table, encoder, or marker slip breaks a row."""
+    from karta_spark.operators import bpe
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(d, "text", n_merges=60)
+    enc = bpe.encode_texts(d, "text", "doc_id", merges)
+    dec = F.trim(F.regexp_replace(F.array_join("tokens", ""),
+                                  "</w>", " "))
+    norm = F.trim(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (enc.withColumnRenamed("id", "doc_id")
+            .join(d.select("doc_id", "text"), "doc_id")
+            .select("doc_id",
+                    F.length(dec).cast("long").alias("n_chars_decoded"),
+                    (dec == norm).alias("roundtrip_ok"),
+                    (F.col("n_tokens") >= n_words.cast("long"))
+                    .alias("tokens_ge_words")))
+
+
+Q109_SQL = r"""
+SELECT doc_id,
+       CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+            AS BIGINT) AS n_chars_decoded,
+       TRUE AS roundtrip_ok,
+       TRUE AS tokens_ge_words
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5108,6 +5149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_audio_metadata_census": q106_audio_metadata_census,
         "q107_bloom_decontaminate": q107_bloom_decontaminate,
         "q108_robots_eval": q108_robots_eval,
+        "q109_bpe_roundtrip": q109_bpe_roundtrip,
     }
 
 
@@ -5203,6 +5245,7 @@ def oracle_sql() -> dict[str, str]:
         "q106_audio_metadata_census": Q106_SQL,
         "q107_bloom_decontaminate": Q107_SQL,
         "q108_robots_eval": Q108_SQL,
+        "q109_bpe_roundtrip": Q109_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -24,10 +24,13 @@ class TestFromProj4Strictness:
     """ADVICE r3 (low): unsupported merc/stere variants must raise, not
     silently coerce to WEB_MERCATOR / polar stereographic."""
 
-    def test_nonpolar_stere_raises(self):
+    def test_nonpolar_stere_routes_to_oblique_kind(self):
+        # r4 rejected these rather than silently coercing to the polar
+        # kind; since round 7 plain oblique stereographic is a real
+        # kind of its own (q97) — still never coerced to polar
         from karta_spark.functions import crs
-        with pytest.raises(ValueError, match="non-polar"):
-            crs.from_proj4("+proj=stere +lat_0=45 +lon_0=0 +k=1")
+        c = crs.from_proj4("+proj=stere +lat_0=45 +lon_0=0 +k=1")
+        assert c.kind == "stere_obl" and c.params[0] == 45.0
 
     def test_ellipsoidal_merc_resolves_to_true_mercator(self):
         # r4 rejected these rather than silently coercing to Web

@@ -727,3 +727,61 @@ class TestRobots:
         out = robots_allowed(df, agent="kartabot").toPandas()
         assert (out[out.url_id % 2 == 1]["allowed"] == False).all()  # noqa: E712
         assert (out[out.url_id % 2 == 0]["allowed"] == True).all()   # noqa: E712
+
+
+class TestBpe:
+    """BPE tokenizer (operators/bpe.py): distributed word counting +
+    driver merge loop over the bounded vocab + distributed encode."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, "low lower lowest newer newest wide wider widest "
+              * (1 + i % 3)) for i in range(50)],
+            "doc_id long, text string")
+
+    def test_classic_merge_order(self, spark):
+        # the Sennrich corpus shape: frequent pairs merge first and the
+        # order is fully deterministic (count desc, pair lexicographic)
+        from karta_spark.operators import bpe
+        merges = bpe.train_bpe(self._docs(spark), "text", n_merges=6)
+        assert merges[0] == ("w", "e")  # 'we' appears in 6 of 8 words
+        assert all(isinstance(a, str) and isinstance(b, str)
+                   for a, b in merges)
+
+    def test_roundtrip_lossless(self, spark):
+        from karta_spark.operators import bpe
+        docs = self._docs(spark)
+        merges = bpe.train_bpe(docs, "text", n_merges=30)
+        enc = {r["id"]: r["tokens"] for r in
+               bpe.encode_texts(docs, "text", "doc_id", merges).collect()}
+        for r in docs.collect():
+            want = " ".join(r["text"].split())
+            assert bpe.detokenize(enc[r["doc_id"]]) == want
+
+    def test_partition_independent(self, spark):
+        from karta_spark.operators import bpe
+        docs = self._docs(spark)
+        m1 = bpe.train_bpe(docs, "text", n_merges=25)
+        m2 = bpe.train_bpe(docs.repartition(13), "text", n_merges=25)
+        assert m1 == m2
+
+    def test_whole_words_become_single_tokens(self, spark):
+        from karta_spark.operators import bpe
+        docs = self._docs(spark)
+        merges = bpe.train_bpe(docs, "text", n_merges=60)
+        enc = bpe.encode_texts(docs, "text", "doc_id", merges)
+        r0 = enc.where("id = 0").collect()[0]
+        # enough merges: all 8 distinct words collapse to 1 token each
+        assert r0["n_tokens"] == 8
+        assert r0["tokens"][0] == "low</w>"
+
+    def test_unseen_chars_fall_back_to_chars(self, spark):
+        from karta_spark.operators import bpe
+        docs = self._docs(spark)
+        merges = bpe.train_bpe(docs, "text", n_merges=10)
+        enc = bpe.encode_texts(
+            spark.createDataFrame([(0, "xyzzy")],
+                                  "doc_id long, text string"),
+            "text", "doc_id", merges)
+        toks = enc.collect()[0]["tokens"]
+        assert bpe.detokenize(toks) == "xyzzy"
