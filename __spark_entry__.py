@@ -5039,6 +5039,82 @@ FROM documents
 """
 
 
+def q110_image_quality_census(spark, sf_dir):
+    """Image quality-filter statistics (round 7): the LAION-style
+    corpus gate for image training data — brightness (mean luma),
+    contrast (luma std), Laplacian variance (the standard blur
+    metric), and luma-histogram entropy, per image, Arrow-batched
+    over decoded pixels (multimodal.image_quality_stats).
+
+    Value-oracle-exact: the synthetic pixels are the SQL-expressible
+    hash (pixels_for_phash / pixel_hash_sql, the q36 machinery), the
+    luma is the integer BT.601 sum, and the moment arithmetic uses a
+    fixed IEEE op sequence on both engines, so DuckDB regenerates all
+    four statistics to the rounded digit — any decode, stencil, or
+    histogram slip moves a value and fails the hash gate.  (JPEG rows
+    excluded: lossy decode has no SQL twin; pinned by q24/q59.)"""
+    from karta_spark.sources import multimodal
+    imgs = images.synth_images(spark, 24, partitions=4) \
+        .where(F.col("fmt") != "jpeg")
+    stats = multimodal.image_quality_stats(imgs)
+    return stats.select(
+        "image_id", "width", "height",
+        F.round("aspect", 6).alias("aspect"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round("std_luma", 6).alias("std_luma"),
+        F.round("laplacian_var", 6).alias("laplacian_var"),
+        F.round("entropy", 6).alias("entropy"))
+
+
+def _q110_sql():
+    from karta_spark.sources.images import pixel_hash_sql
+    b = [pixel_hash_sql("phash", f"(y*16 + x)*3 + {c}") for c in range(3)]
+    return f"""
+WITH ids AS (
+  SELECT CAST(i AS BIGINT) AS i FROM range(24) t(i) WHERE i % 3 != 2
+), ph AS (
+  SELECT i, (i * 2654435761) % 4294967296
+           + ((i * 2246822519) % 2147483648) * 4294967296 AS phash
+  FROM ids
+), pix AS (
+  SELECT i, CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+         299*({b[0]}) + 587*({b[1]}) + 114*({b[2]}) AS luma
+  FROM ph, range(16) t(y), range(16) s(x)
+), lap AS (
+  SELECT p.i, 4*p.luma - u.luma - d.luma - l.luma - r.luma AS v
+  FROM pix p
+  JOIN pix u ON u.i = p.i AND u.y = p.y - 1 AND u.x = p.x
+  JOIN pix d ON d.i = p.i AND d.y = p.y + 1 AND d.x = p.x
+  JOIN pix l ON l.i = p.i AND l.y = p.y AND l.x = p.x - 1
+  JOIN pix r ON r.i = p.i AND r.y = p.y AND r.x = p.x + 1
+  WHERE p.y BETWEEN 1 AND 14 AND p.x BETWEEN 1 AND 14
+), mom AS (
+  SELECT i, sum(luma) AS s1, sum(luma*luma) AS s2 FROM pix GROUP BY i
+), lmom AS (
+  SELECT i, sum(v) AS s1, sum(v*v) AS s2 FROM lap GROUP BY i
+), hist AS (
+  SELECT i, luma // 1000 AS bin, count(*) AS c
+  FROM pix GROUP BY i, luma // 1000
+), ent AS (
+  SELECT i, -sum((c/256.0) * log2(c/256.0)) AS entropy
+  FROM hist GROUP BY i
+)
+SELECT 'img' || lpad(CAST(m.i AS VARCHAR), 12, '0') AS image_id,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       round(1.0, 6) AS aspect,
+       round(CAST(m.s1 AS DOUBLE)/256/1000.0, 6) AS mean_luma,
+       round(sqrt(greatest(
+         (CAST(m.s2 AS DOUBLE)/256
+          - (CAST(m.s1 AS DOUBLE)/256)*(CAST(m.s1 AS DOUBLE)/256))
+         / 1000000.0, 0.0)), 6) AS std_luma,
+       round((CAST(lm.s2 AS DOUBLE)/196
+              - (CAST(lm.s1 AS DOUBLE)/196)*(CAST(lm.s1 AS DOUBLE)/196))
+             / 1000000.0, 6) AS laplacian_var,
+       round(e.entropy, 6) AS entropy
+FROM mom m JOIN lmom lm ON lm.i = m.i JOIN ent e ON e.i = m.i
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5150,6 +5226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_bloom_decontaminate": q107_bloom_decontaminate,
         "q108_robots_eval": q108_robots_eval,
         "q109_bpe_roundtrip": q109_bpe_roundtrip,
+        "q110_image_quality_census": q110_image_quality_census,
     }
 
 
@@ -5246,6 +5323,7 @@ def oracle_sql() -> dict[str, str]:
         "q107_bloom_decontaminate": Q107_SQL,
         "q108_robots_eval": Q108_SQL,
         "q109_bpe_roundtrip": Q109_SQL,
+        "q110_image_quality_census": _q110_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -97,6 +97,64 @@ def image_features(images: DataFrame, pool: int = 4) -> DataFrame:
     return images.mapInPandas(run, FEATURES_SCHEMA)
 
 
+def image_quality_stats(images: DataFrame, bytes_col: str = "bytes",
+                        id_col: str = "image_id",
+                        fmt_col: str = "fmt") -> DataFrame:
+    """Corpus-filtering statistics per image (the LAION-style quality
+    gate for image training data): dimensions + aspect, mean/std of
+    integer luma (brightness/contrast), Laplacian variance over the
+    interior (the standard blur metric — low variance = blurry), and
+    8-bit luma histogram entropy (flat/synthetic-image detector).
+    Arrow-batched decode; integer luma (the BT.601 sum in int64) keeps
+    mean/std exactly reproducible across engines."""
+    schema = (f"{id_col} string, width int, height int, aspect double, "
+              "mean_luma double, std_luma double, laplacian_var double, "
+              "entropy double")
+
+    def run(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for iid, raw, f0 in zip(pdf[id_col].to_numpy(),
+                                    pdf[bytes_col].to_numpy(),
+                                    pdf[fmt_col].to_numpy()):
+                pix = decode_image(bytes(raw), f0)
+                if pix.ndim == 2:
+                    pix = np.repeat(pix[:, :, None], 3, axis=2)
+                h, w = pix.shape[:2]
+                # integer BT.601 luma (x1000) — exact in int64, so the
+                # moments match a SQL twin bit-for-bit after /1000
+                p = pix.astype(np.int64)
+                luma = (299 * p[:, :, 0] + 587 * p[:, :, 1]
+                        + 114 * p[:, :, 2])
+                lsum = int(luma.sum())
+                lsq = int((luma * luma).sum())
+                n = h * w
+                # multiplication (not **2) so a SQL twin can reproduce
+                # the identical IEEE op sequence
+                mean = lsum / n / 1000.0
+                var = (lsq / n - (lsum / n) * (lsum / n)) / 1e6
+                lap = (4 * luma[1:-1, 1:-1] - luma[:-2, 1:-1]
+                       - luma[2:, 1:-1] - luma[1:-1, :-2]
+                       - luma[1:-1, 2:])
+                ni = lap.size
+                lap_var = 0.0
+                if ni:
+                    s1, s2 = int(lap.sum()), int((lap * lap).sum())
+                    lap_var = (s2 / ni - (s1 / ni) * (s1 / ni)) / 1e6
+                lum8 = luma // 1000
+                hist = np.bincount(lum8.ravel(), minlength=256)
+                pnz = hist[hist > 0] / n
+                entropy = float(-(pnz * np.log2(pnz)).sum())
+                rows.append((iid, w, h, w / h, mean,
+                             float(np.sqrt(max(var, 0.0))), lap_var,
+                             entropy))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "width", "height", "aspect", "mean_luma",
+                "std_luma", "laplacian_var", "entropy"])
+
+    return images.mapInPandas(run, schema)
+
+
 AUDIO_SCHEMA = StructType([
     StructField("clip_id", StringType()),
     StructField("sample_rate", IntegerType()),

@@ -785,3 +785,48 @@ class TestBpe:
             "text", "doc_id", merges)
         toks = enc.collect()[0]["tokens"]
         assert bpe.detokenize(toks) == "xyzzy"
+
+
+class TestImageQualityStats:
+    """LAION-style image quality gate (multimodal.image_quality_stats)."""
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+        from karta_spark.sources import images as I
+        from karta_spark.sources import multimodal
+        import pyspark.sql.functions as F
+        imgs = I.synth_images(spark, 9, partitions=2) \
+            .where(F.col("fmt") != "jpeg")
+        out = multimodal.image_quality_stats(imgs).toPandas() \
+            .set_index("image_id")
+        for _, r in imgs.toPandas().iterrows():
+            pix = I.pixels_for_phash(int(r["phash"])).astype(np.int64)
+            luma = 299 * pix[:, :, 0] + 587 * pix[:, :, 1] + 114 * pix[:, :, 2]
+            got = out.loc[r["image_id"]]
+            assert got["width"] == 16 and got["height"] == 16
+            assert abs(got["mean_luma"] - luma.mean() / 1000.0) < 1e-6
+            assert abs(got["std_luma"] - luma.std() / 1000.0) < 1e-6
+            lap = (4 * luma[1:-1, 1:-1] - luma[:-2, 1:-1]
+                   - luma[2:, 1:-1] - luma[1:-1, :-2] - luma[1:-1, 2:])
+            assert abs(got["laplacian_var"] - lap.var() / 1e6) < 1e-4
+            hist = np.bincount((luma // 1000).ravel(), minlength=256)
+            p = hist[hist > 0] / luma.size
+            assert abs(got["entropy"] + (p * np.log2(p)).sum()) < 1e-9
+
+    def test_blur_metric_orders_sharpness(self, spark):
+        # a constant image has zero Laplacian variance; noise has lots
+        import numpy as np
+        from karta_spark.sources import multimodal
+        from karta_spark.sources.images import encode_png
+        flat = np.full((16, 16, 3), 128, np.uint8)
+        rng = np.random.default_rng(1)
+        noisy = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [("flat", bytearray(encode_png(flat)), "png"),
+             ("noisy", bytearray(encode_png(noisy)), "png")],
+            "image_id string, bytes binary, fmt string")
+        out = multimodal.image_quality_stats(df).toPandas() \
+            .set_index("image_id")
+        assert out.loc["flat", "laplacian_var"] == 0.0
+        assert out.loc["noisy", "laplacian_var"] > 100.0
+        assert out.loc["flat", "entropy"] == 0.0
