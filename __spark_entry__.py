@@ -5115,6 +5115,119 @@ FROM mom m JOIN lmom lm ON lm.i = m.i JOIN ent e ON e.i = m.i
 """
 
 
+def q111_sitemap_frontier(spark, sf_dir):
+    """Sitemap frontier census (round 7): the crawl-seed source that
+    pairs with robots.txt (q108) — XML urlsets (one gzipped), a
+    sitemapindex, and a plain-text sitemap, parsed DISTRIBUTED
+    (sources/sitemap.py: binaryFile scan, namespace-agnostic XML,
+    gzip sniff, on_error contract), censused per file kind.
+
+    Value-oracle-exact: entry counts, lastmod coverage, and the
+    priority sum (x100 as BIGINT) are closed form over (file, entry),
+    so DuckDB regenerates them — an XML-namespace, gzip, or
+    text-fallback slip moves a count and fails the hash gate."""
+    import os
+    import tempfile
+    from karta_spark.sources.sitemap import (sitemap_urls_distributed,
+                                             write_sitemap)
+    root = os.path.join(tempfile.gettempdir(), "karta_q111_sitemap")
+    os.makedirs(root, exist_ok=True)
+    for s in range(2):  # two urlsets, the second gzipped
+        urls = [{"loc": f"https://ex.org/s{s}/p{i}",
+                 "lastmod": f"2024-01-{i + 1:02d}" if i % 2 == 0 else None,
+                 "priority": f"0.{(i % 5) + 1}"} for i in range(8 + s)]
+        with open(os.path.join(root, f"map{s}.xml"
+                               + (".gz" if s else "")), "wb") as f:
+            f.write(write_sitemap(urls, compress=bool(s)))
+    with open(os.path.join(root, "index.xml"), "wb") as f:
+        f.write(write_sitemap([f"https://ex.org/shard{k}.xml"
+                               for k in range(5)], index=True))
+    with open(os.path.join(root, "plain.txt"), "wb") as f:
+        f.write(b"".join(f"https://ex.org/t/{i}\n".encode()
+                         for i in range(6)))
+    rows = sitemap_urls_distributed(spark, root)
+    return (rows.groupBy("kind")
+            .agg(F.count("*").cast("long").alias("n_entries"),
+                 F.sum(F.col("lastmod").isNotNull().cast("long"))
+                 .alias("n_lastmod"),
+                 F.coalesce(F.sum(F.round(F.col("priority") * 100, 0)
+                                  .cast("long")), F.lit(0))
+                 .alias("priority_x100")))
+
+
+Q111_SQL = """
+WITH u AS (  -- the two urlsets
+  SELECT s, i, (i % 2 = 0) AS has_lm, ((i % 5) + 1) * 10 AS px100
+  FROM range(2) t(s), range(9) r(i) WHERE i < 8 + s
+)
+SELECT 'urlset' AS kind, CAST(count(*) AS BIGINT) AS n_entries,
+       CAST(sum(has_lm::INT) AS BIGINT) AS n_lastmod,
+       CAST(sum(px100) AS BIGINT) AS priority_x100
+FROM u
+UNION ALL
+SELECT 'sitemapindex', 5, 0, 0
+UNION ALL
+SELECT 'text', 6, 0, 0
+"""
+
+
+def q112_warc_cdx_index(spark, sf_dir):
+    """CDX index build (round 7): the Common Crawl index convention —
+    per-record (offset, length, sha1 digest) rows enabling O(1) range
+    requests into petabyte archives (sources/warc.py warc_cdx, gzip
+    members tracked via decompressobj unused_data).  Four `.warc.gz`
+    shards indexed DISTRIBUTED, then censused per shard with the
+    structural invariants: members start at 0 and TILE the file
+    (min(offset)=0 ∧ Σlength = max(offset+length) ⇒ contiguous), and
+    every record's digest is non-empty.
+
+    DuckDB regenerates counts + pins the invariants TRUE; offsets
+    themselves are compression-dependent, so the tiling booleans (not
+    raw offsets) are the cross-engine contract; digest bytes are
+    pinned against hashlib in tests/test_round7_formats.py."""
+    import os
+    import tempfile
+    from karta_spark.sources.warc import (http_response_payload,
+                                          warc_cdx_distributed,
+                                          write_warc)
+    root = os.path.join(tempfile.gettempdir(), "karta_q112_cdx")
+    os.makedirs(root, exist_ok=True)
+    for s in range(4):
+        recs = [dict(warc_type="response",
+                     target_uri=f"https://ex.org/{s}/{i}",
+                     content_type="application/http; msgtype=response",
+                     payload=http_response_payload(
+                         (f"<html>doc {s}/{i} "
+                          + "y" * ((s * 11 + i * 7) % 41)
+                          + "</html>").encode()))
+                for i in range(6 + s)]
+        with open(os.path.join(root, f"part-{s}.warc.gz"), "wb") as f:
+            f.write(write_warc(recs, gzip_members=True))
+    cdx = warc_cdx_distributed(spark, root)
+    shard = F.regexp_extract(F.col("path"), r"part-(\d+)\.warc\.gz", 1) \
+        .cast("long")
+    span = F.max(F.col("offset") + F.col("length"))
+    return (cdx.groupBy(shard.alias("shard_id"))
+            .agg(F.count("*").cast("long").alias("n_records"),
+                 ((F.min("offset") == 0)
+                  & (F.sum("length") == span)).alias("members_tile_file"),
+                 F.sum((F.length("digest") == 32).cast("long"))
+                 .alias("n_digest_ok"),
+                 F.sum(F.coalesce(
+                     (F.col("http_status") == 200).cast("long"),
+                     F.lit(0))).alias("n_http_200")))
+
+
+Q112_SQL = """
+SELECT CAST(s AS BIGINT) AS shard_id,
+       CAST(6 + s AS BIGINT) AS n_records,
+       TRUE AS members_tile_file,
+       CAST(6 + s AS BIGINT) AS n_digest_ok,
+       CAST(6 + s AS BIGINT) AS n_http_200
+FROM range(4) t(s)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5227,6 +5340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_robots_eval": q108_robots_eval,
         "q109_bpe_roundtrip": q109_bpe_roundtrip,
         "q110_image_quality_census": q110_image_quality_census,
+        "q111_sitemap_frontier": q111_sitemap_frontier,
+        "q112_warc_cdx_index": q112_warc_cdx_index,
     }
 
 
@@ -5324,6 +5439,8 @@ def oracle_sql() -> dict[str, str]:
         "q108_robots_eval": Q108_SQL,
         "q109_bpe_roundtrip": Q109_SQL,
         "q110_image_quality_census": _q110_sql(),
+        "q111_sitemap_frontier": Q111_SQL,
+        "q112_warc_cdx_index": Q112_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

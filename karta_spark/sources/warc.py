@@ -215,6 +215,104 @@ def parse_warc(data: bytes) -> list[dict]:
     return records
 
 
+def warc_cdx(data: bytes) -> list[dict]:
+    """CDX index rows for one WARC file — the Common Crawl index
+    convention that enables O(1) range-request access into petabyte
+    archives without re-reading them.  Per record: ``target_uri``,
+    ``warc_type``, ``http_status``, ``offset``, ``length`` (for
+    ``.warc.gz`` these address the gzip MEMBER, the published
+    splittable layout; for plain WARC the record bytes), and
+    ``digest`` (base32 sha1 of the decoded payload).  Raises
+    ValueError on corrupt input (uniform contract)."""
+    import base64
+    import hashlib
+
+    def row(rec, off, length):
+        return dict(target_uri=rec["target_uri"],
+                    warc_type=rec["warc_type"],
+                    http_status=rec["http_status"], offset=off,
+                    length=length,
+                    digest=base64.b32encode(
+                        hashlib.sha1(bytes(rec["payload"])).digest()
+                    ).decode("ascii"))
+
+    data = bytes(data)
+    out: list[dict] = []
+    if data[:2] == b"\x1f\x8b":
+        pos = 0
+        n = len(data)
+        while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=47)
+            try:
+                plain = d.decompress(data[pos:]) + d.flush()
+            except zlib.error as exc:
+                raise ValueError(f"corrupt gzip member: {exc}") from exc
+            if not d.eof:
+                raise ValueError("truncated gzip member in WARC stream")
+            clen = (n - pos) - len(d.unused_data)
+            for rec in parse_warc(plain):
+                out.append(row(rec, pos, clen))
+            pos += clen
+        if data[pos:].strip(b"\x00"):
+            raise ValueError("trailing garbage after gzip members")
+        return out
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"expected WARC/ header at offset {pos}")
+        hdr_end = data.index(b"\r\n\r\n", pos)
+        head = data[pos:hdr_end].decode("utf-8", "replace")
+        length = None
+        for ln in head.split("\r\n")[1:]:
+            k, _, v = ln.partition(":")
+            if k.strip().lower() == "content-length":
+                length = int(v.strip())
+        if length is None:
+            raise ValueError("WARC record missing Content-Length")
+        end = hdr_end + 4 + length + 4  # record + the two CRLFs
+        for rec in parse_warc(data[pos:end]):
+            out.append(row(rec, pos, end - pos))
+        pos = end
+    return out
+
+
+CDX_SCHEMA = ("path string, target_uri string, warc_type string, "
+              "http_status int, offset long, length long, digest string")
+
+
+def warc_cdx_distributed(spark: SparkSession, path: str,
+                         on_error: str = "fail") -> DataFrame:
+    """One task per archive file -> CDX rows (binaryFile scan, zero
+    driver bytes) — building the crawl index IS a corpus-scale job."""
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    cdx = warc_cdx(bytes(content))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                for r in cdx:
+                    rows.append((p, r["target_uri"], r["warc_type"],
+                                 r["http_status"], r["offset"],
+                                 r["length"], r["digest"]))
+            yield pd.DataFrame(rows, columns=[
+                "path", "target_uri", "warc_type", "http_status",
+                "offset", "length", "digest"])
+
+    return files.mapInPandas(run, CDX_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # writer (fixtures + interchange)
 # ---------------------------------------------------------------------------

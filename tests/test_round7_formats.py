@@ -830,3 +830,79 @@ class TestImageQualityStats:
         assert out.loc["flat", "laplacian_var"] == 0.0
         assert out.loc["noisy", "laplacian_var"] > 100.0
         assert out.loc["flat", "entropy"] == 0.0
+
+
+class TestSitemap:
+    def test_urlset_roundtrip_gz(self):
+        from karta_spark.sources.sitemap import (parse_sitemap,
+                                                 write_sitemap)
+        sm = write_sitemap(
+            [{"loc": "https://a/1", "lastmod": "2024-01-02",
+              "priority": "0.8", "changefreq": "daily"},
+             "https://a/2"], compress=True)
+        p = parse_sitemap(sm)
+        assert p["kind"] == "urlset" and len(p["entries"]) == 2
+        e0 = p["entries"][0]
+        assert e0["priority"] == 0.8 and e0["changefreq"] == "daily"
+        assert e0["lastmod"] == "2024-01-02"
+
+    def test_index_text_and_malformed(self):
+        from karta_spark.sources.sitemap import (parse_sitemap,
+                                                 write_sitemap)
+        idx = write_sitemap(["https://a/s1.xml"], index=True)
+        assert parse_sitemap(idx)["kind"] == "sitemapindex"
+        t = parse_sitemap(b"https://a/x\nhttps://a/y\njunk line\n")
+        assert t["kind"] == "text" and len(t["entries"]) == 2
+        for bad in (b"<html><body>x</body></html>", b"\x1f\x8bnope",
+                    b"just words no urls"):
+            with pytest.raises(ValueError):
+                parse_sitemap(bad)
+
+    def test_namespace_prefixed_tags(self):
+        from karta_spark.sources.sitemap import parse_sitemap
+        xml = (b'<?xml version="1.0"?>'
+               b'<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/'
+               b'sitemap/0.9"><sm:url><sm:loc>https://a/p</sm:loc>'
+               b'</sm:url></sm:urlset>')
+        p = parse_sitemap(xml)
+        assert p["entries"][0]["loc"] == "https://a/p"
+
+
+class TestWarcCdx:
+    def _recs(self):
+        return [{"warc_type": "conversion",
+                 "target_uri": f"https://x/{i}",
+                 "payload": f"body {i} ".encode() * (3 + i)}
+                for i in range(5)]
+
+    @pytest.mark.parametrize("gz", [True, False])
+    def test_offsets_tile_file_and_digest(self, gz):
+        import base64
+        import hashlib
+        from karta_spark.sources.warc import warc_cdx, write_warc
+        recs = self._recs()
+        blob = write_warc(recs, gzip_members=gz)
+        cdx = warc_cdx(blob)
+        assert [r["offset"] for r in cdx] == sorted(
+            r["offset"] for r in cdx)
+        assert cdx[0]["offset"] == 0
+        assert sum(r["length"] for r in cdx) == len(blob)
+        want = base64.b32encode(
+            hashlib.sha1(recs[2]["payload"]).digest()).decode()
+        assert cdx[2]["digest"] == want
+
+    def test_range_request_slice_parses(self):
+        # THE point of a CDX index: a member slice is independently
+        # parseable (range requests into a petabyte archive)
+        from karta_spark.sources.warc import (parse_warc, warc_cdx,
+                                              write_warc)
+        blob = write_warc(self._recs())
+        r = warc_cdx(blob)[3]
+        one = parse_warc(blob[r["offset"]:r["offset"] + r["length"]])
+        assert one[0]["target_uri"] == "https://x/3"
+
+    def test_corrupt_raises(self):
+        from karta_spark.sources.warc import warc_cdx, write_warc
+        blob = write_warc(self._recs())
+        with pytest.raises(ValueError):
+            warc_cdx(blob[:25])
