@@ -5228,6 +5228,60 @@ FROM range(4) t(s)
 """
 
 
+def q113_main_content_extraction(spark, sf_dir):
+    """Boilerplate removal census (round 7): the crawl-quality step
+    between raw HTML→text (q79) and the C4/Gopher filters — block
+    text-density extraction (operators/text.py main_content, the
+    jusText/readability heuristic family: split on block tags, drop
+    short and link-dense blocks).  40 synthetic pages with closed-form
+    article paragraphs wrapped in nav/cookie-banner/footer boilerplate
+    are extracted DISTRIBUTED; per page the kept-block count and
+    content length must equal the designed article exactly.
+
+    Value-oracle-exact: paragraph text lengths are closed form, so
+    DuckDB regenerates content_chars — a block-split, link-density,
+    entity, or whitespace slip moves a length and fails the gate."""
+    from karta_spark.operators.text import main_content
+    rows = []
+    for d in range(40):
+        paras = []
+        for p in range((d % 4) + 1):
+            body = "word " * (20 + (d * 3 + p) % 7)
+            paras.append(f"<p>doc {d} paragraph {p} {body}</p>")
+        html = (
+            "<html><head><title>T</title><style>b{x}</style>"
+            "<script>var n = 1;</script></head><body>"
+            '<nav><a href="/">Home</a> <a href="/a">About</a> '
+            '<a href="/c">Contact</a></nav>'
+            '<div class="cookie">Accept cookies</div>'
+            "<article>" + "".join(paras) + "</article>"
+            '<footer><a href="/tos">Terms</a> | '
+            '<a href="/priv">Privacy</a></footer></body></html>')
+        rows.append((d, html))
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = main_content(df, "html", "doc_id")
+    return out.select(F.col("id").alias("doc_id"),
+                      F.col("n_blocks_kept").cast("long")
+                      .alias("n_blocks_kept"),
+                      F.length("content").cast("long")
+                      .alias("content_chars"))
+
+
+Q113_SQL = """
+WITH paras AS (
+  SELECT d, p,
+         length('doc ' || d || ' paragraph ' || p || ' ')
+           + 5 * (20 + (d*3 + p) % 7) - 1 AS plen
+  FROM range(40) t(d), range(4) r(p)
+  WHERE p < (d % 4) + 1
+)
+SELECT CAST(d AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks_kept,
+       CAST(sum(plen) + count(*) - 1 AS BIGINT) AS content_chars
+FROM paras GROUP BY d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5342,6 +5396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_image_quality_census": q110_image_quality_census,
         "q111_sitemap_frontier": q111_sitemap_frontier,
         "q112_warc_cdx_index": q112_warc_cdx_index,
+        "q113_main_content_extraction": q113_main_content_extraction,
     }
 
 
@@ -5441,6 +5496,7 @@ def oracle_sql() -> dict[str, str]:
         "q110_image_quality_census": _q110_sql(),
         "q111_sitemap_frontier": Q111_SQL,
         "q112_warc_cdx_index": Q112_SQL,
+        "q113_main_content_extraction": Q113_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -1046,6 +1046,79 @@ def html_to_text_sql(col_expr: str) -> str:
     return f"trim({out})"
 
 
+_BLOCK_TAG_RE = (r"(?is)</?(?:p|div|section|article|main|aside|nav|"
+                 r"footer|header|td|th|li|ul|ol|table|h[1-6]|"
+                 r"blockquote|br|form)\b[^>]*>")
+_DROP_BLOCK_RE = (r"(?is)<(script|style|noscript|svg|template)\b.*?"
+                  r"</\1\s*>")
+_SIMPLE_ENTITIES = (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                    ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"))
+
+
+def main_content_blocks(html: str, min_len: int = 25,
+                        max_link_density: float = 1.0 / 3.0
+                        ) -> list[str]:
+    """Boilerplate removal by block text-density (the jusText /
+    readability heuristic family): split on block-level tags, strip
+    inline markup per block, keep blocks with enough text and a low
+    link-text density.  Navigation bars, footers, and cookie banners
+    are short and/or link-dense, so they drop; article paragraphs
+    survive.  Deterministic — no tuning state."""
+    import re as _re
+    h = _re.sub(_DROP_BLOCK_RE, " ", html)
+    h = _re.sub(r"(?s)<!--.*?-->", " ", h)
+    kept = []
+    for part in _re.split(_BLOCK_TAG_RE, h):
+        if not part or part.isspace():
+            continue
+        link_chars = sum(
+            len(_re.sub(r"(?s)<[^>]*>", "", m))
+            for m in _re.findall(r"(?is)<a\b[^>]*>(.*?)</a\s*>", part))
+        text = _re.sub(r"(?s)<[^>]*>", " ", part)
+        for ent, rep in _SIMPLE_ENTITIES:
+            text = text.replace(ent, rep)
+        text = " ".join(text.split())
+        if len(text) >= min_len and link_chars <= len(text) * max_link_density:
+            kept.append(text)
+    return kept
+
+
+def main_content(df: DataFrame, html_col: str, id_col: str,
+                 min_len: int = 25,
+                 max_link_density: float = 1.0 / 3.0) -> DataFrame:
+    """Arrow-batched main-content extraction: one row per document
+    with the boilerplate-stripped text (kept blocks newline-joined)
+    and the block census.  The per-document work is independent —
+    row-level parallelism, no shuffle at any corpus size."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            ids, contents, n_kept, n_total = [], [], [], []
+            import re as _re
+            for did, html in zip(pdf[id_col], pdf[html_col]):
+                html = html or ""
+                total = sum(
+                    1 for p in _re.split(_BLOCK_TAG_RE,
+                                         _re.sub(_DROP_BLOCK_RE, " ", html))
+                    if p and not p.isspace())
+                blocks = main_content_blocks(html, min_len,
+                                             max_link_density)
+                ids.append(did)
+                contents.append("\n".join(blocks))
+                n_kept.append(len(blocks))
+                n_total.append(total)
+            yield pd.DataFrame({"id": ids, "content": contents,
+                                "n_blocks_kept": n_kept,
+                                "n_blocks_total": n_total})
+
+    return df.mapInPandas(
+        run, f"id {id_type}, content string, n_blocks_kept int, "
+             "n_blocks_total int")
+
+
 def extract_links(col: Column) -> Column:
     """All ``<a href=...>`` targets, document order (array<string>)."""
     return F.regexp_extract_all(col, F.lit(_HREF_RE), 1)

@@ -906,3 +906,58 @@ class TestWarcCdx:
         blob = write_warc(self._recs())
         with pytest.raises(ValueError):
             warc_cdx(blob[:25])
+
+
+class TestMainContent:
+    """Boilerplate removal (operators/text.py main_content_blocks)."""
+
+    HTML = ("<html><head><style>b{x}</style>"
+            "<script>var x = '<p>fake</p>';</script></head><body>"
+            '<nav><a href="/">Home</a> <a href="/a">About</a> '
+            '<a href="/c">Contact us</a></nav>'
+            '<div class="cookie">Accept cookies</div>'
+            "<article><h1>Short head</h1>"
+            "<p>This is the first real paragraph of the article, long "
+            "enough to keep and mostly prose.</p>"
+            "<p>Second real paragraph with plenty of content words so "
+            "that the density heuristic keeps it too.</p>"
+            '<p>See <a href="/ref">one reference link</a> inside a '
+            "long paragraph which should still be kept because link "
+            "density is low overall here.</p></article>"
+            '<footer><a href="/tos">Terms</a> | '
+            '<a href="/priv">Privacy</a></footer></body></html>')
+
+    def test_keeps_article_drops_boilerplate(self):
+        from karta_spark.operators.text import main_content_blocks
+        blocks = main_content_blocks(self.HTML)
+        assert len(blocks) == 3
+        assert blocks[0].startswith("This is the first real paragraph")
+        joined = "\n".join(blocks)
+        for boiler in ("Home", "Accept cookies", "Terms", "fake"):
+            assert boiler not in joined
+        # inline link text inside a long paragraph survives
+        assert "one reference link" in blocks[2]
+
+    def test_link_dense_long_block_dropped(self):
+        from karta_spark.operators.text import main_content_blocks
+        nav = ("<div>" + " ".join(
+            f'<a href="/{i}">navigation item number {i}</a>'
+            for i in range(8)) + "</div>")
+        assert main_content_blocks(nav) == []
+
+    def test_entities_and_whitespace_normalized(self):
+        from karta_spark.operators.text import main_content_blocks
+        h = ("<p>alpha &amp; beta &lt;gamma&gt;   with\n\nirregular "
+             "spacing kept as single spaces in one block</p>")
+        [b] = main_content_blocks(h)
+        assert b.startswith("alpha & beta <gamma> with irregular")
+        assert "  " not in b
+
+    def test_distributed(self, spark):
+        from karta_spark.operators.text import main_content
+        df = spark.createDataFrame([(1, self.HTML), (2, "<p>tiny</p>")],
+                                   "doc_id long, html string")
+        out = main_content(df, "html", "doc_id").toPandas() \
+            .set_index("id")
+        assert out.loc[1, "n_blocks_kept"] == 3
+        assert out.loc[2, "n_blocks_kept"] == 0  # too short
