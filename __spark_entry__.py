@@ -5282,6 +5282,79 @@ FROM paras GROUP BY d
 """
 
 
+def q114_tile_render_census(spark, sf_dir):
+    """Tile-pyramid rendering census (round 7): the SERVING end of the
+    tiling engine — a point table rendered into slippy-map PNG heatmap
+    tiles (raster/render.py: pure-Catalyst per-pixel count reduction,
+    shuffle bounded by lit pixels not points; applyInPandas
+    rasterize + the from-scratch PNG encoder per tile), then each
+    tile's PNG DECODED BACK executor-side to verify the raster.
+
+    Value-oracle-exact: the points are closed form, the pixel math is
+    the same c=128/π·2^z arithmetic as the tile SQL twins, and the
+    tone map is integer, so DuckDB regenerates per-tile point/pixel/
+    max counts; png_ok pins the encode→decode roundtrip (lit-pixel
+    count and 255 peak) per tile."""
+    from karta_spark.raster.render import render_point_tiles
+    import pandas as pd
+    pts = spark.range(4000).select(
+        (F.lit(-170.0) + (F.col("id") % 34).cast("double") * 10.0
+         + (F.col("id") % 7).cast("double") * 0.31).alias("lon"),
+        (F.lit(-75.0) + (F.col("id") % 16).cast("double") * 9.5
+         + (F.col("id") % 5).cast("double") * 0.27).alias("lat"))
+    tiles = render_point_tiles(pts, "lon", "lat", zoom=2)
+
+    def verify(batches):
+        from karta_spark.sources.images import decode_image
+        for pdf in batches:
+            ok = []
+            for png, n_pix, mx in zip(pdf["png"], pdf["n_pixels"],
+                                      pdf["max_count"]):
+                pix = decode_image(bytes(png), "png")[:, :, 0]
+                ok.append(bool((pix > 0).sum() == n_pix
+                               and (int(pix.max()) == 255) == (mx > 0)))
+            out = pdf[["z", "tx", "ty", "n_points", "n_pixels",
+                       "max_count"]].copy()
+            out["png_ok"] = ok
+            yield out
+
+    return tiles.mapInPandas(
+        verify, "z int, tx long, ty long, n_points long, "
+                "n_pixels long, max_count long, png_ok boolean")
+
+
+def _q114_sql():
+    from karta_spark.functions.cells import tile_x_sql  # noqa: F401
+    import math
+    c = repr(128.0 / math.pi * 4.0)  # zoom 2, tile_px 256
+    return f"""
+WITH pts AS (
+  SELECT -170.0 + (i % 34) * 10.0 + (i % 7) * 0.31 AS lon,
+         -75.0 + (i % 16) * 9.5 + (i % 5) * 0.27 AS lat
+  FROM range(4000) t(i)
+), gp AS (
+  SELECT CAST(floor({c} * (radians(lon) + pi())) AS BIGINT) AS gx,
+         CAST(floor({c} * (pi() - ln(tan(pi()/4.0 + radians(lat)/2.0))))
+              AS BIGINT) AS gy
+  FROM pts
+  WHERE lat > -85.05112878 AND lat < 85.05112878
+    AND lon >= -180.0 AND lon <= 180.0
+), clamped AS (
+  SELECT least(gx, 1023) AS gx, least(gy, 1023) AS gy FROM gp
+), lit AS (
+  SELECT gx // 256 AS tx, gy // 256 AS ty, gx % 256 AS px,
+         gy % 256 AS py, count(*) AS cnt
+  FROM clamped GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(2 AS INT) AS z, tx, ty,
+       CAST(sum(cnt) AS BIGINT) AS n_points,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(max(cnt) AS BIGINT) AS max_count,
+       TRUE AS png_ok
+FROM lit GROUP BY tx, ty
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5397,6 +5470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_sitemap_frontier": q111_sitemap_frontier,
         "q112_warc_cdx_index": q112_warc_cdx_index,
         "q113_main_content_extraction": q113_main_content_extraction,
+        "q114_tile_render_census": q114_tile_render_census,
     }
 
 
@@ -5497,6 +5571,7 @@ def oracle_sql() -> dict[str, str]:
         "q111_sitemap_frontier": Q111_SQL,
         "q112_warc_cdx_index": Q112_SQL,
         "q113_main_content_extraction": Q113_SQL,
+        "q114_tile_render_census": _q114_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

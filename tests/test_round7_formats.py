@@ -961,3 +961,35 @@ class TestMainContent:
             .set_index("id")
         assert out.loc[1, "n_blocks_kept"] == 3
         assert out.loc[2, "n_blocks_kept"] == 0  # too short
+
+
+class TestTileRender:
+    """Distributed tile rendering (raster/render.py)."""
+
+    def test_counts_and_png_roundtrip(self, spark):
+        import numpy as np
+        import pyspark.sql.functions as F
+        from karta_spark.raster.render import render_point_tiles
+        from karta_spark.sources.images import decode_image
+        pts = spark.range(2000).select(
+            (F.lit(-170.0) + (F.col("id") % 340).cast("double"))
+            .alias("lon"),
+            (F.lit(-80.0) + (F.col("id") % 160).cast("double"))
+            .alias("lat"))
+        tiles = render_point_tiles(pts, "lon", "lat", zoom=1).collect()
+        assert sum(t["n_points"] for t in tiles) == 2000
+        assert {(t["tx"], t["ty"]) for t in tiles} <= \
+            {(x, y) for x in range(2) for y in range(2)}
+        for t in tiles:
+            pix = decode_image(bytes(t["png"]), "png")[:, :, 0]
+            assert pix.shape == (256, 256)
+            assert int((pix > 0).sum()) == t["n_pixels"]
+            assert int(pix.max()) == 255  # tone map peaks at max count
+            assert t["max_count"] >= 1
+
+    def test_out_of_band_points_dropped(self, spark):
+        from karta_spark.raster.render import render_point_tiles
+        df = spark.createDataFrame(
+            [(0.0, 89.0), (0.0, -89.0), (0.0, 10.0)], "lon double, lat double")
+        tiles = render_point_tiles(df, "lon", "lat", zoom=0).collect()
+        assert len(tiles) == 1 and tiles[0]["n_points"] == 1
