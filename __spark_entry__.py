@@ -5355,6 +5355,68 @@ FROM lit GROUP BY tx, ty
 """
 
 
+_Q115_SNIPPETS = [
+    ("def main(argv):\n    import sys\n    return 0\n", "python"),
+    ("#!/usr/bin/env python3\nimport os\nprint(os.sep)\n", "python"),
+    ("const x = 1;\nconst f = (a) => { return a; };\n", "javascript"),
+    ("package com.example.app;\npublic class Main { public static "
+     "void main(String[] a) { System.out.println(1); } }", "java"),
+    ("#include <stdio.h>\nint main(void) { return 0; }\n", "c"),
+    ("package main\nfunc Run() { x := 1; _ = x }\n", "go"),
+    ("use std::io;\nfn main() { let mut x = 1; }\n", "rust"),
+    ("SELECT a, b FROM t WHERE x > 1", "sql"),
+    ("#!/bin/bash\nexport FOO=1\necho hi\n", "shell"),
+    ("<!DOCTYPE html><html><body><p>x</p></body></html>", "html"),
+    ("The quick brown fox jumps over the lazy dog. It was bright.",
+     "prose"),
+    ("we discussed the function of the committee and its import",
+     "prose"),
+]
+
+
+def q115_code_language_routing(spark, sf_dir):
+    """Code-vs-prose corpus routing (round 7): training pipelines
+    split code from natural language before choosing tokenizers and
+    quality filters; operators/text.py code_language classifies by
+    per-language signature-regex hit counts — PURE CATALYST (zero
+    shuffle at any scale), with an RE2-safe chain the DuckDB twin
+    (code_language_sql) runs verbatim.
+
+    Value-oracle-exact: 120 rows cycle 12 designed snippets (9
+    languages + 2 prose foils using code-ish words); BOTH engines
+    classify the regenerated literal strings, so any regex or
+    threshold divergence flips a lang and fails the hash gate."""
+    from karta_spark.operators.text import code_language
+    rows = [(i, _Q115_SNIPPETS[i % 12][0] + f"\nzz{i}")
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return (df.select("doc_id",
+                      code_language(F.col("text")).alias("lang"))
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc")))
+
+
+def _q115_sql():
+    from karta_spark.operators.text import code_language_sql
+    branches = " ".join(
+        "WHEN {} THEN '{}'".format(k, s.replace("'", "''")
+                                   .replace("\n", "' || chr(10) || '"))
+        for k, (s, _) in enumerate(_Q115_SNIPPETS))
+    return f"""
+WITH docs AS (
+  SELECT CAST(i AS BIGINT) AS doc_id,
+         (CASE i % 12 {branches} END) || chr(10) || 'zz' || i AS text
+  FROM range(120) t(i)
+), langs AS (
+  SELECT doc_id, {code_language_sql('text')} AS lang FROM docs
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM langs GROUP BY lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5471,6 +5533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_warc_cdx_index": q112_warc_cdx_index,
         "q113_main_content_extraction": q113_main_content_extraction,
         "q114_tile_render_census": q114_tile_render_census,
+        "q115_code_language_routing": q115_code_language_routing,
     }
 
 
@@ -5572,6 +5635,7 @@ def oracle_sql() -> dict[str, str]:
         "q112_warc_cdx_index": Q112_SQL,
         "q113_main_content_extraction": Q113_SQL,
         "q114_tile_render_census": _q114_sql(),
+        "q115_code_language_routing": _q115_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

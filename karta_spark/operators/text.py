@@ -119,6 +119,71 @@ def lang_id(col: Column) -> Column:
     return out
 
 
+# (language, [signature regexes], [keyword tokens]) — ordered by
+# specificity; the FIRST language whose signature fires wins, else the
+# keyword argmax.  RE2-safe patterns shared verbatim with the DuckDB
+# twin (code_language_sql).
+_CODE_SIGS = (
+    ("python", (r"(?m)^#!.*\bpython[0-9.]*\b",
+                r"(?m)^\s*def [a-zA-Z_][a-zA-Z0-9_]*\(.*\):",
+                r"(?m)^\s*import [a-z_][a-z0-9_.]*$",
+                r"(?m)^\s*from [a-z_][a-z0-9_.]* import ")),
+    ("javascript", (r"(?m)^\s*(const|let) [a-zA-Z_$][a-zA-Z0-9_$]* =",
+                    r"=>\s*\{", r"\bfunction\s*\(",
+                    r"(?m)^\s*module\.exports\b")),
+    ("java", (r"(?m)^\s*public (static |final )*(class|void|int|String)\b",
+              r"(?m)^package [a-z][a-z0-9_.]*;",
+              r"System\.out\.println")),
+    ("c", (r"(?m)^#include\s*<[a-z0-9_./]+\.h>",
+           r"(?m)^\s*int main\s*\(")),
+    ("go", (r"(?m)^package [a-z][a-z0-9_]*$", r"(?m)^func [A-Za-z_]",
+            r":=")),
+    ("rust", (r"(?m)^\s*fn [a-z_][a-z0-9_]*\(", r"\blet mut\b",
+              r"(?m)^use [a-z_][a-z0-9_:]*;")),
+    ("sql", (r"(?is)^\s*(select|insert|create|with)\b.*\bfrom\b",
+             r"(?is)^\s*create (table|view|index)\b",
+             r"(?is)^\s*select\b.+\bfrom\b.+\b(where|group by|order by)\b",
+             r"(?is)^\s*insert into\b")),
+    ("shell", (r"(?m)^#!/bin/(ba|z|da)?sh\b", r"(?m)^\s*fi$",
+               r"(?m)^\s*(echo|export) [A-Z_]+=")),
+    ("html", (r"(?is)<(!doctype\s+)?html\b", r"(?is)</(div|body|p)>")),
+)
+
+
+def code_language(col: Column) -> Column:
+    """'prose' vs a code language — the corpus-routing step that
+    separates code from natural language before tokenizer/filter
+    selection.  Pure Catalyst: per-language signature-regex hit
+    counts, FIRST language with >= 2 distinct signature hits wins
+    (ordered by specificity), else 'prose'.  Deterministic and
+    oracle-replicable (code_language_sql runs the identical chain);
+    not a trained classifier — swap in one via pandas UDF when recall
+    matters more than plan purity."""
+    hits = {}
+    for lang, pats in _CODE_SIGS:
+        h = F.lit(0)
+        for p in pats:
+            h = h + (F.regexp_count(col, F.lit(p)) > 0).cast("int")
+        hits[lang] = h
+    out = F.lit("prose")
+    for lang, _ in reversed(_CODE_SIGS):
+        out = F.when(hits[lang] >= 2, F.lit(lang)).otherwise(out)
+    return out
+
+
+def code_language_sql(col_expr: str) -> str:
+    cases = []
+    for lang, pats in _CODE_SIGS:
+        conds = " + ".join(
+            "CASE WHEN regexp_matches({}, '{}') THEN 1 ELSE 0 END"
+            .format(col_expr, p.replace("'", "''")) for p in pats)
+        cases.append((lang, conds))
+    expr = "'prose'"
+    for lang, conds in reversed(cases):
+        expr = f"CASE WHEN ({conds}) >= 2 THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
 def fingerprint(col: Column) -> Column:
     """64-bit document fingerprint over normalized text (lowercase,
     whitespace collapsed) — xxhash64, JVM-side."""

@@ -993,3 +993,40 @@ class TestTileRender:
             [(0.0, 89.0), (0.0, -89.0), (0.0, 10.0)], "lon double, lat double")
         tiles = render_point_tiles(df, "lon", "lat", zoom=0).collect()
         assert len(tiles) == 1 and tiles[0]["n_points"] == 1
+
+
+class TestCodeLanguage:
+    """Code-vs-prose routing (operators/text.py code_language)."""
+
+    def test_classifies_and_twin_matches(self, spark):
+        import duckdb
+        import pyspark.sql.functions as F
+        from karta_spark.operators.text import (code_language,
+                                                code_language_sql)
+        from __spark_entry__ import _Q115_SNIPPETS
+        df = spark.createDataFrame(
+            [(i, s) for i, (s, _) in enumerate(_Q115_SNIPPETS)],
+            "id long, text string")
+        got = {r["id"]: r["lang"] for r in df.select(
+            "id", code_language(F.col("text")).alias("lang")).collect()}
+        for i, (_, want) in enumerate(_Q115_SNIPPETS):
+            assert got[i] == want, (i, got[i], want)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE s(id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO s VALUES (?, ?)",
+                        [(i, s) for i, (s, _) in
+                         enumerate(_Q115_SNIPPETS)])
+        for i, lang in con.execute(
+                f"SELECT id, {code_language_sql('text')} FROM s"
+        ).fetchall():
+            assert lang == got[i]
+
+    def test_prose_with_code_words_stays_prose(self, spark):
+        import pyspark.sql.functions as F
+        from karta_spark.operators.text import code_language
+        df = spark.createDataFrame(
+            [(0, "the import of this function is that the class of "
+                 "problems we select from grows")],
+            "id long, text string")
+        assert df.select(code_language(F.col("text")).alias("l")) \
+            .collect()[0]["l"] == "prose"
