@@ -5417,6 +5417,26 @@ FROM langs GROUP BY lang
 """
 
 
+def q116_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (round 7): the billion-scale ANN
+    storage format — 64 floats compress to 8 subspace codes; queries
+    build one integer lookup table each and every candidate distance
+    is 8 table lookups (operators/similarity.py pq_encode /
+    pq_adc_topk, pure Catalyst).  This is IVF-PQ's inner loop; at
+    corpus scale it composes with ivf_topk_static probe lists.
+
+    Value-oracle-exact with NO float caveats: quantized vectors x
+    static integer codebooks make assignment and ADC distances
+    BIGINT-exact, so DuckDB reproduces codes, distances, and the full
+    ranking bit-for-bit (pq_adc_sql runs the identical algebra)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    vectors = e.where(F.col("vec_id") >= 5)
+    return similarity.pq_adc_topk(vectors, queries_df, k=5, dim=64, m=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5534,6 +5554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_main_content_extraction": q113_main_content_extraction,
         "q114_tile_render_census": q114_tile_render_census,
         "q115_code_language_routing": q115_code_language_routing,
+        "q116_pq_adc_topk": q116_pq_adc_topk,
     }
 
 
@@ -5636,6 +5657,7 @@ def oracle_sql() -> dict[str, str]:
         "q113_main_content_extraction": Q113_SQL,
         "q114_tile_render_census": _q114_sql(),
         "q115_code_language_routing": _q115_sql(),
+        "q116_pq_adc_topk": similarity.pq_adc_sql(k=5, dim=64, m=8),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -327,6 +327,158 @@ SELECT query_id, {vid}, round(cosine, 6) AS cosine, rank FROM ranked WHERE rank 
 """
 
 
+def pq_codebooks(m: int, sub_dim: int, k: int = 16,
+                 seed: int = 23) -> list[list[list[int]]]:
+    """m static integer codebooks of k codewords each (the offline-
+    trained-and-shipped production shape, cf. static_codebook); every
+    coordinate in [-_Q_SCALE, _Q_SCALE) so all ADC arithmetic stays
+    BIGINT-exact in any engine."""
+    import random as _random
+    rng = _random.Random(seed)
+    return [[[rng.randrange(-_Q_SCALE, _Q_SCALE) for _ in range(sub_dim)]
+             for _ in range(k)] for _ in range(m)]
+
+
+def _pq_sub_sql(vec_col: str, j: int, sub_dim: int) -> str:
+    """Spark-SQL text of quantized integer slice j (1-based slice).
+    Built as ONE expression string: constructing the ~256 HOF lambdas
+    through the py4j Column API costs ~20 s of driver time; a single
+    parse is milliseconds."""
+    return (f"transform(slice(CAST({vec_col} AS array<double>), "
+            f"{j * sub_dim + 1}, {sub_dim}), "
+            f"x -> CAST(floor(x * {_Q_SCALE}) AS BIGINT))")
+
+
+def _pq_d2_sql(sub_expr: str, cw) -> str:
+    lit = "array(" + ", ".join(f"{int(c)}L" for c in cw) + ")"
+    return (f"aggregate(zip_with({sub_expr}, {lit}, "
+            f"(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
+
+
+def _pq_argmin_sql(sub_expr: str, codewords) -> str:
+    darr = "array(" + ", ".join(_pq_d2_sql(sub_expr, cw)
+                                for cw in codewords) + ")"
+    return (f"CAST(array_position({darr}, array_min({darr})) - 1 "
+            f"AS INT)")
+
+
+def pq_encode(vectors: DataFrame, vec_col: str, dim: int, m: int,
+              codebooks=None, seed: int = 23) -> DataFrame:
+    """Product-quantization encode: the vector column becomes an
+    array<int> of m codes — dim floats (256 bytes at dim=64) compress
+    to m small ints (m bytes as uint8 at k<=256), THE storage format
+    that makes billion-scale ANN fit in memory (IVF-PQ's inner
+    representation).  Assignment is exact integer argmin on the
+    quantized grid, so encoding is bit-reproducible in any engine."""
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    sub_dim = dim // m
+    if codebooks is None:
+        codebooks = pq_codebooks(m, sub_dim, seed=seed)
+    # materialize each quantized subvector once, then argmin over k
+    # codeword distances — all as ONE parsed SQL expression per column
+    out = vectors
+    for j in range(m):
+        out = out.withColumn(f"_pqs{j}",
+                             F.expr(_pq_sub_sql(vec_col, j, sub_dim)))
+    codes = "array(" + ", ".join(
+        _pq_argmin_sql(f"_pqs{j}", codebooks[j]) for j in range(m)) + ")"
+    return out.withColumn("pq_codes", F.expr(codes)) \
+              .drop(*[f"_pqs{j}" for j in range(m)])
+
+
+def pq_adc_topk(vectors: DataFrame, queries: DataFrame, k: int,
+                dim: int, m: int, codebooks=None,
+                vec_col: str = "embedding", vid: str = "vec_id",
+                q_vec: str = "q_embedding", qid: str = "query_id",
+                seed: int = 23) -> DataFrame:
+    """Asymmetric-distance-computation top-k: vectors are PQ codes,
+    queries stay full precision; per query a lookup table of k
+    integer distances per subspace is computed ONCE, then every
+    candidate's distance is m table lookups (element_at) — pure
+    Catalyst, no per-row Python.  This is the IVF-PQ inner loop; at
+    corpus scale compose with ivf_topk_static so each query scans one
+    probe list's codes instead of the full table.  Distances are
+    BIGINT-exact (quantized query x integer codewords), so ranking is
+    engine-portable with no float-order caveats."""
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    sub_dim = dim // m
+    if codebooks is None:
+        codebooks = pq_codebooks(m, sub_dim, seed=seed)
+    enc = pq_encode(vectors, vec_col, dim, m, codebooks)
+    q = queries
+    for j in range(m):  # same single-parse trick as encode
+        q = q.withColumn(f"_pqs{j}",
+                         F.expr(_pq_sub_sql(q_vec, j, sub_dim)))
+    luts = "array(" + ", ".join(
+        "array(" + ", ".join(_pq_d2_sql(f"_pqs{j}", cw)
+                             for cw in codebooks[j]) + ")"
+        for j in range(m)) + ")"
+    q = q.withColumn("_lut", F.expr(luts))
+    joined = enc.crossJoin(q.select(qid, "_lut"))
+    adc = " + ".join(
+        f"element_at(element_at(_lut, {j + 1}), "
+        f"element_at(pq_codes, {j + 1}) + 1)" for j in range(m))
+    joined = joined.withColumn("adc_dist",
+                               F.expr(f"CAST({adc} AS BIGINT)"))
+    w = Window.partitionBy(qid).orderBy(F.col("adc_dist").asc(),
+                                        F.col(vid).asc())
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid, vid, "adc_dist", "rank"))
+
+
+def pq_adc_sql(k: int, dim: int, m: int, codebooks=None, seed: int = 23,
+               table: str = "embeddings", vec_col: str = "embedding",
+               vid: str = "vec_id", query_filter: str = "vec_id < 5",
+               vector_filter: str = "vec_id >= 5") -> str:
+    """DuckDB twin of pq_encode + pq_adc_topk: identical integer
+    quantization, codeword literals, argmin assignment, and ADC sum."""
+    sub_dim = dim // m
+    if codebooks is None:
+        codebooks = pq_codebooks(m, sub_dim, seed=seed)
+
+    def sub(col, j):
+        return (f"list_transform(list_slice(CAST({col} AS DOUBLE[]), "
+                f"{j * sub_dim + 1}, {(j + 1) * sub_dim}), "
+                f"x -> CAST(floor(x * {_Q_SCALE}) AS BIGINT))")
+
+    def d2(sub_expr, cw):
+        lit = "[" + ", ".join(str(int(c)) for c in cw) + "]::BIGINT[]"
+        return (f"list_sum(list_transform(list_zip({sub_expr}, {lit}), "
+                f"p -> (p[1] - p[2]) * (p[1] - p[2])))")
+
+    code_exprs = []
+    lut_exprs = []
+    for j in range(m):
+        sv = sub(vec_col, j)
+        darr = "[" + ", ".join(d2(sv, cw) for cw in codebooks[j]) + "]"
+        code_exprs.append(f"(list_position({darr}, list_min({darr})) - 1)")
+        lut_exprs.append(darr)
+    codes = "[" + ", ".join(code_exprs) + "]"
+    luts = "[" + ", ".join(lut_exprs) + "]"
+    adc = " + ".join(f"lut[{j + 1}][codes[{j + 1}] + 1]"
+                     for j in range(m))
+    return f"""
+WITH v AS (
+  SELECT {vid}, {codes} AS codes FROM {table} WHERE {vector_filter}
+), q AS (
+  SELECT {vid} AS query_id, {luts} AS lut
+  FROM {table} WHERE {query_filter}
+), joined AS (
+  SELECT query_id, {vid}, CAST({adc} AS BIGINT) AS adc_dist
+  FROM v CROSS JOIN q
+), ranked AS (
+  SELECT query_id, {vid}, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, {vid} ASC) AS BIGINT) AS rank
+  FROM joined
+)
+SELECT query_id, {vid}, adc_dist, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def train_centroids(vectors: DataFrame, vec_col: str, c: int, iters: int = 3,
                     seed: int = 11) -> np.ndarray:
     """Tiny driver-side k-means on a sample (centroids broadcast afterwards).

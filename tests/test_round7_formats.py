@@ -1030,3 +1030,71 @@ class TestCodeLanguage:
             "id long, text string")
         assert df.select(code_language(F.col("text")).alias("l")) \
             .collect()[0]["l"] == "prose"
+
+
+class TestProductQuantization:
+    """PQ encode + ADC top-k (operators/similarity.py) — BIGINT-exact
+    by construction."""
+
+    def _embeddings(self, spark, n=60, dim=16):
+        import numpy as np
+        rng = np.random.default_rng(3)
+        rows = [(i, rng.normal(size=dim).astype("float32").tolist())
+                for i in range(n)]
+        return spark.createDataFrame(rows,
+                                     "vec_id long, embedding array<float>")
+
+    def test_codes_shape_and_determinism(self, spark):
+        from karta_spark.operators import similarity as sim
+        e = self._embeddings(spark)
+        enc1 = {r["vec_id"]: r["pq_codes"] for r in
+                sim.pq_encode(e, "embedding", 16, 4).collect()}
+        enc2 = {r["vec_id"]: r["pq_codes"] for r in
+                sim.pq_encode(e.repartition(7), "embedding", 16, 4)
+                .collect()}
+        assert enc1 == enc2  # partition-independent
+        assert all(len(c) == 4 and all(0 <= x < 16 for x in c)
+                   for c in enc1.values())
+
+    def test_adc_equals_manual_reference(self, spark):
+        import numpy as np
+        from karta_spark.operators import similarity as sim
+        dim, m = 16, 4
+        e = self._embeddings(spark, n=40, dim=dim)
+        q = e.where("vec_id < 3").selectExpr(
+            "vec_id AS query_id", "embedding AS q_embedding")
+        v = e.where("vec_id >= 3")
+        out = sim.pq_adc_topk(v, q, k=4, dim=dim, m=m)
+        got = {(r["query_id"], r["rank"]): (r["vec_id"], r["adc_dist"])
+               for r in out.collect()}
+        # numpy reference with the same integer quantization
+        cbs = sim.pq_codebooks(m, dim // m)
+        rows = {r["vec_id"]: np.floor(
+            np.array(r["embedding"], dtype=np.float64) * (1 << 20)
+        ).astype(np.int64) for r in e.collect()}
+
+        def codes(vec):
+            return [int(np.argmin([((vec[j*4:(j+1)*4] - np.array(cw))**2)
+                                   .sum() for cw in cbs[j]]))
+                    for j in range(m)]
+
+        for qi in range(3):
+            qv = rows[qi]
+            dists = []
+            for vi in sorted(rows):
+                if vi < 3:
+                    continue
+                c = codes(rows[vi])
+                d = sum(int(((qv[j*4:(j+1)*4]
+                              - np.array(cbs[j][c[j]]))**2).sum())
+                        for j in range(m))
+                dists.append((d, vi))
+            dists.sort()
+            for rank, (d, vi) in enumerate(dists[:4], start=1):
+                assert got[(qi, rank)] == (vi, d)
+
+    def test_dim_must_divide(self, spark):
+        from karta_spark.operators import similarity as sim
+        e = self._embeddings(spark, n=4, dim=16)
+        with pytest.raises(ValueError):
+            sim.pq_encode(e, "embedding", 16, 5)
