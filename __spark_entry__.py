@@ -5437,6 +5437,69 @@ def q116_pq_adc_topk(spark, sf_dir):
     return similarity.pq_adc_topk(vectors, queries_df, k=5, dim=64, m=8)
 
 
+def q117_simplify_dp(spark, sf_dir):
+    """Douglas–Peucker simplification (round 7): zoom-dependent
+    geometry for the tile pyramid (q114) — six closed-form sawtooth
+    polylines of 40 vertices simplified at eps=3 via the per-geometry
+    applyInPandas stack (functions/geometry.py simplify_dp), returning
+    the kept vertex rows.
+
+    Value-oracle-exact against a RECURSIVE-CTE DuckDB twin that runs
+    the actual DP algorithm (interval splitting on max perpendicular
+    deviation, strict > eps, ties to the lowest index — kept set =
+    every interval endpoint the recursion generates): identical
+    deviation algebra per row, so any split-rule or tie-break
+    divergence changes the kept set and fails the hash gate."""
+    from karta_spark.functions.geometry import simplify_dp
+    base = spark.range(6).select(F.col("id").alias("g")) \
+        .crossJoin(spark.range(40).select(F.col("id").alias("i")))
+    pts = base.select(
+        F.col("g").alias("geom_id"), F.col("i").alias("idx"),
+        F.col("i").cast("double").alias("x"),
+        ((F.col("i") * F.col("i") * 7 + F.col("g") * 13) % 23 - 11)
+        .cast("double").alias("y"))
+    out = simplify_dp(pts, eps=3.0)
+    return out.select("geom_id", "idx", "x", "y")
+
+
+Q117_SQL = """
+WITH RECURSIVE pts AS (
+  SELECT g, i, CAST(i AS DOUBLE) AS x,
+         CAST((i*i*7 + g*13) % 23 - 11 AS DOUBLE) AS y
+  FROM range(6) t(g), range(40) s(i)
+), split(g, lo, hi) AS (
+  SELECT g, 0, 39 FROM range(6) t(g)
+  UNION ALL
+  SELECT q.g,
+         CASE sd.side WHEN 0 THEN q.lo ELSE q.k END,
+         CASE sd.side WHEN 0 THEN q.k ELSE q.hi END
+  FROM (
+    SELECT s.g, s.lo, s.hi, b.k
+    FROM split s
+    JOIN pts a ON a.g = s.g AND a.i = s.lo
+    JOIN pts c ON c.g = s.g AND c.i = s.hi
+    JOIN LATERAL (
+      SELECT p.i AS k,
+             CASE WHEN a.x = c.x AND a.y = c.y
+                  THEN sqrt((p.x-a.x)*(p.x-a.x) + (p.y-a.y)*(p.y-a.y))
+                  ELSE abs((c.x-a.x)*(a.y-p.y) - (a.x-p.x)*(c.y-a.y))
+                       / sqrt((c.x-a.x)*(c.x-a.x) + (c.y-a.y)*(c.y-a.y))
+             END AS dev
+      FROM pts p WHERE p.g = s.g AND p.i > s.lo AND p.i < s.hi
+      ORDER BY dev DESC, p.i ASC LIMIT 1
+    ) b ON b.dev > 3.0
+    WHERE s.hi - s.lo > 1
+  ) q
+  CROSS JOIN (VALUES (0), (1)) sd(side)
+)
+SELECT CAST(p.g AS BIGINT) AS geom_id, CAST(p.i AS BIGINT) AS idx,
+       p.x, p.y
+FROM pts p
+WHERE EXISTS (SELECT 1 FROM split s
+              WHERE s.g = p.g AND (s.lo = p.i OR s.hi = p.i))
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5555,6 +5618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_tile_render_census": q114_tile_render_census,
         "q115_code_language_routing": q115_code_language_routing,
         "q116_pq_adc_topk": q116_pq_adc_topk,
+        "q117_simplify_dp": q117_simplify_dp,
     }
 
 
@@ -5658,6 +5722,7 @@ def oracle_sql() -> dict[str, str]:
         "q114_tile_render_census": _q114_sql(),
         "q115_code_language_routing": _q115_sql(),
         "q116_pq_adc_topk": similarity.pq_adc_sql(k=5, dim=64, m=8),
+        "q117_simplify_dp": Q117_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

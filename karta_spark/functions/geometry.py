@@ -402,3 +402,51 @@ def to_npoints(df: DataFrame, n: int, geom_id: str = "geom_id") -> DataFrame:
         (F.col("x0") + frac * (F.col("x1") - F.col("x0"))).alias("x"),
         (F.col("y0") + frac * (F.col("y1") - F.col("y0"))).alias("y"),
     )
+
+
+def simplify_dp(df: DataFrame, eps: float,
+                geom_id: str = "geom_id") -> DataFrame:
+    """Douglas–Peucker polyline simplification over the vertex-table
+    convention (geom_id, idx, x, y) -> the KEPT vertices, same schema.
+
+    The zoom-dependent geometry step feeding the tile renderer
+    (raster/render.py): a coastline drawn at z4 does not need its z14
+    vertices.  Per-geometry applyInPandas with an explicit stack (not
+    recursion); the deviation is perpendicular point-to-chord distance
+    (point-to-anchor when the chord degenerates), split on dev > eps
+    STRICTLY, max-deviation ties keep the LOWEST index — the exact
+    contract the recursive-CTE DuckDB twin (gate q117) reproduces.
+    Geometries are independent: row-level parallelism, no shuffle
+    beyond the per-geometry grouping."""
+
+    def run(key, pdf):
+        pdf = pdf.sort_values("idx").reset_index(drop=True)
+        x = pdf["x"].to_numpy(dtype=np.float64)
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        n = len(x)
+        keep = np.zeros(n, dtype=bool)
+        if n:
+            keep[0] = keep[-1] = True
+        stack = [(0, n - 1)] if n > 2 else []
+        while stack:
+            lo, hi = stack.pop()
+            if hi - lo <= 1:
+                continue
+            ax, ay, cx, cy = x[lo], y[lo], x[hi], y[hi]
+            px, py = x[lo + 1:hi], y[lo + 1:hi]
+            if ax == cx and ay == cy:
+                dev = np.sqrt((px - ax) ** 2 + (py - ay) ** 2)
+            else:
+                dev = (np.abs((cx - ax) * (ay - py) - (ax - px) * (cy - ay))
+                       / np.sqrt((cx - ax) * (cx - ax)
+                                 + (cy - ay) * (cy - ay)))
+            k = int(np.argmax(dev)) + lo + 1  # ties -> lowest index
+            if dev[k - lo - 1] > eps:
+                keep[k] = True
+                stack.append((lo, k))
+                stack.append((k, hi))
+        return pdf[keep]
+
+    return df.select(geom_id, "idx", "x", "y") \
+             .groupBy(geom_id).applyInPandas(
+                 run, f"{geom_id} long, idx long, x double, y double")

@@ -1098,3 +1098,45 @@ class TestProductQuantization:
         e = self._embeddings(spark, n=4, dim=16)
         with pytest.raises(ValueError):
             sim.pq_encode(e, "embedding", 16, 5)
+
+
+class TestSimplifyDP:
+    """Douglas-Peucker simplification (functions/geometry.simplify_dp)."""
+
+    def test_square_wave_keeps_corners(self, spark):
+        # a step function: every corner deviates, straight runs drop
+        import numpy as np
+        from karta_spark.functions.geometry import simplify_dp
+        xs = list(range(12))
+        ys = [0, 0, 0, 10, 10, 10, 0, 0, 0, 10, 10, 10]
+        df = spark.createDataFrame(
+            [(0, i, float(xs[i]), float(ys[i])) for i in range(12)],
+            "geom_id long, idx long, x double, y double")
+        kept = sorted(r["idx"] for r in simplify_dp(df, 1.0).collect())
+        assert 0 in kept and 11 in kept
+        # the dropped vertices all lie within eps of the kept chain
+        pts = {i: (xs[i], ys[i]) for i in range(12)}
+        for lo, hi in zip(kept, kept[1:]):
+            ax, ay = pts[lo]; cx, cy = pts[hi]
+            for i in range(lo + 1, hi):
+                px, py = pts[i]
+                num = abs((cx-ax)*(ay-py) - (ax-px)*(cy-ay))
+                den = ((cx-ax)**2 + (cy-ay)**2) ** 0.5
+                assert num / den <= 1.0 + 1e-12
+
+    def test_collinear_collapses_to_endpoints(self, spark):
+        from karta_spark.functions.geometry import simplify_dp
+        df = spark.createDataFrame(
+            [(1, i, float(i), 2.0 * i) for i in range(30)],
+            "geom_id long, idx long, x double, y double")
+        kept = sorted(r["idx"] for r in simplify_dp(df, 0.001).collect())
+        assert kept == [0, 29]
+
+    def test_eps_zero_keeps_everything_nonlinear(self, spark):
+        from karta_spark.functions.geometry import simplify_dp
+        ys = [0.0, 1.0, -1.0, 2.0, 0.5]
+        df = spark.createDataFrame(
+            [(2, i, float(i), ys[i]) for i in range(5)],
+            "geom_id long, idx long, x double, y double")
+        kept = sorted(r["idx"] for r in simplify_dp(df, 0.0).collect())
+        assert kept == [0, 1, 2, 3, 4]
