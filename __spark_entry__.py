@@ -5500,6 +5500,55 @@ WHERE EXISTS (SELECT 1 FROM split s
 """
 
 
+def q118_snapshot_time_travel(spark, sf_dir):
+    """Snapshot-table time travel (round 7): the north rule checkpoints
+    to Iceberg; plans/snapshots.py implements the Iceberg PROPERTIES on
+    plain parquet — manifest-isolated reads (orphan files invisible),
+    O_EXCL-atomic version commits, append-only history.  Three commits
+    of closed-form data (append, append, overwrite), plus a planted
+    ORPHAN parquet in data/, then every version is read back and
+    censused.
+
+    Value-oracle-exact: per-version row counts and value sums derive
+    from the closed forms alone — a manifest-listing, pointer-flip, or
+    isolation slip (orphan rows leaking in) moves a sum and fails the
+    hash gate."""
+    import os
+    import shutil
+    import tempfile
+    from karta_spark.plans.snapshots import SnapshotTable
+    root = os.path.join(tempfile.gettempdir(), "karta_q118_snap")
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(root)
+    d1 = spark.range(100).select(F.col("id").alias("v"))
+    d2 = spark.range(100, 160).select(F.col("id").alias("v"))
+    d3 = spark.range(1000, 1020).select(F.col("id").alias("v"))
+    t.append(d1)
+    t.append(d2)
+    t.overwrite(d3)
+    # planted orphan: must stay invisible to every read
+    spark.range(5000, 5100).select(F.col("id").alias("v")) \
+        .write.parquet(os.path.join(t.data_dir, "orphan"))
+    out = None
+    for ver in (1, 2, 3):
+        c = (t.read(spark, ver)
+             .agg(F.count("*").cast("long").alias("n_rows"),
+                  F.sum("v").cast("long").alias("sum_v"))
+             .select(F.lit(ver).alias("version"), "n_rows", "sum_v"))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+Q118_SQL = """
+SELECT 1 AS version, CAST(100 AS BIGINT) AS n_rows,
+       CAST(4950 AS BIGINT) AS sum_v
+UNION ALL
+SELECT 2, 160, 4950 + (100 + 159) * 60 // 2
+UNION ALL
+SELECT 3, 20, (1000 + 1019) * 20 // 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5619,6 +5668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_code_language_routing": q115_code_language_routing,
         "q116_pq_adc_topk": q116_pq_adc_topk,
         "q117_simplify_dp": q117_simplify_dp,
+        "q118_snapshot_time_travel": q118_snapshot_time_travel,
     }
 
 
@@ -5723,6 +5773,7 @@ def oracle_sql() -> dict[str, str]:
         "q115_code_language_routing": _q115_sql(),
         "q116_pq_adc_topk": similarity.pq_adc_sql(k=5, dim=64, m=8),
         "q117_simplify_dp": Q117_SQL,
+        "q118_snapshot_time_travel": Q118_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,
