@@ -5549,6 +5549,49 @@ SELECT 3, 20, (1000 + 1019) * 20 // 2
 """
 
 
+def q119_docx_text_census(spark, sf_dir):
+    """DOCX text-extraction census (round 7): office documents are a
+    steady fraction of any crawl; sources/docx.py walks the OOXML
+    package (stdlib zip + XML: w:p/w:r/w:t runs, w:tab/w:br inline
+    breaks, table rows flattened) with the robust err-row contract.
+    Eight documents with closed-form paragraphs, XML-escapable
+    characters included, extracted DISTRIBUTED and censused per doc.
+
+    Value-oracle-exact: paragraph text is a closed form over (doc,
+    para), so DuckDB regenerates n_chars — an XML-namespace, escape,
+    or run-concatenation slip moves a length and fails the gate."""
+    from karta_spark.sources.docx import docx_text_distributed, encode_docx
+    rows = []
+    for d in range(8):
+        paras = [f"doc {d} para {p} <&> " + "w" * ((d * 5 + p * 3) % 13)
+                 for p in range((d % 4) + 2)]
+        rows.append((d, bytearray(encode_docx(paras))))
+    docs = spark.createDataFrame(rows, "doc_id long, content binary")
+    ext = docx_text_distributed(docs).where(F.col("err").isNull())
+    nc = F.col("n_chars").cast("long")
+    return (ext.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_paras"),
+                 F.sum(nc).alias("total_chars"),
+                 F.sum((F.col("para") + 1).cast("long") * nc)
+                 .alias("checksum")))
+
+
+Q119_SQL = """
+WITH paras AS (
+  SELECT d, p,
+         length('doc ' || d || ' para ' || p || ' <&> ')
+           + (d*5 + p*3) % 13 AS plen
+  FROM range(8) t(d), range(6) r(p)
+  WHERE p < (d % 4) + 2
+)
+SELECT CAST(d AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(plen) AS BIGINT) AS total_chars,
+       CAST(sum((p + 1) * plen) AS BIGINT) AS checksum
+FROM paras GROUP BY d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5669,6 +5712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_pq_adc_topk": q116_pq_adc_topk,
         "q117_simplify_dp": q117_simplify_dp,
         "q118_snapshot_time_travel": q118_snapshot_time_travel,
+        "q119_docx_text_census": q119_docx_text_census,
     }
 
 
@@ -5774,6 +5818,7 @@ def oracle_sql() -> dict[str, str]:
         "q116_pq_adc_topk": similarity.pq_adc_sql(k=5, dim=64, m=8),
         "q117_simplify_dp": Q117_SQL,
         "q118_snapshot_time_travel": Q118_SQL,
+        "q119_docx_text_census": Q119_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -1201,3 +1201,65 @@ class TestSnapshotTable:
         t.append(spark.range(1))
         with pytest.raises(ValueError):
             t.manifest(9)
+
+
+class TestDocx:
+    """DOCX text extraction (sources/docx.py)."""
+
+    def test_roundtrip_with_escapes(self):
+        from karta_spark.sources.docx import docx_text, encode_docx
+        paras = ["Title paragraph", "Body with <angle> & amp",
+                 "tab\there"]
+        assert docx_text(encode_docx(paras)) == paras
+
+    def test_tables_flatten_to_rows(self):
+        import io
+        import zipfile
+        from karta_spark.sources.docx import docx_text
+        W = ('xmlns:w="http://schemas.openxmlformats.org/'
+             'wordprocessingml/2006/main"')
+        doc = (f"<w:document {W}><w:body>"
+               "<w:p><w:r><w:t>before</w:t></w:r></w:p>"
+               "<w:tbl><w:tr>"
+               "<w:tc><w:p><w:r><w:t>a1</w:t></w:r></w:p></w:tc>"
+               "<w:tc><w:p><w:r><w:t>b1</w:t></w:r></w:p></w:tc>"
+               "</w:tr></w:tbl>"
+               "<w:p><w:r><w:t>after</w:t></w:r></w:p>"
+               "</w:body></w:document>")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("word/document.xml", doc)
+        assert docx_text(buf.getvalue()) == ["before", "a1\tb1", "after"]
+
+    def test_split_runs_concatenate(self):
+        import io
+        import zipfile
+        from karta_spark.sources.docx import docx_text
+        W = ('xmlns:w="http://schemas.openxmlformats.org/'
+             'wordprocessingml/2006/main"')
+        doc = (f"<w:document {W}><w:body><w:p>"
+               "<w:r><w:t>Hel</w:t></w:r><w:r><w:t>lo </w:t></w:r>"
+               "<w:r><w:t>world</w:t></w:r>"
+               "</w:p></w:body></w:document>")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("word/document.xml", doc)
+        assert docx_text(buf.getvalue()) == ["Hello world"]
+
+    def test_malformed_raises(self):
+        from karta_spark.sources.docx import docx_text, encode_docx
+        for bad in (b"PK\x03\x04junk", b"not a zip",
+                    encode_docx(["x"])[:40]):
+            with pytest.raises(ValueError):
+                docx_text(bad)
+
+    def test_distributed_err_contract(self, spark):
+        from karta_spark.sources.docx import (docx_text_distributed,
+                                              encode_docx)
+        rows = [(0, bytearray(encode_docx(["a", "bb"]))),
+                (1, bytearray(b"broken"))]
+        df = spark.createDataFrame(rows, "doc_id long, content binary")
+        out = docx_text_distributed(df).toPandas()
+        good = out[out["err"].isnull()]
+        assert len(good) == 2 and set(good["text"]) == {"a", "bb"}
+        assert (out[out["err"].notnull()]["doc_id"] == 1).all()
