@@ -5592,6 +5592,97 @@ FROM paras GROUP BY d
 """
 
 
+def q120_jpeg_quality_estimate(spark, sf_dir):
+    """JPEG encoder-quality recovery (round 7): the standard corpus
+    quality signal — the IJG quality knob is recoverable from the DQT
+    table alone, no pixel decode (sources/jpeg.py
+    estimate_jpeg_quality: nearest Annex-K scaling in L1, exact_match
+    when bit-for-bit).  84 images encoded executor-side at seven known
+    qualities, estimated distributed, censused per true quality.
+
+    Value-oracle-exact: estimates must equal the encoding quality with
+    exact_match TRUE for every IJG-scaled stream, so DuckDB states the
+    census from the closed form — any DQT-parse or scaling slip moves
+    n_correct and fails the gate."""
+    import pandas as pd
+    quals = (10, 30, 50, 70, 85, 95, 100)
+
+    def run(batches):
+        from karta_spark.sources.images import pixels_for_phash
+        from karta_spark.sources.jpeg import (encode_jpeg_baseline,
+                                              estimate_jpeg_quality)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                q = quals[i % 7]
+                pix = pixels_for_phash(i * 2654435761 % (1 << 48),
+                                       32, 32)
+                est, exact = estimate_jpeg_quality(
+                    encode_jpeg_baseline(pix, q))
+                rows.append((i, q, est, exact))
+            yield pd.DataFrame(rows, columns=["img_id", "true_q",
+                                              "est_q", "exact"])
+
+    ests = spark.range(84).repartition(4).mapInPandas(
+        run, "img_id long, true_q int, est_q int, exact boolean")
+    return (ests.groupBy("true_q")
+            .agg(F.count("*").cast("long").alias("n_images"),
+                 F.sum((F.col("est_q") == F.col("true_q")).cast("long"))
+                 .alias("n_correct"),
+                 F.sum(F.col("exact").cast("long")).alias("n_exact")))
+
+
+Q120_SQL = """
+SELECT CAST(q AS INT) AS true_q, CAST(12 AS BIGINT) AS n_images,
+       CAST(12 AS BIGINT) AS n_correct, CAST(12 AS BIGINT) AS n_exact
+FROM (VALUES (10), (30), (50), (70), (85), (95), (100)) t(q)
+"""
+
+
+def q121_mojibake_repair(spark, sf_dir):
+    """Mojibake repair census (round 7): UTF-8-read-as-latin-1 damage
+    ('café' -> 'cafÃ©') is the most common encoding corruption in
+    crawled corpora; operators/text.py fix_mojibake repairs it by the
+    ftfy-style roundtrip criterion (re-encode cp1252/latin-1, accept
+    only valid-UTF-8 decodes), plus NFC and control stripping.  Sixty
+    closed-form accented strings are BROKEN Spark-side (encode utf-8 /
+    decode latin-1 — half of them twice) and repaired distributed; the
+    output strings hash-compare against DuckDB's regenerated CLEAN
+    text.
+
+    Any repair-criterion, double-pass, or normalization slip changes a
+    string and fails the hash gate."""
+    import pandas as pd
+    from karta_spark.operators.text import fix_mojibake_texts
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                clean = (f"café {i} número – äöü € "
+                         + "x" * (i % 7))
+                broken = clean.encode("utf-8").decode("latin-1")
+                if i % 2:
+                    broken = broken.encode("utf-8").decode("latin-1")
+                rows.append((i, broken))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    docs = spark.range(60).repartition(4).mapInPandas(
+        synth, "doc_id long, text string")
+    out = fix_mojibake_texts(docs, "text", "doc_id")
+    return out.select(F.col("id").alias("doc_id"), "text", "changed")
+
+
+Q121_SQL = """
+SELECT CAST(i AS BIGINT) AS doc_id,
+       'café ' || i || ' número – äöü € ' || repeat('x', i % 7) AS text,
+       TRUE AS changed
+FROM range(60) t(i)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5713,6 +5804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_simplify_dp": q117_simplify_dp,
         "q118_snapshot_time_travel": q118_snapshot_time_travel,
         "q119_docx_text_census": q119_docx_text_census,
+        "q120_jpeg_quality_estimate": q120_jpeg_quality_estimate,
+        "q121_mojibake_repair": q121_mojibake_repair,
     }
 
 
@@ -5819,6 +5912,8 @@ def oracle_sql() -> dict[str, str]:
         "q117_simplify_dp": Q117_SQL,
         "q118_snapshot_time_travel": Q118_SQL,
         "q119_docx_text_census": Q119_SQL,
+        "q120_jpeg_quality_estimate": Q120_SQL,
+        "q121_mojibake_repair": Q121_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

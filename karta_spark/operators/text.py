@@ -184,6 +184,59 @@ def code_language_sql(col_expr: str) -> str:
     return expr
 
 
+def fix_mojibake(s: str, max_passes: int = 2) -> str:
+    """Repair UTF-8-bytes-misread-as-cp1252/latin-1 text ('café' seen
+    as 'cafÃ©') — the single most common encoding damage in crawled
+    corpora — plus NFC normalization and control-character stripping.
+
+    The repair criterion is the ftfy-style roundtrip test: re-encode
+    through cp1252 (latin-1 fallback) and accept ONLY when the bytes
+    decode as valid UTF-8 to a different string.  Genuine Latin text
+    ('José') fails the UTF-8 decode and passes through unchanged, so
+    false repairs are structurally rare.  Two passes unwind
+    double-encoded mojibake."""
+    import unicodedata
+    for _ in range(max_passes):
+        try:
+            b = s.encode("cp1252")
+        except UnicodeEncodeError:
+            try:
+                b = s.encode("latin-1")
+            except UnicodeEncodeError:
+                break
+        try:
+            s2 = b.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if s2 == s:
+            break
+        s = s2
+    s = unicodedata.normalize("NFC", s)
+    return "".join(c for c in s
+                   if c in "\n\t" or unicodedata.category(c) != "Cc")
+
+
+def fix_mojibake_texts(df: DataFrame, text_col: str,
+                       id_col: str) -> DataFrame:
+    """Arrow-batched corpus repair: (id, text, changed).  Row-level
+    parallelism, no shuffle at any scale."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            fixed = [fix_mojibake(t or "") for t in pdf[text_col]]
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "text": fixed,
+                "changed": [f != (t or "") for f, t in
+                            zip(fixed, pdf[text_col])]})
+
+    return df.mapInPandas(run,
+                          f"id {id_type}, text string, changed boolean")
+
+
 def fingerprint(col: Column) -> Column:
     """64-bit document fingerprint over normalized text (lowercase,
     whitespace collapsed) — xxhash64, JVM-side."""

@@ -1604,3 +1604,51 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 95,
                 1, 63, 0, ac_tab)
     out += b"\xFF\xD9"
     return bytes(out)
+
+
+def estimate_jpeg_quality(data: bytes) -> tuple[int, bool]:
+    """(estimated IJG quality, exact_match) from the stream's FIRST
+    quantization table (the luminance table by convention) — the
+    standard corpus signal for image-quality filtering: the encoder's
+    quality knob is recoverable from DQT alone, no pixel decode.
+
+    Scans q = 1..100 for the Annex-K luminance table whose IJG
+    scaling (scaled_quant) is nearest in L1; ``exact_match`` is True
+    when some q reproduces the stored table bit-for-bit (all IJG-
+    derived encoders, including this repo's).  Custom-table encoders
+    get the nearest-q estimate with exact_match False.  Raises
+    ValueError when the stream carries no DQT before SOS."""
+    import struct as _struct
+    data = bytes(data)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    table = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        (seglen,) = _struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB and table is None:
+            pq_tq = body[0]
+            if pq_tq >> 4:
+                q = np.frombuffer(body[1:129], dtype=">u2")
+            else:
+                q = np.frombuffer(body[1:65], dtype=np.uint8)
+            table = q[UNZIGZAG].reshape(8, 8).astype(np.int64)
+    if table is None:
+        raise ValueError("JPEG has no DQT before SOS")
+    best_q, best_err = 1, None
+    for quality in range(1, 101):
+        cand = scaled_quant(QUANT_LUM, quality).astype(np.int64)
+        err = int(np.abs(cand - table).sum())
+        if best_err is None or err < best_err:
+            best_q, best_err = quality, err
+    return best_q, best_err == 0

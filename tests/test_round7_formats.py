@@ -1263,3 +1263,74 @@ class TestDocx:
         good = out[out["err"].isnull()]
         assert len(good) == 2 and set(good["text"]) == {"a", "bb"}
         assert (out[out["err"].notnull()]["doc_id"] == 1).all()
+
+
+class TestJpegQualityEstimate:
+    def test_recovers_ijg_quality_exactly(self):
+        import numpy as np
+        from karta_spark.sources.jpeg import (encode_jpeg_baseline,
+                                              estimate_jpeg_quality)
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        for q in (5, 10, 30, 50, 75, 85, 95, 100):
+            est, exact = estimate_jpeg_quality(encode_jpeg_baseline(img, q))
+            assert (est, exact) == (q, True)
+
+    def test_custom_table_nearest_not_exact(self):
+        import numpy as np
+        from karta_spark.sources.jpeg import (QUANT_LUM, ZIGZAG,
+                                              estimate_jpeg_quality,
+                                              scaled_quant)
+        # hand-build a DQT segment with a perturbed q75 table
+        t = scaled_quant(QUANT_LUM, 75).astype(np.int64)
+        t[0, 1] += 1  # not any IJG scaling anymore
+        zz = t.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+        seg = b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00" + zz
+        blob = b"\xff\xd8" + seg + b"\xff\xd9"
+        est, exact = estimate_jpeg_quality(blob)
+        assert est == 75 and exact is False
+
+    def test_no_dqt_raises(self):
+        from karta_spark.sources.jpeg import estimate_jpeg_quality
+        with pytest.raises(ValueError):
+            estimate_jpeg_quality(b"\xff\xd8\xff\xd9")
+
+
+class TestMojibake:
+    CLEAN = "café número – äöü € ok"
+
+    def test_single_and_double_repair(self):
+        from karta_spark.operators.text import fix_mojibake
+        b1 = self.CLEAN.encode("utf-8").decode("latin-1")
+        assert fix_mojibake(b1) == self.CLEAN
+        b2 = b1.encode("utf-8").decode("latin-1")
+        assert fix_mojibake(b2) == self.CLEAN
+
+    def test_cp1252_path(self):
+        from karta_spark.operators.text import fix_mojibake
+        b = self.CLEAN.encode("utf-8").decode("cp1252", errors="replace")
+        assert fix_mojibake(b) == self.CLEAN
+
+    def test_genuine_text_untouched(self):
+        from karta_spark.operators.text import fix_mojibake
+        for s in ("José lives in Zürich", "plain ascii", "Ελληνικά",
+                  "日本語のテキスト"):
+            assert fix_mojibake(s) == s
+
+    def test_control_chars_stripped_nfc_applied(self):
+        import unicodedata
+        from karta_spark.operators.text import fix_mojibake
+        assert fix_mojibake("a\x00b\x07c\nd\te") == "abc\nd\te"
+        decomposed = "café"  # e + combining acute
+        assert fix_mojibake(decomposed) == \
+            unicodedata.normalize("NFC", decomposed)
+
+    def test_distributed(self, spark):
+        from karta_spark.operators.text import fix_mojibake_texts
+        b1 = self.CLEAN.encode("utf-8").decode("latin-1")
+        df = spark.createDataFrame([(0, b1), (1, "plain")],
+                                   "doc_id long, text string")
+        out = {r["id"]: (r["text"], r["changed"])
+               for r in fix_mojibake_texts(df, "text", "doc_id").collect()}
+        assert out[0] == (self.CLEAN, True)
+        assert out[1] == ("plain", False)
