@@ -5683,6 +5683,70 @@ FROM range(60) t(i)
 """
 
 
+def q122_blocklist_filter(spark, sf_dir):
+    """Aho–Corasick blocklist filter (round 7): the C4-style badwords
+    / blocked-URL step at the pattern counts where a regex union dies
+    — the broadcast automaton scans each document ONCE regardless of
+    pattern count (operators/text.py AhoCorasick, verified against
+    brute force by a 300-case fuzz test).  Blocked terms are planted
+    into the documents table by a closed form; matching runs over the
+    automaton, the oracle re-derives every hit with substring
+    contains() on the identically-regenerated text.
+
+    Value-oracle-exact: per-doc hit count, hit-id sum, and blocked
+    flag — a goto/failure-link or output-merge slip changes a hit set
+    and fails the hash gate."""
+    from karta_spark.operators.text import blocklist_hits
+    pats = ["blockedterm0", "blockedterm1", "blockedterm2",
+            "zzneverzz"]
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" blockedterm"),
+                            (F.col("doc_id") % 3).cast("string")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" BLOCKEDTERM1")).otherwise(F.lit("")))
+        .alias("text"))
+    out = blocklist_hits(planted, "text", "doc_id", pats)
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("n_hits").cast("long")
+        .alias("n_hits"),
+        F.coalesce(F.aggregate("hit_ids", F.lit(0).cast("long"),
+                               lambda a, x: a + x.cast("long")),
+                   F.lit(0).cast("long")).alias("hit_id_sum"),
+        "blocked")
+
+
+Q122_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         lower(text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' blockedterm' || (doc_id % 3)
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' BLOCKEDTERM1' ELSE '' END) AS t
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+         [k FOR k IN [0, 1, 2, 3]
+            IF contains(t, CASE k WHEN 0 THEN 'blockedterm0'
+                                  WHEN 1 THEN 'blockedterm1'
+                                  WHEN 2 THEN 'blockedterm2'
+                                  ELSE 'zzneverzz' END)] AS ids
+  FROM planted
+)
+SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_hits,
+       CAST(coalesce(list_sum(ids), 0) AS BIGINT) AS hit_id_sum,
+       len(ids) > 0 AS blocked
+FROM hits
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5806,6 +5870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_docx_text_census": q119_docx_text_census,
         "q120_jpeg_quality_estimate": q120_jpeg_quality_estimate,
         "q121_mojibake_repair": q121_mojibake_repair,
+        "q122_blocklist_filter": q122_blocklist_filter,
     }
 
 
@@ -5914,6 +5979,7 @@ def oracle_sql() -> dict[str, str]:
         "q119_docx_text_census": Q119_SQL,
         "q120_jpeg_quality_estimate": Q120_SQL,
         "q121_mojibake_repair": Q121_SQL,
+        "q122_blocklist_filter": Q122_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

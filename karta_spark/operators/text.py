@@ -184,6 +184,103 @@ def code_language_sql(col_expr: str) -> str:
     return expr
 
 
+class AhoCorasick:
+    """Multi-pattern exact substring matcher (Aho & Corasick 1975).
+
+    THE scale path for blocklist filtering: a regex union dies at a
+    few thousand alternatives, while the automaton is linear in text
+    length regardless of pattern count — 100k badwords/blocked-URLs
+    cost the same scan as 10.  Built once on the driver, broadcast to
+    executors (the automaton size is O(total pattern chars), corpus-
+    independent)."""
+
+    def __init__(self, patterns: list[str]):
+        self.patterns = list(patterns)
+        # trie as list-of-dicts; goto[state][ch] -> state
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[int]] = [[]]
+        for pid, pat in enumerate(self.patterns):
+            if not pat:
+                raise ValueError("empty blocklist pattern")
+            s = 0
+            for ch in pat:
+                nxt = self.goto[s].get(ch)
+                if nxt is None:
+                    nxt = len(self.goto)
+                    self.goto[s][ch] = nxt
+                    self.goto.append({})
+                    self.out.append([])
+                s = nxt
+            self.out[s].append(pid)
+        # BFS failure links
+        from collections import deque
+        self.fail = [0] * len(self.goto)
+        q = deque()
+        for s in self.goto[0].values():
+            q.append(s)
+        while q:
+            r = q.popleft()
+            for ch, s in self.goto[r].items():
+                q.append(s)
+                f = self.fail[r]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[s] = self.goto[f].get(ch, 0)
+                if self.fail[s] == s:
+                    self.fail[s] = 0
+                self.out[s] = self.out[s] + self.out[self.fail[s]]
+
+    def find(self, text: str) -> list[tuple[int, int]]:
+        """[(end_index_exclusive, pattern_id)] for every occurrence."""
+        s = 0
+        hits = []
+        for i, ch in enumerate(text):
+            while s and ch not in self.goto[s]:
+                s = self.fail[s]
+            s = self.goto[s].get(ch, 0)
+            for pid in self.out[s]:
+                hits.append((i + 1, pid))
+        return hits
+
+    def hit_ids(self, text: str) -> list[int]:
+        """Distinct matched pattern ids, ascending."""
+        return sorted({pid for _, pid in self.find(text)})
+
+
+def blocklist_hits(df: DataFrame, text_col: str, id_col: str,
+                   patterns: list[str],
+                   lowercase: bool = True) -> DataFrame:
+    """(id, n_hits, hit_ids array<int>, blocked) per document — the
+    C4-style badwords / blocked-URL filter at automaton speed.  The
+    automaton broadcasts once; each task scans its rows linearly."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    ac = AhoCorasick([p.lower() if lowercase else p for p in patterns])
+    bc = spark.sparkContext.broadcast(ac)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        a = bc.value
+        for pdf in batches:
+            ids, nh, hids, blk = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = (text or "")
+                if lowercase:
+                    t = t.lower()
+                h = a.hit_ids(t)
+                ids.append(did)
+                nh.append(len(h))
+                hids.append(h)
+                blk.append(bool(h))
+            yield pd.DataFrame({"id": ids, "n_hits": nh,
+                                "hit_ids": hids, "blocked": blk})
+
+    return df.mapInPandas(
+        run, f"id {id_type}, n_hits int, hit_ids array<int>, "
+             "blocked boolean")
+
+
 def fix_mojibake(s: str, max_passes: int = 2) -> str:
     """Repair UTF-8-bytes-misread-as-cp1252/latin-1 text ('café' seen
     as 'cafÃ©') — the single most common encoding damage in crawled

@@ -1334,3 +1334,44 @@ class TestMojibake:
                for r in fix_mojibake_texts(df, "text", "doc_id").collect()}
         assert out[0] == (self.CLEAN, True)
         assert out[1] == ("plain", False)
+
+
+class TestAhoCorasick:
+    def test_classic_ushers(self):
+        from karta_spark.operators.text import AhoCorasick
+        pats = ["he", "she", "his", "hers"]
+        ac = AhoCorasick(pats)
+        got = sorted((e, pats[p]) for e, p in ac.find("ushers"))
+        assert got == [(4, "he"), (4, "she"), (6, "hers")]
+
+    def test_fuzz_vs_bruteforce(self):
+        import random
+        from karta_spark.operators.text import AhoCorasick
+        rng = random.Random(7)
+        pats = list({"".join(rng.choice("ab")
+                             for _ in range(rng.randint(1, 4)))
+                     for _ in range(12)})
+        ac = AhoCorasick(pats)
+        for _ in range(300):
+            t = "".join(rng.choice("ab")
+                        for _ in range(rng.randint(0, 40)))
+            want = sorted({i for i, p in enumerate(pats) if p in t})
+            assert ac.hit_ids(t) == want
+
+    def test_distributed_blocklist(self, spark):
+        from karta_spark.operators.text import blocklist_hits
+        df = spark.createDataFrame(
+            [(0, "clean text"), (1, "has BadWord inside"),
+             (2, "badword and another badword")],
+            "doc_id long, text string")
+        out = {r["id"]: (r["n_hits"], r["blocked"]) for r in
+               blocklist_hits(df, "text", "doc_id",
+                              ["badword", "another"]).collect()}
+        assert out[0] == (0, False)
+        assert out[1] == (1, True)   # case-insensitive by default
+        assert out[2] == (2, True)
+
+    def test_empty_pattern_rejected(self):
+        from karta_spark.operators.text import AhoCorasick
+        with pytest.raises(ValueError):
+            AhoCorasick(["ok", ""])
