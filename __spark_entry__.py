@@ -5747,6 +5747,59 @@ FROM hits
 """
 
 
+def q123_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic deduplication (round 7, Abbas et al. 2023):
+    cluster the embeddings table on the exact-integer static codebook
+    (the q49 assignment), then within each cluster drop any vector
+    whose cosine to a LOWER-id member reaches the threshold — the
+    clustering makes the quadratic comparison local (self-join keys on
+    cluster id; cost = Σ cluster² not corpus²), which is the entire
+    scale story of the method.
+
+    Value-oracle-exact: cluster assignment is integer argmin and the
+    keep rule is a deterministic EXISTS over exact cosines, so DuckDB
+    reproduces every (cluster, kept) row; threshold 0.6 sits far from
+    any pair's cosine (no boundary floats)."""
+    from karta_spark.operators.dedup import semantic_dedup
+    e = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(e, "embedding", "vec_id", threshold=0.6,
+                         dim=64)
+    return out.select(F.col("id").alias("vec_id"),
+                      F.col("cluster").cast("long").alias("cluster"),
+                      "kept")
+
+
+def _q123_sql():
+    from karta_spark.operators.similarity import (_Q_SCALE,
+                                                  static_codebook)
+    codebook = static_codebook(8, 64, 19)
+    s = (f"list_transform(CAST(embedding AS DOUBLE[]), "
+         f"x -> floor(x * {_Q_SCALE}))")
+    ss = f"list_dot_product({s}, {s})"
+    dts = []
+    for cj in codebook:
+        lit = "[" + ", ".join(f"{float(v):.1f}" for v in cj) + "]::DOUBLE[]"
+        cc = float(sum(v * v for v in cj))
+        dts.append(f"({ss} - 2.0*list_dot_product({s}, {lit}) + {cc})")
+    darr = "[" + ", ".join(dts) + "]"
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev,
+         list_position({darr}, list_min({darr})) - 1 AS cluster
+  FROM embeddings
+), dup AS (
+  SELECT DISTINCT b.id
+  FROM v a JOIN v b ON a.cluster = b.cluster AND a.id < b.id
+  WHERE list_dot_product(a.ev, b.ev)
+        / (sqrt(list_dot_product(a.ev, a.ev))
+           * sqrt(list_dot_product(b.ev, b.ev))) >= 0.6
+)
+SELECT v.id AS vec_id, CAST(v.cluster AS BIGINT) AS cluster,
+       (dup.id IS NULL) AS kept
+FROM v LEFT JOIN dup ON v.id = dup.id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5871,6 +5924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_jpeg_quality_estimate": q120_jpeg_quality_estimate,
         "q121_mojibake_repair": q121_mojibake_repair,
         "q122_blocklist_filter": q122_blocklist_filter,
+        "q123_semantic_dedup": q123_semantic_dedup,
     }
 
 
@@ -5980,6 +6034,7 @@ def oracle_sql() -> dict[str, str]:
         "q120_jpeg_quality_estimate": Q120_SQL,
         "q121_mojibake_repair": Q121_SQL,
         "q122_blocklist_filter": Q122_SQL,
+        "q123_semantic_dedup": _q123_sql(),
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -1017,3 +1017,43 @@ def cluster_representatives(df: DataFrame, pairs: DataFrame, id_col: str,
     return (scored.groupBy("canonical_id")
             .agg(F.min_by("id", key).alias("rep_id"),
                  F.count("*").cast("long").alias("n_members")))
+
+
+def semantic_dedup(vectors: DataFrame, vec_col: str, id_col: str,
+                   threshold: float, codebook=None, dim: int = 64,
+                   n_clusters: int = 8, seed: int = 19) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then drop
+    near-duplicates WITHIN each cluster — clustering makes the
+    quadratic comparison local, which is the whole trick: the
+    self-join keys on cluster id, so its cost is sum of cluster
+    sizes squared, not corpus squared.
+
+    Assignment uses the exact-integer static-codebook argmin
+    (similarity.ivf_topk_static's machinery — swap in
+    similarity.train_centroids for data-adaptive clusters); the keep
+    rule is deterministic: a vector drops iff some LOWER-id vector in
+    its cluster has cosine >= threshold ("keep first").  Returns
+    (id, cluster, kept)."""
+    from karta_spark.operators.similarity import (_static_dists,
+                                                  cosine_expr,
+                                                  static_codebook)
+    if codebook is None:
+        codebook = static_codebook(n_clusters, dim, seed)
+    v = vectors.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("_v"))
+    v = v.withColumn("_d", _static_dists("_v", codebook)) \
+         .withColumn("cluster",
+                     (F.array_position("_d", F.array_min("_d")) - 1)
+                     .cast("int")).drop("_d")
+    a = v.select(F.col("id").alias("ida"), F.col("_v").alias("va"),
+                 "cluster")
+    b = v.select(F.col("id").alias("idb"), F.col("_v").alias("vb"),
+                 "cluster")
+    dup = (a.join(b, "cluster")
+           .where(F.col("ida") < F.col("idb"))
+           .where(cosine_expr("va", "vb") >= threshold)
+           .select(F.col("idb").alias("id")).distinct())
+    return (v.join(dup.withColumn("_dup", F.lit(True)), "id", "left")
+            .select("id", "cluster",
+                    F.coalesce(~F.col("_dup"), F.lit(True))
+                    .alias("kept")))

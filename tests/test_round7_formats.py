@@ -1375,3 +1375,42 @@ class TestAhoCorasick:
         from karta_spark.operators.text import AhoCorasick
         with pytest.raises(ValueError):
             AhoCorasick(["ok", ""])
+
+
+class TestSemanticDedup:
+    def test_planted_duplicates_drop_keep_first(self, spark):
+        import numpy as np
+        from karta_spark.operators.dedup import semantic_dedup
+        rng = np.random.default_rng(4)
+        base = rng.normal(size=(10, 16)).astype("float32")
+        rows = []
+        for i in range(10):
+            rows.append((i, base[i].tolist()))
+        # plant near-dups of vectors 0 and 3 at higher ids
+        rows.append((10, (base[0] * 1.001).astype("float32").tolist()))
+        rows.append((11, (base[3] * 0.999).astype("float32").tolist()))
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = {r["id"]: r["kept"] for r in semantic_dedup(
+            df, "embedding", "vec_id", threshold=0.999, dim=16,
+            n_clusters=4).collect()}
+        assert out[0] and out[3]          # originals kept (lowest id)
+        assert not out[10] and not out[11]  # scaled copies dropped
+        assert all(out[i] for i in range(10))  # random vecs unrelated
+
+    def test_quadratic_is_local_to_clusters(self, spark):
+        # all comparisons key on cluster: two orthogonal groups never
+        # compare, so identical vectors in DIFFERENT clusters survive
+        import numpy as np
+        from karta_spark.operators.dedup import semantic_dedup
+        from karta_spark.operators.similarity import static_codebook
+        cb = static_codebook(4, 8, seed=19)
+        va = (np.array(cb[0], dtype=np.float64) / (1 << 20)).tolist()
+        vb = (np.array(cb[1], dtype=np.float64) / (1 << 20)).tolist()
+        df = spark.createDataFrame(
+            [(0, va), (1, vb)], "vec_id long, embedding array<float>")
+        out = semantic_dedup(df, "embedding", "vec_id", threshold=0.0,
+                             dim=8, n_clusters=4).collect()
+        clusters = {r["id"]: r["cluster"] for r in out}
+        assert clusters[0] != clusters[1]
+        assert all(r["kept"] for r in out)
