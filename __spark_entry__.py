@@ -5800,6 +5800,62 @@ FROM v LEFT JOIN dup ON v.id = dup.id
 """
 
 
+def q124_lm_perplexity_filter(spark, sf_dir):
+    """Char-trigram LM perplexity filtering (round 7): the KenLM-style
+    quality signal — train an add-1 trigram model on the reference
+    slice (doc_id % 17 == 0, the q51 benchmark convention) in one
+    distributed pass, score every other document's mean NLL via a
+    broadcast join.  Log-probs are INTEGER MICRO-NATS, so per-doc
+    sums are exact and partition-order-free (no float-summation
+    nondeterminism — the discipline that makes this oracle-exact).
+
+    DuckDB retrains and rescores with the identical algebra: any
+    smoothing, normalization, gram-window, or unseen-bucket slip moves
+    an nll and fails the hash gate."""
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 17 == 0)
+    rest = d.where(F.col("doc_id") % 17 != 0)
+    model, default = text.train_char_lm(ref, "text", n=3, k=1.0)
+    out = text.lm_nll(rest, "text", "doc_id", model, default, n=3)
+    return out.select(F.col("id").alias("doc_id"), "n_grams", "nll")
+
+
+Q124_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+), ref_g AS (
+  SELECT substr(t, CAST(i AS INT), 3) AS gram
+  FROM norm, UNNEST(range(1, length(t) - 1)) u(i)
+  WHERE doc_id % 17 = 0
+), counts AS (
+  SELECT gram, count(*) AS c FROM ref_g GROUP BY gram
+), tot AS (
+  SELECT sum(c) AS total, count(*) AS v FROM counts
+), model AS (
+  SELECT gram,
+         CAST(round(ln((c + 1.0) / (total + 1.0 * (v + 1))) * 1e6, 0)
+              AS BIGINT) AS logp_micro
+  FROM counts, tot
+), dflt AS (
+  SELECT CAST(round(ln(1.0 / (total + 1.0 * (v + 1))) * 1e6, 0)
+              AS BIGINT) AS d
+  FROM tot
+), doc_g AS (
+  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram
+  FROM norm, UNNEST(range(1, length(t) - 1)) u(i)
+  WHERE doc_id % 17 <> 0
+), scored AS (
+  SELECT g.doc_id, coalesce(m.logp_micro, (SELECT d FROM dflt)) AS lp
+  FROM doc_g g LEFT JOIN model m ON g.gram = m.gram
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       round(CAST(-sum(lp) AS DOUBLE) / count(*) / 1e6, 6) AS nll
+FROM scored GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5925,6 +5981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_mojibake_repair": q121_mojibake_repair,
         "q122_blocklist_filter": q122_blocklist_filter,
         "q123_semantic_dedup": q123_semantic_dedup,
+        "q124_lm_perplexity_filter": q124_lm_perplexity_filter,
     }
 
 
@@ -6035,6 +6092,7 @@ def oracle_sql() -> dict[str, str]:
         "q121_mojibake_repair": Q121_SQL,
         "q122_blocklist_filter": Q122_SQL,
         "q123_semantic_dedup": _q123_sql(),
+        "q124_lm_perplexity_filter": Q124_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -184,6 +184,68 @@ def code_language_sql(col_expr: str) -> str:
     return expr
 
 
+def _char_ngrams_expr(col: Column, n: int) -> Column:
+    """All char n-grams of the normalized text (lowercase, whitespace
+    collapsed) — pure Catalyst."""
+    t = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.transform(F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                       lambda i: F.substring(t, i, n))
+
+
+def train_char_lm(ref: DataFrame, text_col: str, n: int = 3,
+                  k: float = 1.0):
+    """Char-n-gram language model with add-k smoothing over a
+    reference ("good") corpus — the KenLM-style quality-filter signal:
+    documents whose n-gram distribution diverges from the reference
+    (spam, gibberish, wrong language) score a high negative
+    log-likelihood.
+
+    Training is ONE distributed pass (explode n-grams, hash
+    aggregate).  Log-probabilities are stored as INTEGER MICRO-NATS
+    (round(ln(p) * 1e6)): per-document scoring then sums integers, so
+    the score is exact and independent of row order / partitioning —
+    no float-summation nondeterminism at any scale.
+
+    Returns (model DataFrame (gram, logp_micro), default_logp_micro
+    for unseen grams)."""
+    import math as _math
+    grams = ref.select(F.explode(
+        _char_ngrams_expr(F.col(text_col), n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    agg = counts.agg(F.sum("c").alias("total"),
+                     F.count("*").alias("v")).collect()[0]
+    total, vocab = int(agg["total"]), int(agg["v"])
+    denom = float(total) + k * (vocab + 1)  # +1: the unseen bucket
+    model = counts.select(
+        "gram",
+        F.round(F.log((F.col("c").cast("double") + F.lit(k))
+                      / F.lit(denom)) * 1e6, 0).cast("long")
+        .alias("logp_micro"))
+    default = int(round(_math.log(k / denom) * 1e6))
+    return model, default
+
+
+def lm_nll(df: DataFrame, text_col: str, id_col: str,
+           model: DataFrame, default_logp_micro: int,
+           n: int = 3) -> DataFrame:
+    """Per-document mean negative log-likelihood in nats under the
+    trained model: explode grams -> broadcast join -> integer sum.
+    Output (id, n_grams, nll) — high nll = out-of-distribution
+    document (the filter threshold is corpus-specific)."""
+    grams = df.select(F.col(id_col).alias("id"), F.explode(
+        _char_ngrams_expr(F.col(text_col), n)).alias("gram"))
+    joined = grams.join(F.broadcast(model), "gram", "left")
+    lp = F.coalesce(F.col("logp_micro"),
+                    F.lit(int(default_logp_micro)).cast("long"))
+    return (joined.groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.sum(lp).alias("_s"))
+            .select("id", "n_grams",
+                    F.round((-F.col("_s")).cast("double")
+                            / F.col("n_grams").cast("double") / 1e6, 6)
+                    .alias("nll")))
+
+
 class AhoCorasick:
     """Multi-pattern exact substring matcher (Aho & Corasick 1975).
 

@@ -1414,3 +1414,50 @@ class TestSemanticDedup:
         clusters = {r["id"]: r["cluster"] for r in out}
         assert clusters[0] != clusters[1]
         assert all(r["kept"] for r in out)
+
+
+class TestCharLmPerplexity:
+    """KenLM-style char-n-gram NLL filter (operators/text.py)."""
+
+    def test_gibberish_scores_worse_than_in_domain(self, spark):
+        from karta_spark.operators.text import lm_nll, train_char_lm
+        ref = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog again")
+             for i in range(20)], "doc_id long, text string")
+        model, default = train_char_lm(ref, "text", n=3)
+        probe = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the dog"),
+             (1, "zxqj vwkp qqzz jxvw kpzx qjvw")],
+            "doc_id long, text string")
+        out = {r["id"]: r["nll"] for r in
+               lm_nll(probe, "text", "doc_id", model, default).collect()}
+        assert out[1] > out[0] + 1.0  # gibberish clearly separated
+
+    def test_partition_invariant_exact(self, spark):
+        # integer micro-nat sums: identical nll under any partitioning
+        from karta_spark.operators.text import lm_nll, train_char_lm
+        ref = spark.createDataFrame(
+            [(i, f"sample reference text number {i} with words")
+             for i in range(30)], "doc_id long, text string")
+        model, default = train_char_lm(ref, "text", n=3)
+        probe = spark.createDataFrame(
+            [(i, f"probe document {i} " + "content " * (i % 5 + 1))
+             for i in range(40)], "doc_id long, text string")
+        a = {r["id"]: r["nll"] for r in
+             lm_nll(probe, "text", "doc_id", model, default).collect()}
+        b = {r["id"]: r["nll"] for r in
+             lm_nll(probe.repartition(13), "text", "doc_id", model,
+                    default).collect()}
+        assert a == b
+
+    def test_unseen_grams_hit_default_bucket(self, spark):
+        import math
+        from karta_spark.operators.text import lm_nll, train_char_lm
+        ref = spark.createDataFrame([(0, "aaaa")],
+                                    "doc_id long, text string")
+        model, default = train_char_lm(ref, "text", n=3)
+        probe = spark.createDataFrame([(0, "zzzz")],
+                                      "doc_id long, text string")
+        r = lm_nll(probe, "text", "doc_id", model, default).collect()[0]
+        assert r["n_grams"] == 2
+        assert abs(r["nll"] - (-default / 1e6)) < 1e-6
