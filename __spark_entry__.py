@@ -5856,6 +5856,58 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q125_epub_text_census(spark, sf_dir):
+    """EPUB text-extraction census (round 7): ebooks are a major
+    pretraining source; sources/epub.py walks the OPF spine (stdlib
+    zip + XML) and normalizes each XHTML chapter through the SAME
+    html_to_text chain as crawl HTML (q79) — EPUB and web text land in
+    one normal form.  Six books with closed-form chapters extracted
+    distributed, censused per book.
+
+    Value-oracle-exact: chapter paragraph lengths are closed form, so
+    DuckDB regenerates n_chars — a container/OPF/spine-order or
+    HTML-chain slip moves a sum and fails the gate."""
+    from karta_spark.sources.epub import (encode_epub,
+                                          epub_text_distributed)
+    rows = []
+    for b in range(6):
+        chs = []
+        for c in range((b % 3) + 1):
+            paras = "".join(
+                f"<p>book {b} chapter {c} para {p} "
+                + "y" * ((b * 7 + c * 5 + p * 3) % 11 + 1) + "</p>"
+                for p in range((b + c) % 3 + 1))
+            chs.append((f"t{c}", paras))
+        rows.append((b, bytearray(encode_epub(chs))))
+    docs = spark.createDataFrame(rows, "book_id long, content binary")
+    ext = epub_text_distributed(docs).where(F.col("err").isNull())
+    nc = F.col("n_chars").cast("long")
+    return (ext.groupBy("book_id")
+            .agg(F.count("*").cast("long").alias("n_chapters"),
+                 F.sum(nc).alias("total_chars"),
+                 F.sum((F.col("chapter") + 1).cast("long") * nc)
+                 .alias("checksum")))
+
+
+Q125_SQL = """
+WITH paras AS (
+  SELECT b, c, p,
+         length('book ' || b || ' chapter ' || c || ' para ' || p
+                || ' ') + (b*7 + c*5 + p*3) % 11 + 1 AS plen
+  FROM range(6) t(b), range(3) s(c), range(3) r(p)
+  WHERE c < (b % 3) + 1 AND p < (b + c) % 3 + 1
+), chaps AS (
+  SELECT b, c, sum(plen) + count(*) - 1 AS clen
+  FROM paras GROUP BY b, c
+)
+SELECT CAST(b AS BIGINT) AS book_id,
+       CAST(count(*) AS BIGINT) AS n_chapters,
+       CAST(sum(clen) AS BIGINT) AS total_chars,
+       CAST(sum((c + 1) * clen) AS BIGINT) AS checksum
+FROM chaps GROUP BY b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5982,6 +6034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_blocklist_filter": q122_blocklist_filter,
         "q123_semantic_dedup": q123_semantic_dedup,
         "q124_lm_perplexity_filter": q124_lm_perplexity_filter,
+        "q125_epub_text_census": q125_epub_text_census,
     }
 
 
@@ -6093,6 +6146,7 @@ def oracle_sql() -> dict[str, str]:
         "q122_blocklist_filter": Q122_SQL,
         "q123_semantic_dedup": _q123_sql(),
         "q124_lm_perplexity_filter": Q124_SQL,
+        "q125_epub_text_census": Q125_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

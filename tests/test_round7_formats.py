@@ -1461,3 +1461,38 @@ class TestCharLmPerplexity:
         r = lm_nll(probe, "text", "doc_id", model, default).collect()[0]
         assert r["n_grams"] == 2
         assert abs(r["nll"] - (-default / 1e6)) < 1e-6
+
+
+class TestEpub:
+    def test_roundtrip_spine_order(self):
+        from karta_spark.sources.epub import encode_epub, epub_chapters
+        chs = [("One", "<p>First chapter text.</p>"
+                       "<p>Second para &amp; more.</p>"),
+               ("Two", "<h1>Head</h1><p>Body of chapter two.</p>")]
+        out = epub_chapters(encode_epub(chs))
+        assert [h for h, _ in out] == ["ch000.xhtml", "ch001.xhtml"]
+        assert out[0][1] == "First chapter text.\nSecond para & more."
+        assert out[1][1] == "Head\nBody of chapter two."
+
+    def test_head_title_not_duplicated(self):
+        from karta_spark.sources.epub import encode_epub, epub_chapters
+        out = epub_chapters(encode_epub([("TITLE", "<p>body only</p>")]))
+        assert out[0][1] == "body only"
+
+    def test_malformed_raises(self):
+        from karta_spark.sources.epub import encode_epub, epub_chapters
+        good = encode_epub([("t", "<p>x</p>")])
+        for bad in (b"PK\x03\x04junk", b"nope", good[:60]):
+            with pytest.raises(ValueError):
+                epub_chapters(bad)
+
+    def test_distributed_err_contract(self, spark):
+        from karta_spark.sources.epub import (encode_epub,
+                                              epub_text_distributed)
+        rows = [(0, bytearray(encode_epub([("a", "<p>hello there</p>")]))),
+                (1, bytearray(b"broken"))]
+        df = spark.createDataFrame(rows, "book_id long, content binary")
+        out = epub_text_distributed(df).toPandas()
+        good = out[out["err"].isnull()]
+        assert list(good["text"]) == ["hello there"]
+        assert (out[out["err"].notnull()]["book_id"] == 1).all()
