@@ -5908,6 +5908,54 @@ FROM chaps GROUP BY b
 """
 
 
+def q126_sentence_segmentation(spark, sf_dir):
+    """Sentence segmentation census (round 7): the chunking step
+    before sequence packing (q61) — rule-based splitting with
+    abbreviation / initial / decimal protection (operators/text.py
+    split_sentences; fixed rules so replicas chunk identically).
+    Fifty documents built from closed-form sentences, WITH planted
+    'Dr.' abbreviations and decimals that must NOT split, segmented
+    distributed and censused per doc.
+
+    Value-oracle-exact: the designed sentence count and per-sentence
+    lengths are closed form, so DuckDB regenerates both — a boundary,
+    abbreviation, or decimal-guard slip changes a count and fails."""
+    from karta_spark.operators.text import sentence_split
+    rows = []
+    for d in range(50):
+        sents = []
+        for k in range((d % 4) + 2):
+            sents.append(f"Sentence {k} of doc {d} has "
+                         + "w" * ((d * 3 + k * 5) % 9 + 1)
+                         + (" by Dr. Smith near 3.14 yes." if k % 2
+                            else " plain words."))
+        rows.append((d, " ".join(sents)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sentence_split(df, "text", "doc_id")
+    return (out.groupBy(F.col("id").alias("doc_id"))
+            .agg(F.count("*").cast("long").alias("n_sentences"),
+                 F.sum(F.col("n_chars").cast("long"))
+                 .alias("total_chars")))
+
+
+Q126_SQL = """
+WITH s AS (
+  SELECT d, k,
+         length('Sentence ' || k || ' of doc ' || d || ' has ')
+           + (d*3 + k*5) % 9 + 1
+           + length(CASE WHEN k % 2 = 1
+                         THEN ' by Dr. Smith near 3.14 yes.'
+                         ELSE ' plain words.' END) AS slen
+  FROM range(50) t(d), range(5) r(k)
+  WHERE k < (d % 4) + 2
+)
+SELECT CAST(d AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(slen) AS BIGINT) AS total_chars
+FROM s GROUP BY d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6035,6 +6083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_semantic_dedup": q123_semantic_dedup,
         "q124_lm_perplexity_filter": q124_lm_perplexity_filter,
         "q125_epub_text_census": q125_epub_text_census,
+        "q126_sentence_segmentation": q126_sentence_segmentation,
     }
 
 
@@ -6147,6 +6196,7 @@ def oracle_sql() -> dict[str, str]:
         "q123_semantic_dedup": _q123_sql(),
         "q124_lm_perplexity_filter": Q124_SQL,
         "q125_epub_text_census": Q125_SQL,
+        "q126_sentence_segmentation": Q126_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

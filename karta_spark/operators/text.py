@@ -184,6 +184,68 @@ def code_language_sql(col_expr: str) -> str:
     return expr
 
 
+_ABBREVIATIONS = ("mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st",
+                  "vs", "etc", "e.g", "i.e", "fig", "no", "vol", "al",
+                  "inc", "ltd", "co", "approx")
+
+
+def split_sentences(text: str,
+                    abbreviations: tuple = _ABBREVIATIONS) -> list[str]:
+    """Deterministic rule-based sentence segmentation — the chunking
+    step before sequence packing (q61): split after [.!?] runs
+    followed by whitespace and an uppercase/digit start, protecting
+    known abbreviations, decimal numbers, and single-letter initials
+    ('J. Smith').  Not a trained segmenter; the rules are fixed so
+    replicas chunk identically."""
+    import re as _re
+    t = " ".join((text or "").split())
+    if not t:
+        return []
+    out = []
+    start = 0
+    for m in _re.finditer(r"[.!?]+(?= )", t):
+        end = m.end()
+        nxt = t[end + 1:end + 2]
+        if not (nxt.isupper() or nxt.isdigit()):
+            continue
+        if m.group().startswith("."):
+            before = t[start:m.start()]
+            last = before.rsplit(" ", 1)[-1].lower().rstrip(".")
+            if last in abbreviations or len(last) == 1:
+                continue  # 'Dr. Smith' / 'J. Smith' are not boundaries
+            prev = t[m.start() - 1:m.start()]
+            if prev.isdigit() and nxt.isdigit():
+                continue  # decimal number
+        out.append(t[start:end])
+        start = end + 1
+    tail = t[start:]
+    if tail:
+        out.append(tail)
+    return out
+
+
+def sentence_split(df: DataFrame, text_col: str,
+                   id_col: str) -> DataFrame:
+    """(id, sent_idx, sentence, n_chars) — Arrow-batched, row-level
+    parallel."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for k, s in enumerate(split_sentences(text)):
+                    rows.append((did, k, s, len(s)))
+            yield pd.DataFrame(rows, columns=["id", "sent_idx",
+                                              "sentence", "n_chars"])
+
+    return df.mapInPandas(
+        run, f"id {id_type}, sent_idx int, sentence string, "
+             "n_chars int")
+
+
 def _char_ngrams_expr(col: Column, n: int) -> Column:
     """All char n-grams of the normalized text (lowercase, whitespace
     collapsed) — pure Catalyst."""

@@ -1496,3 +1496,34 @@ class TestEpub:
         good = out[out["err"].isnull()]
         assert list(good["text"]) == ["hello there"]
         assert (out[out["err"].notnull()]["book_id"] == 1).all()
+
+
+class TestSentenceSplit:
+    @pytest.mark.parametrize("text,want", [
+        ("First sentence. Second one! Is it? Yes.",
+         ["First sentence.", "Second one!", "Is it?", "Yes."]),
+        ("Dr. Smith met Mr. Jones. They talked.",
+         ["Dr. Smith met Mr. Jones.", "They talked."]),
+        ("Pi is 3.14 exactly. Next sentence.",
+         ["Pi is 3.14 exactly.", "Next sentence."]),
+        ("J. Smith wrote it. True story.",
+         ["J. Smith wrote it.", "True story."]),
+        ("no caps after. lowercase stays joined.",
+         ["no caps after. lowercase stays joined."]),
+        ("Ellipsis... And then? Done!",
+         ["Ellipsis...", "And then?", "Done!"]),
+        ("", []),
+    ])
+    def test_rules(self, text, want):
+        from karta_spark.operators.text import split_sentences
+        assert split_sentences(text) == want
+
+    def test_distributed(self, spark):
+        from karta_spark.operators.text import sentence_split
+        df = spark.createDataFrame(
+            [(0, "One here. Two there. Three!"), (1, "")],
+            "doc_id long, text string")
+        out = sentence_split(df, "text", "doc_id").toPandas()
+        assert len(out) == 3 and (out["id"] == 0).all()
+        assert list(out.sort_values("sent_idx")["sentence"]) == \
+            ["One here.", "Two there.", "Three!"]
