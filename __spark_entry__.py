@@ -5956,6 +5956,149 @@ FROM s GROUP BY d
 """
 
 
+def q127_subtitle_census(spark, sf_dir):
+    """Subtitle parsing census (round 7): SRT + WebVTT cue extraction
+    (sources/subtitles.py — timestamp grammar incl. no-hour VTT,
+    NOTE/STYLE skip, inline-tag stripping), the aligned-transcript
+    layer of video corpora.  Ten files (odd ids VTT, even SRT) of
+    closed-form cues parsed distributed and censused per file.
+
+    Value-oracle-exact: cue timings and text lengths are closed form,
+    so DuckDB regenerates duration sums — a timestamp-parse, block-
+    split, or tag-strip slip moves a value and fails the gate."""
+    from karta_spark.sources.subtitles import (subtitles_distributed,
+                                               write_srt, write_vtt)
+    rows = []
+    for s in range(10):
+        cues = []
+        for k in range((s % 3) + 2):
+            start = s * 10000 + k * 2000
+            end = start + 1500 + (k % 3) * 100
+            cues.append((start, end,
+                         f"cue {k} of sub {s} <i>x</i> "
+                         + "t" * ((s + k) % 5)))
+        rows.append((s, bytearray(write_vtt(cues) if s % 2
+                                  else write_srt(cues))))
+    docs = spark.createDataFrame(rows, "sub_id long, content binary")
+    out = subtitles_distributed(docs).where(F.col("err").isNull())
+    return (out.groupBy("sub_id")
+            .agg(F.count("*").cast("long").alias("n_cues"),
+                 F.sum(F.col("end_ms") - F.col("start_ms"))
+                 .alias("total_ms"),
+                 F.sum(F.length("text").cast("long"))
+                 .alias("text_chars")))
+
+
+Q127_SQL = """
+WITH c AS (
+  SELECT s, k, 1500 + (k % 3) * 100 AS dur,
+         -- '<i>x</i>' strips to 'x'; trailing 't'*n may be empty, in
+         -- which case the normalizer drops the trailing space
+         length('cue ' || k || ' of sub ' || s || ' x') AS base,
+         (s + k) % 5 AS extra
+  FROM range(10) t(s), range(4) r(k)
+  WHERE k < (s % 3) + 2
+)
+SELECT CAST(s AS BIGINT) AS sub_id,
+       CAST(count(*) AS BIGINT) AS n_cues,
+       CAST(sum(dur) AS BIGINT) AS total_ms,
+       CAST(sum(base + CASE WHEN extra > 0 THEN extra + 1 ELSE 0 END)
+            AS BIGINT) AS text_chars
+FROM c GROUP BY s
+"""
+
+
+def q128_audio_segments(spark, sf_dir):
+    """Energy-based audio segmentation census (round 7): VAD-style
+    silence trimming before ASR-style training (sources/av.py
+    energy_segments — int64-exact frame energies, so boundaries are
+    bit-reproducible).  Six closed-form int16 clips with designed
+    voiced runs (3 voiced frames every 9; the truncated final run must
+    be DROPPED by min_frames) are segmented executor-side.
+
+    Value-oracle-exact: DuckDB states every (clip, segment) row from
+    the design — a framing, threshold, or run-merge slip changes the
+    segment set and fails the gate."""
+    import pandas as pd
+
+    def run(batches):
+        from karta_spark.sources.av import energy_segments
+        for pdf in batches:
+            rows = []
+            for c in pdf["id"]:
+                c = int(c)
+                x = np.zeros(2000, np.int16)
+                f = np.arange(100)
+                for fr in f[(f % 9) < 3]:
+                    x[fr * 20:(fr + 1) * 20] = 2000 + c * 10
+                for k, (a, b) in enumerate(energy_segments(
+                        x, 1000, frame_ms=20, threshold=10**6,
+                        min_frames=2)):
+                    rows.append((c, k, a, b))
+            yield pd.DataFrame(rows, columns=["clip_id", "seg",
+                                              "start", "end"])
+
+    return spark.range(6).repartition(3).mapInPandas(
+        run, "clip_id long, seg int, start long, end long")
+
+
+Q128_SQL = """
+-- voiced frames: f % 9 < 3 over 100 frames of 20 samples; runs k=0..10
+-- are full (frames 9k..9k+2); the k=11 run is the single frame 99 and
+-- drops below min_frames
+SELECT CAST(c AS BIGINT) AS clip_id, CAST(k AS INT) AS seg,
+       CAST(k * 180 AS BIGINT) AS start,
+       CAST(k * 180 + 60 AS BIGINT) AS "end"
+FROM range(6) t(c), range(11) r(k)
+"""
+
+
+def q129_snapshot_compaction(spark, sf_dir):
+    """Small-files compaction as a snapshot commit (round 7): the
+    long-running-append problem — three 5-file appends then
+    compact(target_files=2) rewrite the same rows under a new
+    manifest while every pinned older version keeps its exact file
+    list (plans/snapshots.py compact).
+
+    Value-oracle-exact: per-version row counts, value sums, and file
+    counts are fully determined (coalesce(2) of non-empty input
+    yields exactly 2 files); a manifest or rewrite slip moves a sum
+    and fails the gate."""
+    import os
+    import shutil
+    import tempfile
+    from karta_spark.plans.snapshots import SnapshotTable
+    root = os.path.join(tempfile.gettempdir(), "karta_q129_snap")
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(root)
+    for k in range(3):
+        t.append(spark.range(k * 100, k * 100 + 100)
+                 .select(F.col("id").alias("v")).repartition(5))
+    t.compact(spark, target_files=2)
+    out = None
+    for ver in (1, 2, 3, 4):
+        m = t.manifest(ver)
+        c = (t.read(spark, ver)
+             .agg(F.count("*").cast("long").alias("n_rows"),
+                  F.sum("v").cast("long").alias("sum_v"))
+             .select(F.lit(ver).alias("version"), "n_rows", "sum_v",
+                     F.lit(len(m["files"])).cast("long")
+                     .alias("n_files"),
+                     F.lit(m["operation"]).alias("operation")))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+Q129_SQL = """
+SELECT 1 AS version, CAST(100 AS BIGINT) AS n_rows,
+       CAST(4950 AS BIGINT) AS sum_v, CAST(5 AS BIGINT) AS n_files,
+       'append' AS operation
+UNION ALL SELECT 2, 200, (0 + 199) * 200 // 2, 10, 'append'
+UNION ALL SELECT 3, 300, (0 + 299) * 300 // 2, 15, 'append'
+UNION ALL SELECT 4, 300, (0 + 299) * 300 // 2, 2, 'compact'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6084,6 +6227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_lm_perplexity_filter": q124_lm_perplexity_filter,
         "q125_epub_text_census": q125_epub_text_census,
         "q126_sentence_segmentation": q126_sentence_segmentation,
+        "q127_subtitle_census": q127_subtitle_census,
+        "q128_audio_segments": q128_audio_segments,
+        "q129_snapshot_compaction": q129_snapshot_compaction,
     }
 
 
@@ -6197,6 +6343,9 @@ def oracle_sql() -> dict[str, str]:
         "q124_lm_perplexity_filter": Q124_SQL,
         "q125_epub_text_census": Q125_SQL,
         "q126_sentence_segmentation": Q126_SQL,
+        "q127_subtitle_census": Q127_SQL,
+        "q128_audio_segments": Q128_SQL,
+        "q129_snapshot_compaction": Q129_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,

@@ -127,6 +127,17 @@ class SnapshotTable:
         return self._commit(list(m["files"]), f"rollback_to_{version}",
                             m["schema"])
 
+    def compact(self, spark: SparkSession, target_files: int) -> int:
+        """Small-files compaction as a SNAPSHOT COMMIT: read the
+        current version, rewrite as *target_files* files, commit — the
+        same rows under a new manifest.  Readers pinned to older
+        versions keep their exact file lists (time travel is
+        unaffected); this is how a long-running append pipeline keeps
+        its file count bounded without breaking isolation."""
+        cur = self.read(spark)
+        new = self._write_data(cur.coalesce(max(1, target_files)))
+        return self._commit(new, "compact", cur.schema.simpleString())
+
     # -- reads --------------------------------------------------------------
     def read(self, spark: SparkSession,
              version: int | None = None) -> DataFrame:

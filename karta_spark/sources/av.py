@@ -368,3 +368,39 @@ def _ima_adpcm_decode(body: bytes, block_align: int, spb: int) -> np.ndarray:
                 out.append(pred)
                 count += 1
     return np.array(out, dtype=np.int16)
+
+
+def energy_segments(samples: np.ndarray, sample_rate: int,
+                    frame_ms: int = 20, threshold: int = 1_000_000,
+                    min_frames: int = 2) -> list[tuple[int, int]]:
+    """VAD-style voiced-segment detection on integer PCM: per-frame
+    energy (sum of squared int samples — int64-exact, so the segment
+    boundaries are bit-reproducible in any engine) thresholded, then
+    maximal runs of >= min_frames voiced frames become segments
+    [(start_sample, end_sample_exclusive)].  The audio-pipeline step
+    that trims silence and chunks long recordings before ASR-style
+    training."""
+    s = np.asarray(samples)
+    if s.ndim == 2:
+        s = s[:, 0]
+    s = s.astype(np.int64)
+    n = sample_rate * frame_ms // 1000
+    if n <= 0:
+        raise ValueError("frame too short")
+    nf = len(s) // n
+    if nf == 0:
+        return []
+    e = (s[:nf * n].reshape(nf, n) ** 2).sum(axis=1)
+    voiced = e > threshold
+    segs = []
+    start = None
+    for i, v in enumerate(voiced):
+        if v and start is None:
+            start = i
+        elif not v and start is not None:
+            if i - start >= min_frames:
+                segs.append((start * n, i * n))
+            start = None
+    if start is not None and nf - start >= min_frames:
+        segs.append((start * n, nf * n))
+    return segs

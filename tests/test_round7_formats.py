@@ -1527,3 +1527,84 @@ class TestSentenceSplit:
         assert len(out) == 3 and (out["id"] == 0).all()
         assert list(out.sort_values("sent_idx")["sentence"]) == \
             ["One here.", "Two there.", "Three!"]
+
+
+class TestSubtitles:
+    def test_srt_vtt_roundtrip(self):
+        from karta_spark.sources.subtitles import (parse_subtitles,
+                                                   write_srt, write_vtt)
+        cues = [(0, 2500, "Hello there."),
+                (2600, 5100, "Second <i>cue</i> line"),
+                (3661000, 3663500, "Past the hour")]
+        for writer in (write_srt, write_vtt):
+            got = parse_subtitles(writer(cues))
+            assert [c["start_ms"] for c in got] == [0, 2600, 3661000]
+            assert got[1]["text"] == "Second cue line"  # tags stripped
+
+    def test_vtt_notes_ids_and_short_timestamps(self):
+        from karta_spark.sources.subtitles import parse_subtitles
+        v = (b"WEBVTT\n\nNOTE a comment\n\nid-1\n"
+             b"00:05.000 --> 00:07.250\nNo hour <c.red>styled</c> ok\n")
+        [c] = parse_subtitles(v)
+        assert (c["start_ms"], c["end_ms"]) == (5000, 7250)
+        assert c["text"] == "No hour styled ok"
+
+    def test_malformed_raises(self):
+        from karta_spark.sources.subtitles import parse_subtitles
+        for bad in (b"", b"not a subtitle file",
+                    b"1\n00:00:01,000 --> 00:00:00,000\nbackwards"):
+            with pytest.raises(ValueError):
+                parse_subtitles(bad)
+
+    def test_distributed(self, spark):
+        from karta_spark.sources.subtitles import (subtitles_distributed,
+                                                   write_srt)
+        rows = [(0, bytearray(write_srt([(0, 1000, "a"), (1500, 2000, "b")]))),
+                (1, bytearray(b"garbage"))]
+        df = spark.createDataFrame(rows, "sub_id long, content binary")
+        out = subtitles_distributed(df).toPandas()
+        good = out[out["err"].isnull()]
+        assert len(good) == 2 and list(good["text"]) == ["a", "b"]
+        assert (out[out["err"].notnull()]["sub_id"] == 1).all()
+
+
+class TestEnergySegments:
+    def test_runs_and_min_frames(self):
+        import numpy as np
+        from karta_spark.sources.av import energy_segments
+        x = np.zeros(400, np.int16)
+        x[40:120] = 3000
+        x[200:220] = 3000   # one frame: below min_frames
+        x[260:340] = 3000
+        segs = energy_segments(x, 1000, frame_ms=20,
+                               threshold=10**6, min_frames=2)
+        assert segs == [(40, 120), (260, 340)]
+
+    def test_silence_and_trailing_run(self):
+        import numpy as np
+        from karta_spark.sources.av import energy_segments
+        assert energy_segments(np.zeros(1000, np.int16), 1000) == []
+        x = np.zeros(100, np.int16)
+        x[60:100] = 5000  # voiced run reaching the end
+        assert energy_segments(x, 1000, frame_ms=20,
+                               threshold=10**6) == [(60, 100)]
+
+
+class TestSnapshotCompact:
+    def test_compact_preserves_rows_and_history(self, spark, tmp_path):
+        import os
+        from karta_spark.plans.snapshots import SnapshotTable
+        t = SnapshotTable(str(tmp_path / "tbl"))
+        for k in range(4):
+            t.append(spark.range(k * 10, k * 10 + 10).repartition(4))
+        v_before = t.current_version()
+        files_before = len(t.manifest()["files"])
+        v = t.compact(spark, target_files=2)
+        assert v == v_before + 1
+        assert len(t.manifest()["files"]) <= 2 < files_before
+        assert t.read(spark).count() == 40
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == list(range(40))
+        # old versions still read their original file lists
+        assert t.read(spark, v_before).count() == 40
+        assert t.read(spark, 1).count() == 10
