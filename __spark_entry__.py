@@ -6099,6 +6099,96 @@ UNION ALL SELECT 4, 300, (0 + 299) * 300 // 2, 2, 'compact'
 """
 
 
+def q130_crawl_to_training_v2(spark, sf_dir):
+    """Crawl→training pipeline v2 (round 7 capstone, the q85 pattern
+    over THIS round's layers): gzip-content-encoded HTML responses in
+    sharded `.warc.gz` → distributed WARC read with HTTP decoding
+    (q102) → main-content boilerplate removal (q113) → sentence
+    segmentation (q126) → BPE trained on the EXTRACTED corpus and
+    round-tripped through Catalyst detokenization (q109).  One gate
+    proving the new layers compose.
+
+    Value-oracle-exact: article paragraphs are closed form (each
+    exactly two sentences), so DuckDB regenerates per-doc content
+    length and sentence count; bpe_roundtrip_ok pins lossless
+    tokenization of the EXTRACTED (not synthetic) text."""
+    import os
+    import tempfile
+    from karta_spark.operators import bpe
+    from karta_spark.operators.text import main_content, sentence_split
+    from karta_spark.sources.warc import (http_response_payload,
+                                          read_warc_distributed,
+                                          write_warc)
+    root = os.path.join(tempfile.gettempdir(), "karta_q130_crawl")
+    os.makedirs(root, exist_ok=True)
+    shards: dict[int, list] = {0: [], 1: []}
+    for d in range(24):
+        paras = []
+        for p in range((d % 3) + 1):
+            body = "word " * (6 + (d + p) % 5)
+            paras.append(f"<p>Doc {d} para {p} has {body}now. "
+                         f"It ends here {p} ok.</p>")
+        html = ("<html><head><script>x=1;</script></head><body>"
+                '<nav><a href="/">Home</a> <a href="/a">About</a> '
+                '<a href="/c">Contact</a></nav>'
+                "<article>" + "".join(paras) + "</article>"
+                '<footer><a href="/t">Terms</a> | '
+                '<a href="/p">Priv</a></footer></body></html>')
+        shards[d % 2].append(dict(
+            warc_type="response",
+            target_uri=f"https://ex.org/d/{d}",
+            content_type="application/http; msgtype=response",
+            payload=http_response_payload(html.encode(),
+                                          content_encoding="gzip")))
+    for s, recs in shards.items():
+        with open(os.path.join(root, f"part-{s}.warc.gz"), "wb") as f:
+            f.write(write_warc(recs, gzip_members=True))
+    rows = read_warc_distributed(spark, root)
+    docs = rows.select(
+        F.regexp_extract("target_uri", r"/d/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.col("payload").cast("string").alias("html"))
+    content = main_content(docs, "html", "doc_id") \
+        .select(F.col("id").alias("doc_id"), "content",
+                "n_blocks_kept")
+    sents = (sentence_split(content, "content", "doc_id")
+             .groupBy(F.col("id").alias("doc_id"))
+             .agg(F.count("*").cast("long").alias("n_sentences")))
+    merges = bpe.train_bpe(content, "content", n_merges=40)
+    enc = bpe.encode_texts(content, "content", "doc_id", merges) \
+        .withColumnRenamed("id", "doc_id")
+    dec = F.trim(F.regexp_replace(F.array_join("tokens", ""),
+                                  "</w>", " "))
+    norm = F.trim(F.regexp_replace(F.trim(F.col("content")),
+                                   r"\s+", " "))
+    return (content.join(sents, "doc_id").join(enc, "doc_id")
+            .select("doc_id",
+                    F.col("n_blocks_kept").cast("long")
+                    .alias("n_blocks_kept"),
+                    F.length("content").cast("long")
+                    .alias("content_chars"),
+                    "n_sentences",
+                    (dec == norm).alias("bpe_roundtrip_ok")))
+
+
+Q130_SQL = """
+WITH paras AS (
+  SELECT d, p,
+         length('Doc ' || d || ' para ' || p || ' has ')
+           + 5 * (6 + (d + p) % 5)
+           + length('now. It ends here ' || p || ' ok.') AS plen
+  FROM range(24) t(d), range(3) r(p)
+  WHERE p < (d % 3) + 1
+)
+SELECT CAST(d AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks_kept,
+       CAST(sum(plen) + count(*) - 1 AS BIGINT) AS content_chars,
+       CAST(2 * count(*) AS BIGINT) AS n_sentences,
+       TRUE AS bpe_roundtrip_ok
+FROM paras GROUP BY d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6230,6 +6320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_subtitle_census": q127_subtitle_census,
         "q128_audio_segments": q128_audio_segments,
         "q129_snapshot_compaction": q129_snapshot_compaction,
+        "q130_crawl_to_training_v2": q130_crawl_to_training_v2,
     }
 
 
@@ -6346,6 +6437,7 @@ def oracle_sql() -> dict[str, str]:
         "q127_subtitle_census": Q127_SQL,
         "q128_audio_segments": Q128_SQL,
         "q129_snapshot_compaction": Q129_SQL,
+        "q130_crawl_to_training_v2": Q130_SQL,
         "q18_cosine_topk": Q18_SQL,
         "q19_embedding_neardup": Q19_SQL,
         "q20_events_window": Q20_SQL,
