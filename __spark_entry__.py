@@ -461,7 +461,10 @@ def q17_ngram_jaccard(spark, sf_dir):
     # inside the lambda makes Catalyst re-evaluate the split per element
     # (measured 2.6x slower); shingles are hashed to int64 so the gram
     # shuffle moves 8-byte keys (collision odds over ~1e5 grams ~1e-9)
-    d = _t(spark, sf_dir, "documents").withColumn(
+    # ensure_min_parallelism: a single-row-group corpus file scans as one
+    # task and the tokenize/explode/hash subtree would run single-threaded
+    from karta_spark.plans.layout import ensure_min_parallelism
+    d = ensure_min_parallelism(_t(spark, sf_dir, "documents")).withColumn(
         "toks", F.split(F.trim(F.col("text")), " "))
     idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
     gram = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(

@@ -174,19 +174,61 @@ def knn_broadcast_kernel(
     test).  The spherical kernel replicates sphere_distance's two-branch
     rule with the same op sequence, but numpy's libm trig can differ
     from the JVM's in the last ulp — ranks agree except on exact
-    near-ties; knn_join therefore auto-dispatches here only for planar."""
+    near-ties; knn_join therefore auto-dispatches here only for planar.
+
+    Planar search: instead of a Q x N distance matrix, the points ship
+    SORTED BY X and each query scans only the vertical strip
+    |px - qx| <= r (two searchsorted calls), widening r until at least k
+    in-disk candidates exist.  Exactness: a point outside the strip has
+    |dx| > r, hence dist > r; once >= k candidates satisfy dist <= r, the
+    k-th distance is <= r, so every point at or under it — including the
+    whole tie group at the boundary — is inside the strip and the mask.
+    The strip bounds are widened one ulp (nextafter) so the subtraction's
+    rounding can never exclude a point at exactly dist == r.  Per-query
+    cost is O(local density), not O(N): a 150k-point side drops from a
+    1.5e9-cell matrix to ~1k distance evals per query."""
     import numpy as np
     import pandas as pd
 
-    rows = points.select(point_id, px, py).collect()
-    pids = np.array([r[0] for r in rows])
-    pxs = np.array([float(r[1]) for r in rows], dtype=np.float64)
-    pys = np.array([float(r[2]) for r in rows], dtype=np.float64)
-    order0 = np.argsort(pids, kind="stable")  # pre-sort for tie-breaks
+    # Arrow-path collection: toPandas moves the three columns as columnar
+    # batches instead of per-row java objects (guide §6 "Arrow for driver
+    # transfers") — at the 10^6-point end of the dispatch range the row
+    # path is the slow part of the whole operator.
+    pdf = points.select(point_id, px, py).toPandas()
+    pids = pdf[point_id].to_numpy()
+    pxs = pdf[px].to_numpy(dtype=np.float64)
+    pys = pdf[py].to_numpy(dtype=np.float64)
+    if spherical:
+        order0 = np.argsort(pids, kind="stable")  # pre-sort for tie-breaks
+    else:
+        order0 = np.argsort(pxs, kind="stable")   # strip search order
     pids, pxs, pys = pids[order0], pxs[order0], pys[order0]
     n_p = len(pids)
     kk = min(k, n_p)
-    # chunk the query batch so the distance matrix stays ~32 MB
+    # initial strip half-width from global density: the expected k-NN
+    # disk radius (area * (k+1) / (pi * n)) doubled, so one widening
+    # round is rare on roughly uniform data; any mis-estimate only costs
+    # extra rounds, never exactness
+    if n_p > 1:
+        xspan = float(pxs[-1] - pxs[0]) if not spherical else \
+            float(pxs.max() - pxs.min())
+        yspan = float(pys.max() - pys.min())
+        area = xspan * yspan
+        r0 = 2.0 * math.sqrt(max(area, 1e-300) * (kk + 1) / (math.pi * n_p))
+        if r0 <= 0.0:
+            r0 = max(xspan, yspan, 1.0)
+    else:
+        r0 = 1.0
+    # torrent-broadcast the arrays once per executor instead of shipping
+    # them in every task's pickled closure (guide §4.5)
+    bc = points.sparkSession.sparkContext.broadcast((pids, pxs, pys))
+    # NOTE: the query side is deliberately NOT repartitioned: the strip
+    # search costs ~O(k + local density) per query, so even a
+    # single-partition query file finishes in less time than one exchange
+    # plus a wave of python-worker tasks would cost (measured at sf1.0:
+    # 0.98 s as-is vs 1.17 s repartitioned to 32, 1.50 s to 64); a query
+    # side big enough to need spreading arrives with partitions.
+    # chunk the query batch so the spherical distance matrix stays ~32 MB
     rows_per_chunk = max(1, 4_000_000 // max(n_p, 1))
 
     q_field = queries.schema[query_id]
@@ -195,7 +237,47 @@ def knn_broadcast_kernel(
                          StructField("dist", DoubleType()),
                          StructField("rank", IntegerType())])
 
-    def run(batches):
+    def run_planar(batches):
+        spid, sx, sy = bc.value  # once per task, from the executor cache
+        ninf, pinf = -np.inf, np.inf
+        for pdf in batches:
+            qxa = pdf[qx].to_numpy(dtype=np.float64)
+            qya = pdf[qy].to_numpy(dtype=np.float64)
+            qida = pdf[query_id].to_numpy()
+            out_q, out_p, out_d, out_r = [], [], [], []
+            if kk > 0:
+                for i in range(len(qxa)):
+                    qxv, qyv = qxa[i], qya[i]
+                    r = r0
+                    while True:
+                        lo = int(np.searchsorted(
+                            sx, np.nextafter(qxv - r, ninf), side="left"))
+                        hi = int(np.searchsorted(
+                            sx, np.nextafter(qxv + r, pinf), side="right"))
+                        full = lo == 0 and hi == n_p
+                        if hi - lo >= kk or full:
+                            dxs = sx[lo:hi] - qxv
+                            dys = sy[lo:hi] - qyv
+                            d = np.sqrt(dxs * dxs + dys * dys)
+                            if full:
+                                cd, cpid = d, spid[lo:hi]
+                                break
+                            mask = d <= r
+                            if int(np.count_nonzero(mask)) >= kk:
+                                cd, cpid = d[mask], spid[lo:hi][mask]
+                                break
+                        r *= 2.0
+                    # (dist asc, point_id asc) — exact row_number order
+                    order = np.lexsort((cpid, cd))[:kk]
+                    out_q.extend([qida[i]] * kk)
+                    out_p.extend(cpid[order].tolist())
+                    out_d.extend(cd[order].tolist())
+                    out_r.extend(range(1, kk + 1))
+            yield pd.DataFrame({query_id: out_q, point_id: out_p,
+                                "dist": out_d, "rank": out_r})
+
+    def run_spherical(batches):
+        pids, pxs, pys = bc.value  # once per task, from the executor cache
         for pdf in batches:
             qxa = pdf[qx].to_numpy(dtype=np.float64)
             qya = pdf[qy].to_numpy(dtype=np.float64)
@@ -204,12 +286,7 @@ def knn_broadcast_kernel(
             for s0 in range(0, len(qxa), rows_per_chunk):
                 cqx = qxa[s0:s0 + rows_per_chunk, None]
                 cqy = qya[s0:s0 + rows_per_chunk, None]
-                if spherical:
-                    d = _sphere_dist_np(cqx, cqy, pxs[None, :], pys[None, :])
-                else:
-                    dx = pxs[None, :] - cqx
-                    dy = pys[None, :] - cqy
-                    d = np.sqrt(dx * dx + dy * dy)
+                d = _sphere_dist_np(cqx, cqy, pxs[None, :], pys[None, :])
                 if kk < n_p:
                     # partition ONE extra element so each row can detect a
                     # tie group straddling the k-th rank (argpartition's
@@ -242,7 +319,8 @@ def knn_broadcast_kernel(
             yield pd.DataFrame({query_id: out_q, point_id: out_p,
                                 "dist": out_d, "rank": out_r})
 
-    return queries.mapInPandas(run, schema)
+    return queries.mapInPandas(run_spherical if spherical else run_planar,
+                               schema)
 
 
 def knn_join(
@@ -250,7 +328,7 @@ def knn_join(
     query_id: str = "query_id", point_id: str = "point_id",
     qx: str = "qx", qy: str = "qy", px: str = "x", py: str = "y",
     spherical: bool = False, max_widen: int = 3,
-    small_points_threshold: int = 100_000,
+    small_points_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Exact distributed kNN: cell-ring candidate join + top-k window +
     guarantee check with iterative widening for unsatisfied queries.
@@ -270,7 +348,14 @@ def knn_join(
     broadcast numpy kernel (knn_broadcast_kernel: one narrow pass over
     queries, no join, no window) answers exactly; the query side may be
     any size either way.  Same dispatch philosophy as the PIP join's
-    small_table_threshold."""
+    small_table_threshold.
+
+    Threshold sizing: 10^6 points is three ~8 MB broadcast arrays (the
+    same order as spark.sql.autoBroadcastJoinThreshold) and ~1 ms of
+    vectorized distance evals per query — cheaper than the ring join's
+    per-query candidate set until the query side reaches ~10^8 rows.
+    For a huge query side over a mid-sized point table, pass an explicit
+    ``zoom`` to force the ring plan instead."""
     if zoom is None:
         n_points = points.count()
         # planar only: the planar kernel is pure arithmetic and therefore
@@ -282,6 +367,16 @@ def knn_join(
             return knn_broadcast_kernel(queries, points, k, query_id,
                                         point_id, qx, qy, px, py, spherical)
         zoom = auto_zoom(n_points, k)
+    from karta_spark.plans.layout import ensure_min_parallelism
+
+    # The candidate join broadcasts the (exploded) query side and probes
+    # the POINT side, so the join output inherits the point scan's
+    # partitioning; an unsplittable point file would serialize the
+    # downstream map-side sort + WindowGroupLimit of the whole candidate
+    # set into one task (measured 28 s for an 18.6M-row candidate set at
+    # one partition vs ~2 s spread).  No-op when points are already
+    # parallel, i.e. at any production scale.
+    points = ensure_min_parallelism(points)
     pts = points.withColumn("_cell", cells.tile_id_clamped(F.col(px), F.col(py), zoom))
     remaining = queries
     results = []

@@ -46,6 +46,12 @@ def cosine_topk(
     broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k per query (ties broken by lowest vec id)."""
+    from karta_spark.plans.layout import ensure_min_parallelism
+
+    # the crossJoin output inherits the vector side's partitioning; an
+    # unsplittable vector file would run every HOF cosine fold in one
+    # task (no-op when already parallel)
+    vectors = ensure_min_parallelism(vectors)
     q = F.broadcast(queries) if broadcast_queries else queries
     joined = vectors.crossJoin(q).withColumn("cosine", cosine_expr(vec_col, q_vec))
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(vid).asc())

@@ -21,6 +21,25 @@ from pyspark.sql import functions as F
 from karta_spark.functions import cells
 
 
+def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition *df* up to ``defaultParallelism * factor``
+    when its current plan would execute in fewer partitions — otherwise
+    return it unchanged (no exchange added).
+
+    Guards the compute-heavy operators (Arrow kernels, candidate joins,
+    HOF folds) against an unsplittable input: a single-row-group parquet
+    file scans as ONE task no matter what the split config says, and every
+    narrow transformation inherits that single partition.  The check is
+    scale-adaptive — production inputs with enough partitions pass through
+    untouched, so this never adds a shuffle at the 100 TB end; locally it
+    costs one exchange of the (by definition small) input.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def write_cell_partitioned(
     points: DataFrame, path: str, lon: str = "x", lat: str = "y",
     coarse_zoom: int = 4, fine_zoom: int = 12, mode: str = "overwrite",
