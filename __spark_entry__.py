@@ -3861,8 +3861,9 @@ def q94_vp8_lossy_census(spark, sf_dir):
     exact dimensions, byte-exact alpha.
 
     Value-oracle semantics: lossy pixels are not SQL-restatable, so
-    the gate asserts the PSNR bound as a per-image boolean (the
-    CLAUDE.md tolerance discipline) and hash-compares it together with
+    the gate asserts the PSNR bound as a per-image boolean (never round
+    a difference of nearly-equal floats at its own noise floor — emit a
+    boolean tolerance instead) and hash-compares it together with
     the SQL-regenerated source-pixel sums — a codec regression flips
     n_ok, a synth drift moves sum_src, and either fails the gate."""
     import pandas as pd

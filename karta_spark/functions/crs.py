@@ -2047,11 +2047,18 @@ def inverse_sql(crs: CrsDef, x_expr: str, y_expr: str) -> tuple[str, str]:
 
 def _crs_ellipsoid(crs: CrsDef) -> tuple[float, float]:
     """(a, e2) of the ellipsoid a CRS rides (WGS84 when the params
-    carry no tail) — looks for the (a, f) pair at the end of params."""
+    carry no tail) — looks for the (a, f) pair at the end of params.
+
+    Scans BACKWARD for the last semi-major-axis-sized element with a
+    successor: some kinds append trailing flags after the (a, f) tail
+    (krovak +czech appends sgn=1.0, so p[-2] is f, not a), and a false
+    northing of 10^7 m earlier in the tuple must not be mistaken for a
+    (the backward scan hits the true a first)."""
     p = crs.params
-    if len(p) >= 2 and isinstance(p[-2], float) and p[-2] > 6e6:
-        a, f = float(p[-2]), float(p[-1])
-        return a, f * (2.0 - f)
+    for i in range(len(p) - 2, -1, -1):
+        if isinstance(p[i], float) and p[i] > 6e6:
+            a, f = float(p[i]), float(p[i + 1])
+            return a, f * (2.0 - f)
     return A_WGS84, E2_WGS84
 
 

@@ -502,7 +502,11 @@ def train_centroids(vectors: DataFrame, vec_col: str, c: int, iters: int = 3,
     n_target = max(c * 50, 1000)
     total = vectors.count()
     frac = min(1.0, 3.0 * n_target / max(total, 1))
-    cut = int(frac * 1_000_000)
+    # floor at 1: above ~3e9 rows frac quantizes below 1/1e6 and an
+    # int() floor would select ZERO rows (empty-sample crash at exactly
+    # the corpus sizes this module targets); cut=1 still caps the
+    # filtered set at ~total/1e6 rows ahead of the sort+limit
+    cut = max(1, int(frac * 1_000_000))
     cand = (vectors.select(F.col(vec_col).alias("_v"))
             .withColumn("_h", F.xxhash64(F.col("_v"), F.lit(int(seed))))
             .where((F.pmod(F.col("_h"), F.lit(1_000_000)) < cut)

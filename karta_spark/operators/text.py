@@ -213,9 +213,10 @@ def split_sentences(text: str,
             last = before.rsplit(" ", 1)[-1].lower().rstrip(".")
             if last in abbreviations or len(last) == 1:
                 continue  # 'Dr. Smith' / 'J. Smith' are not boundaries
-            prev = t[m.start() - 1:m.start()]
-            if prev.isdigit() and nxt.isdigit():
-                continue  # decimal number
+            # NOTE: no digit guard here — a true decimal point ('3.14')
+            # is never followed by a space, so the boundary regex already
+            # protects it; a prev/next-digit guard could only suppress
+            # REAL boundaries ('... is 3.14. 2nd test ...')
         out.append(t[start:end])
         start = end + 1
     tail = t[start:]

@@ -54,12 +54,23 @@ class SnapshotTable:
 
     # -- metadata -----------------------------------------------------------
     def current_version(self) -> int:
-        """0 when the table has no commits yet."""
-        p = os.path.join(self.meta_dir, "_current")
-        if not os.path.exists(p):
-            return 0
-        with open(p) as f:
-            return int(f.read().strip())
+        """0 when the table has no commits yet.
+
+        Derived from the max existing vN.json, NOT from the _current
+        pointer: a slow committer's os.replace of _current could regress
+        the pointer below an already-committed version and wedge every
+        later commit in a permanent conflict.  The manifest files are
+        written O_EXCL before the pointer flips, so max(vN) is always the
+        latest fully-committed version; _current stays as a cheap hint
+        for humans inspecting the directory."""
+        best = 0
+        for name in os.listdir(self.meta_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[1:-5]))
+                except ValueError:
+                    continue
+        return best
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -89,8 +100,19 @@ class SnapshotTable:
         return files
 
     def _commit(self, files: list[dict], operation: str,
-                schema: str) -> int:
+                schema: str, expected_parent: int | None = None) -> int:
+        """``expected_parent``: the version the caller's file list was
+        READ at.  If another committer landed a version in between, the
+        file list is stale — committing it would silently drop the
+        intervening commit's files — so the commit fails with
+        SnapshotConflict and the caller rereads and retries (standard
+        optimistic concurrency; O_EXCL alone only serializes committers
+        racing for the SAME version number)."""
         parent = self.current_version()
+        if expected_parent is not None and parent != expected_parent:
+            raise SnapshotConflict(
+                f"table advanced to v{parent} while this commit was "
+                f"prepared against v{expected_parent} — reread and retry")
         version = parent + 1
         manifest = {"version": version, "parent": parent,
                     "operation": operation, "schema": schema,
@@ -110,22 +132,25 @@ class SnapshotTable:
         return version
 
     def append(self, df: DataFrame) -> int:
+        base = self.current_version()
         new = self._write_data(df)
-        prev = (self.manifest()["files"]
-                if self.current_version() else [])
+        prev = self.manifest(base)["files"] if base else []
         return self._commit(prev + new, "append",
-                            df.schema.simpleString())
+                            df.schema.simpleString(), expected_parent=base)
 
     def overwrite(self, df: DataFrame) -> int:
+        base = self.current_version()
         new = self._write_data(df)
-        return self._commit(new, "overwrite", df.schema.simpleString())
+        return self._commit(new, "overwrite", df.schema.simpleString(),
+                            expected_parent=base)
 
     def rollback(self, version: int) -> int:
         """Commit an old version's file list as a NEW version (history
         is append-only, the Iceberg rollback semantics)."""
+        base = self.current_version()
         m = self.manifest(version)
         return self._commit(list(m["files"]), f"rollback_to_{version}",
-                            m["schema"])
+                            m["schema"], expected_parent=base)
 
     def compact(self, spark: SparkSession, target_files: int) -> int:
         """Small-files compaction as a SNAPSHOT COMMIT: read the
@@ -134,9 +159,11 @@ class SnapshotTable:
         versions keep their exact file lists (time travel is
         unaffected); this is how a long-running append pipeline keeps
         its file count bounded without breaking isolation."""
-        cur = self.read(spark)
+        base = self.current_version()
+        cur = self.read(spark, base)
         new = self._write_data(cur.coalesce(max(1, target_files)))
-        return self._commit(new, "compact", cur.schema.simpleString())
+        return self._commit(new, "compact", cur.schema.simpleString(),
+                            expected_parent=base)
 
     # -- reads --------------------------------------------------------------
     def read(self, spark: SparkSession,

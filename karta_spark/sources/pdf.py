@@ -357,8 +357,11 @@ class PdfDocument:
                 p.skip_ws()
                 typ = p.regular_token()
                 num = start + k
-                if typ == b"n" and num not in self.xref:
-                    self.xref[num] = ("o", o)
+                # newest-section-wins for BOTH entry kinds: a free ('f')
+                # entry in a newer incremental update must shadow an older
+                # section's in-use offset, or deleted objects resurrect
+                if num not in self.xref:
+                    self.xref[num] = ("o", o) if typ == b"n" else ("f",)
 
     def _load_xref_stream(self, p: _P, seen: set):
         p.regular_token()  # obj num
@@ -397,6 +400,9 @@ class PdfDocument:
                     self.xref[num] = ("o", f2)
                 elif f1 == 2:
                     self.xref[num] = ("c", f2, f3)
+                elif f1 == 0:
+                    # free entry: record it so it masks older sections
+                    self.xref[num] = ("f",)
         for k, v in dct.items():
             if k in ("Root", "Info", "Size", "ID", "Encrypt"):
                 self.trailer.setdefault(k, v)
@@ -427,7 +433,7 @@ class PdfDocument:
         if num in self._cache:
             return self._cache[num]
         ent = self.xref.get(num)
-        if ent is None:
+        if ent is None or ent[0] == "f":
             return None
         if ent[0] == "o":
             p = _P(self.data, ent[1])

@@ -1182,16 +1182,35 @@ class TestSnapshotTable:
         assert t.read(spark).count() == 7
 
     def test_concurrent_commit_conflict(self, spark, tmp_path):
-        import os
+        # lost-update protection: a commit prepared against version N
+        # must FAIL (not silently drop files) when another committer
+        # lands N+1 in between — the optimistic-concurrency contract
         from karta_spark.plans.snapshots import (SnapshotConflict,
                                                  SnapshotTable)
         t = SnapshotTable(str(tmp_path / "tbl"))
         t.append(spark.range(3))
-        # simulate a racing committer that already wrote v2
-        with open(os.path.join(t.meta_dir, "v2.json"), "w") as f:
-            f.write("{}")
+        base = t.current_version()           # committer A reads v1...
+        t.append(spark.range(3, 6))          # ...B lands v2 meanwhile
         with pytest.raises(SnapshotConflict):
-            t.append(spark.range(3))
+            t._commit([], "append", "x", expected_parent=base)
+        # and A's retry against the fresh version succeeds
+        assert t.append(spark.range(6, 9)) == 3
+        assert t.read(spark).count() == 9    # nothing dropped
+
+    def test_current_pointer_regression_harmless(self, spark, tmp_path):
+        # a slow committer's os.replace of _current regressing the
+        # pointer must not wedge the table: the committed truth is the
+        # max vN.json manifest, not the pointer file
+        import os
+        from karta_spark.plans.snapshots import SnapshotTable
+        t = SnapshotTable(str(tmp_path / "tbl"))
+        t.append(spark.range(2))
+        t.append(spark.range(2, 4))
+        with open(os.path.join(t.meta_dir, "_current"), "w") as f:
+            f.write("1")                     # stale pointer flip
+        assert t.current_version() == 2
+        assert t.append(spark.range(4, 5)) == 3
+        assert t.read(spark).count() == 5
 
     def test_missing_version_raises(self, spark, tmp_path):
         from karta_spark.plans.snapshots import SnapshotTable
@@ -1506,6 +1525,12 @@ class TestSentenceSplit:
          ["Dr. Smith met Mr. Jones.", "They talked."]),
         ("Pi is 3.14 exactly. Next sentence.",
          ["Pi is 3.14 exactly.", "Next sentence."]),
+        # a sentence ENDING in a digit before one STARTING with a digit
+        # is a real boundary — the old prev/next-digit guard wrongly
+        # kept these joined (decimals are already safe: no space follows
+        # a true decimal point)
+        ("Pi is 3.14. 2nd test! Done.",
+         ["Pi is 3.14.", "2nd test!", "Done."]),
         ("J. Smith wrote it. True story.",
          ["J. Smith wrote it.", "True story."]),
         ("no caps after. lowercase stays joined.",
