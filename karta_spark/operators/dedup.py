@@ -670,17 +670,27 @@ def hamming_near_pairs(df: DataFrame, sig_col: str, id_col: str,
             for i in range(n_bands)
         ])).alias("bb"),
     ).select("id", "_sig", "bb.band", "bb.key")
-    # see minhash_lsh_pairs: avoid recomputing the signature stage per side
-    bands = bands.localCheckpoint(eager=False)
-    bands = _drop_oversized_buckets(bands, ("band", "key"), max_bucket)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a._sig").alias("sh_a"), F.col("b._sig").alias("sh_b"))
-        .distinct()
-    )
+    # grouped posting-list candidates (see minhash_lsh_pairs): ONE
+    # groupBy builds each bucket's sorted (id, sig) member list with the
+    # oversized guard folded into the size filter, and a HOF pair
+    # explosion replaces the former localCheckpoint + anti-join +
+    # two-sided self-join — one shuffle instead of three, identical
+    # candidate set
+    size_ok = F.size(F.col("ms")) >= 2
+    if max_bucket is not None:
+        size_ok = size_ok & (F.size(F.col("ms")) <= max_bucket)
+    grp = (bands.groupBy("band", "key")
+           .agg(F.array_sort(F.collect_list(F.struct("id", "_sig")))
+                .alias("ms"))
+           .where(size_ok).select("ms"))
+    ms = F.col("ms")
+    pair_structs = F.flatten(F.transform(ms, lambda x, i: F.transform(
+        F.slice(ms, i + F.lit(2), F.size(ms)),
+        lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b"),
+                           x["_sig"].alias("sh_a"),
+                           y["_sig"].alias("sh_b")))))
+    cand = (grp.select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b").distinct())
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming) \
                .select("id_a", "id_b", "hamming")
@@ -875,17 +885,22 @@ def embedding_near_dup_candidates(
         F.col(id_col).alias("id"),
         F.posexplode("_sig").alias("band", "bucket"),
     )
-    # see minhash_lsh_pairs: avoid recomputing the signature UDF per side
-    banded = banded.localCheckpoint(eager=False)
-    banded = _drop_oversized_buckets(banded, ("band", "bucket"), max_bucket)
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    # grouped posting-list candidates (see minhash_lsh_pairs): one
+    # groupBy + HOF pair explosion with the oversized guard as a size
+    # filter — replaces localCheckpoint + anti-join + self-join, and the
+    # signature UDF now feeds a single consumer
+    size_ok = F.size(F.col("ids")) >= 2
+    if max_bucket is not None:
+        size_ok = size_ok & (F.size(F.col("ids")) <= max_bucket)
+    grp = (banded.groupBy("band", "bucket")
+           .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+           .where(size_ok).select("ids"))
+    ids = F.col("ids")
+    pair_structs = F.flatten(F.transform(ids, lambda x, i: F.transform(
+        F.slice(ids, i + F.lit(2), F.size(ids)),
+        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (grp.select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b").distinct())
 
 
 def embedding_near_dup_pairs(
@@ -1035,18 +1050,30 @@ def cluster_representatives(df: DataFrame, pairs: DataFrame, id_col: str,
 
 def semantic_dedup(vectors: DataFrame, vec_col: str, id_col: str,
                    threshold: float, codebook=None, dim: int = 64,
-                   n_clusters: int = 8, seed: int = 19) -> DataFrame:
+                   n_clusters: int = 8, seed: int = 19,
+                   max_cluster: int | None = 65_536) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings, then drop
     near-duplicates WITHIN each cluster — clustering makes the
     quadratic comparison local, which is the whole trick: the
     self-join keys on cluster id, so its cost is sum of cluster
     sizes squared, not corpus squared.
 
+    SCALE CONTRACT: the locality argument only holds when clusters stay
+    small relative to the corpus — the paper operates at k ~ 10^4-10^5
+    clusters.  Size ``n_clusters`` (or pass a ``codebook`` from
+    similarity.train_centroids for data-adaptive centroids) so the
+    expected cluster is at most ~10^4 vectors; the tiny default k=8
+    is gate-scale only.  As a hard backstop, clusters larger than
+    ``max_cluster`` are EXCLUDED from the pairwise comparison entirely
+    (their members return kept=True) via a broadcast anti-join on the
+    tiny oversized-cluster id set — the same degenerate-bucket guard as
+    ``_drop_oversized_buckets``: one mega-cluster must be split with a
+    finer codebook, not brute-forced at |cluster|^2.  None disables.
+
     Assignment uses the exact-integer static-codebook argmin
-    (similarity.ivf_topk_static's machinery — swap in
-    similarity.train_centroids for data-adaptive clusters); the keep
-    rule is deterministic: a vector drops iff some LOWER-id vector in
-    its cluster has cosine >= threshold ("keep first").  Returns
+    (similarity.ivf_topk_static's machinery); the keep rule is
+    deterministic: a vector drops iff some LOWER-id vector in its
+    cluster has cosine >= threshold ("keep first").  Returns
     (id, cluster, kept)."""
     from karta_spark.operators.similarity import (_static_dists,
                                                   cosine_expr,
@@ -1059,10 +1086,15 @@ def semantic_dedup(vectors: DataFrame, vec_col: str, id_col: str,
          .withColumn("cluster",
                      (F.array_position("_d", F.array_min("_d")) - 1)
                      .cast("int")).drop("_d")
-    a = v.select(F.col("id").alias("ida"), F.col("_v").alias("va"),
-                 "cluster")
-    b = v.select(F.col("id").alias("idb"), F.col("_v").alias("vb"),
-                 "cluster")
+    vj = v
+    if max_cluster is not None:
+        oversized = (v.groupBy("cluster").agg(F.count("*").alias("_n"))
+                     .where(F.col("_n") > max_cluster).select("cluster"))
+        vj = v.join(F.broadcast(oversized), "cluster", "left_anti")
+    a = vj.select(F.col("id").alias("ida"), F.col("_v").alias("va"),
+                  "cluster")
+    b = vj.select(F.col("id").alias("idb"), F.col("_v").alias("vb"),
+                  "cluster")
     dup = (a.join(b, "cluster")
            .where(F.col("ida") < F.col("idb"))
            .where(cosine_expr("va", "vb") >= threshold)

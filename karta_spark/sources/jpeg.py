@@ -909,25 +909,39 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
 
     # de-stuff entropy-coded bytes up to EOI; RST0-7 markers become
     # byte-aligned segment boundaries (restart = reset bit phase + DC
-    # predictors at the boundary)
-    raw = bytearray()
+    # predictors at the boundary).  Marker positions come from one numpy
+    # scan and stuffed 0xFF00 pairs collapse via bytes.replace — the
+    # former per-byte python loop (~800 bytearray.appends on a small
+    # image) was ~15% of the whole decode.
     boundaries = []  # raw offsets where a restart segment begins
-    i = scan_start
-    while i < len(data):
-        b = data[i]
-        if b == 0xFF:
-            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
-            if nxt == 0x00:
-                raw.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                boundaries.append(len(raw))
-                i += 2
-                continue
-            break  # EOI or another marker
-        raw.append(b)
-        i += 1
+    parts = []
+    raw_len = 0
+    arr = np.frombuffer(data, dtype=np.uint8)
+    cur = scan_start
+    end = len(data)
+    for fpos in (np.flatnonzero(arr[scan_start:len(data) - 1] == 0xFF)
+                 + scan_start):
+        if fpos < cur:
+            continue  # inside a consumed 0xFF00 / RST pair
+        nxt = data[fpos + 1]
+        if nxt == 0x00:
+            continue  # stuffed data byte — replace() collapses it below
+        if 0xD0 <= nxt <= 0xD7:  # RSTn
+            seg = data[cur:fpos].replace(b"\xff\x00", b"\xff")
+            parts.append(seg)
+            raw_len += len(seg)
+            boundaries.append(raw_len)
+            cur = fpos + 2
+            continue
+        end = fpos  # EOI or another marker
+        break
+    else:
+        # no terminating marker: a lone trailing 0xFF acts as one (the
+        # sequential reader treated nxt-past-EOF as EOI)
+        if end > cur and data[end - 1] == 0xFF:
+            end -= 1
+    parts.append(data[cur:end].replace(b"\xff\x00", b"\xff"))
+    raw = b"".join(parts)
 
     # inlined bit reader: pure-int locals, one symbol = one peek + masked
     # consume — method-call and numpy-scalar overhead dominates otherwise
@@ -972,10 +986,20 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         for ci, hi, vi, by, bx in sched:
             bi = (my * vi + by) * (mcux * hi) + (mx * hi + bx)
             (dsym, dln), (asym, aln) = tabs[ci]
-            while navail < 16:
-                acc = (acc << 8) | (data[pos] if pos < dlen else 0)
-                pos += 1
-                navail += 8
+            # refills pull 4 bytes at once (one slice + int.from_bytes
+            # instead of up to four shift-or iterations); the byte-wise
+            # tail only runs within 4 bytes of the stream end
+            if navail < 16:
+                if pos + 4 <= dlen:
+                    acc = (acc << 32) | int.from_bytes(
+                        data[pos:pos + 4], "big")
+                    pos += 4
+                    navail += 32
+                else:
+                    while navail < 16:
+                        acc = (acc << 8) | (data[pos] if pos < dlen else 0)
+                        pos += 1
+                        navail += 8
             p = (acc >> (navail - 16)) & 0xFFFF
             s = dsym[p]
             navail -= dln[p]
@@ -984,10 +1008,18 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                 # DIFF = 32768 with NO appended magnitude bits.
                 preds[ci] += 32768
             elif s:
-                while navail < s:
-                    acc = (acc << 8) | (data[pos] if pos < dlen else 0)
-                    pos += 1
-                    navail += 8
+                if navail < s:
+                    if pos + 4 <= dlen:
+                        acc = (acc << 32) | int.from_bytes(
+                            data[pos:pos + 4], "big")
+                        pos += 4
+                        navail += 32
+                    else:
+                        while navail < s:
+                            acc = (acc << 8) | (data[pos] if pos < dlen
+                                                else 0)
+                            pos += 1
+                            navail += 8
                 v = (acc >> (navail - s)) & ((1 << s) - 1)
                 navail -= s
                 preds[ci] += v - (1 << s) + 1 if v < (1 << (s - 1)) else v
@@ -996,10 +1028,18 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
             blk[0] = preds[ci]
             k = 1
             while k < 64:
-                while navail < 16:
-                    acc = (acc << 8) | (data[pos] if pos < dlen else 0)
-                    pos += 1
-                    navail += 8
+                if navail < 16:
+                    if pos + 4 <= dlen:
+                        acc = (acc << 32) | int.from_bytes(
+                            data[pos:pos + 4], "big")
+                        pos += 4
+                        navail += 32
+                    else:
+                        while navail < 16:
+                            acc = (acc << 8) | (data[pos] if pos < dlen
+                                                else 0)
+                            pos += 1
+                            navail += 8
                 p = (acc >> (navail - 16)) & 0xFFFF
                 rs = asym[p]
                 navail -= aln[p]
@@ -1011,10 +1051,18 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                     continue
                 k += rs >> 4
                 s = rs & 0xF
-                while navail < s:
-                    acc = (acc << 8) | (data[pos] if pos < dlen else 0)
-                    pos += 1
-                    navail += 8
+                if navail < s:
+                    if pos + 4 <= dlen:
+                        acc = (acc << 32) | int.from_bytes(
+                            data[pos:pos + 4], "big")
+                        pos += 4
+                        navail += 32
+                    else:
+                        while navail < s:
+                            acc = (acc << 8) | (data[pos] if pos < dlen
+                                                else 0)
+                            pos += 1
+                            navail += 8
                 v = (acc >> (navail - s)) & ((1 << s) - 1)
                 navail -= s
                 acc &= (1 << navail) - 1

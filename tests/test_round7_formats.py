@@ -1434,6 +1434,33 @@ class TestSemanticDedup:
         assert clusters[0] != clusters[1]
         assert all(r["kept"] for r in out)
 
+    def test_oversized_cluster_guard(self, spark):
+        # the |cluster|^2 backstop: a hot cluster above max_cluster is
+        # excluded from the pairwise join (members keep), small clusters
+        # still dedup exactly as without the cap
+        import numpy as np
+        from karta_spark.operators.dedup import semantic_dedup
+        rng = np.random.default_rng(7)
+        hot = rng.normal(size=16)
+        rows = [(i, (hot * (1.0 + 1e-4 * i)).astype("float32").tolist())
+                for i in range(20)]                      # one hot cluster
+        cold = rng.normal(size=16)
+        rows += [(100, cold.astype("float32").tolist()),
+                 (101, (cold * 1.001).astype("float32").tolist())]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        kw = dict(threshold=0.999, dim=16, n_clusters=4)
+        capped = {r["id"]: r["kept"] for r in semantic_dedup(
+            df, "embedding", "vec_id", max_cluster=10, **kw).collect()}
+        # hot-cluster members bypass the quadratic join -> all kept
+        assert all(capped[i] for i in range(20))
+        # the small cold cluster still dedups (keep-first)
+        assert capped[100] and not capped[101]
+        # and with the cap off, the hot cluster dedups to one survivor
+        uncapped = {r["id"]: r["kept"] for r in semantic_dedup(
+            df, "embedding", "vec_id", max_cluster=None, **kw).collect()}
+        assert uncapped[0] and not any(uncapped[i] for i in range(1, 20))
+
 
 class TestCharLmPerplexity:
     """KenLM-style char-n-gram NLL filter (operators/text.py)."""
