@@ -555,6 +555,30 @@ def ivf_probe_lists(queries: DataFrame, q_vec: str, centroids: np.ndarray,
     return queries.withColumn(out, F.explode(probes(F.col(q_vec))))
 
 
+def ivf_list_stats(assigned: DataFrame, list_col: str = "ivf_list",
+                   max_list: int | None = None) -> DataFrame:
+    """Audit hook for IVF list skew (the inverted-file analogue of
+    dedup.oversized_bucket_stats): per list id, its member count and its
+    share of the corpus, sorted largest first.  ``max_list`` filters to
+    lists above the cap (empty result = no skew concern).
+
+    Run this one groupBy before a large ivf_topk/ivf_pq scan: a probe of
+    a list holding a large corpus fraction costs that fraction of a
+    brute-force scan per query, which is the scale failure mode of a
+    badly trained (or too-small) codebook — the fix is retraining with
+    more centroids (train_centroids), not a bigger cluster."""
+    n = F.count("*")
+    total = assigned.count()
+    out = (assigned.groupBy(list_col)
+           .agg(n.cast("long").alias("members"))
+           .withColumn("corpus_share",
+                       F.col("members") / F.lit(max(total, 1)))
+           .orderBy(F.col("members").desc()))
+    if max_list is not None:
+        out = out.where(F.col("members") > max_list)
+    return out
+
+
 def ivf_topk(
     vectors: DataFrame, queries: DataFrame, k: int, c: int = 16, nprobe: int = 2,
     vec_col: str = "embedding", vid: str = "vec_id",

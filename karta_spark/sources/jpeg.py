@@ -1136,27 +1136,40 @@ def _reconstruct(comps, coefs, qtabs, h, w, mcux, mcuy, hmax, vmax,
 def _destuff_scan(data: bytes, start: int):
     """De-stuff one scan's entropy bytes from *start* until the next
     non-RST marker.  Returns (raw, rst_boundaries, end_pos) where
-    end_pos indexes the terminating 0xFF."""
-    raw = bytearray()
+    end_pos indexes the terminating 0xFF.
+
+    Same vectorized form as the baseline decoder: one numpy marker scan,
+    0xFF00 pairs collapsed by bytes.replace, RST boundaries from segment
+    lengths — no per-byte python loop."""
     boundaries = []
-    i = start
+    parts = []
+    raw_len = 0
     n = len(data)
-    while i < n:
-        b = data[i]
-        if b == 0xFF:
-            nxt = data[i + 1] if i + 1 < n else 0xD9
-            if nxt == 0x00:
-                raw.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                boundaries.append(len(raw))
-                i += 2
-                continue
-            break
-        raw.append(b)
-        i += 1
-    return bytes(raw), boundaries, i
+    arr = np.frombuffer(data, dtype=np.uint8)
+    cur = start
+    end = n
+    for fpos in np.flatnonzero(arr[start:n - 1] == 0xFF) + start:
+        if fpos < cur:
+            continue  # inside a consumed 0xFF00 / RST pair
+        nxt = data[fpos + 1]
+        if nxt == 0x00:
+            continue  # stuffed data byte — replace() collapses it below
+        if 0xD0 <= nxt <= 0xD7:  # RSTn
+            seg = data[cur:fpos].replace(b"\xff\x00", b"\xff")
+            parts.append(seg)
+            raw_len += len(seg)
+            boundaries.append(raw_len)
+            cur = fpos + 2
+            continue
+        end = fpos  # terminating marker
+        break
+    else:
+        # no terminator found: a lone trailing 0xFF acts as one (the
+        # sequential reader treated nxt-past-EOF as EOI)
+        if end > cur and data[end - 1] == 0xFF:
+            end -= 1
+    parts.append(data[cur:end].replace(b"\xff\x00", b"\xff"))
+    return b"".join(parts), boundaries, end
 
 
 class _ScanBits:
@@ -1181,14 +1194,27 @@ class _ScanBits:
         self.acc = 0
         self.n = 0
 
+    def _refill(self, k: int):
+        # pull 4 bytes at once (one slice + int.from_bytes) — byte-wise
+        # only within 4 bytes of the stream end (same as the baseline
+        # decoder's inlined reader)
+        if self.pos + 4 <= len(self.data):
+            self.acc = (self.acc << 32) | int.from_bytes(
+                self.data[self.pos:self.pos + 4], "big")
+            self.pos += 4
+            self.n += 32
+        else:
+            while self.n < k:
+                self.acc = (self.acc << 8) | (
+                    self.data[self.pos] if self.pos < len(self.data) else 0)
+                self.pos += 1
+                self.n += 8
+
     def bits(self, k: int) -> int:
         if k == 0:
             return 0
-        while self.n < k:
-            self.acc = (self.acc << 8) | (
-                self.data[self.pos] if self.pos < len(self.data) else 0)
-            self.pos += 1
-            self.n += 8
+        if self.n < k:
+            self._refill(k)
         v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
         self.n -= k
         self.acc &= (1 << self.n) - 1
@@ -1196,11 +1222,8 @@ class _ScanBits:
 
     def huff(self, lut) -> int:
         sym, ln = lut
-        while self.n < 16:
-            self.acc = (self.acc << 8) | (
-                self.data[self.pos] if self.pos < len(self.data) else 0)
-            self.pos += 1
-            self.n += 8
+        if self.n < 16:
+            self._refill(16)
         p = (self.acc >> (self.n - 16)) & 0xFFFF
         self.n -= ln[p]
         self.acc &= (1 << self.n) - 1

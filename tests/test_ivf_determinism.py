@@ -50,3 +50,26 @@ class TestTrainedIvfDeterminism:
         a = similarity.train_centroids(corpus, "embedding", 6, seed=11)
         b = similarity.train_centroids(corpus, "embedding", 6, seed=12)
         assert not np.array_equal(a, b)
+
+
+class TestIvfListStats:
+    def test_skewed_list_surfaces(self, spark):
+        # 90 vectors near one centroid direction, 10 near another: the
+        # hot list must lead the stats and clear a max_list filter
+        import numpy as np
+        rng = np.random.default_rng(3)
+        hot = rng.normal(size=8)
+        cold = -hot
+        rows = [(i, (hot + rng.normal(scale=0.01, size=8)).tolist())
+                for i in range(90)]
+        rows += [(100 + i, (cold + rng.normal(scale=0.01, size=8)).tolist())
+                 for i in range(10)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cent = np.stack([hot, cold])
+        assigned = similarity.ivf_assign(df, "embedding", cent)
+        stats = similarity.ivf_list_stats(assigned).collect()
+        assert stats[0]["members"] == 90
+        assert abs(stats[0]["corpus_share"] - 0.9) < 1e-9
+        flagged = similarity.ivf_list_stats(assigned, max_list=50).collect()
+        assert len(flagged) == 1 and flagged[0]["members"] == 90
+        assert similarity.ivf_list_stats(assigned, max_list=200).count() == 0
