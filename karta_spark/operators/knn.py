@@ -222,12 +222,17 @@ def knn_broadcast_kernel(
     # torrent-broadcast the arrays once per executor instead of shipping
     # them in every task's pickled closure (guide §4.5)
     bc = points.sparkSession.sparkContext.broadcast((pids, pxs, pys))
-    # NOTE: the query side is deliberately NOT repartitioned: the strip
-    # search costs ~O(k + local density) per query, so even a
-    # single-partition query file finishes in less time than one exchange
-    # plus a wave of python-worker tasks would cost (measured at sf1.0:
-    # 0.98 s as-is vs 1.17 s repartitioned to 32, 1.50 s to 64); a query
-    # side big enough to need spreading arrives with partitions.
+    # Query-side spreading is conditional on the POINT count: per-query
+    # strip cost grows ~sqrt(n_p) (strip width shrinks as 1/sqrt(n_p)
+    # while density grows as n_p), so below ~250k points even a
+    # single-partition query file finishes faster than one exchange plus
+    # a wave of python-worker tasks (measured at 150k pts: 0.98 s as-is
+    # vs 1.17 s at 32 / 1.50 s at 64 partitions), while above it the
+    # exchange pays for itself (measured at 1.5M pts x 100k single-
+    # partition queries: 4.79 s -> 1.43 s).
+    if n_p > 250_000:
+        from karta_spark.plans.layout import ensure_min_parallelism
+        queries = ensure_min_parallelism(queries, factor=2)
     # chunk the query batch so the spherical distance matrix stays ~32 MB
     rows_per_chunk = max(1, 4_000_000 // max(n_p, 1))
 
@@ -328,7 +333,7 @@ def knn_join(
     query_id: str = "query_id", point_id: str = "point_id",
     qx: str = "qx", qy: str = "qy", px: str = "x", py: str = "y",
     spherical: bool = False, max_widen: int = 3,
-    small_points_threshold: int = 1_000_000,
+    small_points_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Exact distributed kNN: cell-ring candidate join + top-k window +
     guarantee check with iterative widening for unsatisfied queries.
@@ -350,12 +355,14 @@ def knn_join(
     any size either way.  Same dispatch philosophy as the PIP join's
     small_table_threshold.
 
-    Threshold sizing: 10^6 points is three ~8 MB broadcast arrays (the
-    same order as spark.sql.autoBroadcastJoinThreshold) and ~1 ms of
-    vectorized distance evals per query — cheaper than the ring join's
-    per-query candidate set until the query side reaches ~10^8 rows.
-    For a huge query side over a mid-sized point table, pass an explicit
-    ``zoom`` to force the ring plan instead."""
+    Threshold sizing: 2x10^6 points is three ~16 MB broadcast arrays
+    (the order of spark.sql.autoBroadcastJoinThreshold) and tens of
+    microseconds of strip-search per query — measured 33x cheaper than
+    the ring join at 1.5M points x 100k queries (1.4 s vs 47 s: the
+    ring's candidate set at the density-derived zoom carries ~800
+    candidates per query through a window sort).  For a huge query side
+    over a mid-sized point table, pass an explicit ``zoom`` to force
+    the ring plan instead."""
     if zoom is None:
         n_points = points.count()
         # planar only: the planar kernel is pure arithmetic and therefore
