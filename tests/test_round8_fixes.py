@@ -1,0 +1,79 @@
+"""Round-8 regression tests (optimization round): the strip-search kNN
+kernel and the grouped-posting-list LSH plans must stay exactly equal to
+their brute-force references on tie-heavy distributions."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _knn_brute(qs: np.ndarray, pts: np.ndarray, k: int) -> set:
+    out = set()
+    kk = min(k, len(pts))
+    for qi, (qx, qy) in enumerate(qs):
+        d = np.sqrt((pts[:, 0] - qx) ** 2 + (pts[:, 1] - qy) ** 2)
+        order = np.lexsort((np.arange(len(pts)), d))[:kk]
+        for r, pi in enumerate(order):
+            out.add((qi, int(pi), float(d[pi]), r + 1))
+    return out
+
+
+class TestStripKernelExactness:
+    """knn_broadcast_kernel's sorted-strip search (r8 rewrite of the
+    Q x N matrix) vs an in-process (dist, point_id) brute force — the
+    distributions target the strip machinery's edges: duplicate x
+    columns, exact distance ties straddling k, point clusters far from
+    the query (forcing widening rounds), k >= n, n == 1."""
+
+    CASES = [
+        # vertical-line grid: every x duplicated, diagonal queries tie
+        ("grid_ties",
+         [(float(i % 5), float(i // 5)) for i in range(25)],
+         [(2.0, 2.0), (0.0, 0.0), (2.5, 2.5), (4.0, 0.0)], 4),
+        # every point identical: k-way zero-distance tie
+        ("identical_points", [(1.5, 2.5)] * 10, [(1.5, 2.5), (0.0, 0.0)], 3),
+        # two tight clusters, queries between / outside: the initial
+        # density-derived radius is far too small -> widening rounds
+        ("far_clusters",
+         [(x, y) for x, y in np.vstack(
+             [np.random.default_rng(1).normal(scale=1e-3, size=(50, 2)),
+              np.random.default_rng(2).normal(loc=100, scale=1e-3,
+                                              size=(50, 2))])],
+         [(50.0, 50.0), (0.0, 0.0), (100.0, 100.0)], 5),
+        # rounded coordinates: dense exact ties everywhere
+        ("rounded_ties",
+         [(x, y) for x, y in np.round(
+             np.random.default_rng(3).uniform(-3, 3, size=(120, 2)))],
+         [(x, y) for x, y in np.round(
+             np.random.default_rng(4).uniform(-3, 3, size=(15, 2)))], 6),
+        ("k_exceeds_n",
+         [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)], [(0.2, 0.2)], 7),
+        ("single_point", [(0.5, 0.5)], [(1.0, 1.0)], 3),
+    ]
+
+    @pytest.mark.parametrize("name,pts,qs,k",
+                             CASES, ids=[c[0] for c in CASES])
+    def test_matches_bruteforce(self, spark, name, pts, qs, k):
+        from karta_spark.operators.knn import knn_broadcast_kernel
+        pts_a = np.asarray(pts, dtype=np.float64)
+        qs_a = np.asarray(qs, dtype=np.float64)
+        pdf = spark.createDataFrame(
+            [(int(i), float(x), float(y)) for i, (x, y) in enumerate(pts_a)],
+            "point_id long, x double, y double")
+        qdf = spark.createDataFrame(
+            [(int(i), float(x), float(y)) for i, (x, y) in enumerate(qs_a)],
+            "query_id long, qx double, qy double")
+        got = {(r["query_id"], r["point_id"], r["dist"], r["rank"])
+               for r in knn_broadcast_kernel(qdf, pdf, k).collect()}
+        assert got == _knn_brute(qs_a, pts_a, k)
+
+    def test_string_point_ids(self, spark):
+        # the lexsort tie-break must hold for non-numeric id columns
+        from karta_spark.operators.knn import knn_broadcast_kernel
+        pdf = spark.createDataFrame(
+            [("pb", 1.0, 0.0), ("pa", 1.0, 0.0), ("pc", 0.0, 3.0)],
+            "point_id string, x double, y double")
+        qdf = spark.createDataFrame([(1, 0.0, 0.0)],
+                                    "query_id long, qx double, qy double")
+        out = knn_broadcast_kernel(qdf, pdf, 2).orderBy("rank").collect()
+        # exact dist-1.0 tie: lexical id order decides
+        assert [r["point_id"] for r in out] == ["pa", "pb"]
