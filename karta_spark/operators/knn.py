@@ -214,8 +214,12 @@ def knn_broadcast_kernel(
             float(pxs.max() - pxs.min())
         yspan = float(pys.max() - pys.min())
         area = xspan * yspan
-        r0 = 2.0 * math.sqrt(max(area, 1e-300) * (kk + 1) / (math.pi * n_p))
-        if r0 <= 0.0:
+        if area > 0.0:
+            r0 = 2.0 * math.sqrt(area * (kk + 1) / (math.pi * n_p))
+        else:
+            # collinear/identical point cloud: a density-derived radius
+            # is meaningless and a near-zero start would need hundreds
+            # of doubling rounds — start at the data extent instead
             r0 = max(xspan, yspan, 1.0)
     else:
         r0 = 1.0
