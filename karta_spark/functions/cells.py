@@ -54,7 +54,18 @@ def tile_id_clamped(lon: Column, lat: Column, zoom: int) -> Column:
     poleward of MAX_LAT otherwise produce out-of-range rows (tile_y at
     lat 89 is negative) and such points silently never match any cover
     cell in a join.  Cell ASSIGNMENT only — exact refines keep the true
-    coordinates."""
+    coordinates.
+
+    Pass column NAMES (strings) on hot plan-construction paths: the whole
+    expression is then emitted as one SQL string (the tile_x_sql/tile_y_sql
+    algebra — identical float ops) and parsed by a single F.expr round
+    trip instead of ~150 py4j gateway calls (r8 driver-latency finding)."""
+    if isinstance(lon, str) and isinstance(lat, str):
+        n = 2 ** zoom
+        tx = f"least(greatest({tile_x_sql(f'`{lon}`', zoom)}, 0L), {n - 1}L)"
+        ty = f"least(greatest({tile_y_sql(f'`{lat}`', zoom)}, 0L), {n - 1}L)"
+        return F.expr(
+            f"CAST({zoom}L * {1 << 58}L + {tx} * {1 << 29}L + {ty} AS BIGINT)")
     n = 2 ** zoom
     ty = F.least(F.greatest(tile_y(lat, zoom), F.lit(0).cast("long")),
                  F.lit(n - 1).cast("long"))

@@ -388,7 +388,7 @@ def knn_join(
     # one partition vs ~2 s spread).  No-op when points are already
     # parallel, i.e. at any production scale.
     points = ensure_min_parallelism(points)
-    pts = points.withColumn("_cell", cells.tile_id_clamped(F.col(px), F.col(py), zoom))
+    pts = points.withColumn("_cell", cells.tile_id_clamped(px, py, zoom))
     remaining = queries
     results = []
     to_unpersist = []
@@ -400,7 +400,7 @@ def knn_join(
     for _ in range(max_widen):
         if n_remaining == 0:
             break
-        q = remaining.withColumn("_cell", cells.tile_id_clamped(F.col(qx), F.col(qy), zoom))
+        q = remaining.withColumn("_cell", cells.tile_id_clamped(qx, qy, zoom))
         q = q.withColumn("_probe", F.explode(neighbor_cells(F.col("_cell"), cur_ring, zoom)))
         cand = q.join(pts.withColumnRenamed("_cell", "_probe"), "_probe")
         d = _dist(F.col(qx), F.col(qy), F.col(px), F.col(py), spherical)

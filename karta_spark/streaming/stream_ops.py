@@ -35,7 +35,7 @@ def with_cells_and_polys(stream: DataFrame, polys: list[PolygonSpec],
     out = stream.withColumn("tile", cells.tile_id(F.col(lon), F.col(lat), zoom))
     match = F.lit(None).cast("string")
     for p in reversed([p for p in polys if _expr_able(p)]):
-        match = F.when(polygon_contains_col(p, F.col(lon), F.col(lat)),
+        match = F.when(polygon_contains_col(p, lon, lat),
                        F.lit(p.poly_id)).otherwise(match)
     return out.withColumn("poly_id", match)
 
