@@ -409,14 +409,18 @@ def verify_photo_jpegs(photos: DataFrame, min_psnr: float = 40.0) -> DataFrame:
     ])
 
     def run(batches):
+        from karta_spark.sources.jpeg import decode_jpeg_batch
         for pdf in batches:
             out = []
-            for iid, raw, w, h, mode in zip(
-                    pdf["image_id"].to_numpy(), pdf["bytes"].to_numpy(),
+            raws = [bytes(r) for r in pdf["bytes"].to_numpy()]
+            # batch kernel handles the plain-baseline modes; restart/
+            # progressive rows fall back to the scalar decoder inside
+            pixes = decode_jpeg_batch(raws)
+            for iid, pix, w, h, mode in zip(
+                    pdf["image_id"].to_numpy(), pixes,
                     pdf["w"].to_numpy(), pdf["h"].to_numpy(),
                     pdf["mode"].to_numpy()):
                 i = int(iid[5:])
-                pix = decode_jpeg_baseline(bytes(raw))
                 ref = photo_pixels(i, int(w), int(h))
                 p = psnr(pix, ref)
                 out.append((iid, mode, p, bool(p >= min_psnr)))
@@ -481,11 +485,26 @@ def decode_stats(images: DataFrame, passthrough: tuple = ()) -> DataFrame:
             # plain-array iteration: iterrows() costs ~100us/row in pandas
             # object construction alone — 10x the decode itself
             extras = [pdf[c].to_numpy() for c in passthrough]
-            for iid, raw, w, h, fmt, ph, *extra in zip(
-                    pdf["image_id"].to_numpy(), pdf["bytes"].to_numpy(),
+            fmts = pdf["fmt"].to_numpy()
+            raws = pdf["bytes"].to_numpy()
+            # jpegs through the vectorized multi-stream entropy kernel
+            # (bit-identical to the scalar decoder; guide §4.2 batching) —
+            # the scalar per-symbol loop is ~3x slower per image
+            decoded: dict[int, np.ndarray] = {}
+            jrows = np.flatnonzero(fmts == "jpeg")
+            if jrows.size >= 8 and not _HAS_PIL:
+                from karta_spark.sources.jpeg import decode_jpeg_batch
+                for r, pix in zip(jrows,
+                                  decode_jpeg_batch([bytes(raws[r])
+                                                     for r in jrows])):
+                    decoded[int(r)] = pix
+            for ri, (iid, raw, w, h, fmt, ph, *extra) in enumerate(zip(
+                    pdf["image_id"].to_numpy(), raws,
                     pdf["w"].to_numpy(), pdf["h"].to_numpy(),
-                    pdf["fmt"].to_numpy(), pdf["phash"].to_numpy(), *extras):
-                pix = decode_image(bytes(raw), fmt)
+                    fmts, pdf["phash"].to_numpy(), *extras)):
+                pix = decoded.get(ri)
+                if pix is None:
+                    pix = decode_image(bytes(raw), fmt)
                 ref = pixels_for_phash(int(ph), int(w), int(h))
                 if pix.ndim == 2:
                     pix = np.repeat(pix[:, :, None], 3, axis=2)

@@ -77,3 +77,55 @@ class TestStripKernelExactness:
         out = knn_broadcast_kernel(qdf, pdf, 2).orderBy("rank").collect()
         # exact dist-1.0 tie: lexical id order decides
         assert [r["point_id"] for r in out] == ["pa", "pb"]
+
+
+class TestBatchJpegDecode:
+    """The vectorized multi-stream entropy kernel must be element-wise
+    identical to the scalar reference decoder on every eligible shape,
+    and fall back silently on everything else."""
+
+    def test_bench_corpus_bit_identical(self):
+        from karta_spark.sources.images import make_row
+        from karta_spark.sources.jpeg import (decode_jpeg_baseline,
+                                              decode_jpeg_batch)
+        datas = [bytes(make_row(i)[1]) for i in range(300) if i % 3 == 2]
+        got = decode_jpeg_batch(datas)
+        for g, d in zip(got, datas):
+            assert np.array_equal(g, decode_jpeg_baseline(d))
+
+    @pytest.mark.parametrize("sub", ["444", "422", "420"])
+    def test_photo_modes_bit_identical(self, sub):
+        from karta_spark.sources.images import photo_pixels
+        from karta_spark.sources.jpeg import (decode_jpeg_baseline,
+                                              decode_jpeg_batch,
+                                              encode_jpeg_baseline)
+        datas = [encode_jpeg_baseline(photo_pixels(i, 52, 36), 75,
+                                      subsampling=sub) for i in range(70)]
+        got = decode_jpeg_batch(datas)
+        for g, d in zip(got, datas):
+            assert np.array_equal(g, decode_jpeg_baseline(d))
+
+    def test_gray_noise_and_fallbacks(self):
+        from karta_spark.sources.images import photo_pixels
+        from karta_spark.sources.jpeg import (decode_jpeg_baseline,
+                                              decode_jpeg_batch,
+                                              encode_jpeg_baseline,
+                                              encode_jpeg_progressive)
+        rng = np.random.default_rng(11)
+        datas = (
+            [encode_jpeg_baseline(photo_pixels(i, 24, 17)[:, :, 0], 80)
+             for i in range(70)]
+            + [encode_jpeg_baseline(
+                rng.integers(0, 256, (21, 13, 3)).astype(np.uint8), 90)
+               for _ in range(70)]
+            # restart intervals and progressive scans must take the
+            # scalar fallback inside the same call
+            + [encode_jpeg_baseline(photo_pixels(i, 52, 36), 95,
+                                    subsampling="420", restart_interval=2)
+               for i in range(5)]
+            + [encode_jpeg_progressive(photo_pixels(i, 52, 36), 95)
+               for i in range(3)]
+        )
+        got = decode_jpeg_batch(datas)
+        for g, d in zip(got, datas):
+            assert np.array_equal(g, decode_jpeg_baseline(d))
