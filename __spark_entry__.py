@@ -104,8 +104,15 @@ def q02_revenue_by_nation(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1.0).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+    # orders is the ONE mid-size join side: under ~64 MB the planner
+    # auto-broadcasts it, and the single-threaded driver-side hash build of
+    # ~1.5M rows costs more than the distributed join it saves (measured r8:
+    # 2.55 s -> 1.02 s at sf1.0, 1.12 -> 0.53 at sf0.1).  At cluster scale
+    # orders exceeds the threshold and sort-merge is what the planner picks
+    # anyway — the hint just stops the mid-scale broadcast trap.  Result
+    # rows verified identical (join strategy never changes results).
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

@@ -272,15 +272,24 @@ def oversized_bucket_stats(banded: DataFrame, keys, max_bucket: int) -> DataFram
 
 def _band_buckets(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
     """(id, sig) -> (id, band, bucket): hash each signature slice to one
-    bucket key per band — the LSH key table every variant shares."""
+    bucket key per band — the LSH key table every variant shares.
+
+    The bucket is xxhash64 over the band's signature LONGS directly
+    (numeric multi-arg form).  The previous array<long> -> array<string>
+    -> string cast chain cost ~1 s of JVM string work per 50k docs at 8
+    bands (r8 measurement) for identical banding semantics: equal slices
+    map to equal buckets under any deterministic hash, and the downstream
+    verify absorbs the (negligible) cross-slice collision mass."""
     rows_per_band = num_perm // bands
     return sigs.select(
         "id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(i).alias("band"),
-                F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band)
-                           .cast("array<string>").cast("string")).alias("bucket"),
+                F.xxhash64(F.lit(i), *[
+                    F.element_at("sig", i * rows_per_band + j + 1)
+                    for j in range(rows_per_band)
+                ]).alias("bucket"),
             )
             for i in range(bands)
         ])).alias("bb"),
