@@ -255,14 +255,19 @@ def knn_broadcast_kernel(
             qida = pdf[query_id].to_numpy()
             out_q, out_p, out_d, out_r = [], [], [], []
             if kk > 0:
+                # round-0 strip bounds for the WHOLE batch in two
+                # searchsorted calls — the per-query pair re-runs only on
+                # the rare widening rounds (r8: two numpy calls per query
+                # were ~25% of the kernel's single-task wall time)
+                los = np.searchsorted(
+                    sx, np.nextafter(qxa - r0, ninf), side="left")
+                his = np.searchsorted(
+                    sx, np.nextafter(qxa + r0, pinf), side="right")
                 for i in range(len(qxa)):
                     qxv, qyv = qxa[i], qya[i]
                     r = r0
+                    lo, hi = int(los[i]), int(his[i])
                     while True:
-                        lo = int(np.searchsorted(
-                            sx, np.nextafter(qxv - r, ninf), side="left"))
-                        hi = int(np.searchsorted(
-                            sx, np.nextafter(qxv + r, pinf), side="right"))
                         full = lo == 0 and hi == n_p
                         if hi - lo >= kk or full:
                             dxs = sx[lo:hi] - qxv
@@ -276,7 +281,19 @@ def knn_broadcast_kernel(
                                 cd, cpid = d[mask], spid[lo:hi][mask]
                                 break
                         r *= 2.0
-                    # (dist asc, point_id asc) — exact row_number order
+                        lo = int(np.searchsorted(
+                            sx, np.nextafter(qxv - r, ninf), side="left"))
+                        hi = int(np.searchsorted(
+                            sx, np.nextafter(qxv + r, pinf), side="right"))
+                    # prune to the k-th-distance boundary (whole tie group
+                    # included: every element == kth stays) before the
+                    # exact (dist asc, point_id asc) row_number tie-break —
+                    # a full lexsort of the ~1k-candidate strip was the
+                    # other ~30% of the kernel time
+                    if cd.size > max(kk, 64):
+                        kth = np.partition(cd, kk - 1)[kk - 1]
+                        keep = cd <= kth
+                        cd, cpid = cd[keep], cpid[keep]
                     order = np.lexsort((cpid, cd))[:kk]
                     out_q.extend([qida[i]] * kk)
                     out_p.extend(cpid[order].tolist())

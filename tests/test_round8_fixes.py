@@ -129,3 +129,27 @@ class TestBatchJpegDecode:
         got = decode_jpeg_batch(datas)
         for g, d in zip(got, datas):
             assert np.array_equal(g, decode_jpeg_baseline(d))
+
+
+class TestRoundHalfEvenExpr:
+    """round_half_even's float-algebra CASE form must match Spark's
+    BigDecimal bround (and numpy banker's rounding) on every input,
+    ties and negatives included."""
+
+    def test_matches_bround_and_numpy(self, spark):
+        from pyspark.sql import functions as F
+        from karta_spark.raster.gridpoints import round_half_even
+        vals = [0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 0.49999999999999994,
+                0.5000000000000001, -0.49999999999999994, 1e15 + 0.5,
+                -3.5, 7.5, 0.0, -0.0, 123.456, -123.456]
+        # dense near-tie sweep
+        vals += [k / 2.0 + eps for k in range(-20, 21)
+                 for eps in (0.0, 1e-12, -1e-12)]
+        df = spark.createDataFrame([(float(v),) for v in vals], "p double")
+        got = df.select(
+            round_half_even(F.col("p")).cast("long").alias("a"),
+            F.bround(F.col("p")).cast("long").alias("b"),
+            "p").collect()
+        for r in got:
+            assert r["a"] == r["b"], r["p"]
+            assert r["a"] == int(np.round(r["p"])), r["p"]
