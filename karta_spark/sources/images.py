@@ -277,6 +277,24 @@ def pixel_hash_sql(phash_expr: str, idx_expr: str) -> str:
     return f"(({h5}) % 256)"
 
 
+def pixels_for_phash_batch(phash: np.ndarray, w: int = 16,
+                           h: int = 16) -> np.ndarray:
+    """pixels_for_phash for a VECTOR of phashes -> (n, h, w, 3) uint8 —
+    same uint32 hash algebra broadcast over a leading axis, so each slice
+    is bit-identical to the scalar function (pinned by test)."""
+    n = h * w * 3
+    idx = np.arange(n, dtype=np.uint64)[None, :]
+    M32 = np.uint64(0xFFFFFFFF)
+    p = np.asarray(phash, dtype=np.uint64)[:, None]
+    h0 = ((p & M32) + (p >> np.uint64(32))) & M32
+    h1 = (h0 + idx * np.uint64(1000003)) & M32
+    h2 = (h1 * np.uint64(1597334677)) & M32
+    h3 = h2 ^ (h2 >> np.uint64(16))
+    h4 = (h3 * np.uint64(1103515245)) & M32
+    h5 = h4 ^ (h4 >> np.uint64(16))
+    return (h5 & np.uint64(255)).astype(np.uint8).reshape(-1, h, w, 3)
+
+
 def caption_for_index(i: int) -> str:
     return f"caption {i} {_WORDS[i % len(_WORDS)]} {_WORDS[(i * 7 + 3) % len(_WORDS)]}"
 
@@ -481,16 +499,18 @@ def decode_stats(images: DataFrame, passthrough: tuple = ()) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            out = []
-            # plain-array iteration: iterrows() costs ~100us/row in pandas
-            # object construction alone — 10x the decode itself
             extras = [pdf[c].to_numpy() for c in passthrough]
-            fmts = pdf["fmt"].to_numpy()
+            ids = pdf["image_id"].to_numpy()
             raws = pdf["bytes"].to_numpy()
+            ws = pdf["w"].to_numpy()
+            hs = pdf["h"].to_numpy()
+            fmts = pdf["fmt"].to_numpy()
+            phs = pdf["phash"].to_numpy()
+            n = len(ids)
             # jpegs through the vectorized multi-stream entropy kernel
             # (bit-identical to the scalar decoder; guide §4.2 batching) —
             # the scalar per-symbol loop is ~3x slower per image
-            decoded: dict[int, np.ndarray] = {}
+            decoded: list = [None] * n
             jrows = np.flatnonzero(fmts == "jpeg")
             if jrows.size >= 8 and not _HAS_PIL:
                 from karta_spark.sources.jpeg import decode_jpeg_batch
@@ -498,18 +518,52 @@ def decode_stats(images: DataFrame, passthrough: tuple = ()) -> DataFrame:
                                   decode_jpeg_batch([bytes(raws[r])
                                                      for r in jrows])):
                     decoded[int(r)] = pix
-            for ri, (iid, raw, w, h, fmt, ph, *extra) in enumerate(zip(
-                    pdf["image_id"].to_numpy(), raws,
-                    pdf["w"].to_numpy(), pdf["h"].to_numpy(),
-                    fmts, pdf["phash"].to_numpy(), *extras)):
-                pix = decoded.get(ri)
+            for i in range(n):
+                pix = decoded[i]
                 if pix is None:
-                    pix = decode_image(bytes(raw), fmt)
-                ref = pixels_for_phash(int(ph), int(w), int(h))
+                    pix = decode_image(bytes(raws[i]), fmts[i])
                 if pix.ndim == 2:
                     pix = np.repeat(pix[:, :, None], 3, axis=2)
-                out.append((iid, int(ph), float(pix.mean()),
-                            float(pix.std()), psnr(pix, ref), *extra))
+                decoded[i] = pix
+            # batched stats per uniform-shape group: one axis reduction
+            # over a contiguous (g, h*w*3) float64 stack computes the
+            # identical pairwise sums as the per-image np.mean/std/psnr
+            # (bit-equality pinned by test); the per-row loop cost
+            # ~45 us/row of numpy dispatch (r8)
+            means = np.empty(n)
+            stds = np.empty(n)
+            psnrs = np.empty(n)
+            groups: dict = {}
+            for i, px in enumerate(decoded):
+                groups.setdefault((px.shape, int(ws[i]), int(hs[i])),
+                                  []).append(i)
+            for (shape, w, h), rows_l in groups.items():
+                rows_ = np.asarray(rows_l)
+                if rows_.size >= 8:
+                    st = np.stack([decoded[i] for i in rows_l]
+                                  ).astype(np.float64)
+                    flat = st.reshape(rows_.size, -1)
+                    means[rows_] = flat.mean(axis=1)
+                    stds[rows_] = flat.std(axis=1)
+                    refs = pixels_for_phash_batch(phs[rows_], w, h)
+                    d = (st - refs.astype(np.float64)).reshape(rows_.size, -1)
+                    mse = (d * d).mean(axis=1)
+                    p = np.empty(rows_.size)
+                    zero = mse == 0.0
+                    p[zero] = np.inf
+                    p[~zero] = 10.0 * np.log10(255.0 ** 2 / mse[~zero])
+                    psnrs[rows_] = p
+                else:
+                    for i in rows_l:
+                        ref = pixels_for_phash(int(phs[i]), w, h)
+                        means[i] = float(decoded[i].mean())
+                        stds[i] = float(decoded[i].std())
+                        psnrs[i] = psnr(decoded[i], ref)
+            out = []
+            for i in range(n):
+                out.append((ids[i], int(phs[i]), float(means[i]),
+                            float(stds[i]), float(psnrs[i]),
+                            *[e[i] for e in extras]))
             yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return images.mapInPandas(run, schema)

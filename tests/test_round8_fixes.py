@@ -153,3 +153,36 @@ class TestRoundHalfEvenExpr:
         for r in got:
             assert r["a"] == r["b"], r["p"]
             assert r["a"] == int(np.round(r["p"])), r["p"]
+
+
+class TestBatchedDecodeStats:
+    def test_pixels_for_phash_batch_parity(self):
+        from karta_spark.sources.images import (phash_for_index,
+                                                pixels_for_phash,
+                                                pixels_for_phash_batch)
+        ph = phash_for_index(np.arange(200))
+        got = pixels_for_phash_batch(ph, 16, 16)
+        for i in range(200):
+            assert np.array_equal(got[i], pixels_for_phash(int(ph[i]), 16, 16))
+        got = pixels_for_phash_batch(ph[:20], 7, 5)
+        for i in range(20):
+            assert np.array_equal(got[i], pixels_for_phash(int(ph[i]), 7, 5))
+
+    def test_decode_stats_bit_equal_to_per_row(self, spark):
+        """The grouped axis-reduction stats must equal the per-image
+        np.mean/np.std/psnr floats EXACTLY (same pairwise sums)."""
+        from pyspark.sql import functions as F
+        from karta_spark.sources import images as im
+        imgs = im.synth_images(spark, 300, partitions=2)
+        got = {r["image_id"]: r for r in im.decode_stats(imgs).collect()}
+        src = imgs.collect()
+        assert len(got) == 300
+        for row in src:
+            pix = im.decode_image(bytes(row["bytes"]), row["fmt"])
+            if pix.ndim == 2:
+                pix = np.repeat(pix[:, :, None], 3, axis=2)
+            ref = im.pixels_for_phash(int(row["phash"]), row["w"], row["h"])
+            g = got[row["image_id"]]
+            assert g["pix_mean"] == float(pix.mean())
+            assert g["pix_std"] == float(pix.std())
+            assert g["psnr_vs_ref"] == im.psnr(pix, ref)
