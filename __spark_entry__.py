@@ -107,12 +107,15 @@ def q02_revenue_by_nation(spark, sf_dir):
     # orders is the ONE mid-size join side: under ~64 MB the planner
     # auto-broadcasts it, and the single-threaded driver-side hash build of
     # ~1.5M rows costs more than the distributed join it saves (measured r8:
-    # 2.55 s -> 1.02 s at sf1.0, 1.12 -> 0.53 at sf0.1).  At cluster scale
-    # orders exceeds the threshold and sort-merge is what the planner picks
-    # anyway — the hint just stops the mid-scale broadcast trap.  Result
-    # rows verified identical (join strategy never changes results).
+    # 2.55 s -> 1.02 s at sf1.0, 1.12 -> 0.53 at sf0.1).  Shuffled-hash over
+    # sort-merge (guide §3.1): both sides exchange on l_orderkey either way,
+    # but SHJ skips both sorts; interleaved 5-run A/B — sf10 3.90 vs 4.48 s,
+    # sf1.0 0.735 vs 0.838, sf0.1 0.468 vs 0.510, SHJ faster on every pair.
+    # Build side is the per-partition orders slice (|orders|/partitions,
+    # uniform key, no skew; AQE partition sizing bounds it at scale).
+    # Result rows verified identical (join strategy never changes results).
     return (
-        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
