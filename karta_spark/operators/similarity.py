@@ -52,8 +52,18 @@ def cosine_topk(
     # unsplittable vector file would run every HOF cosine fold in one
     # task (no-op when already parallel)
     vectors = ensure_min_parallelism(vectors)
+    # norms hoisted ABOVE the cross join: cosine_expr inline would re-fold
+    # norm(vector) once per (vector, query) PAIR — 3 HOF folds per scored
+    # row; precomputed, each vector/query norm folds once and the pair row
+    # is one dot fold + multiply/divide.  Bit-identical doubles (same ops,
+    # same order — division by the same product).  Measured (interleaved
+    # 4-run, q18 shape): sf10 1.37 -> 1.10 s, sf1.0 0.43 -> 0.41 s.
+    vectors = vectors.withColumn("_vnorm", norm_expr(F.col(vec_col)))
+    queries = queries.withColumn("_qnorm", norm_expr(F.col(q_vec)))
     q = F.broadcast(queries) if broadcast_queries else queries
-    joined = vectors.crossJoin(q).withColumn("cosine", cosine_expr(vec_col, q_vec))
+    joined = vectors.crossJoin(q).withColumn(
+        "cosine",
+        dot_expr(F.col(vec_col), F.col(q_vec)) / (F.col("_vnorm") * F.col("_qnorm")))
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(vid).asc())
     return (
         joined.withColumn("rank", F.row_number().over(w))
