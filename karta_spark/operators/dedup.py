@@ -214,6 +214,10 @@ def _minhash_sig_batch(texts, shingle: int, a: np.ndarray, b: np.ndarray) -> np.
         return np.concatenate(parts, axis=0)
     D = len(texts)
     num_perm = len(a)
+    if D == 0:
+        # an empty Arrow batch (empty partition / upstream filter) must not
+        # reach the concatenated-buffer math (n_win would go negative)
+        return np.empty((0, num_perm), dtype=np.int64)
     blobs = []
     for t in texts:
         raw = (t or "").encode("utf-8", "ignore")

@@ -203,6 +203,7 @@ class TestBatchedDecodeStats:
         texts += [" ".join(rng.choice(vocab, size=int(k)))
                   for k in rng.integers(1, 40, size=120)]
         texts += [" ".join(rng.choice(vocab, size=900))]  # length outlier
+        assert _minhash_sig_batch([], 6, a, b).shape == (0, 64)
         for n in (3, 6):
             got = _minhash_sig_batch(texts, n, a, b)
             assert got.shape == (len(texts), 64)
